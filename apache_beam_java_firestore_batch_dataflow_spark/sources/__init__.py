@@ -1,0 +1,6 @@
+"""Sources: text lines + driver parquet tables."""
+
+from .tables import TABLE_NAMES, load_table, load_tables, register_views
+from .text import read_lines
+
+__all__ = ["TABLE_NAMES", "load_table", "load_tables", "register_views", "read_lines"]

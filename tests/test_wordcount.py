@@ -1,0 +1,120 @@
+"""Golden tests ported from the reference's only test class
+(``src/test/java/org/rm3l/beam/WordCountTest.java``), plus the Unicode /
+edge-case battery from FIXTURES.md F1 and a tokenizer property test.
+"""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Observation, Row
+
+from apache_beam_java_firestore_batch_dataflow_spark.operators.wordcount import (
+    count_words,
+    extract_words,
+    format_as_text,
+)
+
+
+def lines_df(spark, lines):
+    return spark.createDataFrame([Row(value=line) for line in lines])
+
+
+# WordCountTest.java:47
+TOKENIZER_INPUT = [" some  input  words ", " ", " cool ", " foo", " bar"]
+# WordCountTest.java:55-59
+WORDS_ARRAY = ["hi there", "hi", "hi sue bob", "hi sue", "", "bob hi"]
+# WordCountTest.java:63
+COUNTS_ARRAY = {"hi: 5", "there: 1", "sue: 2", "bob: 2"}
+
+
+def py_tokenize(line: str) -> list[str]:
+    """Python oracle for the Java ``[^\\p{L}]+`` split: ``[\\W\\d_]`` is the
+    complement of Unicode letters for the alphabets we test."""
+    return [tok for tok in re.split(r"[\W\d_]+", line) if tok]
+
+
+def test_extract_words_fn(spark):
+    """testExtractWordsFn parity (WordCountTest.java:45-53), order-insensitive."""
+    out = extract_words(lines_df(spark, TOKENIZER_INPUT))
+    assert sorted(r.word for r in out.collect()) == sorted(
+        ["some", "input", "words", "cool", "foo", "bar"]
+    )
+
+
+def test_count_words_end_to_end(spark):
+    """testCountWords parity (WordCountTest.java:68-78)."""
+    out = format_as_text(count_words(lines_df(spark, WORDS_ARRAY)))
+    assert {r.value for r in out.collect()} == COUNTS_ARRAY
+
+
+def test_tokenizer_edge_cases(spark):
+    """FIXTURES.md F1 edge battery: Unicode letters kept, digits/underscores
+    split, case preserved, punctuation-only lines yield nothing."""
+    cases = {
+        "!!! ???": [],
+        "héllo wörld móre": ["héllo", "wörld", "móre"],
+        "a1b 2c_d": ["a", "b", "c", "d"],
+        "Hi hi HI": ["Hi", "hi", "HI"],
+    }
+    for line, expected in cases.items():
+        out = extract_words(lines_df(spark, [line]))
+        assert sorted(r.word for r in out.collect()) == sorted(expected), line
+
+
+def test_observe_metrics(spark):
+    """emptyLines counter + lineLenDistro parity (WordCount.java:54-63) via
+    df.observe — computed in the same pass as the aggregation."""
+    obs = Observation("wordcount-metrics")
+    counts = count_words(lines_df(spark, WORDS_ARRAY), observation=obs)
+    counts.collect()
+    metrics = obs.get
+    assert metrics["empty_lines"] == 1  # the "" line
+    assert metrics["line_count"] == len(WORDS_ARRAY)
+    assert metrics["line_len_max"] == max(len(s) for s in WORDS_ARRAY)
+    assert metrics["line_len_min"] == 0
+
+
+def test_counts_match_python_oracle(spark):
+    lines = WORDS_ARRAY + TOKENIZER_INPUT
+    expected = collections.Counter(tok for line in lines for tok in py_tokenize(line))
+    out = count_words(lines_df(spark, lines))
+    got = {r.word: r["count"] for r in out.collect()}
+    assert got == dict(expected)
+
+
+@pytest.fixture(scope="session")
+def shared_spark(spark):
+    return spark
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            # Cap at U+2FFF: JVM (Unicode 13 on Java 17) and CPython (14+)
+            # disagree on letter-hood of recently-added codepoints; the
+            # stable BMP ranges exercise Latin/Greek/Cyrillic/Arabic/CJK
+            # punctuation without oracle version skew.
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+                max_codepoint=0x2FFF,
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_tokenizer_property(shared_spark, lines):
+    """Property (SURVEY.md §5): engine tokens == Python oracle tokens for
+    arbitrary letter/digit/punct/space strings; no empty tokens ever."""
+    out = extract_words(lines_df(shared_spark, lines))
+    got = sorted(r.word for r in out.collect())
+    expected = sorted(tok for line in lines for tok in py_tokenize(line))
+    assert got == expected
+    assert all(tok for tok in got)
