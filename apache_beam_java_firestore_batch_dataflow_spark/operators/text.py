@@ -1,0 +1,319 @@
+"""Text-analysis operators over the ``documents`` table.
+
+The flagship query is the reference pipeline itself — tokenize + count
+(``WordCount.java:96-110``) — run over ``documents.text`` instead of a
+text file, so the driver can oracle-check it against DuckDB.  The rest
+is the LLM-data-pipeline text battery: token statistics, quality
+scoring, language-ID heuristics, document fingerprinting, n-gram
+profiles.
+
+All operators are per-row projections + one aggregation — narrow,
+codegen-friendly, no UDFs — so they scale linearly: at 100 TB the only
+shuffle is the final groupBy (word / fingerprint / bigram), which
+map-side combines first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .wordcount import TOKENIZER_PATTERN
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def tokens_col(text: Column) -> Column:
+    """Array of non-empty word tokens — reference tokenizer semantics
+    (split on non-letters, keep case, drop empties; WordCount.java:45,66-73)."""
+    return F.filter(F.split(text, TOKENIZER_PATTERN), lambda t: F.length(t) > 0)
+
+
+# DuckDB fragment with identical semantics (RE2 also supports \p{L}).
+TOKENS_SQL = (
+    r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> length(t) > 0)"
+)
+
+
+@register(
+    "q_wordcount_documents",
+    oracle=rf"""
+    SELECT word, count(*) AS count
+    FROM (SELECT unnest({TOKENS_SQL}) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def q_wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's tokenize+count over documents.text."""
+    docs = _docs(spark, sf_dir).select(F.col("text").alias("value"))
+    from .wordcount import count_words
+
+    return count_words(docs)
+
+
+@register(
+    "q_text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           n_chars,
+           len(toks) AS n_tokens,
+           CAST(round(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+                                  (a, b) -> a + b) * 1.0
+                      / greatest(len(toks), 1), 4) AS DOUBLE) AS avg_token_len,
+           len(list_distinct(toks)) AS n_unique_tokens,
+           CAST(round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4)
+                AS DOUBLE) AS type_token_ratio
+    FROM (SELECT doc_id, n_chars, {TOKENS_SQL} AS toks FROM documents)
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (length profile, type/token ratio)."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    d = docs.select("doc_id", "n_chars", toks.alias("toks"))
+    total_len = F.aggregate(
+        F.transform(F.col("toks"), lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    n_toks = F.size("toks")
+    n_uniq = F.size(F.array_distinct("toks"))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_toks.alias("n_tokens"),
+        F.round(total_len * 1.0 / F.greatest(n_toks, F.lit(1)), 4)
+        .cast("double")
+        .alias("avg_token_len"),
+        n_uniq.alias("n_unique_tokens"),
+        F.round(n_uniq * 1.0 / F.greatest(n_toks, F.lit(1)), 4)
+        .cast("double")
+        .alias("type_token_ratio"),
+    )
+
+
+# Stopword lists for the language-ID heuristic (word-boundary regex, same
+# RE2/Java semantics in both engines).
+_LANG_MARKERS = {
+    "en": r"\b(the|a|of|and|to|in|is|it)\b",
+    "fr": r"\b(le|la|les|des|une|est|dans)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "es": r"\b(el|los|las|una|es|de|que)\b",
+}
+
+
+@register(
+    "q_text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_actual,
+           CASE
+             WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+             WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+             WHEN de_hits >= es_hits THEN 'de'
+             ELSE 'es'
+           END AS lang_pred,
+           en_hits, fr_hits, de_hits, es_hits
+    FROM (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '{_LANG_MARKERS["en"]}')) AS en_hits,
+             len(regexp_extract_all(lower(text), '{_LANG_MARKERS["fr"]}')) AS fr_hits,
+             len(regexp_extract_all(lower(text), '{_LANG_MARKERS["de"]}')) AS de_hits,
+             len(regexp_extract_all(lower(text), '{_LANG_MARKERS["es"]}')) AS es_hits
+      FROM documents
+    )
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: count per-language marker hits, argmax
+    with a fixed priority order (en > fr > de > es on ties)."""
+    docs = _docs(spark, sf_dir)
+    low = F.lower(F.col("text"))
+    hits = {
+        lang: F.regexp_count(low, F.lit(pat)).alias(f"{lang}_hits")
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    d = docs.select("doc_id", F.col("lang").alias("lang_actual"), *hits.values())
+    en, fr, de, es = (F.col(f"{lang}_hits") for lang in ("en", "fr", "de", "es"))
+    pred = (
+        F.when((en >= fr) & (en >= de) & (en >= es), "en")
+        .when((fr >= de) & (fr >= es), "fr")
+        .when(de >= es, "de")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        "lang_actual",
+        pred.alias("lang_pred"),
+        "en_hits",
+        "fr_hits",
+        "de_hits",
+        "es_hits",
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           n_tokens,
+           CAST(floor(stop_hits * 10000.0 / greatest(n_tokens, 1)) AS BIGINT)
+               AS stopword_bp,
+           CAST(floor(n_punct * 10000.0 / greatest(n_chars, 1)) AS BIGINT)
+               AS punct_bp,
+           CAST(least(n_tokens, 100) * 50
+                + least(CAST(floor(stop_hits * 15000.0 / greatest(n_tokens, 1)) AS BIGINT), 3000)
+                + 2000 - least(CAST(floor(n_punct * 20000.0 / greatest(n_chars, 1)) AS BIGINT), 2000)
+                AS BIGINT) AS quality_bp
+    FROM (
+      SELECT doc_id, n_chars,
+             len({TOKENS_SQL}) AS n_tokens,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|it)\\b'))
+                 AS stop_hits,
+             len(regexp_extract_all(text, '[^\\p{{L}}\\s]')) AS n_punct
+      FROM documents
+    )
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length signal + stopword density + inverse
+    punctuation density (the classic pre-training quality gates), summed in
+    integer basis points [0, 10000].  Integer floor arithmetic — no float
+    rounding boundary can diverge between engines."""
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(tokens_col(F.col("text")))
+    stop_hits = F.regexp_count(F.lower(F.col("text")), F.lit(_LANG_MARKERS["en"]))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\p{L}\s]"))
+    d = docs.select(
+        "doc_id",
+        F.col("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        n_punct.alias("n_punct"),
+    )
+    tok_denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    chr_denom = F.greatest(F.col("n_chars"), F.lit(1))
+    stop_bp = F.floor(F.col("stop_hits") * 10000.0 / tok_denom)
+    punct_bp = F.floor(F.col("n_punct") * 10000.0 / chr_denom)
+    quality_bp = (
+        F.least(F.col("n_tokens"), F.lit(100)) * 50
+        + F.least(F.floor(F.col("stop_hits") * 15000.0 / tok_denom), F.lit(3000))
+        + 2000
+        - F.least(F.floor(F.col("n_punct") * 20000.0 / chr_denom), F.lit(2000))
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        stop_bp.cast("bigint").alias("stopword_bp"),
+        punct_bp.cast("bigint").alias("punct_bp"),
+        quality_bp.cast("bigint").alias("quality_bp"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=r"""
+    SELECT fingerprint, count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+          FROM documents)
+    GROUP BY fingerprint
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (lower, collapse whitespace, md5) +
+    cluster size — the first stage of exact dedup."""
+    docs = _docs(spark, sf_dir)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+@register(
+    "q_text_bigrams_top",
+    oracle=f"""
+    SELECT bigram, count(*) AS n
+    FROM (
+      SELECT unnest(CASE WHEN len(toks) >= 2
+                         THEN list_transform(range(1, len(toks)),
+                                             i -> toks[i] || ' ' || toks[i + 1])
+                         ELSE [] END) AS bigram
+      FROM (SELECT {TOKENS_SQL} AS toks FROM documents)
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def q_text_bigrams_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams: per-row n-gram expansion (narrow), count, TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    d = docs.select(toks.alias("toks"))
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_ws_tokens
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish pre-token
+    regex (letter runs / digit runs / single punctuation) — the standard
+    proxy for LLM token budgeting."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.regexp_count(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+        ).alias("n_bpe_tokens"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("n_ws_tokens"),
+    )

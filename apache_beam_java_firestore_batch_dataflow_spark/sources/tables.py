@@ -30,7 +30,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # TIMESTAMP(NANOS) columns arrive as long (see session.py nanosAsLong);
+    # normalize to microsecond timestamps, matching DuckDB's ns->us truncation.
+    from pyspark.sql import functions as F
+
+    for field_name, dtype in df.dtypes:
+        if field_name == "ts" and dtype == "bigint" and name == "events":
+            df = df.withColumn(
+                field_name, F.timestamp_micros(F.expr(f"{field_name} div 1000"))
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
