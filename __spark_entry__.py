@@ -16,10 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from apache_beam_java_firestore_batch_dataflow_spark.operators import relational
+from apache_beam_java_firestore_batch_dataflow_spark.operators import (
+    dedup,
+    multimodal,
+    relational,
+    similarity,
+)
 from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
 
-_MODULES = [relational, text_ops]
+_MODULES = [relational, text_ops, dedup, similarity, multimodal]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,539 @@
+"""Deduplication operators over ``documents`` — exact and near-dup.
+
+Scale design (the whole point of these): near-dup at 100 TB must never
+materialize the O(n²) pair space.  Every operator here reduces pairing
+to an equi-join on a blocking key:
+
+* **MinHash-LSH**: shingle → 32 universal hashes → min per doc (one
+  narrow agg) → 8 bands of 4 → join on (band, band-hash).  Collisions
+  are ~|near-dup pairs|, not n².
+* **SimHash**: 32-bit weighted-token signature → block on 8-bit bytes
+  (a pair within Hamming distance 3 must agree on ≥1 of 4 bytes) →
+  verify with ``bit_count(xor)``.
+* **Rare-n-gram Jaccard**: block on character 5-grams with document
+  frequency ≤ DF_MAX, so join fan-out per gram is bounded.
+
+Determinism: all hashing is the md5-based family from
+functions/hashing.py, bit-identical in Spark and DuckDB, so every
+pipeline (including banding) has a full SQL oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    bit_of,
+    bit_of_sql,
+    h56,
+    h56_sql,
+    minhash_term,
+    minhash_term_sql,
+)
+from ..sources.tables import load_table
+from .text import TOKENS_SQL, tokens_col
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+NUM_HASHES = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SHINGLE_K = 3  # token-level shingle width
+SIMHASH_BITS = 32
+NGRAM_N = 5  # character n-grams
+DF_MAX = 10  # rare-gram blocking: max docs sharing a blocking gram
+JACCARD_MIN = 0.10
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_dedup_exact",
+    oracle=r"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM (SELECT doc_id,
+                 md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          FROM documents)
+    GROUP BY fp
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (min) doc id per normalized content hash.
+
+    At 100 TB this is one hash projection + one groupBy shuffle on the
+    56-char digest — the cheapest possible dedup; AQE coalesces the
+    (near-unique-key) reduce side.
+    """
+    docs = _docs(spark, sf_dir)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(normalized).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def shingles_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): distinct SHINGLE_K-token shingles per document."""
+    toks = tokens_col(F.col("text"))
+    shingle_arr = F.when(
+        F.size(toks) >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, i + off) for off in range(SHINGLE_K)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("sh")
+    )
+
+
+SHINGLES_SQL = rf"""
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= {SHINGLE_K}
+                         THEN list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                         ELSE [] END) AS sh
+      FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+    )
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m31): MinHash signature from one explode + one agg.
+
+    Double hashing (functions/hashing.py): two md5 base hashes per
+    shingle, 32 derived minwise hashes — constant per-shingle cost
+    regardless of NUM_HASHES.
+    """
+    from ..functions.hashing import H2_SALT
+
+    hashed = shingles_df(docs).select(
+        "doc_id",
+        h56(F.col("sh")).alias("h1"),
+        h56(F.col("sh"), salt=H2_SALT).alias("h2"),
+    )
+    aggs = [
+        F.min(minhash_term(F.col("h1"), F.col("h2"), i)).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _signatures_sql() -> str:
+    from ..functions.hashing import H2_SALT
+
+    mins = ",\n             ".join(
+        f"min({minhash_term_sql('h1', 'h2', i)}) AS m{i}" for i in range(NUM_HASHES)
+    )
+    return f"""
+      SELECT doc_id,
+             {mins}
+      FROM (SELECT doc_id, {h56_sql('sh')} AS h1, {h56_sql('sh', salt=H2_SALT)} AS h2
+            FROM ({SHINGLES_SQL}))
+      GROUP BY doc_id
+    """
+
+
+def band_hashes(signatures: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash): one row per band."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"m{b * ROWS_PER_BAND + r}").cast("string")
+                            for r in range(ROWS_PER_BAND)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    return signatures.select("doc_id", F.explode(bands).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash")
+    )
+
+
+def _bands_sql() -> str:
+    per_band = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sigs".format(
+            b=b,
+            concat="concat_ws(',', "
+            + ", ".join(
+                f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            )
+            + ")",
+        )
+        for b in range(BANDS)
+    )
+    return per_band
+
+
+_MINHASH_ORACLE = f"""
+    WITH sigs AS ({_signatures_sql()}),
+    bands AS ({_bands_sql()}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sh AS ({SHINGLES_SQL}),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(round(i.n_common * 1.0 / (za.n_sh + zb.n_sh - i.n_common), 6) AS DOUBLE)
+               AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (za.n_sh + zb.n_sh - i.n_common) >= {JACCARD_MIN}
+"""
+
+
+@register("q_dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates + exact Jaccard verification.
+
+    Pipeline: shingle (narrow) → signature (1 agg) → band join (equi) →
+    shingle-join verification on *candidates only*.  No stage touches the
+    n² pair space; every join is a hash shuffle on a high-cardinality key.
+    """
+    docs = _docs(spark, sf_dir)
+    sh = shingles_df(docs)
+    sigs = minhash_signatures(docs)
+    bands = band_hashes(sigs)
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b_r"), F.col("sh").alias("sh_b"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("doc_b_r")) & (F.col("sh_a") == F.col("sh_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
+    jaccard = F.col("n_common") * 1.0 / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .filter(jaccard >= JACCARD_MIN)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(jaccard, 6).cast("double").alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit weighted-token SimHash.
+
+    One token explode + one (doc, token) count agg + one per-doc agg of 32
+    bit-sums — all narrow or combiner aggregations.
+    """
+    token_counts = (
+        docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("doc_id", "cnt", h56(F.col("tok")).alias("h"))
+    )
+    bit_sums = token_counts.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("cnt") * (bit_of(F.col("h"), j) * 2 - 1)).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.cast("bigint").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n           ".join(
+        f"sum(cnt * ({bit_of_sql('h', j)} * 2 - 1)) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+      SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM (
+        SELECT doc_id,
+           {bit_sums}
+        FROM (
+          SELECT doc_id, count(*) AS cnt, {h56_sql('tok')} AS h
+          FROM (SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents)
+          GROUP BY doc_id, tok
+        )
+        GROUP BY doc_id
+      )
+    """
+
+
+HAMMING_MAX = 6
+
+_SIMHASH_ORACLE = f"""
+    WITH sigs AS ({_simhash_sql()}),
+    blocks AS (
+      SELECT doc_id, simhash, b AS block_idx,
+             (simhash >> (b * 8)) & 255 AS block_val
+      FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sig_a,
+                      b.doc_id AS doc_b, b.simhash AS sig_b
+      FROM blocks a JOIN blocks b
+        ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {HAMMING_MAX}
+"""
+
+
+@register("q_dedup_simhash", oracle=_SIMHASH_ORACLE)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming distance HAMMING_MAX.
+
+    Blocking: a pair at distance <= 3 must share at least one of the four
+    signature bytes (pigeonhole); we block on byte equality and verify
+    with bit_count(xor).  HAMMING_MAX is looser than 3, so this is a
+    recall-biased candidate set — the verified hamming column is exact.
+    """
+    docs = _docs(spark, sf_dir)
+    sigs = simhash_signatures(docs)
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block_idx"),
+                        F.shiftright(F.col("simhash"), b * 8)
+                        .bitwiseAND(F.lit(255))
+                        .alias("block_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("blk.block_idx").alias("block_idx"),
+        F.col("blk.block_val").alias("block_val"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sig_a"),
+        "block_idx",
+        "block_val",
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sig_b"),
+        F.col("block_idx").alias("block_idx_b"),
+        F.col("block_val").alias("block_val_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("block_idx") == F.col("block_idx_b"))
+            & (F.col("block_val") == F.col("block_val_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "sig_a", "doc_b", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(hamming <= HAMMING_MAX).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard with rare-gram blocking
+# ---------------------------------------------------------------------------
+
+_NGRAM_GRAMS_SQL = rf"""
+    SELECT DISTINCT doc_id, g FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN length(norm) >= {NGRAM_N}
+                         THEN list_transform(range(1, length(norm) - {NGRAM_N - 2}),
+                                             i -> substr(norm, i, {NGRAM_N}))
+                         ELSE [] END) AS g
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+            FROM documents)
+    )
+"""
+
+_NGRAM_ORACLE = f"""
+    WITH grams AS ({_NGRAM_GRAMS_SQL}),
+    rare AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND {DF_MAX}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM grams a
+      JOIN rare r ON a.g = r.g
+      JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(round(i.n_common * 1.0 / (za.n_g + zb.n_g - i.n_common), 6) AS DOUBLE)
+               AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / (za.n_g + zb.n_g - i.n_common) >= {JACCARD_MIN}
+"""
+
+
+@register("q_dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup with rare-gram blocking.
+
+    Pairs are generated only through grams shared by 2..DF_MAX documents,
+    bounding join fan-out per gram at DF_MAX² — the standard trick that
+    keeps n-gram dedup linear-ish at corpus scale (common grams carry no
+    signal; unique grams pair nothing).
+    """
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = docs.select("doc_id", norm.alias("norm"))
+    grams = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.length("norm") >= NGRAM_N,
+                    F.expr(
+                        f"transform(sequence(1, length(norm) - {NGRAM_N - 1}), "
+                        f"i -> substring(norm, i, {NGRAM_N}))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= DF_MAX))
+        .select("g")
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    cand = (
+        ga.join(rare, "g")
+        .join(gb, (F.col("g") == F.col("g_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    xa = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    xb = grams.select(F.col("doc_id").alias("doc_b_r"), F.col("g").alias("g_b2"))
+    inter = (
+        cand.join(xa, "doc_a")
+        .join(
+            xb,
+            (F.col("doc_b") == F.col("doc_b_r")) & (F.col("g_a") == F.col("g_b2")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("n_g_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("n_g_b"))
+    jac = F.col("n_common") * 1.0 / (
+        F.col("n_g_a") + F.col("n_g_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(za), "doc_a")
+        .join(F.broadcast(zb), "doc_b")
+        .filter(jac >= JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
+    )

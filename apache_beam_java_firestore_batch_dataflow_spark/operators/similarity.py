@@ -1,0 +1,248 @@
+"""Similarity search over the ``embeddings`` table.
+
+Two paths, mirroring what a 100 TB vector corpus needs:
+
+* **Brute-force cosine top-k** (`q_knn_bruteforce`): the exact baseline.
+  A query subset × full corpus join — quadratic, but the join is
+  broadcast (query side is small) so the corpus is scanned once with no
+  shuffle; per-pair math is JVM-side ``zip_with``/``aggregate``.  This
+  is the correctness oracle for any ANN variant.
+
+* **Hyperplane-LSH ANN** (`q_ann_lsh`): 16 deterministic ±1 hyperplanes
+  (md5-derived, engine-portable) → 16-bit bucket signature per vector →
+  candidates = bucket collision (equi-join) → exact cosine rerank top-3.
+  At scale the bucket join replaces the n² pair space with ~n·(bucket
+  occupancy), and the signature computation is a narrow projection.
+
+Norms are precomputed once per vector (narrow), never inside the pair
+loop.  All reductions are sequential left folds cast to double, so the
+DuckDB oracles match bit-for-bit (functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import dot, dot_sql, hyperplane_signs, norm, norm_sql
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+KNN_K = 5
+ANN_K = 3
+N_PLANES = 8  # 256 buckets; with multiprobe(1) gives useful recall on small corpora
+DIM = 64
+QUERY_MOD = 10  # query subset: vec_id % QUERY_MOD == 0
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def with_norm(vecs: DataFrame) -> DataFrame:
+    return vecs.withColumn("vnorm", norm(F.col("embedding")))
+
+
+_KNN_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {dot_sql('q.embedding', 'v.embedding')} / (q.vnorm * v.vnorm) AS sim
+      FROM q JOIN v ON q.vec_id <> v.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(round(sim, 6) AS DOUBLE) AS cosine
+    FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+@register("q_knn_bruteforce", oracle=_KNN_ORACLE)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K for a query subset via broadcast cross pairing."""
+    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("vnorm").alias("q_norm"),
+    )
+    pairs = v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+    sim = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("vnorm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).cast("double").alias("cosine"),
+        )
+    )
+
+
+def _signs_sql_list(row: list[int]) -> str:
+    return "[" + ", ".join(f"{s}.0" for s in row) + "]"
+
+
+def _bucket_sql() -> str:
+    signs = hyperplane_signs(N_PLANES, DIM)
+    terms = []
+    for j in range(N_PLANES):
+        proj = dot_sql("embedding", f"CAST({_signs_sql_list(signs[j])} AS DOUBLE[])")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def lsh_buckets(vecs: DataFrame) -> DataFrame:
+    """(vec_id, embedding, vnorm, bucket): 16-bit hyperplane signature."""
+    signs = hyperplane_signs(N_PLANES, DIM)
+    sig = None
+    for j in range(N_PLANES):
+        plane = F.array(*[F.lit(float(s)) for s in signs[j]])
+        proj = dot(F.col("embedding"), plane)
+        term = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return with_norm(vecs).withColumn("bucket", sig.cast("bigint"))
+
+
+def _probe_list_sql() -> str:
+    """DuckDB: multiprobe bucket list = own bucket + each 1-bit flip."""
+    flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(N_PLANES))
+    return f"[bucket, {flips}]"
+
+
+_ANN_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm,
+             CAST({_bucket_sql()} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, embedding, vnorm, unnest({_probe_list_sql()}) AS probe
+      FROM v WHERE vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             {dot_sql('q.embedding', 'v.embedding')} / (q.vnorm * v.vnorm) AS sim
+      FROM q JOIN v ON q.probe = v.bucket AND q.vec_id <> v.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(round(sim, 6) AS DOUBLE) AS cosine
+    FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+@register("q_ann_lsh", oracle=_ANN_ORACLE)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN: hyperplane-LSH bucket join (multiprobe distance 1 on the query
+    side only — the corpus side stays un-exploded) + exact cosine rerank.
+    """
+    v = lsh_buckets(_vecs(spark, sf_dir)).select(
+        "vec_id", "embedding", "vnorm", "bucket"
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)],
+    )
+    q = (
+        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("vnorm").alias("q_norm"),
+            F.explode(probes).alias("probe"),
+        )
+    )
+    cand = (
+        v.join(
+            F.broadcast(q),
+            (F.col("probe") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "vnorm")
+        .distinct()
+    )
+    sim = dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("vnorm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).cast("double").alias("cosine"),
+        )
+    )
+
+
+_EMB_DEDUP_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(round({dot_sql('a.embedding', 'b.embedding')}
+                      / (a.vnorm * b.vnorm), 6) AS DOUBLE) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.vnorm * b.vnorm) >= 0.35
+"""
+
+
+@register("q_dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.35 on this synthetic
+    corpus).  Exact all-pairs here as the small-corpus oracle; the scale
+    path is `q_ann_lsh`'s bucket join with the same rerank math."""
+    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("vnorm").alias("norm_a"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("vnorm").alias("norm_b"),
+    )
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= 0.35)
+        .select(
+            "vec_a", "vec_b", F.round(sim, 6).cast("double").alias("cosine")
+        )
+    )
