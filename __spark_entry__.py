@@ -23,8 +23,9 @@ from apache_beam_java_firestore_batch_dataflow_spark.operators import (
     similarity,
 )
 from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
+from apache_beam_java_firestore_batch_dataflow_spark.streaming import windows as stream_windows
 
-_MODULES = [relational, text_ops, dedup, similarity, multimodal]
+_MODULES = [relational, text_ops, dedup, similarity, multimodal, stream_windows]
 
 
 def entry(spark: SparkSession) -> DataFrame:

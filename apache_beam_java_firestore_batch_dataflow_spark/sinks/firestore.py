@@ -91,7 +91,12 @@ class FakeFirestoreClient:
     def __init__(self, spool_dir: str, latency_s: float = 0.0) -> None:
         self.spool_dir = spool_dir
         self.latency_s = latency_s
-        self._path = os.path.join(spool_dir, f"client-{uuid.uuid4().hex}.jsonl")
+        # time-ordered name so spool replay (sorted) reflects commit order
+        # across sequential micro-batches; the uuid suffix keeps concurrent
+        # partitions within one batch collision-free.
+        self._path = os.path.join(
+            spool_dir, f"client-{time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
+        )
         self._fh = open(self._path, "a", encoding="utf-8")
         self._closed = False
 

@@ -1,0 +1,212 @@
+"""Event-time windowed aggregations over ``events`` — the streaming
+surface the reference lacks entirely (bounded-only, SURVEY.md §2.2), built
+on Structured Streaming's *unified* API: every transform here is a pure
+``DataFrame -> DataFrame`` that runs identically on a batch scan (which is
+how the driver oracle-checks it against DuckDB) and on ``readStream``
+(which is how tests prove incremental execution, watermarks, and late-data
+semantics — see streaming/replay.py and tests/test_streaming.py).
+
+Scale design: windowed aggregation in Spark is a combiner aggregation
+keyed by (window, keys) — partial aggregation before the shuffle, state
+store after it when streaming.  Watermarks bound the state store: without
+one, a 100 TB/day stream accretes unbounded window state; with
+``withWatermark(ts, delay)``, windows older than ``max(ts) - delay`` are
+finalized and evicted.  All window arithmetic is epoch-aligned exactly as
+Spark's ``window()``/``session_window()`` define it, and the DuckDB
+oracles reproduce that arithmetic (epoch-floor buckets; gaps-and-islands
+for sessions) so the batch results hash-match.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+TUMBLE = "1 hour"
+SLIDE_DUR = "1 hour"
+SLIDE_STEP = "15 minutes"
+SESSION_GAP = "15 minutes"
+TUMBLE_S = 3600
+SLIDE_STEP_S = 900
+SESSION_GAP_S = 900
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def with_watermark(events: DataFrame, delay: str = "30 minutes") -> DataFrame:
+    """Bound streaming state: finalize windows older than max(ts) - delay.
+
+    No-op on batch DataFrames (Spark ignores watermarks in batch mode), so
+    the same pipeline text serves both the oracle check and the stream.
+    """
+    return events.withWatermark("ts", delay)
+
+
+# --------------------------------------------------------------------------
+# Tumbling window
+# --------------------------------------------------------------------------
+
+
+def tumbling_agg(events: DataFrame) -> DataFrame:
+    """Per (1-hour tumbling window, event_type): count + value sum."""
+    return (
+        events.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _epoch_floor_sql(col: str, step_s: int) -> str:
+    """DuckDB: epoch-aligned floor of a naive timestamp, Spark window() rule."""
+    return (
+        f"TIMESTAMP '1970-01-01' + "
+        f"to_seconds(CAST(floor(epoch({col}) / {step_s}) * {step_s} AS BIGINT))"
+    )
+
+
+_TUMBLING_ORACLE = f"""
+    SELECT {_epoch_floor_sql('ts', TUMBLE_S)} AS window_start,
+           {_epoch_floor_sql('ts', TUMBLE_S)} + to_seconds({TUMBLE_S}) AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+"""
+
+
+@register("q_stream_tumbling", oracle=_TUMBLING_ORACLE)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_agg(_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Sliding window
+# --------------------------------------------------------------------------
+
+
+def sliding_agg(events: DataFrame) -> DataFrame:
+    """1-hour windows sliding every 15 min: each event lands in 4 windows."""
+    return (
+        events.groupBy(F.window("ts", SLIDE_DUR, SLIDE_STEP).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Spark assigns an event at t to the dur/slide windows whose start lies in
+# (t - dur, t] on the slide grid: start_k = slide*floor(t/slide) - k*slide.
+_SLIDING_ORACLE = f"""
+    SELECT {_epoch_floor_sql('ts', SLIDE_STEP_S)} - to_seconds(k * {SLIDE_STEP_S})
+               AS window_start,
+           {_epoch_floor_sql('ts', SLIDE_STEP_S)} - to_seconds(k * {SLIDE_STEP_S})
+               + to_seconds({TUMBLE_S}) AS window_end,
+           count(*) AS n_events,
+           CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1, 2
+"""
+
+
+@register("q_stream_sliding", oracle=_SLIDING_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_agg(_events(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Session window
+# --------------------------------------------------------------------------
+
+
+def session_agg(events: DataFrame) -> DataFrame:
+    """Per-user sessions with a 15-minute inactivity gap.
+
+    Spark semantics: a session ends gap after its last event; an event at
+    exactly prev_ts + gap starts a new session.  Streaming requires a
+    watermark on ts (sessions are merged in the state store); batch mode
+    runs the same code without one.
+    """
+    return (
+        events.groupBy(
+            F.session_window("ts", SESSION_GAP).alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# Gaps-and-islands reproduction of Spark's merge rule (new session iff
+# ts - prev_ts >= gap; session_end = last ts + gap).
+_SESSION_ORACLE = f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL {SESSION_GAP_S} SECOND
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL {SESSION_GAP_S} SECOND AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+    FROM sessions
+    GROUP BY user_id, sess
+"""
+
+
+@register("q_stream_session", oracle=_SESSION_ORACLE)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_agg(_events(spark, sf_dir))

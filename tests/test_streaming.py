@@ -1,0 +1,174 @@
+"""Structured Streaming tests: batch/stream parity for the unified window
+transforms, watermark-driven late-data eviction, and the foreachBatch
+Firestore sink (streaming reuse of the reference's batched sink).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_beam_java_firestore_batch_dataflow_spark.sinks.firestore import (
+    FirestoreSinkConfig,
+    fake_client_factory,
+    read_fake_firestore_state,
+)
+from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+from apache_beam_java_firestore_batch_dataflow_spark.streaming.replay import (
+    read_event_stream,
+    write_event_chunks,
+)
+from apache_beam_java_firestore_batch_dataflow_spark.streaming.sink import (
+    stream_word_counts_writer,
+)
+from apache_beam_java_firestore_batch_dataflow_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+    with_watermark,
+)
+
+from .conftest import sorted_rows
+
+
+@pytest.mark.parametrize(
+    "transform", [tumbling_agg, sliding_agg, session_agg],
+    ids=["tumbling", "sliding", "session"],
+)
+def test_batch_stream_parity(spark, sf_dir, tmp_path, transform):
+    """The same transform text over readStream (4 chronological chunks,
+    one per micro-batch) converges to the batch answer — Structured
+    Streaming's unified-API contract, proven incrementally."""
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+
+    batch_result = sorted_rows(transform(load_table(spark, sf_dir, "events")))
+
+    stream = with_watermark(read_event_stream(spark, chunk_dir), "30 minutes")
+    query = (
+        transform(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("parity_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = sorted_rows(spark.table("parity_out"))
+    spark.catalog.dropTempView("parity_out")
+    assert got == batch_result
+    # incrementality: the file source really delivered multiple micro-batches
+    assert len(query.recentProgress) >= 4
+
+
+def _write_events(spark, path: str, rows: list[tuple[str, int]]) -> None:
+    df = spark.createDataFrame(
+        [(ts, uid) for ts, uid in rows], "ts_s string, user_id long"
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two availableNow runs over one checkpoint: run 2's too-late event
+    lands in a window already finalized+evicted in run 1 and is dropped
+    (bounded state — the property that makes streaming viable at scale)."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+
+    def run_once() -> None:
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        counts = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("string").alias("ws"), "n")
+        )
+
+        def emit(batch_df, batch_id):
+            rows = batch_df.collect()
+            with open(os.path.join(spool, f"b{batch_id}.txt"), "w") as fh:
+                for r in rows:
+                    fh.write(f"{r['ws']},{r['n']}\n")
+
+        q = (
+            counts.writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(emit)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Run 1: watermark advances to 10:35-10:10=10:25 → [10:00,10:10) final.
+    _write_events(
+        spark,
+        src,
+        [("2024-06-01 10:05:00", 1), ("2024-06-01 10:15:00", 1), ("2024-06-01 10:35:00", 1)],
+    )
+    run_once()
+
+    # Run 2: 10:02 is behind the checkpointed watermark (its window was
+    # emitted and evicted) → dropped; 10:59 advances the watermark to
+    # 10:49, finalizing [10:10,10:20) and [10:30,10:40).
+    _write_events(spark, src, [("2024-06-01 10:02:00", 1), ("2024-06-01 10:59:00", 1)])
+    run_once()
+
+    emitted: dict[str, int] = {}
+    for name in sorted(os.listdir(spool)):
+        with open(os.path.join(spool, name)) as fh:
+            for line in fh:
+                ws, n = line.strip().rsplit(",", 1)
+                assert ws not in emitted, "a finalized window was re-emitted"
+                emitted[ws] = int(n)
+
+    assert emitted["2024-06-01 10:00:00"] == 1  # late 10:02 NOT counted
+    assert emitted["2024-06-01 10:10:00"] == 1
+    assert emitted["2024-06-01 10:30:00"] == 1
+
+
+def test_streaming_firestore_sink(spark, tmp_path):
+    """Streaming word count → foreachBatch → batched Firestore writes:
+    upsert-by-doc-id makes the final spool state equal the batch answer
+    even though a word's count is written once per micro-batch it changes."""
+    src = str(tmp_path / "text")
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.makedirs(spool)
+    with open(os.path.join(src, "a.txt"), "w") as fh:
+        fh.write("hi there\nhi\n")
+    with open(os.path.join(src, "b.txt"), "w") as fh:
+        fh.write("hi sue bob\nhi sue\nbob hi\n")
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.wordcount import (
+        count_words,
+    )
+
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    config = FirestoreSinkConfig(project_id="p", collection_path="stream")
+    writer = stream_word_counts_writer(
+        count_words(lines), config, fake_client_factory(spool), ckpt
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    state = read_fake_firestore_state(spool)["stream"]
+    assert {k: v["count"] for k, v in state.items()} == {
+        "hi": 5,
+        "there": 1,
+        "sue": 2,
+        "bob": 2,
+    }
+    assert len(q.recentProgress) >= 2  # two micro-batches (one per file)
