@@ -101,21 +101,25 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingles_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct SHINGLE_K-token shingles per document."""
-    toks = tokens_col(F.col("text"))
+    """(doc_id, sh): distinct SHINGLE_K-token shingles per document.
+
+    The token array is materialized by a projection *before* the shingle
+    lambda: expressions referenced inside a higher-order-function lambda
+    are re-evaluated per element, so shingling directly off the tokenize
+    expression costs O(positions) full tokenizations per row (~9x slower,
+    measured at sf0.1).  Per-doc dedup happens in the post-explode
+    ``distinct()`` (hash-based, map-side combined) rather than
+    ``array_distinct`` (O(n²) per row on long docs).
+    """
+    tokd = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
     shingle_arr = F.when(
-        F.size(toks) >= SHINGLE_K,
+        F.size("t") >= SHINGLE_K,
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (SHINGLE_K - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(toks, i + off) for off in range(SHINGLE_K)],
-            ),
+            F.sequence(F.lit(1), F.size("t") - (SHINGLE_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice("t", i, SHINGLE_K)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingle_arr)).alias("sh")
-    )
+    return tokd.select("doc_id", F.explode(shingle_arr).alias("sh")).distinct()
 
 
 SHINGLES_SQL = rf"""
@@ -131,7 +135,12 @@ SHINGLES_SQL = rf"""
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, m0..m31): MinHash signature from one explode + one agg.
+    """(doc_id, m0..m31): MinHash signature from one explode + one agg."""
+    return minhash_signatures_from(shingles_df(docs))
+
+
+def minhash_signatures_from(shingles: DataFrame) -> DataFrame:
+    """Signatures from a precomputed (doc_id, sh) shingle set.
 
     Double hashing (functions/hashing.py): two md5 base hashes per
     shingle, 32 derived minwise hashes — constant per-shingle cost
@@ -139,7 +148,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     """
     from ..functions.hashing import H2_SALT
 
-    hashed = shingles_df(docs).select(
+    hashed = shingles.select(
         "doc_id",
         h56(F.col("sh")).alias("h1"),
         h56(F.col("sh"), salt=H2_SALT).alias("h2"),
@@ -244,8 +253,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n² pair space; every join is a hash shuffle on a high-cardinality key.
     """
     docs = _docs(spark, sf_dir)
-    sh = shingles_df(docs)
-    sigs = minhash_signatures(docs)
+    # The distinct shingle set feeds four downstream consumers (signatures,
+    # both sides of candidate verification, per-doc sizes); persist it so the
+    # tokenize+explode+distinct shuffle runs once, not four times.  At
+    # cluster scale this would be MEMORY_AND_DISK or a checkpoint to
+    # durable storage.
+    sh = shingles_df(docs).persist()
+    sigs = minhash_signatures_from(sh)
     bands = band_hashes(sigs)
 
     a = bands.alias("a")
@@ -485,6 +499,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     d = docs.select("doc_id", norm.alias("norm"))
+    # Persisted for the same reason as the MinHash shingle set: five
+    # consumers (rare-gram DF filter, candidate join sides, verification
+    # joins, sizes) over one explode+distinct shuffle.
     grams = (
         d.select(
             "doc_id",
@@ -499,19 +516,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .distinct()
+        .persist()
     )
-    rare = (
-        grams.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter((F.col("df") >= 2) & (F.col("df") <= DF_MAX))
-        .select("g")
+    # Candidate pairs straight from the rare-gram postings lists: a gram
+    # kept by the DF filter has 2..DF_MAX docs, so its pair set is at most
+    # C(DF_MAX, 2) — emit them from one groupBy(collect_list) instead of a
+    # postings self-join (one shuffle of the gram set, not three).
+    docs_arr = F.array_sort(F.collect_list("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda d, i: F.transform(
+                F.slice(F.col("docs"), i + 2, DF_MAX),
+                lambda e: F.struct(d.alias("doc_a"), e.alias("doc_b")),
+            ),
+        )
     )
-    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
     cand = (
-        ga.join(rare, "g")
-        .join(gb, (F.col("g") == F.col("g_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .select("doc_a", "doc_b")
+        grams.groupBy("g")
+        .agg(docs_arr.alias("docs"))
+        .filter((F.size("docs") >= 2) & (F.size("docs") <= DF_MAX))
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     xa = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))

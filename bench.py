@@ -43,6 +43,43 @@ HEADLINE = [
 ]
 
 
+def sink_ratio_bench(spark) -> dict:
+    """Reference's qualitative claim (BASELINE.md): the batched sink must
+    beat the naive per-element sink by at least the client-amortization
+    factor.  Measured on a fake client with a 1 ms per-commit round-trip
+    over 1000 word-count rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from apache_beam_java_firestore_batch_dataflow_spark.sinks.firestore import (
+        FirestoreSinkConfig,
+        fake_client_factory,
+        write_word_counts_batch,
+        write_word_counts_naive,
+    )
+
+    rows = spark.range(1000).select(
+        F.concat(F.lit("w"), F.col("id")).alias("word"), F.lit(1).alias("count")
+    )
+    rows = rows.coalesce(4).cache()
+    rows.count()
+    config = FirestoreSinkConfig(project_id="bench", collection_path="bench")
+    out: dict[str, float] = {}
+    for mode, writer in (
+        ("naive_sec", write_word_counts_naive),
+        ("batch_sec", write_word_counts_batch),
+    ):
+        spool = tempfile.mkdtemp(prefix="bench-spool-")
+        start = time.monotonic()
+        writer(rows, config, fake_client_factory(spool, latency_s=0.001))
+        out[mode] = round(time.monotonic() - start, 3)
+        shutil.rmtree(spool, ignore_errors=True)
+    rows.unpersist()
+    out["speedup"] = round(out["naive_sec"] / max(out["batch_sec"], 1e-9), 1)
+    return out
+
+
 def main() -> None:
     from apache_beam_java_firestore_batch_dataflow_spark.session import build_session
     import __spark_entry__ as entrymod
@@ -58,6 +95,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - start, 3)
 
+    sink = sink_ratio_bench(spark)
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
     print(
@@ -68,6 +107,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else SF_DIR,
+                "sink": sink,
             }
         )
     )
