@@ -21,11 +21,20 @@ from apache_beam_java_firestore_batch_dataflow_spark.operators import (
     multimodal,
     relational,
     similarity,
+    timeseries,
 )
 from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
 from apache_beam_java_firestore_batch_dataflow_spark.streaming import windows as stream_windows
 
-_MODULES = [relational, text_ops, dedup, similarity, multimodal, stream_windows]
+_MODULES = [
+    relational,
+    text_ops,
+    dedup,
+    similarity,
+    multimodal,
+    stream_windows,
+    timeseries,
+]
 
 
 def entry(spark: SparkSession) -> DataFrame:

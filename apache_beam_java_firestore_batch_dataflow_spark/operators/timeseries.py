@@ -1,0 +1,160 @@
+"""Timeseries operators over ``events``: as-of join and time-bucketed
+rollups — categories the reference lacks entirely (SURVEY.md §2.2) that
+Spark also has no built-in operator for (as-of), re-expressed Spark-first.
+
+As-of join, the scalable way: do NOT range-join then pick-latest (that
+materializes every (left, right-before) pair — quadratic under bursty
+keys).  Interleave both sides into one DataFrame, sort per key by event
+time, and carry the right side's last value forward with
+``last(ignorenulls)`` over an unbounded-preceding window.  Cost: ONE
+shuffle on the key + one per-partition sort — the same price as a single
+groupBy, independent of match fan-out.  DuckDB's native ``ASOF JOIN`` is
+the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Left as-of join: for each left row, the greatest right ``right_ts``
+    with ``right_ts <= left_ts`` per key ``on``.  Returns the left rows
+    plus ``asof_ts`` (nullable).
+
+    Tie rule: a right row at exactly ``left_ts`` matches (<=), mirroring
+    DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``.
+    """
+    lcols = left.columns
+    l = left.withColumn("__side", F.lit(1)).withColumn(
+        "__rts", F.lit(None).cast("timestamp")
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias(left_ts),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__rts"),
+    )
+    # Align schemas: right side carries nulls for the left payload columns.
+    for c in lcols:
+        if c not in {on, left_ts}:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = l.unionByName(r.select(l.columns))
+    # Right rows sort before left rows at equal timestamps so <= matches.
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(left_ts).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn("asof_ts", F.last("__rts", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select(*lcols, "asof_ts")
+    )
+
+
+_ASOF_ORACLE = """
+    WITH errors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           c.ts AS asof_ts,
+           CASE WHEN c.ts IS NULL THEN NULL
+                ELSE epoch_us(e.ts) - epoch_us(c.ts) END AS gap_us
+    FROM errors e ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+@register("q_asof_join", oracle=_ASOF_ORACLE)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event: the most recent click by the same user at or
+    before it, plus the gap in microseconds.  (Only the matched timestamp
+    is projected, so duplicate right timestamps — where any engine's
+    choice is arbitrary — cannot produce nondeterministic output.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(errors, clicks, on="user_id")
+    gap = F.unix_micros("ts") - F.unix_micros("asof_ts")
+    return joined.select(
+        "event_id", "user_id", "ts", "asof_ts", gap.cast("bigint").alias("gap_us")
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-resolution time rollup (hypertable-style continuous aggregate)
+# --------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+    SELECT day,
+           CASE WHEN grouping(event_type) = 1 THEN NULL ELSE event_type END
+               AS event_type,
+           CASE WHEN grouping(user_id) = 1 THEN NULL ELSE user_id END AS user_id,
+           count(*) AS n_events,
+           CAST(round(sum(value), 4) AS DOUBLE) AS sum_value,
+           CAST(grouping(event_type) * 2 + grouping(user_id) AS INT) AS lvl
+    FROM (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, user_id, value
+          FROM events)
+    GROUP BY ROLLUP (day, event_type, user_id)
+    HAVING grouping(day) = 0
+"""
+
+
+@register("q_time_rollup", oracle=_ROLLUP_ORACLE)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day → event_type → user_id rollup: one pass produces the day total,
+    per-type, and per-(type,user) aggregates — partial aggregation handles
+    all levels in a single shuffle (the continuous-aggregate pattern for
+    dashboard queries over an events hypertable).
+    """
+    events = load_table(spark, sf_dir, "events")
+    rolled = (
+        events.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"), "event_type", "user_id", "value"
+        )
+        .rollup("day", "event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+            (F.grouping("event_type") * 2 + F.grouping("user_id"))
+            .cast("int")
+            .alias("lvl"),
+            F.grouping("day").alias("g_day"),
+        )
+        .filter(F.col("g_day") == 0)
+    )
+    return rolled.select(
+        "day", "event_type", "user_id", "n_events", "sum_value", "lvl"
+    )
