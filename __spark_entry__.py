@@ -21,6 +21,7 @@ from apache_beam_java_firestore_batch_dataflow_spark.operators import (
     multimodal,
     relational,
     similarity,
+    skew,
     timeseries,
 )
 from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
@@ -34,6 +35,7 @@ _MODULES = [
     multimodal,
     stream_windows,
     timeseries,
+    skew,
 ]
 
 

@@ -1,0 +1,69 @@
+"""Plan-shape regression tests: the scale properties the engine claims
+must be visible in the physical plan, not just asserted in docstrings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_beam_java_firestore_batch_dataflow_spark.operators import (
+    relational,
+    similarity,
+)
+from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+    QUERIES as TEXT_QUERIES,
+)
+from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import (
+    codegen_stage_count,
+    num_broadcast_joins,
+    num_shuffles,
+    pushed_filters,
+    read_schemas,
+)
+from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    df = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .select("l_orderkey", "l_quantity")
+    )
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f and "LessThanOrEqual" in f for f in filters), filters
+    (schema,) = read_schemas(df)
+    # column pruning: only the referenced columns are read off disk
+    assert "l_orderkey" in schema and "l_quantity" in schema and "l_shipdate" in schema
+    assert "l_comment" not in schema and "l_extendedprice" not in schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """q5's region/nation/supplier/customer joins must all broadcast —
+    the lineitem fact side never shuffles for a dimension join."""
+    df = relational.QUERIES["q5_region_revenue"](spark, sf_dir)
+    assert num_broadcast_joins(df) >= 3
+
+
+def test_wordcount_single_shuffle(spark, sf_dir):
+    """Tokenize+count is one combiner aggregation: exactly one exchange
+    (partial agg -> shuffle on word -> final agg), reference O3 parity."""
+    df = TEXT_QUERIES["q_wordcount_documents"](spark, sf_dir)
+    assert num_shuffles(df) == 1
+    assert codegen_stage_count(df) >= 2  # scan+partial and final fused spans
+
+
+def test_knn_corpus_never_shuffles(spark, sf_dir):
+    """Brute-force kNN broadcasts the query side; the corpus scan must
+    carry zero hash/range exchanges before the per-group top-k window."""
+    df = similarity.QUERIES["q_knn_bruteforce"](spark, sf_dir)
+    assert num_broadcast_joins(df) == 1
+    # the only shuffle allowed is the window's partitioning on query_id
+    assert num_shuffles(df) <= 1
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """The pricing summary is a two-phase hash aggregate (map-side combine
+    before the exchange), not a raw shuffle of lineitem rows."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(relational.QUERIES["q1_pricing_summary"](spark, sf_dir))
+    assert txt.count("HashAggregate") >= 2
