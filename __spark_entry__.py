@@ -23,6 +23,7 @@ from apache_beam_java_firestore_batch_dataflow_spark.operators import (
     similarity,
     skew,
     timeseries,
+    udfs,
 )
 from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
 from apache_beam_java_firestore_batch_dataflow_spark.streaming import windows as stream_windows
@@ -36,6 +37,7 @@ _MODULES = [
     stream_windows,
     timeseries,
     skew,
+    udfs,
 ]
 
 
