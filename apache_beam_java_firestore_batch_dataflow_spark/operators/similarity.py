@@ -211,6 +211,133 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer cells + nprobe search + exact rerank
+# --------------------------------------------------------------------------
+
+CENTROID_MOD = 25  # deterministic coarse centroids: vec_id % 25 == 1
+NPROBE = 2
+
+
+def ivf_assignments(v: DataFrame) -> DataFrame:
+    """(vec_id, embedding, vnorm, cell): nearest centroid per vector.
+
+    The coarse quantizer is a deterministic subset of the corpus itself
+    (``vec_id % CENTROID_MOD == 1``) — reproducible across engines and
+    incremental loads, no RNG-seeded k-means to re-run when data grows.
+    Assignment is a broadcast join against the (tiny) centroid set; at
+    100 TB it is one corpus scan with C dot products per row.
+    """
+    cent = v.filter(F.col("vec_id") % CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("vnorm").alias("c_norm"),
+    )
+    sim = dot(F.col("embedding"), F.col("c_emb")) / (F.col("vnorm") * F.col("c_norm"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    return (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "vnorm", "cent_id", sim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "vnorm", F.col("cent_id").alias("cell"))
+    )
+
+
+def _ivf_sql() -> str:
+    csim = f"{dot_sql('e.embedding', 'c.embedding')} / (e.vnorm * c.vnorm)"
+    return f"""
+      SELECT vec_id, embedding, vnorm, cell FROM (
+        SELECT e.vec_id, e.embedding, e.vnorm, c.vec_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {csim} DESC, c.vec_id) AS rn
+        FROM v e JOIN v c ON c.vec_id % {CENTROID_MOD} = 1
+      ) WHERE rn = 1
+    """
+
+
+_IVF_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    assign AS ({_ivf_sql()}),
+    probes AS (
+      SELECT vec_id, embedding, vnorm, cell, pr FROM (
+        SELECT e.vec_id, e.embedding, e.vnorm, c.vec_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dot_sql('e.embedding', 'c.embedding')}
+                                           / (e.vnorm * c.vnorm) DESC, c.vec_id) AS pr
+        FROM v e JOIN v c ON c.vec_id % {CENTROID_MOD} = 1
+      ) WHERE pr <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {dot_sql('q.embedding', 'a.embedding')} / (q.vnorm * a.vnorm) AS sim
+      FROM probes q JOIN assign a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(round(sim, 6) AS DOUBLE) AS cosine
+    FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+@register("q_ann_ivf", oracle=_IVF_ORACLE)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus partitioned into coarse-quantizer cells; each query
+    probes its NPROBE nearest cells and reranks exactly.  The scan-heavy
+    half (assignment) is one broadcast pass; search touches only
+    ~NPROBE/C of the corpus per query."""
+    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    assign = ivf_assignments(v)
+
+    cent = v.filter(F.col("vec_id") % CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("vnorm").alias("c_norm"),
+    )
+    qsim = dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("vnorm") * F.col("c_norm")
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    probes = (
+        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .join(F.broadcast(cent))
+        .select("vec_id", "embedding", "vnorm", "cent_id", qsim.alias("csim"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("vnorm").alias("q_norm"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    sim = dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("vnorm"))
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "vnorm")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).cast("double").alias("cosine"),
+        )
+    )
+
+
 _EMB_DEDUP_ORACLE = f"""
     WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
                FROM embeddings)

@@ -40,6 +40,9 @@ HEADLINE = [
     "q_dedup_ngram_jaccard",
     "q_knn_bruteforce",
     "q_ann_lsh",
+    "q_ann_ivf",
+    "q_stream_tumbling",
+    "q_asof_join",
 ]
 
 
