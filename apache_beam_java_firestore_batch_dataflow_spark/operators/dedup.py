@@ -306,6 +306,89 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Connected-components clustering: pairs -> canonical doc per cluster
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, cluster_id): min-doc-id label propagation to fixpoint.
+
+    vertices: one column ``doc_id``; edges: ``src``/``dst`` (undirected,
+    one row per pair).  Each iteration is one join + one combiner
+    aggregation, both hash-partitioned on doc_id; iterations needed =
+    component diameter (near-dup clusters are tiny, so 2-4 in practice
+    — the driver loop only inspects a scalar convergence count, never
+    row data).  This is the standard large-graph CC-by-label-propagation;
+    at 100 TB you would persist ``labels`` per iteration and checkpoint
+    every few rounds to truncate lineage (done here via persist).
+    """
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    both = both.persist()
+    labels = vertices.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("doc_id", F.col("cluster_id").alias("old")), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    both.unpersist()
+    return labels
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    )
+    SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc
+"""
+
+
+@register("q_dedup_clusters", oracle=_CLUSTER_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document labeled with its near-dup cluster's canonical
+    (minimum) doc id — MinHash-LSH pairs as edges, connected components
+    by label propagation.  ``cluster_id == doc_id`` rows are the corpus
+    to keep; the rest are the near-duplicates to drop."""
+    docs = _docs(spark, sf_dir)
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return connected_components(docs.select("doc_id"), edges)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

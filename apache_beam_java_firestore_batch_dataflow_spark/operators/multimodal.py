@@ -173,6 +173,92 @@ def decode_features(mm: DataFrame, use_real_decoder: bool = False) -> DataFrame:
     return mm.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, n_out_bytes long"
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_hash string"
+
+TARGET_W, TARGET_H = 224, 224
+FRAME_STRIDE = 256  # bytes per fake "frame"
+MAX_FRAMES = 4
+
+
+def resize_images(mm: DataFrame) -> DataFrame:
+    """Resize stage (image modality): mapInPandas with the production
+    shape — per-batch decode→resize→re-encode; the pixel work is faked
+    as byte truncation/padding to the target raster size since no codec
+    library ships here, but schema, filtering, and batching are real."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = TARGET_W * TARGET_H
+        for pdf in batches:
+            pdf = pdf[pdf["modality"] == "image"]
+            if pdf.empty:
+                continue
+            n_out = pdf["payload"].map(lambda p: min(len(p), target))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": TARGET_W,
+                    "out_h": TARGET_H,
+                    "n_out_bytes": n_out,
+                }
+            )
+
+    return mm.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(mm: DataFrame) -> DataFrame:
+    """Frame-sampling stage (video modality): emits up to MAX_FRAMES
+    "frames" per payload (1→N), each fingerprinted — the UDTF-shaped
+    mapInPandas pattern a real ffmpeg keyframe sampler plugs into."""
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf[pdf["modality"] == "video"]
+            if pdf.empty:
+                continue
+            doc_ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                n_frames = min(MAX_FRAMES, max(1, len(raw) // FRAME_STRIDE))
+                for i in range(n_frames):
+                    chunk = raw[i * FRAME_STRIDE : (i + 1) * FRAME_STRIDE]
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "frame_idx": idxs, "frame_hash": hashes}
+            )
+
+    return mm.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+@register(
+    "q_multimodal_frame_sample",
+    # documents.text is ASCII in the fixtures, so character substr equals
+    # the byte slicing the pandas stage performs on the UTF-8 payload.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS frame_idx,
+           md5(substr(text, ({FRAME_STRIDE} * (i - 1)) + 1, {FRAME_STRIDE}))
+               AS frame_hash
+    FROM (SELECT doc_id, text,
+                 least({MAX_FRAMES},
+                       greatest(1, length(text) // {FRAME_STRIDE})) AS n_frames
+          FROM documents
+          WHERE doc_id % 3 = 2),
+         LATERAL (SELECT unnest(range(1, n_frames + 1)) AS i)
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads; oracle reproduces the byte
+    slicing + md5 per frame in SQL, proving the 1→N mapInPandas stage."""
+    return sample_frames(multimodal_table(spark, sf_dir))
+
+
 @register("q_multimodal_decode_stats")
 def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-stage feature extraction (fake decoder) aggregated per

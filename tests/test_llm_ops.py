@@ -169,3 +169,34 @@ def test_multimodal_decode_plumbing(spark):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_payload(b"\x00\x01", "image")
+
+
+def test_resize_stage_filters_and_bounds(spark):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        TARGET_H,
+        TARGET_W,
+        resize_images,
+    )
+
+    mm = multimodal_table(spark, SF_DIR)
+    out = resize_images(mm).collect()
+    image_ids = {r.doc_id for r in mm.filter("modality = 'image'").collect()}
+    assert {r.doc_id for r in out} == image_ids
+    for r in out:
+        assert (r.out_w, r.out_h) == (TARGET_W, TARGET_H)
+        assert 0 < r.n_out_bytes <= TARGET_W * TARGET_H
+
+
+def test_connected_components_small_graph(spark):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    vertices = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(vertices, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
