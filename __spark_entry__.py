@@ -23,6 +23,7 @@ from apache_beam_java_firestore_batch_dataflow_spark.operators import (
     similarity,
     skew,
     timeseries,
+    tpch,
     udfs,
 )
 from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
@@ -30,6 +31,7 @@ from apache_beam_java_firestore_batch_dataflow_spark.streaming import windows as
 
 _MODULES = [
     relational,
+    tpch,
     text_ops,
     dedup,
     similarity,

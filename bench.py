@@ -31,6 +31,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customer",
+    "q21_last_shipper",
     "q_window_topk_per_group",
     "q_wordcount_documents",
     "q_text_token_stats",
