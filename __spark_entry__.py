@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from apache_beam_java_firestore_batch_dataflow_spark.operators import (
+    curation,
     dedup,
     multimodal,
     relational,
@@ -40,6 +41,7 @@ _MODULES = [
     timeseries,
     skew,
     udfs,
+    curation,
 ]
 
 

@@ -1,0 +1,258 @@
+"""Training-data curation operators over ``documents`` / ``events``.
+
+The reference is a one-query ETL pipeline (SURVEY.md §2.1); a 100 TB
+training-data engine additionally needs the corpus-curation layer:
+reproducible sampling, per-stratum quotas, sessionization, and
+fixed-budget packing.  Everything here is deterministic — sampling
+decisions hash row *content* (md5), never ``rand()`` — so a 1000-executor
+re-run, a retried task, or a different partitioning produces the same
+corpus, and every query is value-checkable against DuckDB.
+
+Scale notes:
+
+* Hash sampling is embarrassingly parallel: a per-row md5 + string
+  compare inside the scan's codegen stage — no shuffle at all.
+* Stratified quotas use a per-stratum window top-k (partial top-k per
+  partition before the exchange), not a global sort.
+* Sessionization is one shuffle on user_id + a per-partition sort —
+  the same cost envelope as the as-of join (timeseries.py).
+* Packing is a running-total window per group; bins may overflow by one
+  element (sequential chunking semantics), which keeps it a single pass
+  — true bin-packing is NP-hard and needs no exactness here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling (reproducible Bernoulli by content key)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sample_hash_deterministic",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+    """,
+)
+def q_sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~25% Bernoulli sample keyed on md5(doc_id) (first hex byte < 0x40).
+
+    Unlike ``df.sample()`` (seeded per-partition, so the selected set
+    changes with partitioning and task retries), the hash decides from
+    row content alone — the sample is stable across cluster sizes and
+    re-runs, which is what corpus reproducibility requires.  Pure
+    map-side filter: no shuffle, codegen-fused into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "40"
+    ).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# Stratified quota sampling (top-N per stratum in deterministic hash order)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sample_stratified_quota",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 100
+    """,
+)
+def q_sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly min(|stratum|, 100) docs per language, chosen in md5 order.
+
+    Ordering by the hash makes the quota a *uniform* subsample of each
+    stratum (not "first 100 by storage order", which is biased by
+    ingestion time), while staying fully deterministic.  Window top-k
+    per stratum: Spark pushes a per-partition rank filter below the
+    exchange, so the shuffle carries ≤100 rows per lang per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("doc_id", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization (gap > 30 min starts a new session)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_sessionize_gaps",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(round(value, 6) AS DECIMAL(30,6))), 2) AS DOUBLE)
+               AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-min silence per user starts a new
+    session; one row per session with bounds and totals.
+
+    The batch twin of streaming ``session_window`` (streaming/windows.py):
+    lag → boundary flag → running sum = session number, then a normal
+    groupBy.  One shuffle on user_id; the window sort and the session
+    aggregation reuse that partitioning.  Tie-broken by event_id so the
+    lag order is total and engine-independent."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = events.withColumn(
+        "is_new",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_no", F.sum("is_new").over(run))
+    return (
+        sessions.groupBy(
+            "user_id", F.col("session_no").cast("bigint").alias("session_no")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.round(F.col("value"), 6).cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-budget packing (sequential chunking into ~equal-size bins)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 20_000  # characters per bin
+
+
+@register(
+    "q_pack_char_budget",
+    oracle=f"""
+    WITH running AS (
+      SELECT source, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT source,
+           CAST(floor((cum - n_chars) / {_PACK_BUDGET}) AS BIGINT) AS bin,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars
+    FROM running
+    GROUP BY source, bin
+    """,
+)
+def q_pack_char_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each source's documents (in doc_id order) into ~20k-char bins
+    — the sequence-packing step before tokenize-and-concat in a training
+    pipeline.  ``bin = floor(chars_before_this_doc / budget)``: a single
+    running-sum window, one shuffle on source; a bin may overflow by one
+    document, the standard trade for a one-pass packer."""
+    docs = load_table(spark, sf_dir, "documents")
+    run = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = docs.select("source", "doc_id", "n_chars").withColumn(
+        "cum", F.sum("n_chars").over(run)
+    )
+    return (
+        running.withColumn(
+            "bin",
+            F.floor((F.col("cum") - F.col("n_chars")) / _PACK_BUDGET).cast("bigint"),
+        )
+        .groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus profile: exact quantiles per stratum
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_quantiles_doc_length",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(round(quantile_cont(n_chars, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(round(quantile_cont(n_chars, 0.9), 6) AS DOUBLE) AS p90,
+           CAST(round(quantile_cont(n_chars, 0.99), 6) AS DOUBLE) AS p99
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_quantiles_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact length quantiles per language — the profiling pass that sizes
+    quality-filter thresholds.  Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` both interpolate at rank (n-1)·q over integer
+    inputs, so the rounded values hash-match.  Exact percentiles shuffle
+    the stratum's values; for 100 TB profiling swap in
+    ``approx_percentile`` (tested in tests/test_approx.py) — here the
+    point is the exact oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).cast("double").alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).cast("double").alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).cast("double").alias("p99"),
+    )

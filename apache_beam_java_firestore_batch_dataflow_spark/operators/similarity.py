@@ -211,6 +211,110 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_NUMPY_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round({dot_sql('q.embedding', 'v.embedding')} / (q.vnorm * v.vnorm), 6)
+                 AS sim
+      FROM q JOIN v ON q.vec_id <> v.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(sim AS DOUBLE) AS cosine
+    FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+@register("q_knn_bruteforce_numpy", oracle=_KNN_NUMPY_ORACLE)
+def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K, Arrow/numpy fast path.
+
+    Same semantics as ``q_knn_bruteforce`` but the pair math runs as one
+    BLAS matmul per Arrow batch inside ``mapInPandas`` (queries shipped
+    as a broadcast matrix), with a per-batch top-K so only K·batches
+    rows per query ever leave the executors — the merge is a cheap
+    window over that reduced set.  This is the 100 TB-shaped plan: one
+    corpus scan, no shuffle before the per-query merge, ~100× less
+    per-pair overhead than the JVM fold.
+
+    Determinism: ranking (and the per-batch selection) orders by the
+    ROUNDED similarity (6 dp) with neighbor_id tie-break, so float
+    reduction order (numpy pairwise vs sequential fold) cannot reorder
+    the result; exact-duplicate vectors tie-break identically in both
+    engines.
+    """
+    import numpy as np
+
+    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    qrows = v.filter(F.col("vec_id") % QUERY_MOD == 0).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    q_norm = np.array([r["vnorm"] for r in qrows], dtype=np.float64)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    k = KNN_K
+
+    def topk_per_batch(batches):
+        import pandas as pd
+
+        q_ids, q_mat, q_norm = bq.value
+        n_q = len(q_ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            xn = pdf["vnorm"].to_numpy(dtype=np.float64)
+            sims = (x @ q_mat.T) / np.outer(xn, q_norm)  # b × q
+            # composite sort key: rounded sim (1e-6 units) desc, then id asc
+            sim_units = np.rint(sims * 1e6).astype(np.int64)
+            key = -sim_units * 10_000_000 + ids[:, None]
+            key[ids[:, None] == q_ids[None, :]] = np.iinfo(np.int64).max  # self
+            kk = min(k, len(ids))
+            top = (
+                np.argpartition(key, kk - 1, axis=0)[:kk]
+                if kk < len(ids)
+                else np.argsort(key, axis=0)
+            )
+            rows = top.reshape(-1)
+            cols = np.repeat(np.arange(n_q)[None, :], top.shape[0], axis=0).reshape(-1)
+            keep = key[rows, cols] != np.iinfo(np.int64).max
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[cols[keep]],
+                    "neighbor_id": ids[rows[keep]],
+                    "sim": sims[rows[keep], cols[keep]],
+                }
+            )
+
+    partial = v.mapInPandas(
+        topk_per_batch, schema="query_id long, neighbor_id long, sim double"
+    )
+    rounded = F.round("sim", 6)
+    w = Window.partitionBy("query_id").orderBy(
+        rounded.desc(), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            rounded.cast("double").alias("cosine"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF-style ANN: coarse quantizer cells + nprobe search + exact rerank
 # --------------------------------------------------------------------------

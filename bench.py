@@ -43,6 +43,7 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_dedup_ngram_jaccard",
     "q_knn_bruteforce",
+    "q_knn_bruteforce_numpy",
     "q_ann_lsh",
     "q_ann_ivf",
     "q_stream_tumbling",
@@ -93,6 +94,9 @@ def main() -> None:
 
     spark = build_session(app_name="bench", master=f"local[{CPUS}]")
     registry = entrymod.queries()
+
+    # JVM/codegen warmup so the first timed query doesn't absorb startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
