@@ -28,6 +28,7 @@ from apache_beam_java_firestore_batch_dataflow_spark.operators import (
     udfs,
 )
 from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
+from apache_beam_java_firestore_batch_dataflow_spark.streaming import joins as stream_joins
 from apache_beam_java_firestore_batch_dataflow_spark.streaming import windows as stream_windows
 
 _MODULES = [
@@ -38,6 +39,7 @@ _MODULES = [
     similarity,
     multimodal,
     stream_windows,
+    stream_joins,
     timeseries,
     skew,
     udfs,
