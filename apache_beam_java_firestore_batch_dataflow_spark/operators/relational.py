@@ -834,3 +834,90 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "q_scalar_array",
+    oracle="""
+    SELECT p_partkey,
+           len(string_split(p_name, ' ')) AS n_words,
+           array_to_string(list_sort(string_split(p_name, ' ')), '|') AS words_sorted,
+           list_contains(string_split(p_name, ' '), 'red') AS has_red,
+           string_split(p_name, ' ')[1] AS first_word,
+           string_split(p_name, ' ')[-1] AS last_word,
+           CAST(list_sum(list_transform(range(1, (p_size % 5) + 2), x -> x * x))
+                AS BIGINT) AS sq_sum,
+           CAST(len(list_filter(string_split(p_name, ' '), w -> length(w) > 4))
+                AS INT) AS n_long_words
+    FROM part
+    """,
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order function battery: split, sort, contains,
+    element access, transform→aggregate (sum of squares), filter.
+
+    All lambdas run inside codegen (Catalyst higher-order functions) —
+    no Python, no UDF; the DuckDB oracle uses the list_* twins of each.
+    """
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    squares = F.transform(
+        F.sequence(F.lit(1), (F.col("p_size") % 5) + 1), lambda x: x * x
+    )
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_join(F.array_sort(words), "|").alias("words_sorted"),
+        F.array_contains(words, "red").alias("has_red"),
+        F.element_at(words, 1).alias("first_word"),
+        F.element_at(words, -1).alias("last_word"),
+        F.aggregate(
+            squares, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("sq_sum"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long_words"),
+    )
+
+
+@register(
+    "q_scalar_map",
+    oracle="""
+    SELECT o_orderkey,
+           CAST((MAP {'1-URGENT': 1, '2-HIGH': 2, '3-MEDIUM': 3,
+                      '4-NOT SPECIFIED': 4, '5-LOW': 5})[o_orderpriority][1]
+                AS INT) AS priority_rank,
+           CAST(len(map_keys(MAP {'status': o_orderstatus,
+                                  'priority': o_orderpriority})) AS INT) AS n_attrs,
+           (MAP {'status': o_orderstatus,
+                 'priority': o_orderpriority})['status'][1] AS status_via_map
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type battery: literal map lookup (dimension decode without a
+    join), map construction from columns, key introspection — MapType is
+    the Spark analog of the reference sink's schemaless document payload
+    (SURVEY.md §1)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    rank_map = F.create_map(
+        *[
+            x
+            for pair in [
+                (F.lit("1-URGENT"), F.lit(1)),
+                (F.lit("2-HIGH"), F.lit(2)),
+                (F.lit("3-MEDIUM"), F.lit(3)),
+                (F.lit("4-NOT SPECIFIED"), F.lit(4)),
+                (F.lit("5-LOW"), F.lit(5)),
+            ]
+            for x in pair
+        ]
+    )
+    attrs = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(rank_map, F.col("o_orderpriority")).alias("priority_rank"),
+        F.size(F.map_keys(attrs)).alias("n_attrs"),
+        F.element_at(attrs, F.lit("status")).alias("status_via_map"),
+    )
