@@ -921,3 +921,37 @@ def q_scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(attrs)).alias("n_attrs"),
         F.element_at(attrs, F.lit("status")).alias("status_via_map"),
     )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT l_suppkey AS s_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(l_quantity)
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY epoch(l_shipdate)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS qty_trailing_7d
+    FROM lineitem
+    WHERE l_suppkey <= 10
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based (RANGE) frame: per supplier, the trailing-7-day
+    quantity sum at each shipment — a moving aggregate over event time,
+    not row position (the frame type ROWS can't express when timestamps
+    are irregular).  l_quantity is integral, so the double sum is exact
+    in any accumulation order.  One shuffle on s_suppkey + a
+    per-partition sort, same envelope as every other window here."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 10)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_timestamp("l_shipdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return li.select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(w).cast("double").alias("qty_trailing_7d"),
+    )
