@@ -118,7 +118,7 @@ def q_sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize_gaps",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS is_new
@@ -127,7 +127,7 @@ def q_sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_no
       FROM flagged
     )
@@ -151,7 +151,7 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag order is total and engine-independent."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
@@ -194,7 +194,7 @@ _PACK_BUDGET = 20_000  # characters per bin
     SELECT source,
            CAST(floor((cum - n_chars) / {_PACK_BUDGET}) AS BIGINT) AS bin,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM running
     GROUP BY source, bin
     """,

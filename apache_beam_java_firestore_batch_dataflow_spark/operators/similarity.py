@@ -3,13 +3,14 @@
 Two paths, mirroring what a 100 TB vector corpus needs:
 
 * **Brute-force cosine top-k** (`q_knn_bruteforce`): the exact baseline.
-  A query subset × full corpus join — quadratic, but the join is
-  broadcast (query side is small) so the corpus is scanned once with no
-  shuffle; per-pair math is JVM-side ``zip_with``/``aggregate``.  This
-  is the correctness oracle for any ANN variant.
+  A bounded query set (≤ ``N_QUERIES`` rows, so the broadcast side stays
+  small at any corpus size) × full corpus join; the corpus is scanned
+  once with no shuffle; per-pair math is JVM-side
+  ``zip_with``/``aggregate``.  This is the correctness oracle for any
+  ANN variant.
 
-* **Hyperplane-LSH ANN** (`q_ann_lsh`): 16 deterministic ±1 hyperplanes
-  (md5-derived, engine-portable) → 16-bit bucket signature per vector →
+* **Hyperplane-LSH ANN** (`q_ann_lsh`): 8 deterministic ±1 hyperplanes
+  (md5-derived, engine-portable) → 8-bit bucket signature per vector →
   candidates = bucket collision (equi-join) → exact cosine rerank top-3.
   At scale the bucket join replaces the n² pair space with ~n·(bucket
   occupancy), and the signature computation is a narrow projection.
@@ -38,6 +39,15 @@ ANN_K = 3
 N_PLANES = 8  # 256 buckets; with multiprobe(1) gives useful recall on small corpora
 DIM = 64
 QUERY_MOD = 10  # query subset: vec_id % QUERY_MOD == 0
+# Hard cap on the query set for the brute-force paths.  vec_id % QUERY_MOD
+# alone selects 10% of the corpus — fine as an oracle workload at sf0.1, a
+# broadcast/collect bomb at 100 TB.  The cap keeps the driver-collected /
+# broadcast side O(1) in corpus size; raise it only with a distributed
+# (co-grouped) query path.
+N_QUERIES = 200
+# Key-packing multiplier for the numpy batch kernel: key = -sim_units * _ID_MULT
+# + vec_id.  sim_units ∈ [-1e6-1, 1e6+1], so ids < 1e12 stay exact in int64.
+_ID_MULT = 1_000_000_000_000
 
 
 def register(name: str, oracle: str | None = None):
@@ -61,7 +71,8 @@ def with_norm(vecs: DataFrame) -> DataFrame:
 _KNN_ORACLE = f"""
     WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
                FROM embeddings),
-    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {N_QUERIES}),
     pairs AS (
       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
              {dot_sql('q.embedding', 'v.embedding')} / (q.vnorm * v.vnorm) AS sim
@@ -81,12 +92,22 @@ _KNN_ORACLE = f"""
 
 @register("q_knn_bruteforce", oracle=_KNN_ORACLE)
 def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-K for a query subset via broadcast cross pairing."""
+    """Exact cosine top-K for a bounded query set via broadcast pairing.
+
+    The broadcast side is capped at ``N_QUERIES`` rows (lowest vec_ids of
+    the % subset), so the plan stays a single corpus scan + broadcast
+    join at any corpus size — the broadcast never grows with the data.
+    """
     v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
-    q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("vnorm").alias("q_norm"),
+    q = (
+        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("vnorm").alias("q_norm"),
+        )
     )
     pairs = v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
     sim = dot(F.col("q_emb"), F.col("embedding")) / (
@@ -214,7 +235,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_NUMPY_ORACLE = f"""
     WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
                FROM embeddings),
-    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {N_QUERIES}),
     pairs AS (
       SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
              round({dot_sql('q.embedding', 'v.embedding')} / (q.vnorm * v.vnorm), 6)
@@ -243,18 +265,25 @@ def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows per query ever leave the executors — the merge is a cheap
     window over that reduced set.  This is the 100 TB-shaped plan: one
     corpus scan, no shuffle before the per-query merge, ~100× less
-    per-pair overhead than the JVM fold.
+    per-pair overhead than the JVM fold.  The driver-side collect is
+    bounded: ≤ ``N_QUERIES`` rows regardless of corpus size.
 
     Determinism: ranking (and the per-batch selection) orders by the
-    ROUNDED similarity (6 dp) with neighbor_id tie-break, so float
-    reduction order (numpy pairwise vs sequential fold) cannot reorder
-    the result; exact-duplicate vectors tie-break identically in both
-    engines.
+    ROUNDED similarity (6 dp, half-away-from-zero — the same rule as
+    Spark ``F.round`` and DuckDB ``round``) with neighbor_id tie-break,
+    so float reduction order (numpy pairwise vs sequential fold) cannot
+    reorder the result; exact-duplicate vectors tie-break identically in
+    both engines.
     """
     import numpy as np
 
     v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
-    qrows = v.filter(F.col("vec_id") % QUERY_MOD == 0).collect()
+    qrows = (
+        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .collect()
+    )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
     q_norm = np.array([r["vnorm"] for r in qrows], dtype=np.float64)
@@ -275,9 +304,21 @@ def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             xn = pdf["vnorm"].to_numpy(dtype=np.float64)
             sims = (x @ q_mat.T) / np.outer(xn, q_norm)  # b × q
-            # composite sort key: rounded sim (1e-6 units) desc, then id asc
-            sim_units = np.rint(sims * 1e6).astype(np.int64)
-            key = -sim_units * 10_000_000 + ids[:, None]
+            # composite sort key: rounded sim (1e-6 units) desc, then id asc.
+            # Round half-AWAY-from-zero to match F.round/DuckDB round, so the
+            # pruning stage can never disagree with the final merge on a
+            # 0.5e-6 boundary.
+            sim_units = (
+                np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)
+            ).astype(np.int64)
+            # |sim_units| ≤ 1e6+1, so ids up to ID_MULT keep the key exact
+            # inside int64 (~9.2e18 headroom).
+            if ids.max() >= _ID_MULT:
+                raise ValueError(
+                    f"vec_id {ids.max()} >= {_ID_MULT}; widen _ID_MULT "
+                    "or switch the batch kernel to np.lexsort"
+                )
+            key = -sim_units * _ID_MULT + ids[:, None]
             key[ids[:, None] == q_ids[None, :]] = np.iinfo(np.int64).max  # self
             kk = min(k, len(ids))
             top = (
@@ -453,25 +494,56 @@ _EMB_DEDUP_ORACLE = f"""
 """
 
 
+# Block count for the exact all-pairs similarity join.  Parallelism of the
+# pair stage = N_SIM_BLOCKS; the replicated side shuffles N_SIM_BLOCKS copies.
+# 32 matches local[32]; on a 1000-executor cluster raise it (cost is linear in
+# replication, win is linear in parallelism).
+N_SIM_BLOCKS = 32
+
+
 @register("q_dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine ≥ 0.35 on this synthetic
-    corpus).  Exact all-pairs here as the small-corpus oracle; the scale
-    path is `q_ann_lsh`'s bucket join with the same rerank math."""
+    """Embedding near-duplicate pairs: EXACT threshold join (cosine ≥ 0.35)
+    as a block-pair equi-join — no nested-loop join in the plan.
+
+    Why not LSH candidates: at τ=0.35 the hyperplane-collision probability
+    per plane is ~0.61, so qualifying pairs spread across the full hamming
+    range of any practical signature (measured on this corpus: hamming 0–7
+    under 8 planes) — no bounded-probe LSH family is *complete* at such a
+    low threshold, and this query's contract is exactness.  Exact all-pairs
+    is inherently O(n²) compute; the scalable shape distributes it:
+
+    * side A replicates each row once per block (``explode`` of the block
+      range) — shuffle volume N_SIM_BLOCKS × |corpus|;
+    * the join is an **equi-join** on ``tgt = blk_b`` (SortMergeJoin, never
+      BroadcastNestedLoopJoin), each of the N_SIM_BLOCKS keys carrying an
+      independent slice of the pair space;
+    * the cheap ``vec_a < vec_b`` predicate prunes before the 64-dim dot
+      fold, so the expensive math runs exactly n(n-1)/2 times;
+    * per-pair math is the same JVM ``zip_with`` fold as the oracle's
+      sequential fold — bit-for-bit reproducible.
+
+    For approximate-but-cheap near-dup at higher thresholds, use
+    `q_ann_lsh`'s bucket join instead."""
     v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_SIM_BLOCKS)).cast("int")
     a = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("emb_a"),
         F.col("vnorm").alias("norm_a"),
+        F.explode(
+            F.array(*[F.lit(j) for j in range(N_SIM_BLOCKS)])
+        ).alias("tgt"),
     )
     b = v.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),
         F.col("vnorm").alias("norm_b"),
+        blk.alias("blk_b"),
     )
     sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(b, (F.col("tgt") == F.col("blk_b")) & (F.col("vec_a") < F.col("vec_b")))
         .filter(sim >= 0.35)
         .select(
             "vec_a", "vec_b", F.round(sim, 6).cast("double").alias("cosine")

@@ -30,6 +30,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # The driver's events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
+    # reader rejects unless nanosAsLong is on.  Callers (including the external
+    # driver) may hand us a vanilla SparkSession, so set it here, not just in
+    # session.py; the conf is runtime-settable and idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as long (see session.py nanosAsLong);
     # normalize to microsecond timestamps, matching DuckDB's ns->us truncation.

@@ -108,15 +108,17 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_replayed(events: DataFrame) -> DataFrame:
-    """Collapse at-least-once duplicates to one row per event_id.
+    """Collapse at-least-once duplicates to one row per delivered record.
 
-    Duplicate deliveries are exact copies of the row, so which copy
-    survives is immaterial — the batch result is deterministic and the
-    streaming variant (``dropDuplicatesWithinWatermark`` in the tests)
-    converges to it."""
-    return events.dropDuplicates(["event_id"]).select(
-        "event_id", "user_id", "event_type", "ts"
-    )
+    Dedup keys on ALL projected columns (not just event_id), matching the
+    oracle's ``SELECT DISTINCT`` over the full row — so the result stays
+    deterministic even if a future fixture carries conflicting rows for
+    one event_id.  For true replays (exact row copies, the at-least-once
+    case this models) the two keyings are identical; the streaming
+    variant (``dropDuplicatesWithinWatermark`` in the tests) converges to
+    the same result."""
+    cols = ["event_id", "user_id", "event_type", "ts"]
+    return events.select(*cols).dropDuplicates(cols)
 
 
 _DEDUP_ORACLE = """

@@ -67,3 +67,28 @@ def test_q1_partial_aggregation(spark, sf_dir):
 
     txt = plan_text(relational.QUERIES["q1_pricing_summary"](spark, sf_dir))
     assert txt.count("HashAggregate") >= 2
+
+
+def test_embedding_dedup_no_nested_loop_join(spark, sf_dir):
+    """The exact threshold join must run as a block-pair equi-join
+    (SortMergeJoin on the block key), never a BroadcastNestedLoopJoin —
+    the O(n^2)-rows-through-one-task shape that dies at scale."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(similarity.QUERIES["q_dedup_embedding_cosine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert "CartesianProduct" not in txt, txt
+
+
+def test_knn_broadcast_side_is_bounded_query_set(spark, sf_dir):
+    """Brute-force kNN may nested-loop (the pair condition is non-equi),
+    but ONLY against a broadcast build side that is the LIMITed query
+    table — TakeOrderedAndProject (<= N_QUERIES rows) under the
+    BroadcastExchange, so the broadcast cannot grow with the corpus."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(similarity.QUERIES["q_knn_bruteforce"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin Inner BuildRight" in txt, txt
+    # the build (broadcast) side is the top-N query subset, not the corpus
+    bx = txt.index("BroadcastExchange")
+    assert "TakeOrderedAndProject" in txt[bx : bx + 400], txt[bx : bx + 400]
