@@ -124,6 +124,64 @@ class FakeFirestoreClient:
             self._closed = True
 
 
+class GoogleFirestoreClient:
+    """Production adapter over ``google-cloud-firestore`` (import-guarded —
+    the SDK is not installed in this environment, so construction without
+    an injected client raises a clear error; the mocked contract test
+    drives the full lifecycle).
+
+    Mirrors the reference sink's *intended* bundle lifecycle
+    (``FirestoreUpdateDoFn.java:37-65``): one SDK client per partition
+    (``@StartBundle``), each flush an **atomic, awaited** ``WriteBatch``
+    of <= 500 ``set()`` upserts (``:84-91`` — fixing the reference's
+    accidental fire-and-forget, SURVEY.md §2 ⚠️), idempotent close
+    (``@Teardown`` guard, ``:67-76``).
+    """
+
+    def __init__(self, project_id: str, client: object | None = None) -> None:
+        if client is None:
+            try:
+                from google.cloud import firestore  # type: ignore[import-not-found]
+            except ImportError as exc:  # pragma: no cover - env has no SDK
+                raise RuntimeError(
+                    "google-cloud-firestore is not installed; install it or "
+                    "inject a client (tests use a mock)"
+                ) from exc
+            client = firestore.Client(project=project_id)  # pragma: no cover
+        self._client = client
+        self._closed = False
+
+    def commit(self, collection: str, items: list[tuple[str, dict]]) -> None:
+        if self._closed:
+            raise RuntimeError("commit on closed client")
+        if len(items) > DEFAULT_MAX_BATCH_SIZE:
+            raise ValueError(f"batch of {len(items)} exceeds Firestore limit")
+        batch = self._client.batch()
+        coll = self._client.collection(collection)
+        for doc_id, data in items:
+            # set() = upsert keyed by doc id (NaiveImplementation.java:55-60);
+            # staged on the WriteBatch, NOT the client — the reference bug was
+            # writing via the client and committing an empty batch.
+            batch.set(coll.document(doc_id), data)
+        batch.commit()  # awaited: atomic durability before the task succeeds
+
+    def close(self) -> None:
+        if not self._closed:
+            close = getattr(self._client, "close", None)
+            if callable(close):
+                close()
+            self._closed = True
+
+
+def google_client_factory(project_id: str) -> Callable[[], GoogleFirestoreClient]:
+    """Serializable factory for ``foreachPartition`` (closes over a string)."""
+
+    def factory() -> GoogleFirestoreClient:
+        return GoogleFirestoreClient(project_id)
+
+    return factory
+
+
 def fake_client_factory(
     spool_dir: str, latency_s: float = 0.0
 ) -> Callable[[], FakeFirestoreClient]:

@@ -103,3 +103,97 @@ def test_config_validation():
         PipelineConfig(
             implementation="bogus", output_google_cloud_project="p"
         )  # unknown impl (":31-32")
+
+
+# ---------------------------------------------------------------------------
+# Production adapter contract (google-cloud-firestore, mocked — no SDK here)
+# ---------------------------------------------------------------------------
+
+
+class _MockBatch:
+    def __init__(self, log):
+        self._log = log
+        self._staged = []
+
+    def set(self, ref, data):
+        self._staged.append((ref, data))
+        self._log.append(("set", ref, data))
+
+    def commit(self):
+        self._log.append(("commit", len(self._staged)))
+
+
+class _MockCollection:
+    def __init__(self, name):
+        self.name = name
+
+    def document(self, doc_id):
+        return f"{self.name}/{doc_id}"
+
+
+class _MockSdkClient:
+    """Stands in for google.cloud.firestore.Client: batch()/collection()/close()."""
+
+    def __init__(self):
+        self.log = []
+        self.closed = 0
+
+    def batch(self):
+        return _MockBatch(self.log)
+
+    def collection(self, name):
+        return _MockCollection(name)
+
+    def close(self):
+        self.closed += 1
+
+
+def test_google_adapter_batch_lifecycle():
+    """Mirrors FirestoreUpdateDoFn.java:37-91 *intended* semantics: writes
+    staged on the WriteBatch (not the client), one awaited commit per
+    flush, upsert refs keyed by doc id, idempotent close."""
+    from apache_beam_java_firestore_batch_dataflow_spark.sinks.firestore import (
+        GoogleFirestoreClient,
+    )
+
+    sdk = _MockSdkClient()
+    client = GoogleFirestoreClient("demo-proj", client=sdk)
+    client.commit("words", [("hi", {"count": 5}), ("sue", {"count": 2})])
+    client.commit("words", [("bob", {"count": 2})])
+
+    sets = [e for e in sdk.log if e[0] == "set"]
+    commits = [e for e in sdk.log if e[0] == "commit"]
+    assert [(e[1], e[2]) for e in sets] == [
+        ("words/hi", {"count": 5}),
+        ("words/sue", {"count": 2}),
+        ("words/bob", {"count": 2}),
+    ]
+    # one atomic commit per flush, carrying exactly the staged writes
+    assert [e[1] for e in commits] == [2, 1]
+    # every set precedes its batch's commit (no fire-and-forget)
+    assert sdk.log.index(commits[0]) > sdk.log.index(sets[1])
+
+    client.close()
+    client.close()  # @Teardown idempotence
+    assert sdk.closed == 1
+    with pytest.raises(RuntimeError):
+        client.commit("words", [("x", {"count": 1})])
+
+
+def test_google_adapter_rejects_oversized_batch():
+    from apache_beam_java_firestore_batch_dataflow_spark.sinks.firestore import (
+        GoogleFirestoreClient,
+    )
+
+    client = GoogleFirestoreClient("demo-proj", client=_MockSdkClient())
+    with pytest.raises(ValueError):
+        client.commit("words", [(str(i), {"count": i}) for i in range(501)])
+
+
+def test_google_adapter_requires_sdk_without_injection():
+    from apache_beam_java_firestore_batch_dataflow_spark.sinks.firestore import (
+        GoogleFirestoreClient,
+    )
+
+    with pytest.raises(RuntimeError, match="google-cloud-firestore"):
+        GoogleFirestoreClient("demo-proj")

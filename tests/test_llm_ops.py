@@ -166,9 +166,37 @@ def test_multimodal_decode_plumbing(spark):
         assert r.byte_entropy_bp == ent
 
 
-def test_real_decoder_is_stubbed():
+def test_real_decoder_dispatch():
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    # audio/video stay stubbed (no codec libs in this environment)
     with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00\x01", "audio")
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x00\x01", "video")
+    # image dispatches to the real PPM parser; garbage is a parse error
+    with pytest.raises(ValueError):
         decode_payload(b"\x00\x01", "image")
+    # golden 2x1 image: pixels (1,2,3) and (250,251,252)
+    img = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
+    got = decode_payload(img, "image")
+    assert got == {
+        "width": 2,
+        "height": 1,
+        "raster_sum": 1 + 2 + 3 + 250 + 251 + 252,
+        "r_sum": 1 + 250,
+        "max_byte": 252,
+    }
+    # header comments + extra whitespace are tolerated (real PPM grammar)
+    commented = b"P6\n# a comment\n 2\t1 # trailing\n255\n" + bytes(6)
+    assert decode_ppm(commented)[:2] == (2, 1)
+    # truncated raster and bad maxval fail loudly
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 1\n255\n\x00\x01")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n1 1\n65535\n" + bytes(6))
 
 
 def test_resize_stage_filters_and_bounds(spark):
