@@ -92,6 +92,9 @@ _PRIORITY = [
     "q_range_join_bucketed",
     "q_events_json",
     "q12_priority_lines",
+    # new in round 2
+    "q11_important_values",
+    "q13_customer_distribution",
     # cross-family sample of round-1 greens (regression canaries)
     "q1_pricing_summary",
     "q_cube",

@@ -898,3 +898,103 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_sum(F.col("c_acctbal"), "totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — per-key value share with a scalar-subquery threshold (HAVING > k·total)
+# ---------------------------------------------------------------------------
+
+Q11_NATION = "NATION_9"
+Q11_FRACTION = 0.001
+
+
+@register(
+    "q11_important_values",
+    oracle=f"""
+    WITH scoped AS (
+      SELECT l_partkey, l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = '{Q11_NATION}'
+    ),
+    per_part AS (
+      SELECT l_partkey, {stable_sum_sql(_REV_SQL, "value")}
+      FROM scoped GROUP BY l_partkey
+    )
+    SELECT l_partkey, value
+    FROM per_part
+    WHERE value > (SELECT {stable_sum_sql(_REV_SQL, "total")} FROM scoped)
+                  * {Q11_FRACTION}
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no ``partsupp``; lineitem is the part↔supplier
+    link, revenue is the value metric): per-part value for one nation's
+    suppliers, kept only when above a fraction of that nation's total.
+
+    Plan shape at 100 TB: lineitem ⋈ broadcast(supplier ⋈
+    broadcast(nation)) — the fact table never shuffles for the dims; one
+    hash agg on l_partkey; the threshold is a broadcast single-row
+    aggregate (never a driver round-trip).  Both sides of the HAVING
+    compare derive from the same order-independent decimal sums, so the
+    cut is deterministic under any partitioning."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    scoped = (
+        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    per_part = scoped.groupBy("l_partkey").agg(stable_sum(_rev(), "value"))
+    total = scoped.agg(stable_sum(_rev(), "total")).select(
+        (F.col("total") * Q11_FRACTION).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .orderBy(F.col("value").desc(), "l_partkey")
+        .select("l_partkey", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — outer-join count distribution (customers by number of orders)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (no ``o_comment``; the excluded class is urgent
+    orders): distribution of per-customer order counts, customers with
+    zero orders included via the left outer join.
+
+    Plan shape: one shuffle join on custkey (both sides fact-sized at
+    100 TB — broadcasting would be wrong), a combiner count per
+    customer reusing the join partitioning, then a tiny second agg over
+    at most a few hundred distinct counts."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    c_counts = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))

@@ -23,7 +23,7 @@ from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import (
 def test_registry_complete():
     """Every TPC-H query registered here carries a DuckDB oracle."""
     assert set(tpch.QUERIES) == set(tpch.ORACLES)
-    assert len(tpch.QUERIES) == 17
+    assert len(tpch.QUERIES) == 19
 
 
 def test_q6_filters_pushed_to_scan(spark, sf_dir):
