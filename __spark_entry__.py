@@ -95,6 +95,7 @@ _PRIORITY = [
     # new in round 2
     "q11_important_values",
     "q13_customer_distribution",
+    "q_embedding_centroids",
     # cross-family sample of round-1 greens (regression canaries)
     "q1_pricing_summary",
     "q_cube",

@@ -549,3 +549,47 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a", "vec_b", F.round(sim, 6).cast("double").alias("cosine")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids: elementwise vector mean (training-pipeline analytic)
+# --------------------------------------------------------------------------
+
+_CENTROID_ORACLE = f"""
+    WITH comp AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    )
+    SELECT label, pos,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           -- + 0.0 folds IEEE negative zero to +0.0 (DuckDB's round keeps
+           -- the sign of a tiny negative mean; Spark's drops it)
+           CAST(round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                      / count(*), 4) + 0.0 AS DOUBLE) AS centroid
+    FROM comp GROUP BY label, pos
+"""
+
+
+@register("q_embedding_centroids", oracle=_CENTROID_ORACLE)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, long format: (label, pos, n_vectors, centroid).
+
+    ``posexplode`` widens each vector to (label, pos, component); the
+    groupBy is a combiner aggregation, so map-side partials reduce the
+    shuffle to |labels|·dim rows per task regardless of corpus size —
+    the shape a 100 TB centroid/k-means-update step needs.  Component
+    sums use order-independent decimal accumulation (functions/numeric)
+    so the mean is deterministic under any partitioning."""
+    v = _vecs(spark, sf_dir)
+    comp = v.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("label", "pos", F.col("x").cast("double").alias("x"))
+    dec = F.round(F.col("x"), 6).cast("decimal(30,6)")
+    return comp.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        (F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 4) + F.lit(0.0))
+        .cast("double")
+        .alias("centroid"),
+    )
