@@ -17,7 +17,16 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ a[i]·b[i] as double (sequential left fold)."""
+    """Σ a[i]·b[i] as double (sequential left fold).
+
+    Stays the higher-order-function form deliberately: unrolling to a
+    64-term expression chain was measured SLOWER (the giant tree exceeds
+    codegen method limits and falls back to interpreted ``element_at``
+    with per-access bounds checks).  For O(n²) pair loops, the fast path
+    is the order-faithful numpy kernel (operators/similarity.py
+    ``_pairwise_sims``), which keeps the identical fold order while
+    vectorizing across pairs.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),

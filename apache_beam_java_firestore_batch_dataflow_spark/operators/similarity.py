@@ -501,10 +501,28 @@ _EMB_DEDUP_ORACLE = f"""
 N_SIM_BLOCKS = 32
 
 
+def _pairwise_sims(A, na, B, nb):
+    """Pairwise cosine matrix with the ORACLE's float semantics.
+
+    Vectorized across pairs but **sequential over dimensions**: the
+    accumulator update ``S += A[:,i] ⊗ B[:,i]`` performs, for every
+    pair, exactly the left fold ``((0.0 + t1) + t2) + …`` in float64 —
+    the same additions in the same order as the JVM ``zip_with`` fold
+    and DuckDB's ``list_reduce``, so results are bit-identical while a
+    BLAS-free 64-step loop replaces millions of interpreted fold calls.
+    """
+    import numpy as np
+
+    S = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for i in range(A.shape[1]):
+        S += A[:, i : i + 1] * B[None, :, i]
+    return S / (na[:, None] * nb[None, :])
+
+
 @register("q_dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: EXACT threshold join (cosine ≥ 0.35)
-    as a block-pair equi-join — no nested-loop join in the plan.
+    as a cogrouped block-pair kernel — no nested-loop join in the plan.
 
     Why not LSH candidates: at τ=0.35 the hyperplane-collision probability
     per plane is ~0.61, so qualifying pairs spread across the full hamming
@@ -513,41 +531,86 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     low threshold, and this query's contract is exactness.  Exact all-pairs
     is inherently O(n²) compute; the scalable shape distributes it:
 
-    * side A replicates each row once per block (``explode`` of the block
-      range) — shuffle volume N_SIM_BLOCKS × |corpus|;
-    * the join is an **equi-join** on ``tgt = blk_b`` (SortMergeJoin, never
-      BroadcastNestedLoopJoin), each of the N_SIM_BLOCKS keys carrying an
-      independent slice of the pair space;
-    * the cheap ``vec_a < vec_b`` predicate prunes before the 64-dim dot
-      fold, so the expensive math runs exactly n(n-1)/2 times;
-    * per-pair math is the same JVM ``zip_with`` fold as the oracle's
-      sequential fold — bit-for-bit reproducible.
+    * rows replicate to block-PAIR keys (ba ≤ bb): a block-β row sits on
+      the left of pairs (β, j≥β) and the right of pairs (i≤β, β) —
+      ~N_SIM_BLOCKS copies per row, but **each cogroup holds only two
+      blocks** (≈ 2·n/N_SIM_BLOCKS rows), so kernel memory is bounded at
+      any corpus size, unlike keying by single block (which would drag
+      the whole corpus into every group);
+    * each of the N(N+1)/2 cogroups evaluates its pair slice with
+      ``_pairwise_sims`` — vectorized across pairs, **bit-identical** to
+      the sequential fold the DuckDB oracle computes (see its docstring);
+    * a cross-block pair occurs in exactly one group; diagonal groups
+      dedup by id order.  Only qualifying pairs leave the kernel.
 
-    For approximate-but-cheap near-dup at higher thresholds, use
-    `q_ann_lsh`'s bucket join instead."""
+    Parallelism = N(N+1)/2 block pairs (raise N_SIM_BLOCKS with the
+    cluster: replication grows linearly, kernel memory shrinks
+    quadratically).  For approximate-but-cheap near-dup at higher
+    thresholds, use `q_ann_lsh`'s bucket join instead."""
+    import numpy as np
+    import pandas as pd
+
     v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
-    blk = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_SIM_BLOCKS)).cast("int")
-    a = v.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("vnorm").alias("norm_a"),
-        F.explode(
-            F.array(*[F.lit(j) for j in range(N_SIM_BLOCKS)])
-        ).alias("tgt"),
+    vb = v.withColumn(
+        "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_SIM_BLOCKS)).cast("int")
     )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("vnorm").alias("norm_b"),
-        blk.alias("blk_b"),
+    # One grouped-map over a side-tagged union rather than a cogroup:
+    # Spark 4.1's optimizer prunes the RIGHT cogroup input down to its
+    # grouping keys under plans that don't consume the UDF's columns
+    # (e.g. count()), starving an opaque kernel; the union shape keeps
+    # every column attached to its row.
+    left = vb.select(
+        F.col("blk").alias("ba"),
+        F.explode(F.sequence(F.col("blk"), F.lit(N_SIM_BLOCKS - 1))).alias("bb"),
+        F.lit(0).alias("side"),
+        "vec_id",
+        "embedding",
+        "vnorm",
     )
-    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
-    return (
-        a.join(b, (F.col("tgt") == F.col("blk_b")) & (F.col("vec_a") < F.col("vec_b")))
-        .filter(sim >= 0.35)
-        .select(
-            "vec_a", "vec_b", F.round(sim, 6).cast("double").alias("cosine")
-        )
+    right = vb.select(
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("ba"),
+        F.col("blk").alias("bb"),
+        F.lit(1).alias("side"),
+        "vec_id",
+        "embedding",
+        "vnorm",
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["side"] == 0]
+        rpdf = pdf[pdf["side"] == 1]
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame(
+                {"vec_a": pd.Series(dtype="int64"),
+                 "vec_b": pd.Series(dtype="int64"),
+                 "sim": pd.Series(dtype="float64")}
+            )
+        ids_a = lpdf["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = rpdf["vec_id"].to_numpy(dtype=np.int64)
+        A = np.stack([np.asarray(e, dtype=np.float64) for e in lpdf["embedding"]])
+        B = np.stack([np.asarray(e, dtype=np.float64) for e in rpdf["embedding"]])
+        na = lpdf["vnorm"].to_numpy(dtype=np.float64)
+        nb = rpdf["vnorm"].to_numpy(dtype=np.float64)
+        sims = _pairwise_sims(A, na, B, nb)
+        diagonal = int(pdf["ba"].iat[0]) == int(pdf["bb"].iat[0])
+        if diagonal:
+            # both sides are the same block: keep each unordered pair once
+            keep = (ids_a[:, None] < ids_b[None, :]) & (sims >= 0.35)
+        else:
+            # disjoint blocks: every (a, b) is unique; order ids on output
+            keep = sims >= 0.35
+        ai, bi = np.nonzero(keep)
+        lo = np.minimum(ids_a[ai], ids_b[bi])
+        hi = np.maximum(ids_a[ai], ids_b[bi])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim": sims[ai, bi]})
+
+    pairs = (
+        left.unionAll(right)
+        .groupBy("ba", "bb")
+        .applyInPandas(block_pairs, schema="vec_a long, vec_b long, sim double")
+    )
+    return pairs.select(
+        "vec_a", "vec_b", F.round("sim", 6).cast("double").alias("cosine")
     )
 
 

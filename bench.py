@@ -48,6 +48,11 @@ HEADLINE = [
     "q_ann_ivf",
     "q_stream_tumbling",
     "q_asof_join",
+    # round 2: block-pair exact similarity join, Q11/Q13 shapes, centroids
+    "q_dedup_embedding_cosine",
+    "q11_important_values",
+    "q13_customer_distribution",
+    "q_embedding_centroids",
 ]
 
 

@@ -92,3 +92,38 @@ def test_knn_broadcast_side_is_bounded_query_set(spark, sf_dir):
     # the build (broadcast) side is the top-N query subset, not the corpus
     bx = txt.index("BroadcastExchange")
     assert "TakeOrderedAndProject" in txt[bx : bx + 400], txt[bx : bx + 400]
+
+
+def test_q11_dims_broadcast_threshold_not_collected(spark, sf_dir):
+    """Q11: supplier/nation joins broadcast (fact never shuffles for
+    dims) and the HAVING threshold is a broadcast one-row aggregate in
+    the same plan — no driver round-trip (no separate .collect())."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import tpch
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(tpch.QUERIES["q11_important_values"](spark, sf_dir))
+    assert txt.count("BroadcastHashJoin") >= 2, txt
+    # the scalar threshold appears as a broadcast join of a 1-row agg,
+    # inside this single plan (it would vanish if collected driver-side)
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastExchange" in txt
+
+
+def test_q13_two_level_aggregation(spark, sf_dir):
+    """Q13: per-customer count then count-distribution — two aggregation
+    levels, each with a map-side partial (4 HashAggregate nodes)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import tpch
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(tpch.QUERIES["q13_customer_distribution"](spark, sf_dir))
+    assert txt.count("HashAggregate") >= 4, txt
+
+
+def test_centroids_combiner_aggregation(spark, sf_dir):
+    """Centroid mean must partially aggregate before the shuffle: the
+    exploded (label, pos) stream reduces map-side, so the exchange
+    carries |labels|*dim rows per task, not the full component stream."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(similarity.QUERIES["q_embedding_centroids"](spark, sf_dir))
+    assert txt.count("HashAggregate") >= 2, txt
+    assert "Generate" in txt  # posexplode stays narrow, before the agg
