@@ -96,6 +96,7 @@ _PRIORITY = [
     "q11_important_values",
     "q13_customer_distribution",
     "q_embedding_centroids",
+    "q_text_repetition",
     # cross-family sample of round-1 greens (regression canaries)
     "q1_pricing_summary",
     "q_cube",

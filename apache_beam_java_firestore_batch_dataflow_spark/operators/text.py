@@ -317,3 +317,97 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1
         ).alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style duplicate-n-gram ratio)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_text_repetition",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ng AS BIGINT) AS n_grams,
+           CAST(nd AS BIGINT) AS n_distinct,
+           CASE WHEN ng > 0
+                THEN CAST(round(1.0 - CAST(nd AS DOUBLE) / ng, 4) AS DOUBLE)
+                ELSE 0.0 END AS dup_ratio
+    FROM (
+      SELECT doc_id, len(grams) AS ng, len(list_distinct(grams)) AS nd
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    ELSE [] END AS grams
+        FROM (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+      )
+    )
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate word-3-gram ratio per document — the standard repetition
+    filter in LLM-data curation (high ratio ⇒ boilerplate/spam).
+
+    Entirely narrow (tokenize → gram list → distinct count per row): NO
+    shuffle at any scale; whole-stage codegen end to end."""
+    docs = _docs(spark, sf_dir)
+    grams = F.expr(
+        "CASE WHEN size(toks) >= 3 THEN "
+        "  transform(sequence(0, size(toks) - 3), "
+        "            i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) "
+        "ELSE slice(toks, 1, 0) END"
+    )
+    return (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select("doc_id", grams.alias("grams"))
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            F.size(F.array_distinct("grams")).cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("n_distinct").cast("double") / F.col("n_grams"),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .cast("double")
+            .alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Normalization (lowercase, whitespace collapse) — the canonical pre-dedup step
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm_text,
+           CAST(length(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                AS BIGINT) AS n_chars_norm
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (trim, collapse runs of whitespace,
+    lowercase) — the projection every exact-dedup/fingerprint stage runs
+    first.  Pure narrow map; Spark's ``regexp_replace`` is global by
+    default, matching DuckDB's ``'g'`` flag."""
+    docs = _docs(spark, sf_dir)
+    norm_text = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm_text.alias("norm_text"),
+        F.length(norm_text).cast("bigint").alias("n_chars_norm"),
+    )
