@@ -228,3 +228,23 @@ def test_connected_components_small_graph(spark):
         r.doc_id: r.cluster_id for r in connected_components(vertices, edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_embedding_dedup_invariant_to_block_count(spark):
+    """The block-pair kernel is a partitioning detail: changing
+    N_SIM_BLOCKS must not change the result set (every pair evaluated
+    exactly once, bit-identical sims)."""
+    import apache_beam_java_firestore_batch_dataflow_spark.operators.similarity as sim
+
+    def run():
+        rows = sim.QUERIES["q_dedup_embedding_cosine"](spark, SF_DIR).collect()
+        return sorted((r.vec_a, r.vec_b, r.cosine) for r in rows)
+
+    base = run()
+    orig = sim.N_SIM_BLOCKS
+    try:
+        sim.N_SIM_BLOCKS = 5
+        assert run() == base
+    finally:
+        sim.N_SIM_BLOCKS = orig
+    assert len(base) > 0
