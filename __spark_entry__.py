@@ -28,6 +28,7 @@ from apache_beam_java_firestore_batch_dataflow_spark.operators import (
     udfs,
 )
 from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
+from apache_beam_java_firestore_batch_dataflow_spark.sources import formats as format_queries
 from apache_beam_java_firestore_batch_dataflow_spark.streaming import joins as stream_joins
 from apache_beam_java_firestore_batch_dataflow_spark.streaming import windows as stream_windows
 
@@ -44,6 +45,7 @@ _MODULES = [
     skew,
     udfs,
     curation,
+    format_queries,
 ]
 
 # The external driver value-checks a bounded prefix of ``queries()`` (round 1:
@@ -105,7 +107,8 @@ _PRIORITY = [
     "q_subquery_in",
     "q_correlated_exists",
     "q_scalar_array",
-    "q9_product_profit",
+    "q_format_roundtrip_csv",
+    "q_format_roundtrip_orc",
     "q_wordcount_documents",
     "q_text_token_stats",
 ]

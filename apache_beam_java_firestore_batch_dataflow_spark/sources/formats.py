@@ -70,3 +70,72 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+# ---------------------------------------------------------------------------
+# Driver-checkable round-trip queries: write a fixture table out in each
+# text/columnar format, read it back through read_table, return the rows.
+# The DuckDB oracle reads the original parquet — a value-hash match proves
+# the format path is lossless (doubles use shortest-round-trip repr; ORC
+# preserves timestamp instants under the pinned UTC session).
+# ---------------------------------------------------------------------------
+
+import tempfile
+from collections.abc import Callable
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_SUPPLIER_ORACLE = (
+    "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier"
+)
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, table: str,
+               cols: list[str]) -> DataFrame:
+    from .tables import load_table
+
+    df = load_table(spark, sf_dir, table).select(*cols)
+    path = tempfile.mkdtemp(prefix=f"fmt-{fmt}-{table}-")
+    write_table(df, path, fmt, mode="overwrite")
+    return read_table(spark, path, fmt, schema=df.schema)
+
+
+@_register("q_format_roundtrip_csv", _SUPPLIER_ORACLE)
+def q_format_roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → CSV (header, explicit schema on read) → identical rows."""
+    return _roundtrip(
+        spark, sf_dir, "csv", "supplier",
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+
+
+@_register("q_format_roundtrip_json", _SUPPLIER_ORACLE)
+def q_format_roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → JSON lines (explicit schema on read) → identical rows."""
+    return _roundtrip(
+        spark, sf_dir, "json", "supplier",
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+
+
+@_register(
+    "q_format_roundtrip_orc",
+    "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders",
+)
+def q_format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC → identical rows, incl. timestamp instants (UTC session)."""
+    return _roundtrip(
+        spark, sf_dir, "orc", "orders",
+        ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
+    )
