@@ -582,25 +582,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     d = docs.select("doc_id", norm.alias("norm"))
-    # Persisted for the same reason as the MinHash shingle set: five
-    # consumers (rare-gram DF filter, candidate join sides, verification
-    # joins, sizes) over one explode+distinct shuffle.
-    grams = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.length("norm") >= NGRAM_N,
-                    F.expr(
-                        f"transform(sequence(1, length(norm) - {NGRAM_N - 1}), "
-                        f"i -> substring(norm, i, {NGRAM_N}))"
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
-            ).alias("g"),
-        )
-        .distinct()
-        .persist()
-    )
+    # Per-doc DISTINCT gram sets computed NARROWLY (array_distinct inside
+    # the row, before any explode): the set semantics the pipeline needs,
+    # with zero shuffle — replacing an explode+distinct exchange of the
+    # full (doc, gram) stream (~500 rows/doc), which profiling showed was
+    # the pipeline's dominant cost.  Persisted: three consumers (postings
+    # explode + both verification join sides).
+    gram_arr = F.when(
+        F.length("norm") >= NGRAM_N,
+        F.expr(
+            f"array_distinct(transform(sequence(1, length(norm) - {NGRAM_N - 1}), "
+            f"i -> substring(norm, i, {NGRAM_N})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gsets = d.select("doc_id", gram_arr.alias("gs")).persist()
+    grams = gsets.select("doc_id", F.explode("gs").alias("g"))
     # Candidate pairs straight from the rare-gram postings lists: a gram
     # kept by the DF filter has 2..DF_MAX docs, so its pair set is at most
     # C(DF_MAX, 2) — emit them from one groupBy(collect_list) instead of a
@@ -623,26 +619,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    xa = grams.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
-    xb = grams.select(F.col("doc_id").alias("doc_b_r"), F.col("g").alias("g_b2"))
-    inter = (
-        cand.join(xa, "doc_a")
-        .join(
-            xb,
-            (F.col("doc_b") == F.col("doc_b_r")) & (F.col("g_a") == F.col("g_b2")),
+    # Verification: join each candidate pair to the two docs' (distinct)
+    # gram ARRAYS and intersect JVM-side per row.  This replaces the
+    # (pair × gram) exploded shuffle — whose volume is |pairs|·|grams per
+    # doc| rows — with two equi-joins on doc id carrying one array row
+    # per doc, plus a narrow hash-set intersect per pair.  Counts are
+    # identical (grams are distinct per doc).
+    ga = gsets.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
+    gb = gsets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b"))
+    verified = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("gs_a", "gs_b")).alias("n_common"),
+            F.size("gs_a").alias("n_g_a"),
+            F.size("gs_b").alias("n_g_b"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_g"))
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_g").alias("n_g_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_g").alias("n_g_b"))
     jac = F.col("n_common") * 1.0 / (
         F.col("n_g_a") + F.col("n_g_b") - F.col("n_common")
     )
-    return (
-        inter.join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
-        .filter(jac >= JACCARD_MIN)
-        .select("doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard"))
+    return verified.filter(jac >= JACCARD_MIN).select(
+        "doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard")
     )
