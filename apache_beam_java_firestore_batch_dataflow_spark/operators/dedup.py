@@ -100,16 +100,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles_df(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh): distinct SHINGLE_K-token shingles per document.
+def shingle_sets_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, shs): the DISTINCT SHINGLE_K-token shingle set per doc,
+    as one array row — computed narrowly (``array_distinct`` inside the
+    row), so building the sets costs ZERO shuffles at any scale.
 
     The token array is materialized by a projection *before* the shingle
     lambda: expressions referenced inside a higher-order-function lambda
     are re-evaluated per element, so shingling directly off the tokenize
     expression costs O(positions) full tokenizations per row (~9x slower,
-    measured at sf0.1).  Per-doc dedup happens in the post-explode
-    ``distinct()`` (hash-based, map-side combined) rather than
-    ``array_distinct`` (O(n²) per row on long docs).
+    measured at sf0.1).
     """
     tokd = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
     shingle_arr = F.when(
@@ -119,7 +119,14 @@ def shingles_df(docs: DataFrame) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice("t", i, SHINGLE_K)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return tokd.select("doc_id", F.explode(shingle_arr).alias("sh")).distinct()
+    return tokd.select("doc_id", F.array_distinct(shingle_arr).alias("shs"))
+
+
+def shingles_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): exploded distinct shingles — a narrow explode of
+    :func:`shingle_sets_df`; the old explode+``distinct()`` exchange is
+    gone (per-doc dedup already happened inside the row)."""
+    return shingle_sets_df(docs).select("doc_id", F.explode("shs").alias("sh"))
 
 
 SHINGLES_SQL = rf"""
@@ -253,13 +260,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     n² pair space; every join is a hash shuffle on a high-cardinality key.
     """
     docs = _docs(spark, sf_dir)
-    # The distinct shingle set feeds four downstream consumers (signatures,
-    # both sides of candidate verification, per-doc sizes); persist it so the
-    # tokenize+explode+distinct shuffle runs once, not four times.  At
-    # cluster scale this would be MEMORY_AND_DISK or a checkpoint to
-    # durable storage.
-    sh = shingles_df(docs).persist()
-    sigs = minhash_signatures_from(sh)
+    # The per-doc shingle SET (one array row per doc, built with zero
+    # shuffles) feeds three consumers: the signature explode and both
+    # sides of candidate verification.  Persist it so tokenization runs
+    # once.  At cluster scale this would be MEMORY_AND_DISK or a
+    # checkpoint to durable storage.
+    shs = shingle_sets_df(docs).persist()
+    sigs = minhash_signatures_from(
+        shs.select("doc_id", F.explode("shs").alias("sh"))
+    )
     bands = band_hashes(sigs)
 
     a = bands.alias("a")
@@ -275,33 +284,31 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b_r"), F.col("sh").alias("sh_b"))
-    inter = (
+    # Verification: per-pair JVM set intersect over the two shingle
+    # arrays — two equi-joins on doc id instead of shuffling
+    # |pairs| × |shingles per doc| exploded rows (same counts: the
+    # arrays are distinct per doc).
+    sa = shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = shs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    verified = (
         cand.join(sa, "doc_a")
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("doc_b_r")) & (F.col("sh_a") == F.col("sh_b")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_sh_a"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_sh_b"))
-    jaccard = F.col("n_common") * 1.0 / (
-        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
-    )
-    return (
-        inter.join(F.broadcast(za), "doc_a")
-        .join(F.broadcast(zb), "doc_b")
-        .filter(jaccard >= JACCARD_MIN)
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.col("n_common").cast("bigint").alias("n_common"),
-            F.round(jaccard, 6).cast("double").alias("jaccard"),
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("n_common"),
+            F.size("shs_a").alias("n_sh_a"),
+            F.size("shs_b").alias("n_sh_b"),
         )
+    )
+    jaccard = F.col("n_common") * 1.0 / (
+        F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
+    )
+    return verified.filter(jaccard >= JACCARD_MIN).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(jaccard, 6).cast("double").alias("jaccard"),
     )
 
 
