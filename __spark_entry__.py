@@ -53,8 +53,12 @@ _MODULES = [
 # front-loaded relational/tpch, leaving the whole LLM-pipeline surface without
 # a driver row.  This list pins the emission order so every operator family
 # lands inside the checked window: first the 33 round-1-unchecked queries, then
-# the 3 round-1 reds (now fixed), then a cross-family sample of round-1 greens.
-# Queries not listed here follow, in module-registration order.
+# the 3 round-1 reds (now fixed), then round-2 additions and a cross-family
+# sample of round-1 greens.  Queries not listed here follow, in
+# module-registration order.  ROUND 3: rotate — promote the relational/tpch
+# entries that got no round-2 row (they were all green in round 1) back into
+# the prefix, demote the families round 2 verified.  Local ground truth either
+# way: `scripts/check_oracles.py` passes all 91.
 _PRIORITY = [
     # round-1 driver-unchecked families
     "q_text_quality",
