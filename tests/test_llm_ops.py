@@ -248,3 +248,36 @@ def test_embedding_dedup_invariant_to_block_count(spark):
     finally:
         sim.N_SIM_BLOCKS = orig
     assert len(base) > 0
+
+
+def test_ppm_decoder_roundtrip_property():
+    """Property: any (w, h, raster, comment/whitespace layout) encodes to
+    a P6 payload the decoder parses back exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=16),
+        h=st.integers(min_value=1, max_value=16),
+        data=st.data(),
+        header_ws=st.sampled_from([b" ", b"\n", b"\t", b"\n# c\n"]),
+        trailing=st.binary(max_size=8),
+    )
+    def check(w, h, data, header_ws, trailing):
+        n = 3 * w * h
+        raster = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+        )
+        payload = (
+            b"P6" + header_ws + str(w).encode() + b" " + str(h).encode()
+            + b"\n255\n" + raster + trailing  # trailing bytes must be ignored
+        )
+        got = decode_ppm(payload)
+        assert got == (w, h, sum(raster), sum(raster[0::3]), max(raster))
+
+    check()
