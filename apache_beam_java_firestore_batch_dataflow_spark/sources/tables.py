@@ -35,6 +35,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # driver) may hand us a vanilla SparkSession, so set it here, not just in
     # session.py; the conf is runtime-settable and idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Date/timestamp literals (e.g. TPC-H shipdate cuts) parse in the session
+    # timezone; the DuckDB oracles assume UTC wall time.  Pin it here so a
+    # non-UTC caller session cannot shift every date predicate by an offset.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as long (see session.py nanosAsLong);
     # normalize to microsecond timestamps, matching DuckDB's ns->us truncation.
