@@ -955,3 +955,130 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.sum("l_quantity").over(w).cast("double").alias("qty_trailing_7d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window battery: ntile / percent_rank / cume_dist / lead
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_window_analytics",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cdist,
+           lead(o_orderkey) OVER w AS next_orderkey
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic window functions in one deterministic
+    frame: quartile bucketing (ntile), relative ranks (percent_rank /
+    cume_dist — rank-ratio formulas, identical in both engines given the
+    total (o_totalprice, o_orderkey) order), and lead.  One shuffle on
+    the partition key, rank math inside the sorted partition."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cdist"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit distance (fuzzy matching primitive for entity resolution)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_scalar_levenshtein",
+    oracle="""
+    SELECT CAST(levenshtein(s_name, 'Supplier#000000001') AS BIGINT) AS dist,
+           CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM supplier
+    GROUP BY dist
+    """,
+)
+def q_scalar_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance of every supplier name to a probe string,
+    histogrammed — the fuzzy-match primitive behind entity-resolution
+    blocking.  Distance is integer and definition-identical across
+    engines; one combiner aggregation on ≤ name-length distinct keys."""
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        supp.select(
+            F.levenshtein(F.col("s_name"), F.lit("Supplier#000000001"))
+            .cast("bigint")
+            .alias("dist")
+        )
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation from exact sufficient statistics (order-independent)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_corr_manual",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(
+             (CAST(sum(CAST(round(l_quantity * l_extendedprice, 6)
+                            AS DECIMAL(38,6))) AS DOUBLE) * count(*)
+              - CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                * CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE))
+             / (sqrt(CAST(sum(CAST(round(l_quantity * l_quantity, 6)
+                                   AS DECIMAL(38,6))) AS DOUBLE) * count(*)
+                     - CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                       * CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(38,6))) AS DOUBLE))
+                * sqrt(CAST(sum(CAST(round(l_extendedprice * l_extendedprice, 6)
+                                     AS DECIMAL(38,6))) AS DOUBLE) * count(*)
+                       - CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE)
+                         * CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(38,6))) AS DOUBLE))),
+             6) AS DOUBLE) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per return flag from exact decimal sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy², n) — NOT the built-in ``corr``,
+    whose streaming covariance update is reduction-order-dependent in the
+    low bits and therefore unreproducible across engines/partitionings.
+    Decimal sums are exact and order-free, so the final double formula is
+    bit-stable under any parallelism — the right way to compute moments
+    on a 600-billion-row fact table anyway."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def dsum(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(38,6)")).cast("double")
+
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+    )
+    corr = (F.col("sxy") * F.col("n") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("sxx") * F.col("n") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("syy") * F.col("n") - F.col("sy") * F.col("sy"))
+    )
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).cast("double").alias("corr_qty_price"),
+    )
