@@ -139,3 +139,33 @@ def q_format_roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "orc", "orders",
         ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"],
     )
+
+
+@_register(
+    "q_partitioned_write_prune",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders written as a hive-partitioned layout (partitionBy priority),
+    read back with a partition filter: the scan touches only the two
+    matching directories (``PartitionFilters`` in the plan — pinned in
+    tests/test_plans.py), the on-disk layout every 100 TB fact table
+    needs for partition pruning."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="fmt-part-orders-")
+    write_table(df, path, "parquet", mode="overwrite",
+                partition_by=["o_orderpriority"])
+    return (
+        read_table(spark, path, "parquet")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )

@@ -127,3 +127,15 @@ def test_centroids_combiner_aggregation(spark, sf_dir):
     txt = plan_text(similarity.QUERIES["q_embedding_centroids"](spark, sf_dir))
     assert txt.count("HashAggregate") >= 2, txt
     assert "Generate" in txt  # posexplode stays narrow, before the agg
+
+
+def test_partitioned_write_prunes_directories(spark, sf_dir):
+    """The partitioned round-trip must show the priority predicate as a
+    PartitionFilter on the scan (directory pruning), not a data filter."""
+    from apache_beam_java_firestore_batch_dataflow_spark.sources import formats
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(formats.QUERIES["q_partitioned_write_prune"](spark, sf_dir))
+    assert "PartitionFilters" in txt
+    pf = txt[txt.index("PartitionFilters") :].splitlines()[0]
+    assert "o_orderpriority" in pf, pf
