@@ -11,12 +11,16 @@ real thing a 100 TB multimodal corpus needs:
 * a decode / feature-extract stage as an Arrow-batched ``mapInPandas``
   operator with an explicit output schema and bounded batch size — the
   exact shape a real decoder (PIL/ffmpeg/torchcodec) would plug into.
-  The **image** modality is decoded for real: payloads are genuine
-  binary P6 PPM images and ``decode_ppm`` is a full pure-python parser
-  (header tokenization, comments, maxval, raster bounds), oracle-checked
-  byte-for-byte.  Audio/video stay stubbed behind ``NotImplementedError``
-  (no codec libraries in this environment); the deterministic fake path
-  computes byte-level statistics so that plumbing is testable too.
+  All three modalities are decoded for real with pure-python parsers
+  (no codec library needed for these uncompressed container formats):
+  **image** = binary P6 PPM (``decode_ppm``: header tokenization,
+  comments, maxval, raster bounds); **audio** = RIFF/WAVE 16-bit PCM
+  (``decode_wav``: RIFF chunk walk with word alignment, fmt validation,
+  sample extraction); **video** = YUV4MPEG2 (``decode_y4m``: stream
+  header tags, per-FRAME markers, raw C444 planes).  Each is
+  oracle-checked value-exactly: the payload is synthesized from a
+  deterministic formula, round-tripped through the parser, and DuckDB
+  recomputes the same integer features from first principles.
 
 Scale notes: payload bytes never pass through a shuffle — the manifest
 carries only metadata; decode is a narrow per-partition map whose
@@ -116,10 +120,11 @@ DECODE_SCHEMA = (
 
 
 def decode_payload(payload: bytes, modality: str) -> dict:
-    """Real decode dispatch.  Images are decoded for real (P6 PPM — a
-    pure-python parser, no codec library needed).  Audio/video would
-    dispatch to soundfile/ffmpeg in production; those libraries are not
-    available in this environment, so they stay stubbed.
+    """Real decode dispatch — every modality has a genuine pure-python
+    parser for its uncompressed container format (P6 PPM, RIFF/WAVE PCM,
+    YUV4MPEG2).  A production deployment would swap these for
+    PIL/soundfile/ffmpeg behind the same interface; compressed codecs
+    are the only thing this environment cannot exercise.
     """
     if modality == "image":
         w, h, raster_sum, r_sum, max_byte = decode_ppm(payload)
@@ -130,10 +135,27 @@ def decode_payload(payload: bytes, modality: str) -> dict:
             "r_sum": r_sum,
             "max_byte": max_byte,
         }
-    raise NotImplementedError(
-        f"real {modality} decoding requires codec libraries not present here; "
-        "use fake_decode_stats (deterministic) for plumbing tests"
-    )
+    if modality == "audio":
+        rate, channels, n_frames, peak, abs_sum, sum_sq = decode_wav(payload)
+        return {
+            "sample_rate": rate,
+            "channels": channels,
+            "n_frames": n_frames,
+            "peak": peak,
+            "abs_sum": abs_sum,
+            "sum_sq": sum_sq,
+        }
+    if modality == "video":
+        w, h, n_frames, y_sum, total_sum, max_byte = decode_y4m(payload)
+        return {
+            "width": w,
+            "height": h,
+            "n_frames": n_frames,
+            "y_sum": y_sum,
+            "total_sum": total_sum,
+            "max_byte": max_byte,
+        }
+    raise ValueError(f"unknown modality: {modality!r}")
 
 
 # ---------------------------------------------------------------------------
@@ -170,6 +192,10 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, int, int]:
         tokens.append(payload[i:j])
         i = j
     i += 1  # exactly one whitespace byte separates maxval from the raster
+    if tokens[0] != b"P6":
+        # a prefix match alone would accept e.g. b"P69 2 1..." and then
+        # silently misparse width/height from shifted tokens
+        raise ValueError(f"malformed PPM magic token {tokens[0]!r}")
     width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval} (only 8-bit supported)")
@@ -399,3 +425,352 @@ def q_multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ppm_table(spark, sf_dir).mapInPandas(run, schema=DECODE_PPM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode: RIFF/WAVE 16-bit PCM (pure python, no codec dependency)
+# ---------------------------------------------------------------------------
+
+AUDIO_RATES = (8000, 16000, 44100)
+WAV_SAMPLE_MOD = 65521  # largest prime < 2^16; keeps samples in int16 range
+WAV_SAMPLE_BIAS = 32760
+
+
+def wav_params(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic (n_frames, channels, sample_rate) per document."""
+    return doc_id % 50 + 20, doc_id % 2 + 1, AUDIO_RATES[doc_id % 3]
+
+
+def wav_sample(doc_id: int, k: int) -> int:
+    """The k-th interleaved 16-bit sample of document ``doc_id``.
+
+    ``(doc_id*7919 + k*104729) % 65521 - 32760`` — always in
+    [-32760, 32760], so it packs losslessly as little-endian int16.  The
+    DuckDB oracle re-evaluates the identical arithmetic, so a parser that
+    misreads the header, mis-walks a chunk, or flips endianness produces
+    a value mismatch, not a silent pass.
+    """
+    return (doc_id * 7919 + k * 104729) % WAV_SAMPLE_MOD - WAV_SAMPLE_BIAS
+
+
+def encode_wav(doc_id: int) -> bytes:
+    """Encode a genuine RIFF/WAVE file: fmt chunk (PCM, 16-bit), an
+    optional junk LIST chunk (odd sizes word-padded, exercising the
+    decoder's chunk walk), then the data chunk of interleaved samples."""
+    import struct
+
+    n_frames, channels, rate = wav_params(doc_id)
+    samples = [wav_sample(doc_id, k) for k in range(n_frames * channels)]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    block_align = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block_align, block_align, 16)
+    chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+    if doc_id % 4 == 0:  # junk chunk the parser must skip (incl. pad byte)
+        junk = bytes(doc_id % 5 + 1)
+        chunks.append(b"LIST" + struct.pack("<I", len(junk)) + junk)
+        if len(junk) % 2:
+            chunks.append(b"\x00")
+    chunks.append(b"data" + struct.pack("<I", len(data)) + data)
+    if len(data) % 2:
+        chunks.append(b"\x00")
+    body = b"WAVE" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse a RIFF/WAVE PCM file; returns
+    ``(sample_rate, channels, n_frames, peak, abs_sum, sum_sq)``.
+
+    A real parser: RIFF magic + declared size check, WAVE form type,
+    generic chunk walk with word alignment (unknown chunks skipped), fmt
+    validation (PCM, 16-bit only), and little-endian int16 sample
+    extraction.  All returned features are integers, so the query built
+    on top is DuckDB-oracle-checkable with no float hazards.
+    """
+    if payload[:4] != b"RIFF":
+        raise ValueError("not a RIFF file")
+    if len(payload) < 12:
+        raise ValueError("truncated RIFF header")
+    riff_size = int.from_bytes(payload[4:8], "little")
+    if riff_size + 8 > len(payload):
+        raise ValueError(f"declared RIFF size {riff_size} exceeds payload")
+    if payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE form")
+    i, end = 12, 8 + riff_size
+    fmt = None
+    data = None
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        csize = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(f"truncated {cid!r} chunk: {len(body)} < {csize}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError("fmt chunk too short")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    if channels < 1:
+        raise ValueError("channel count must be >= 1")
+    if len(data) % (2 * channels):
+        raise ValueError("data chunk is not a whole number of frames")
+    n = len(data) // 2
+    samples = [
+        int.from_bytes(data[2 * k : 2 * k + 2], "little", signed=True) for k in range(n)
+    ]
+    peak = max((abs(s) for s in samples), default=0)
+    abs_sum = sum(abs(s) for s in samples)
+    sum_sq = sum(s * s for s in samples)
+    return rate, channels, n // channels, peak, abs_sum, sum_sq
+
+
+def wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): a REAL RIFF/WAVE PCM file per document.
+
+    Synthesis happens executor-side in ``mapInPandas`` (struct.pack); the
+    decoder is an independent byte-arithmetic parser, and the oracle
+    recomputes features from the generating formula — three separate
+    code paths that must agree.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_wav(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+DECODE_WAV_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, n_frames int, "
+    "peak int, abs_sum long, sum_sq long"
+)
+
+
+@register(
+    "q_multimodal_audio_stats",
+    # Recomputes the decoder's outputs from the sample-generating formula:
+    # interleaved sample k of doc d is (d*7919 + k*104729) % 65521 - 32760.
+    # All features integer -> exact.
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             doc_id % 50 + 20 AS n_frames,
+             doc_id % 2 + 1  AS channels,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+                 AS sample_rate
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, sample_rate, channels, n_frames,
+             (doc_id * 7919 + k * 104729) % 65521 - 32760 AS s
+      FROM params, LATERAL (SELECT unnest(range(0, n_frames * channels)) AS k)
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(channels AS INT) AS channels,
+           CAST(n_frames AS INT) AS n_frames,
+           CAST(max(abs(s)) AS INT) AS peak,
+           CAST(sum(abs(s)) AS BIGINT) AS abs_sum,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq
+    FROM samples
+    GROUP BY doc_id, sample_rate, channels, n_frames
+    """,
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: synthesize a RIFF/WAVE PCM file per document,
+    parse it back with the pure-python chunk-walking decoder inside
+    ``mapInPandas``, emit per-file integer-exact features (rate,
+    channels, frames, peak amplitude, abs-sum, energy).  Payload bytes
+    never shuffle; decode parallelism is the scan's split count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [d[0] for d in decoded],
+                    "channels": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "peak": [d[3] for d in decoded],
+                    "abs_sum": [d[4] for d in decoded],
+                    "sum_sq": [d[5] for d in decoded],
+                }
+            )
+
+    return wav_table(spark, sf_dir).mapInPandas(run, schema=DECODE_WAV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real video decode: YUV4MPEG2, C444 raw planes (pure python)
+# ---------------------------------------------------------------------------
+
+
+def y4m_params(doc_id: int) -> tuple[int, int, int]:
+    """Deterministic (width, height, n_frames) per document."""
+    return doc_id % 6 + 2, doc_id % 4 + 2, doc_id % 3 + 1
+
+
+def y4m_byte(doc_id: int, f: int, p: int) -> int:
+    """Byte p (0 <= p < 3*w*h, Y then U then V plane) of frame f."""
+    return (doc_id * 31 + f * 97 + p * 13) % 251
+
+
+def encode_y4m(doc_id: int) -> bytes:
+    """Encode a genuine YUV4MPEG2 stream: tagged stream header, then one
+    ``FRAME`` marker + raw C444 planes per frame.  Some frames carry a
+    frame-level parameter (allowed by the format) so the parser's
+    tolerance for it is exercised."""
+    w, h, n_frames = y4m_params(doc_id)
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+    for f in range(n_frames):
+        marker = b"FRAME Xsynth\n" if (doc_id + f) % 5 == 0 else b"FRAME\n"
+        out.append(marker)
+        out.append(bytes(y4m_byte(doc_id, f, p) for p in range(3 * w * h)))
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Parse a YUV4MPEG2 stream; returns
+    ``(width, height, n_frames, y_sum, total_sum, max_byte)``.
+
+    A real parser: magic check, tagged stream-header parse (W/H required,
+    colourspace must be C444 — the only layout synthesized here), then a
+    frame loop validating each ``FRAME`` marker (frame-level parameters
+    tolerated) and slicing exactly 3*w*h raw plane bytes.  Trailing
+    garbage after the last frame fails loudly.
+    """
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing stream-header newline")
+    fields = payload[:nl].split(b" ")
+    if fields[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    colourspace = b"C420jpeg"  # format default when no C tag present
+    for tag in fields[1:]:
+        if not tag:
+            continue
+        key, val = tag[:1], tag[1:]
+        if key == b"W":
+            width = int(val)
+        elif key == b"H":
+            height = int(val)
+        elif key == b"C":
+            colourspace = tag
+    if width is None or height is None or width <= 0 or height <= 0:
+        raise ValueError("stream header missing W/H")
+    if colourspace != b"C444":
+        raise ValueError(f"unsupported colourspace {colourspace!r} (only C444)")
+    frame_bytes = 3 * width * height
+    i = nl + 1
+    n_frames = 0
+    y_sum = total_sum = max_byte = 0
+    while i < len(payload):
+        fnl = payload.find(b"\n", i)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        fheader = payload[i:fnl]
+        if fheader != b"FRAME" and not fheader.startswith(b"FRAME "):
+            raise ValueError(f"bad FRAME marker {fheader!r}")
+        planes = payload[fnl + 1 : fnl + 1 + frame_bytes]
+        if len(planes) < frame_bytes:
+            raise ValueError(f"truncated frame: {len(planes)} < {frame_bytes}")
+        n_frames += 1
+        y_sum += sum(planes[: width * height])
+        total_sum += sum(planes)
+        max_byte = max(max_byte, max(planes))
+        i = fnl + 1 + frame_bytes
+    if n_frames == 0:
+        raise ValueError("stream contains no frames")
+    return width, height, n_frames, y_sum, total_sum, max_byte
+
+
+def y4m_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload): a REAL YUV4MPEG2 stream per document."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode_y4m(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+DECODE_Y4M_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, "
+    "y_sum long, total_sum long, max_byte int"
+)
+
+
+@register(
+    "q_multimodal_video_stats",
+    # Plane byte p of frame f of doc d is (d*31 + f*97 + p*13) % 251;
+    # the Y plane is the first w*h bytes of each frame.
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,
+             doc_id % 3 + 1 AS nf
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, w, h, nf, p,
+             (doc_id * 31 + f * 97 + p * 13) % 251 AS v
+      FROM params,
+           LATERAL (SELECT unnest(range(0, nf)) AS f),
+           LATERAL (SELECT unnest(range(0, 3 * w * h)) AS p)
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(sum(v) FILTER (p < w * h) AS BIGINT) AS y_sum,
+           CAST(sum(v) AS BIGINT) AS total_sum,
+           CAST(max(v) AS INT) AS max_byte
+    FROM b
+    GROUP BY doc_id, w, h, nf
+    """,
+)
+def q_multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode: synthesize a YUV4MPEG2 stream per document,
+    parse it back (stream header, FRAME markers, raw C444 planes) inside
+    ``mapInPandas``, emit per-stream integer-exact features.  Closes the
+    last modality stub — image/audio/video all have genuine parsers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_y4m(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_frames": [d[2] for d in decoded],
+                    "y_sum": [d[3] for d in decoded],
+                    "total_sum": [d[4] for d in decoded],
+                    "max_byte": [d[5] for d in decoded],
+                }
+            )
+
+    return y4m_table(spark, sf_dir).mapInPandas(run, schema=DECODE_Y4M_SCHEMA)

@@ -103,13 +103,21 @@ def main() -> None:
     # JVM/codegen warmup so the first timed query doesn't absorb startup
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # Median-of-3 per query: single-run timings made round-over-round
+    # comparison guesswork (VERDICT r2 flagged ~1.5x drift on untouched
+    # queries).  Three timed executions per query, median reported; the
+    # plan is rebuilt each run so no Spark-side caching hides work.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
-        df = fn(spark, SF_DIR)
-        start = time.monotonic()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - start, 3)
+        samples: list[float] = []
+        for _ in range(runs):
+            df = fn(spark, SF_DIR)
+            start = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.monotonic() - start)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     sink = sink_ratio_bench(spark)
 

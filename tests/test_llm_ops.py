@@ -169,16 +169,52 @@ def test_multimodal_decode_plumbing(spark):
 def test_real_decoder_dispatch():
     from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
         decode_ppm,
+        encode_wav,
+        encode_y4m,
+        wav_params,
+        wav_sample,
+        y4m_byte,
+        y4m_params,
     )
 
-    # audio/video stay stubbed (no codec libs in this environment)
-    with pytest.raises(NotImplementedError):
+    # every modality dispatches to a real parser; garbage is a parse error
+    with pytest.raises(ValueError):
         decode_payload(b"\x00\x01", "audio")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_payload(b"\x00\x01", "video")
-    # image dispatches to the real PPM parser; garbage is a parse error
     with pytest.raises(ValueError):
         decode_payload(b"\x00\x01", "image")
+    # audio round-trip: features equal the generating formula
+    doc = 12  # doc%4==0 -> includes the junk LIST chunk
+    n_frames, channels, rate = wav_params(doc)
+    samples = [wav_sample(doc, k) for k in range(n_frames * channels)]
+    got = decode_payload(encode_wav(doc), "audio")
+    assert got == {
+        "sample_rate": rate,
+        "channels": channels,
+        "n_frames": n_frames,
+        "peak": max(abs(s) for s in samples),
+        "abs_sum": sum(abs(s) for s in samples),
+        "sum_sq": sum(s * s for s in samples),
+    }
+    # video round-trip
+    doc = 10  # (doc+f)%5==0 for f=0 -> frame-level parameter exercised
+    w, h, nf = y4m_params(doc)
+    planes = [y4m_byte(doc, f, p) for f in range(nf) for p in range(3 * w * h)]
+    y_bytes = [
+        y4m_byte(doc, f, p) for f in range(nf) for p in range(w * h)
+    ]
+    got = decode_payload(encode_y4m(doc), "video")
+    assert got == {
+        "width": w,
+        "height": h,
+        "n_frames": nf,
+        "y_sum": sum(y_bytes),
+        "total_sum": sum(planes),
+        "max_byte": max(planes),
+    }
+    with pytest.raises(ValueError):
+        decode_payload(b"\x00\x01", "text")  # unknown modality fails loudly
     # golden 2x1 image: pixels (1,2,3) and (250,251,252)
     img = b"P6\n2 1\n255\n" + bytes([1, 2, 3, 250, 251, 252])
     got = decode_payload(img, "image")
@@ -279,5 +315,164 @@ def test_ppm_decoder_roundtrip_property():
         )
         got = decode_ppm(payload)
         assert got == (w, h, sum(raster), sum(raster[0::3]), max(raster))
+
+    check()
+
+
+def test_ppm_magic_must_be_exact_token():
+    """b'P69 2 1...' must fail loudly, not misparse shifted tokens."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_ppm(b"P69 2 1 255\n" + bytes(6 * 9))
+
+
+def test_wav_decoder_malformed_inputs():
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+    import struct
+
+    good = encode_wav(7)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"RIFX" + good[4:])
+    with pytest.raises(ValueError, match="WAVE"):
+        decode_wav(good[:8] + b"AVI " + good[12:])
+    # declared RIFF size larger than the payload
+    bad_size = good[:4] + struct.pack("<I", len(good) + 100) + good[8:]
+    with pytest.raises(ValueError, match="exceeds"):
+        decode_wav(bad_size)
+    # truncated data chunk
+    with pytest.raises(ValueError):
+        decode_wav(good[:-10] + b"")
+    # non-PCM format code rejected
+    fmt_at = good.find(b"fmt ") + 8
+    non_pcm = good[:fmt_at] + struct.pack("<H", 3) + good[fmt_at + 2 :]
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(non_pcm)
+
+
+def test_wav_roundtrip_property():
+    """Property: any (rate, channels, samples, junk-chunk layout) encodes
+    to a RIFF/WAVE payload the decoder parses back exactly."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        rate=st.integers(min_value=1, max_value=192000),
+        channels=st.integers(min_value=1, max_value=4),
+        frames=st.integers(min_value=0, max_value=64),
+        data_=st.data(),
+        junk=st.one_of(st.none(), st.binary(max_size=9)),
+    )
+    def check(rate, channels, frames, data_, junk):
+        n = frames * channels
+        samples = data_.draw(
+            st.lists(st.integers(-32768, 32767), min_size=n, max_size=n)
+        )
+        data = struct.pack(f"<{n}h", *samples)
+        block = channels * 2
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+        chunks = [b"fmt " + struct.pack("<I", len(fmt)) + fmt]
+        if junk is not None:  # unknown chunk anywhere before data, word-padded
+            chunks.append(b"JUNK" + struct.pack("<I", len(junk)) + junk)
+            if len(junk) % 2:
+                chunks.append(b"\x00")
+        chunks.append(b"data" + struct.pack("<I", len(data)) + data)
+        if len(data) % 2:
+            chunks.append(b"\x00")
+        body = b"WAVE" + b"".join(chunks)
+        got = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+        assert got == (
+            rate,
+            channels,
+            frames,
+            max((abs(s) for s in samples), default=0),
+            sum(abs(s) for s in samples),
+            sum(s * s for s in samples),
+        )
+
+    check()
+
+
+def test_y4m_decoder_malformed_inputs():
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    good = encode_y4m(5)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"JUNK " + good)
+    with pytest.raises(ValueError, match="W/H"):
+        decode_y4m(b"YUV4MPEG2 F25:1 C444\n" + b"FRAME\n" + bytes(12))
+    with pytest.raises(ValueError, match="colourspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\n" + b"FRAME\n" + bytes(6))
+    with pytest.raises(ValueError, match="truncated frame"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444\n" + b"FRAME\n" + bytes(5))
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFROG\n" + bytes(12))
+    with pytest.raises(ValueError, match="no frames"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444\n")
+
+
+def test_y4m_roundtrip_property():
+    """Property: any (w, h, frame contents, frame-param layout) encodes to
+    a YUV4MPEG2 stream the decoder parses back exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        decode_y4m,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=8),
+        h=st.integers(min_value=1, max_value=8),
+        n_frames=st.integers(min_value=1, max_value=4),
+        data_=st.data(),
+    )
+    def check(w, h, n_frames, data_):
+        frame_n = 3 * w * h
+        frames = [
+            bytes(
+                data_.draw(
+                    st.lists(st.integers(0, 255), min_size=frame_n, max_size=frame_n)
+                )
+            )
+            for _ in range(n_frames)
+        ]
+        params = data_.draw(
+            st.lists(
+                st.sampled_from([b"", b" Xa", b" Xa Xb"]),
+                min_size=n_frames,
+                max_size=n_frames,
+            )
+        )
+        payload = f"YUV4MPEG2 W{w} H{h} F30:1 C444\n".encode() + b"".join(
+            b"FRAME" + p + b"\n" + f for p, f in zip(params, frames)
+        )
+        all_bytes = b"".join(frames)
+        y_bytes = b"".join(f[: w * h] for f in frames)
+        got = decode_y4m(payload)
+        assert got == (
+            w,
+            h,
+            n_frames,
+            sum(y_bytes),
+            sum(all_bytes),
+            max(all_bytes),
+        )
 
     check()
