@@ -318,7 +318,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    vertices: DataFrame, edges: DataFrame, max_iter: int = 20
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 20,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """(doc_id, cluster_id): min-doc-id label propagation to fixpoint.
 
@@ -327,14 +328,21 @@ def connected_components(
     aggregation, both hash-partitioned on doc_id; iterations needed =
     component diameter (near-dup clusters are tiny, so 2-4 in practice
     — the driver loop only inspects a scalar convergence count, never
-    row data).  This is the standard large-graph CC-by-label-propagation;
-    at 100 TB you would persist ``labels`` per iteration and checkpoint
-    every few rounds to truncate lineage (done here via persist).
+    row data).  This is the standard large-graph CC-by-label-propagation.
+
+    Lineage control for deep graphs: every ``checkpoint_every``
+    iterations the label frame is ``localCheckpoint``-ed (materialized,
+    plan truncated).  Without it each round's plan nests the previous
+    round's join, so a 100 TB run with a long-diameter component pays
+    ever-growing planning/serialization cost and risks stack-overflow
+    re-analysis; with it the plan stays O(checkpoint_every) deep.  On a
+    real cluster prefer reliable ``checkpoint()`` to survive executor
+    loss during long iterations.
     """
     both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     both = both.persist()
     labels = vertices.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             both.join(labels, both["src"] == labels["doc_id"])
             .select(F.col("dst").alias("doc_id"), "cluster_id")
@@ -350,8 +358,13 @@ def connected_components(
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            # eager=True materializes now, so the old labels frame can be
+            # unpersisted below without recompute risk
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(
                 labels.select("doc_id", F.col("cluster_id").alias("old")), "doc_id"

@@ -48,6 +48,10 @@ N_QUERIES = 200
 # Key-packing multiplier for the numpy batch kernel: key = -sim_units * _ID_MULT
 # + vec_id.  sim_units ∈ [-1e6-1, 1e6+1], so ids < 1e12 stay exact in int64.
 _ID_MULT = 1_000_000_000_000
+# Extra rows kept per (batch, query) beyond k: the batch kernel's float-based
+# rounding can disagree with the merge's decimal F.round on an exact 0.5e-6
+# boundary; the margin lets such boundary rows reach the authoritative merge.
+_BATCH_MARGIN = 2
 
 
 def register(name: str, oracle: str | None = None):
@@ -143,7 +147,8 @@ def _bucket_sql() -> str:
 
 
 def lsh_buckets(vecs: DataFrame) -> DataFrame:
-    """(vec_id, embedding, vnorm, bucket): 16-bit hyperplane signature."""
+    """(vec_id, embedding, vnorm, bucket): N_PLANES-bit (8-bit, 256
+    buckets) hyperplane signature."""
     signs = hyperplane_signs(N_PLANES, DIM)
     sig = None
     for j in range(N_PLANES):
@@ -305,9 +310,12 @@ def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             xn = pdf["vnorm"].to_numpy(dtype=np.float64)
             sims = (x @ q_mat.T) / np.outer(xn, q_norm)  # b × q
             # composite sort key: rounded sim (1e-6 units) desc, then id asc.
-            # Round half-AWAY-from-zero to match F.round/DuckDB round, so the
-            # pruning stage can never disagree with the final merge on a
-            # 0.5e-6 boundary.
+            # Rounds half-away-from-zero like F.round/DuckDB, but via binary
+            # floats — near an exact 0.5e-6 boundary the float multiply can
+            # land on the other side of the decimal-HALF_UP result, so this
+            # key is a PRUNING heuristic only; _BATCH_MARGIN extra rows per
+            # batch survive to the final merge, which re-ranks everything
+            # with F.round's decimal semantics.
             sim_units = (
                 np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)
             ).astype(np.int64)
@@ -320,7 +328,7 @@ def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             key = -sim_units * _ID_MULT + ids[:, None]
             key[ids[:, None] == q_ids[None, :]] = np.iinfo(np.int64).max  # self
-            kk = min(k, len(ids))
+            kk = min(k + _BATCH_MARGIN, len(ids))
             top = (
                 np.argpartition(key, kk - 1, axis=0)[:kk]
                 if kk < len(ids)

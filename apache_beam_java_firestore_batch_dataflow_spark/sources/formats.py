@@ -80,11 +80,20 @@ def write_table(
 # preserves timestamp instants under the pinned UTC session).
 # ---------------------------------------------------------------------------
 
+import os
 import tempfile
 from collections.abc import Callable
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+
+
+def _scratch_path(tag: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch dir + mode=overwrite, so
+    repeated driver/bench runs reuse one directory instead of leaking a
+    fresh mkdtemp table copy per invocation."""
+    sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), f"spark-graft-fmt-{tag}-{sf}")
 
 
 def _register(name: str, oracle: str):
@@ -106,7 +115,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str, table: str,
     from .tables import load_table
 
     df = load_table(spark, sf_dir, table).select(*cols)
-    path = tempfile.mkdtemp(prefix=f"fmt-{fmt}-{table}-")
+    path = _scratch_path(f"{fmt}-{table}", sf_dir)
     write_table(df, path, fmt, mode="overwrite")
     return read_table(spark, path, fmt, schema=df.schema)
 
@@ -161,7 +170,7 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
-    path = tempfile.mkdtemp(prefix="fmt-part-orders-")
+    path = _scratch_path("part-orders", sf_dir)
     write_table(df, path, "parquet", mode="overwrite",
                 partition_by=["o_orderpriority"])
     return (

@@ -28,16 +28,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table.
+
+    Side effect (documented, deliberate): sets two session confs the
+    fixture semantics require — ``nanosAsLong`` (the driver's
+    events.parquet stores TIMESTAMP(NANOS), which the reader otherwise
+    rejects) and ``session.timeZone=UTC`` (date/timestamp literals must
+    match the DuckDB oracles' UTC wall time).  ``build_session`` already
+    sets both; this re-set only matters for vanilla sessions handed in by
+    the external driver.  A conflicting pre-set timezone is overwritten
+    with a warning rather than silently, so a caller mixing non-UTC work
+    into the same session finds out.
+    """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    # The driver's events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
-    # reader rejects unless nanosAsLong is on.  Callers (including the external
-    # driver) may hand us a vanilla SparkSession, so set it here, not just in
-    # session.py; the conf is runtime-settable and idempotent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Date/timestamp literals (e.g. TPC-H shipdate cuts) parse in the session
-    # timezone; the DuckDB oracles assume UTC wall time.  Pin it here so a
-    # non-UTC caller session cannot shift every date predicate by an offset.
+    tz = spark.conf.get("spark.sql.session.timeZone", None)
+    if tz not in (None, "UTC", "Etc/UTC"):
+        import warnings
+
+        warnings.warn(
+            f"load_table pins spark.sql.session.timeZone=UTC (was {tz!r}); "
+            "fixture timestamps and the DuckDB oracles assume UTC",
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # TIMESTAMP(NANOS) columns arrive as long (see session.py nanosAsLong);

@@ -266,6 +266,29 @@ def test_connected_components_small_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
 
 
+def test_connected_components_chain_checkpoints(spark):
+    """A 10-vertex chain needs ~9 label-propagation rounds, so with
+    checkpoint_every=2 the localCheckpoint path runs several times; the
+    result must be exact and the final plan must not nest 9 joins."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 10
+    vertices = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    labels = connected_components(vertices, edges, checkpoint_every=2)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+    # lineage truncated: without checkpointing the final plan nests one
+    # join pair per iteration (~18 for this chain); with it, at most the
+    # iterations since the last checkpoint survive in the lineage
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 4, plan
+
+
 def test_embedding_dedup_invariant_to_block_count(spark):
     """The block-pair kernel is a partitioning detail: changing
     N_SIM_BLOCKS must not change the result set (every pair evaluated

@@ -139,3 +139,32 @@ def test_partitioned_write_prunes_directories(spark, sf_dir):
     assert "PartitionFilters" in txt
     pf = txt[txt.index("PartitionFilters") :].splitlines()[0]
     assert "o_orderpriority" in pf, pf
+
+
+def test_corr_manual_single_combiner_aggregation(spark, sf_dir):
+    """The sufficient-statistics correlation is ONE two-phase hash
+    aggregate: partial moments map-side, a single exchange on
+    l_returnflag, final agg + scalar formula — no second shuffle."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = relational.QUERIES["q_corr_manual"](spark, sf_dir)
+    assert num_shuffles(df) == 1
+    assert plan_text(df).count("HashAggregate") >= 2
+
+
+def test_window_analytics_single_exchange(spark, sf_dir):
+    """The analytic battery (ntile/percent_rank/cume_dist/lead) shares
+    one window spec, so the plan carries exactly one exchange (on
+    o_custkey) and one Window node; the o_custkey filter reaches the
+    parquet scan."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    import re
+
+    df = relational.QUERIES["q_window_analytics"](spark, sf_dir)
+    assert num_shuffles(df) == 1
+    # one Window node (formatted plans print each node in the tree AND a
+    # "(n) Window" detail header — count the headers)
+    assert len(re.findall(r"\(\d+\) Window\b", plan_text(df))) == 1
+    filters = pushed_filters(df)
+    assert any("o_custkey" in f for f in filters), filters
