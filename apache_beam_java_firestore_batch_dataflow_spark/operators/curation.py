@@ -256,3 +256,100 @@ def q_quantiles_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.9)"), 6).cast("double").alias("p90"),
         F.round(F.expr("percentile(n_chars, 0.99)"), 6).cast("double").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (train/eval n-gram overlap report)
+# ---------------------------------------------------------------------------
+
+DECONTAM_K = 5  # token n-gram width for overlap detection
+
+
+@register(
+    "q_decontaminate_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                         t -> length(t) > 0) AS t
+      FROM documents
+    ),
+    gsets AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) >= {DECONTAM_K}
+                 THEN list_transform(range(1, len(t) - {DECONTAM_K - 2}),
+                                     i -> array_to_string(t[i:i+{DECONTAM_K - 1}], ' '))
+                 ELSE CAST([] AS VARCHAR[]) END) AS gs
+      FROM toks
+    ),
+    eval_grams AS (
+      SELECT DISTINCT unnest(gs) AS g FROM gsets WHERE doc_id % 10 = 7
+    ),
+    train AS (
+      SELECT doc_id, gs FROM gsets WHERE doc_id % 10 <> 7 AND len(gs) > 0
+    ),
+    matched AS (
+      SELECT t.doc_id, count(*) AS n_matched
+      FROM (SELECT doc_id, unnest(gs) AS g FROM train) t
+      JOIN eval_grams e USING (g)
+      GROUP BY t.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.gs) AS INT) AS n_grams,
+           CAST(coalesce(m.n_matched, 0) AS INT) AS n_matched,
+           CAST(round(coalesce(m.n_matched, 0) * 1.0 / len(t.gs), 6) AS DOUBLE)
+               AS contam_ratio
+    FROM train t LEFT JOIN matched m ON t.doc_id = m.doc_id
+    """,
+)
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination report: for every training document, how
+    many of its distinct DECONTAM_K-token n-grams also appear anywhere
+    in the held-out eval slice (``doc_id % 10 == 7`` stands in for a
+    benchmark suite).
+
+    The standard pre-training decontamination pass.  Scale shape: gram
+    sets build narrowly in-row (zero shuffles, same trick as MinHash
+    shingling); the overlap is an equi-join on the gram string — left
+    unhinted so AQE broadcasts a small benchmark side and shuffle-joins
+    a large one; the per-doc count is a combiner aggregation.  Pair
+    fan-out is |matching grams|, never |train| x |eval|.
+    """
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    grams = F.when(
+        F.size("t") >= DECONTAM_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (DECONTAM_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice("t", i, DECONTAM_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gsets = tokd.select("doc_id", F.array_distinct(grams).alias("gs"))
+    eval_grams = (
+        gsets.filter(F.col("doc_id") % 10 == 7)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    train = gsets.filter((F.col("doc_id") % 10 != 7) & (F.size("gs") > 0))
+    matched = (
+        train.select("doc_id", F.explode("gs").alias("g"))
+        .join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        train.select("doc_id", F.size("gs").alias("n_grams"))
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("int").alias("n_grams"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).cast("int").alias("n_matched"),
+            F.round(
+                F.coalesce(F.col("n_matched"), F.lit(0)) * 1.0 / F.col("n_grams"), 6
+            )
+            .cast("double")
+            .alias("contam_ratio"),
+        )
+    )

@@ -664,3 +664,93 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization (storage/serving compression for vector
+# corpora; per-vector symmetric absmax scaling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_quantize_int8",
+    # Identical double arithmetic element-by-element: abs-max fold, then
+    # round(x * 127 / maxabs) per element; all reported features integer
+    # (plus the scale rounded at 9 decimals).
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ),
+    mx AS (
+      SELECT vec_id, xd,
+             list_reduce(list_prepend(0.0, list_transform(xd, x -> abs(x))),
+                         (a, b) -> greatest(a, b)) AS maxabs
+      FROM base
+    ),
+    q AS (
+      SELECT vec_id, maxabs,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(xd,
+                                      x -> CAST(round(x * 127.0 / maxabs) AS BIGINT))
+                  ELSE list_transform(xd, x -> CAST(0 AS BIGINT)) END AS qv
+      FROM mx
+    )
+    SELECT vec_id,
+           CAST(round(maxabs / 127.0, 9) AS DOUBLE) AS scale,
+           CAST(list_reduce(list_prepend(0, list_transform(qv, v -> abs(v))),
+                            (a, b) -> a + b) AS BIGINT) AS q_l1,
+           CAST(list_reduce(list_prepend(-128, qv), (a, b) -> greatest(a, b))
+                AS INT) AS q_max,
+           CAST(list_reduce(list_prepend(128, qv), (a, b) -> least(a, b))
+                AS INT) AS q_min
+    FROM q
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the standard compression
+    step before serving/storing a 100 TB embedding corpus (4x smaller,
+    SIMD-friendly dot products downstream).
+
+    scale = absmax/127 per vector; q_i = round(x_i/scale) in
+    [-127, 127].  Entirely JVM-side higher-order functions on the scan —
+    zero shuffles, zero UDFs; the DuckDB oracle replays the identical
+    double arithmetic, and the emitted features (L1 mass, max/min
+    quantized value) are integers so the check is exact.
+    """
+    v = _vecs(spark, sf_dir)
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    base = v.select("vec_id", xd.alias("xd"))
+    maxabs = F.aggregate(
+        F.transform("xd", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda a, b: F.greatest(a, b),
+    )
+    mx = base.select("vec_id", "xd", maxabs.alias("maxabs"))
+    qv = F.when(
+        F.col("maxabs") > 0,
+        F.transform(
+            "xd", lambda x: F.round(x * 127.0 / F.col("maxabs")).cast("bigint")
+        ),
+    ).otherwise(F.transform("xd", lambda x: F.lit(0).cast("bigint")))
+    q = mx.select("vec_id", "maxabs", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        F.round(F.col("maxabs") / 127.0, 9).cast("double").alias("scale"),
+        F.aggregate(
+            F.transform("qv", lambda x: F.abs(x)),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ).alias("q_l1"),
+        F.aggregate(
+            "qv", F.lit(-128).cast("bigint"), lambda a, b: F.greatest(a, b)
+        )
+        .cast("int")
+        .alias("q_max"),
+        F.aggregate(
+            "qv", F.lit(128).cast("bigint"), lambda a, b: F.least(a, b)
+        )
+        .cast("int")
+        .alias("q_min"),
+    )

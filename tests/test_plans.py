@@ -168,3 +168,35 @@ def test_window_analytics_single_exchange(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window\b", plan_text(df))) == 1
     filters = pushed_filters(df)
     assert any("o_custkey" in f for f in filters), filters
+
+
+def test_multimodal_decodes_never_shuffle(spark, sf_dir):
+    """Audio/video synth+decode are narrow mapInPandas chains over the
+    scan — payload bytes must never cross an exchange."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import multimodal
+
+    for q in ("q_multimodal_audio_stats", "q_multimodal_video_stats"):
+        df = multimodal.QUERIES[q](spark, sf_dir)
+        assert num_shuffles(df) == 0, q
+
+
+def test_quantize_int8_zero_shuffle(spark, sf_dir):
+    """Quantization is a pure per-row projection (higher-order functions
+    only): zero exchanges, zero Python UDF nodes."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = similarity.QUERIES["q_embedding_quantize_int8"](spark, sf_dir)
+    assert num_shuffles(df) == 0
+    txt = plan_text(df)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_decontaminate_no_pair_explosion(spark, sf_dir):
+    """The overlap join must stay an equi-join on the gram key — never a
+    nested-loop/cartesian pairing of train x eval documents."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import curation
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(curation.QUERIES["q_decontaminate_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt

@@ -96,13 +96,28 @@ def shared_spark(spark):
 @given(
     st.lists(
         st.text(
-            # Cap at U+2FFF: JVM (Unicode 13 on Java 17) and CPython (14+)
-            # disagree on letter-hood of recently-added codepoints; the
-            # stable BMP ranges exercise Latin/Greek/Cyrillic/Arabic/CJK
-            # punctuation without oracle version skew.
-            alphabet=st.characters(
-                whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
-                max_codepoint=0x2FFF,
+            # JVM (Unicode 13 on Java 17) and CPython 3.11 (Unicode 14)
+            # disagree on letter-hood of recently-assigned codepoints —
+            # hypothesis found U+2C2F (Glagolitic, new in 14) under a
+            # blanket max_codepoint cap.  Generate only from script
+            # blocks whose category data has been stable for decades:
+            # Latin (incl. extensions), Greek, Cyrillic, and the general
+            # punctuation/space block.
+            alphabet=st.one_of(
+                st.characters(
+                    whitelist_categories=("Lu", "Ll", "Nd", "Po", "Zs"),
+                    max_codepoint=0x024F,
+                ),
+                st.characters(
+                    whitelist_categories=("Lu", "Ll"),
+                    min_codepoint=0x0391,
+                    max_codepoint=0x04FF,
+                ),
+                st.characters(
+                    whitelist_categories=("Po", "Zs"),
+                    min_codepoint=0x2000,
+                    max_codepoint=0x206F,
+                ),
             ),
             max_size=40,
         ),
