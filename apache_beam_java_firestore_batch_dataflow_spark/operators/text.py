@@ -411,3 +411,85 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_text.alias("norm_text"),
         F.length(norm_text).cast("bigint").alias("n_chars_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (CCNet-style quality proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_unigram_logprob",
+    # Per-token ln(p) is rounded at 6 decimals FIRST, then all weighting
+    # and summation happens in exact decimals — so the cross-engine float
+    # surface is a single ln() per vocabulary entry, not an
+    # order-dependent sum.
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                 t -> length(t) > 0)) AS tok
+      FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    vocab AS (
+      SELECT tok, sum(c) AS tc FROM doc_tok GROUP BY tok
+    ),
+    total AS (SELECT sum(tc) AS n FROM vocab),
+    lp AS (
+      SELECT tok,
+             CAST(round(ln(CAST(tc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                  AS DECIMAL(38,6)) AS lp6
+      FROM vocab, total
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.c) AS BIGINT) AS n_tokens,
+           CAST(round(CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) AS DOUBLE)
+                      / sum(d.c), 6) AS DOUBLE) AS avg_logprob
+    FROM doc_tok d JOIN lp USING (tok)
+    GROUP BY d.doc_id
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap quality/fluency filter (documents full
+    of rare junk tokens score low; CCNet and friends threshold on this).
+
+    Scale shape: two combiner aggregations build (doc, token, c) and the
+    vocabulary; the corpus token total is a one-row aggregate joined in
+    (broadcast — never collected to the driver); scoring is an equi-join
+    on the token.  Float determinism: ln() is computed once per VOCAB
+    entry and rounded to 6 decimals immediately; the per-document
+    combination is an exact decimal dot product, so no order-dependent
+    double summation exists anywhere (same discipline as
+    q_corr_manual's sufficient statistics).
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("c").alias("tc"))
+    total = vocab.agg(F.sum("tc").alias("n"))
+    lp = vocab.join(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("tc").cast("double") / F.col("n").cast("double")), 6)
+        .cast("decimal(38,6)")
+        .alias("lp6"),
+    )
+    return (
+        doc_tok.join(lp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(38,6)") * F.col("lp6")).cast("double")
+                / F.sum("c"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_logprob"),
+        )
+    )
