@@ -20,6 +20,7 @@ from apache_beam_java_firestore_batch_dataflow_spark.operators import (
     curation,
     dedup,
     multimodal,
+    privacy,
     relational,
     similarity,
     skew,
@@ -45,6 +46,7 @@ _MODULES = [
     skew,
     udfs,
     curation,
+    privacy,
     format_queries,
 ]
 

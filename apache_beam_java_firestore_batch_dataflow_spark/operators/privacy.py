@@ -1,0 +1,106 @@
+"""PII detection and redaction — the privacy pass every training-data
+pipeline runs before text leaves curation.
+
+The synthetic ``documents`` table carries no PII-shaped strings, so the
+battery composes a customer "profile" string with a TPC-H-style phone
+(``(10+nationkey)-NNN-NNN-NNNN``, digits derived modularly from the
+keys) and an email-shaped token built from ``c_name``, then detects and
+redacts both.  The point is the operator shape, not the fixture: a
+per-row ``regexp_count`` + chained ``regexp_replace`` projection with no
+shuffle at all — at 100 TB this is a pure map stage that pipelines into
+whatever scan feeds it, and Catalyst pushes the column pruning into the
+parquet reader (only the four referenced columns are read).
+
+Regex subset is deliberately common to Java's engine (Spark) and RE2
+(DuckDB): character classes, bounded repetition, no backrefs/lookaround.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+PHONE_RE = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+EMAIL_RE = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@register(
+    "q_pii_redact",
+    # DuckDB regexp_replace needs the explicit 'g' flag to match Spark's
+    # replace-all default; both engines then apply email → phone in the
+    # same order so nested matches cannot diverge.
+    oracle=f"""
+    WITH profile AS (
+      SELECT c_custkey,
+             c_name || ' <' || lower(replace(c_name, '#', '')) ||
+             '@example.com> ph: ' ||
+             CAST(10 + c_nationkey AS VARCHAR) || '-' ||
+             lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST((c_custkey * 31) % 10000 AS VARCHAR), 4, '0') ||
+             ' seg: ' || c_mktsegment AS p
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(p, '{EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(p, '{PHONE_RE}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(p, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM profile
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect and redact email/phone-shaped PII in a composed customer
+    profile string: per-match counts plus the redacted text.
+
+    Pure narrow projection — zero shuffles, zero UDFs; `regexp_count` /
+    `regexp_replace` run inside whole-stage codegen, and only
+    (c_custkey, c_name, c_nationkey, c_mktsegment) survive column
+    pruning to the scan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    phone = F.concat_ws(
+        "-",
+        (F.lit(10) + F.col("c_nationkey")).cast("string"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lpad(((F.col("c_custkey") * 7) % 1000).cast("string"), 3, "0"),
+        F.lpad(((F.col("c_custkey") * 31) % 10000).cast("string"), 4, "0"),
+    )
+    profile = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", "")),
+        F.lit("@example.com> ph: "),
+        phone,
+        F.lit(" seg: "),
+        F.col("c_mktsegment"),
+    )
+    p = cust.select("c_custkey", profile.alias("p"))
+    return p.select(
+        "c_custkey",
+        F.regexp_count(F.col("p"), F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col("p"), F.lit(PHONE_RE)).cast("int").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("p"), EMAIL_RE, "[EMAIL]"),
+            PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )

@@ -754,3 +754,110 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("q_min"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means: one Lloyd iteration (assign to nearest seed, recompute means)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+
+
+_KMEANS_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, xd AS sd FROM v ORDER BY vec_id LIMIT {KMEANS_K}
+    ),
+    pairs AS (
+      SELECT v.vec_id, seeds.seed_id, v.xd,
+             list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(v.xd) + 1),
+                                i -> (v.xd[i] - sd[i]) * (v.xd[i] - sd[i]))),
+                 (a, b) -> a + b) AS dist
+      FROM v, seeds
+    ),
+    assign AS (
+      SELECT vec_id, seed_id AS cluster_id, xd
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, seed_id) AS rn
+            FROM pairs)
+      WHERE rn = 1
+    ),
+    comp AS (
+      SELECT cluster_id, CAST(i - 1 AS INT) AS pos, xd[i] AS x
+      FROM assign, LATERAL (SELECT unnest(range(1, len(xd) + 1)) AS i)
+    )
+    SELECT cluster_id, pos,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                      / count(*), 4) + 0.0 AS DOUBLE) AS centroid
+    FROM comp GROUP BY cluster_id, pos
+"""
+
+
+@register("q_kmeans_one_step", oracle=_KMEANS_ORACLE)
+def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus:
+    deterministic seeds (the ``KMEANS_K`` lowest vec_ids), nearest-seed
+    assignment by squared L2, then the centroid-update means in long
+    format (cluster_id, pos, n_members, centroid).
+
+    This is the building block of the iterative loop (seed → assign →
+    update → repeat), shaped the way a 100 TB run needs it:
+
+    * the seed set is O(K) and **broadcast** — the corpus is scanned
+      once and never shuffled for the assignment;
+    * the arg-min is ``min(struct(dist, seed_id, xd))`` under a
+      ``groupBy(vec_id)`` — a combiner aggregation, so map-side partials
+      reduce K·n intermediate rows back to n before any exchange
+      (ties impossible: seed_id is unique per group);
+    * the update step is the same posexplode + combiner shape as
+      ``q_embedding_centroids`` — shuffle is K·dim rows, independent of
+      corpus size — with order-independent decimal accumulation so the
+      means are deterministic under any partitioning.
+
+    Distances are sequential left folds of ``(x-y)²`` in double, so the
+    assignment's comparison keys are bit-identical to the DuckDB oracle.
+    """
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("xd")
+    )
+    seeds = (
+        v.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select(F.col("vec_id").alias("seed_id"), F.col("xd").alias("sd"))
+    )
+    dist = F.aggregate(
+        F.zip_with("xd", "sd", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    pairs = v.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "seed_id", "xd", dist.alias("dist")
+    )
+    best = pairs.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "seed_id", "xd")).alias("m")
+    )
+    assign = best.select(
+        F.col("m.seed_id").alias("cluster_id"), F.col("m.xd").alias("xd")
+    )
+    comp = assign.select(
+        "cluster_id", F.posexplode("xd").alias("pos", "x")
+    )
+    return comp.groupBy("cluster_id", "pos").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        (
+            F.round(
+                F.sum(F.round(F.col("x"), 6).cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            )
+            + F.lit(0.0)
+        )
+        .cast("double")
+        .alias("centroid"),
+    )

@@ -493,3 +493,92 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (per-document top terms)
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "q_text_tfidf_top_terms",
+    # Same float discipline as q_text_unigram_logprob: ln() appears once
+    # per vocabulary term and is rounded to 6 decimals immediately; the
+    # per-(doc, term) score is an exact decimal product, so the ranking
+    # key is deterministic under any partitioning / engine.
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                 t -> length(t) > 0)) AS tok
+      FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM doc_tok GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT tok,
+             CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                  AS DECIMAL(38,6)) AS idf6
+      FROM df, n
+    ),
+    scored AS (
+      SELECT d.doc_id, d.tok,
+             CAST(d.c AS DECIMAL(38,6)) * idf.idf6 AS score,
+             row_number() OVER (PARTITION BY d.doc_id
+                                ORDER BY CAST(d.c AS DECIMAL(38,6)) * idf.idf6 DESC,
+                                         d.tok) AS rank
+      FROM doc_tok d JOIN idf USING (tok)
+    )
+    SELECT doc_id, tok, CAST(rank AS INT) AS rank,
+           CAST(round(CAST(score AS DOUBLE), 6) AS DOUBLE) AS tfidf
+    FROM scored WHERE rank <= {TFIDF_TOP_K}
+    """,
+)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``TFIDF_TOP_K`` terms per document by tf·idf — the classic
+    keyword-extraction / topic-salience primitive for corpus curation.
+
+    Scale shape: two combiner aggregations ((doc, term) counts and
+    document frequency), a one-row corpus count joined by broadcast, an
+    equi-join on the term, and one window partitioned by doc_id.  No
+    driver collects; the window's per-group state is the document's own
+    distinct-term list, never the vocabulary.  Determinism: idf is
+    rounded once per vocabulary entry; scores are exact decimals, so
+    rank order cannot drift between engines.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    df = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df.join(F.broadcast(n)).select(
+        "tok",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")), 6
+        )
+        .cast("decimal(38,6)")
+        .alias("idf6"),
+    )
+    scored = doc_tok.join(idf, "tok").withColumn(
+        "score", F.col("c").cast("decimal(38,6)") * F.col("idf6")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "tok",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.col("score").cast("double"), 6).cast("double").alias("tfidf"),
+        )
+    )

@@ -200,3 +200,53 @@ def test_decontaminate_no_pair_explosion(spark, sf_dir):
     txt = plan_text(curation.QUERIES["q_decontaminate_overlap"](spark, sf_dir))
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_pii_redact_zero_shuffle(spark, sf_dir):
+    """PII redaction is a pure map stage: no exchange, no Python UDF,
+    and only the four referenced customer columns survive pruning."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import privacy
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = privacy.QUERIES["q_pii_redact"](spark, sf_dir)
+    assert num_shuffles(df) == 0
+    txt = plan_text(df)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+    (schema,) = read_schemas(df)
+    assert "c_acctbal" not in schema, schema
+
+
+def test_tfidf_broadcasts_corpus_count(spark, sf_dir):
+    """TF-IDF's corpus size joins in as a broadcast one-row aggregate
+    (never collected), and the term join is an equi-join — no
+    cartesian/nested-loop pairing of terms."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(text_ops.QUERIES["q_text_tfidf_top_terms"](spark, sf_dir))
+    assert "BroadcastExchange" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_kmeans_assignment_is_combiner_not_window(spark, sf_dir):
+    """One Lloyd step: seeds broadcast (corpus never shuffles for the
+    assignment) and the arg-min is a partial-aggregating groupBy — the
+    K*n pair stream reduces map-side before any exchange."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = similarity.QUERIES["q_kmeans_one_step"](spark, sf_dir)
+    txt = plan_text(df)
+    assert "BroadcastExchange" in txt
+    assert "Window" not in txt  # arg-min via min(struct), not row_number
+    assert txt.count("HashAggregate") >= 2 or "ObjectHashAggregate" in txt, txt
+
+
+def test_unigram_logprob_broadcasts_token_total(spark, sf_dir):
+    """The corpus token total is a one-row broadcast aggregate inside the
+    plan, not a driver collect; scoring joins on the token key only."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(text_ops.QUERIES["q_text_unigram_logprob"](spark, sf_dir))
+    assert "BroadcastExchange" in txt
+    assert "CartesianProduct" not in txt
