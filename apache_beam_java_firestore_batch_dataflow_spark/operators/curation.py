@@ -353,3 +353,49 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contam_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-weighted mixture sampling (map-side, reproducible)
+# ---------------------------------------------------------------------------
+
+# Target acceptance rate per source, encoded as the 2-hex-char md5 prefix
+# threshold (the q_sample_hash_deterministic idiom: first byte < 0xNN).
+# 'zz' compares above every hex digit, i.e. keep-all.
+MIX_THRESHOLDS = {"src0": "zz", "src1": "80", "src2": "40", "src3": "20"}
+MIX_DEFAULT_THRESHOLD = "10"  # 0x10/256 = 6.25% for every other source
+
+
+def _mix_case_sql() -> str:
+    arms = "\n".join(
+        f"WHEN source = '{s}' THEN '{t}'" for s, t in MIX_THRESHOLDS.items()
+    )
+    return f"CASE {arms} ELSE '{MIX_DEFAULT_THRESHOLD}' END"
+
+
+@register(
+    "q_mix_weighted_sources",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < {_mix_case_sql()}
+    """,
+)
+def q_mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-weight a multi-source corpus to a target mixture (the
+    "upsample Wikipedia, downsample CommonCrawl" step of every training
+    run): per-source Bernoulli rates keyed on md5(doc_id).
+
+    At 100 TB this MUST be a pure map-side filter — a shuffle or window
+    just to thin the corpus would move the whole dataset — so the rate
+    lookup is a literal CASE on the source column and the accept test is
+    the deterministic hash-prefix compare: zero shuffles, codegen-fused
+    into the scan, and the kept set is invariant to partitioning and
+    task retries (unlike seeded ``df.sample``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    threshold = F.lit(MIX_DEFAULT_THRESHOLD)
+    for s, t in reversed(MIX_THRESHOLDS.items()):
+        threshold = F.when(F.col("source") == s, F.lit(t)).otherwise(threshold)
+    return docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < threshold
+    ).select("doc_id", "source")

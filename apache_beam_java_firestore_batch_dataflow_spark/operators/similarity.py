@@ -861,3 +861,102 @@ def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outliers: farthest members from their label centroid
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOP_K = 3
+
+
+_OUTLIER_ORACLE = f"""
+    WITH comp AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ),
+    cent_long AS (
+      SELECT label, pos,
+             CAST(round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                        / count(*), 4) + 0.0 AS DOUBLE) AS c
+      FROM comp GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, array_agg(c ORDER BY pos) AS cv FROM cent_long GROUP BY label
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label,
+             list_reduce(list_prepend(0.0,
+                 list_transform(range(1, len(e.embedding) + 1),
+                     i -> (CAST(e.embedding[i] AS DOUBLE) - cv[i])
+                        * (CAST(e.embedding[i] AS DOUBLE) - cv[i]))),
+                 (a, b) -> a + b) AS d2
+      FROM embeddings e JOIN cent USING (label)
+    )
+    SELECT label, vec_id, CAST(rank AS INT) AS rank,
+           CAST(round(sqrt(d2), 6) AS DOUBLE) AS dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY label
+                                       ORDER BY d2 DESC, vec_id) AS rank
+          FROM dists)
+    WHERE rank <= {OUTLIER_TOP_K}
+"""
+
+
+@register("q_embedding_outliers", oracle=_OUTLIER_ORACLE)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``OUTLIER_TOP_K`` farthest vectors from their label centroid —
+    the corrupt-embedding / mislabeled-cluster screen a vector corpus
+    runs before training.
+
+    Two-pass aggregate-then-broadcast-rejoin shape: pass 1 computes the
+    per-label centroids with the `q_embedding_centroids` combiner plan
+    (shuffle = |labels|·dim rows), reassembles them into |labels| rows
+    of dim-length arrays, and **broadcasts** that tiny table back onto
+    the corpus; pass 2 is a single corpus scan computing the distance
+    fold plus a per-label top-k window (`WindowGroupLimit` keeps the
+    heap below the exchange).  The corpus itself is scanned twice and
+    shuffled only for the final top-k — at 100 TB the centroid table is
+    KB-sized regardless of corpus size.
+
+    Determinism: centroids are rounded to 4 decimals BEFORE the distance
+    pass (both engines), so the fold inputs — and therefore the ranking
+    keys — are bit-identical doubles.
+    """
+    v = _vecs(spark, sf_dir)
+    comp = v.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("label", "pos", F.col("x").cast("double").alias("x"))
+    dec = F.round(F.col("x"), 6).cast("decimal(30,6)")
+    cent_long = comp.groupBy("label", "pos").agg(
+        (F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 4) + F.lit(0.0))
+        .cast("double")
+        .alias("c")
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding", "cv", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    dists = v.join(F.broadcast(cent), "label").select(
+        "vec_id", "label", d2.alias("d2")
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("d2"), F.asc("vec_id"))
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= OUTLIER_TOP_K)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(F.sqrt("d2"), 6).cast("double").alias("dist"),
+        )
+    )

@@ -250,3 +250,24 @@ def test_unigram_logprob_broadcasts_token_total(spark, sf_dir):
     txt = plan_text(text_ops.QUERIES["q_text_unigram_logprob"](spark, sf_dir))
     assert "BroadcastExchange" in txt
     assert "CartesianProduct" not in txt
+
+
+def test_mix_sampling_is_pure_map(spark, sf_dir):
+    """Mixture re-weighting must be a zero-shuffle map-side filter —
+    thinning 100 TB must not move 100 TB."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import curation
+
+    df = curation.QUERIES["q_mix_weighted_sources"](spark, sf_dir)
+    assert num_shuffles(df) == 0
+
+
+def test_outliers_broadcast_centroids_and_group_limit(spark, sf_dir):
+    """Outlier screening rejoins the KB-sized centroid table by
+    broadcast (the corpus never shuffles for the distance pass) and the
+    per-label top-k pushes a WindowGroupLimit below the exchange."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(similarity.QUERIES["q_embedding_outliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in txt, txt
+    assert "WindowGroupLimit" in txt, txt
+    assert "CartesianProduct" not in txt
