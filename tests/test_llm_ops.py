@@ -499,3 +499,61 @@ def test_y4m_roundtrip_property():
         )
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means (library loop around q_kmeans_one_step's shape)
+# ---------------------------------------------------------------------------
+
+
+def _blob_vectors(spark):
+    """Two well-separated 4-d blobs, fixed coordinates (no RNG)."""
+    rows = []
+    # blob A near (0,0,0,0): vec_ids 0-9; blob B near (10,10,10,10): 10-19
+    for i in range(10):
+        rows.append(Row(vec_id=i, embedding=[0.1 * i, 0.2, 0.05 * i, 0.3]))
+    for i in range(10):
+        rows.append(
+            Row(vec_id=10 + i, embedding=[10.0 + 0.1 * i, 10.2, 10.0, 9.7 + 0.05 * i])
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_kmeans_converges_and_separates_blobs(spark):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import kmeans
+
+    assign, cent, n_iter = kmeans(_blob_vectors(spark), k=2, max_iter=10, tol=1e-6)
+    got = {r["vec_id"]: r["cluster_id"] for r in assign.collect()}
+    blob_a = {got[i] for i in range(10)}
+    blob_b = {got[10 + i] for i in range(10)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    assert n_iter <= 5  # separable data converges almost immediately
+    cv = {r["cluster_id"]: r["cv"] for r in cent.collect()}
+    assert len(cv) == 2 and all(len(v) == 4 for v in cv.values())
+
+
+def test_kmeans_invariant_to_partitioning(spark):
+    """Decimal-accumulated means ⇒ identical clusters on any layout."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import kmeans
+
+    base = _blob_vectors(spark)
+    a, _, _ = kmeans(base.repartition(1), k=2, max_iter=6)
+    b, _, _ = kmeans(base.repartition(7, "vec_id"), k=2, max_iter=6)
+    ra = sorted((r["vec_id"], r["cluster_id"], round(r["dist"], 9)) for r in a.collect())
+    rb = sorted((r["vec_id"], r["cluster_id"], round(r["dist"], 9)) for r in b.collect())
+    assert ra == rb
+
+
+def test_kmeans_lineage_checkpoint_bounds_plan(spark):
+    """With checkpoint_every=2, a 6-iteration run's final centroid plan
+    must not nest six iterations of joins (localCheckpoint truncates)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import kmeans
+
+    _, cent, _ = kmeans(
+        _blob_vectors(spark), k=2, max_iter=6, tol=0.0, checkpoint_every=2
+    )
+    plan = cent._jdf.queryExecution().analyzed().toString()
+    # a checkpointed lineage shows LogicalRDD scans, not the full
+    # iteration stack; 6 un-truncated iterations would repeat the
+    # posexplode-aggregate block ≥5 times
+    assert plan.count("Generate explode") <= 3, plan

@@ -271,3 +271,12 @@ def test_outliers_broadcast_centroids_and_group_limit(spark, sf_dir):
     assert "BroadcastHashJoin" in txt, txt
     assert "WindowGroupLimit" in txt, txt
     assert "CartesianProduct" not in txt
+
+
+def test_chunking_zero_shuffle(spark, sf_dir):
+    """Chunking documents into training windows is tokenize + Generate +
+    in-row slice — no exchange at any corpus size."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import curation
+
+    df = curation.QUERIES["q_chunk_documents"](spark, sf_dir)
+    assert num_shuffles(df) == 0
