@@ -368,24 +368,51 @@ def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-style ANN: coarse quantizer cells + nprobe search + exact rerank
 # --------------------------------------------------------------------------
 
-CENTROID_MOD = 25  # deterministic coarse centroids: vec_id % 25 == 1
+# Fixed-size coarse quantizer: the IVF_C corpus vectors sorting first by a
+# deterministic integer hash of vec_id (ties by vec_id).  IVF_C is a
+# CONSTANT — independent of corpus rows — so the assignment broadcast is
+# O(IVF_C) bytes at any scale and the coarse pass costs n·IVF_C dot
+# products, never a corpus fraction (the pre-r4 `vec_id % 25` selection
+# made the "broadcast" side 4% of the corpus: an O(n²/25) plan).  The LCG
+# hash keeps the sample unbiased w.r.t. id order while staying
+# reproducible across engines and incremental loads — no RNG-seeded
+# k-means to re-run when data grows.
+IVF_C = 64
 NPROBE = 2
+# LCG permutation of vec_id; exact in int64 for ids < 2^31 on both engines.
+_CENT_HASH_SQL = "(vec_id * 1103515245 + 12345) % 2147483648"
+
+
+def _cent_hash() -> F.Column:
+    return (F.col("vec_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483648)
+
+
+def ivf_centroids(v: DataFrame) -> DataFrame:
+    """The fixed-size centroid set: hash-order ``LIMIT IVF_C``.
+
+    Plans as ``TakeOrderedAndProject`` — each partition keeps its local
+    top-IVF_C, the driver merges P·IVF_C candidate rows — so selection is
+    one corpus scan with O(IVF_C) state per task regardless of corpus
+    size."""
+    return (
+        v.orderBy(_cent_hash().asc(), F.asc("vec_id"))
+        .limit(IVF_C)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("vnorm").alias("c_norm"),
+        )
+    )
 
 
 def ivf_assignments(v: DataFrame) -> DataFrame:
     """(vec_id, embedding, vnorm, cell): nearest centroid per vector.
 
-    The coarse quantizer is a deterministic subset of the corpus itself
-    (``vec_id % CENTROID_MOD == 1``) — reproducible across engines and
-    incremental loads, no RNG-seeded k-means to re-run when data grows.
-    Assignment is a broadcast join against the (tiny) centroid set; at
-    100 TB it is one corpus scan with C dot products per row.
+    Assignment is a broadcast join against the constant-size centroid
+    set; at 100 TB it is one corpus scan with IVF_C dot products per row
+    and an O(IVF_C) broadcast.
     """
-    cent = v.filter(F.col("vec_id") % CENTROID_MOD == 1).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("vnorm").alias("c_norm"),
-    )
+    cent = ivf_centroids(v)
     sim = dot(F.col("embedding"), F.col("c_emb")) / (F.col("vnorm") * F.col("c_norm"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     return (
@@ -397,14 +424,20 @@ def ivf_assignments(v: DataFrame) -> DataFrame:
     )
 
 
+_CENT_SQL = f"""
+      SELECT vec_id AS cent_id, embedding AS c_emb, vnorm AS c_norm
+      FROM v ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {IVF_C}
+"""
+
+
 def _ivf_sql() -> str:
-    csim = f"{dot_sql('e.embedding', 'c.embedding')} / (e.vnorm * c.vnorm)"
+    csim = f"{dot_sql('e.embedding', 'c.c_emb')} / (e.vnorm * c.c_norm)"
     return f"""
       SELECT vec_id, embedding, vnorm, cell FROM (
-        SELECT e.vec_id, e.embedding, e.vnorm, c.vec_id AS cell,
+        SELECT e.vec_id, e.embedding, e.vnorm, c.cent_id AS cell,
                row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {csim} DESC, c.vec_id) AS rn
-        FROM v e JOIN v c ON c.vec_id % {CENTROID_MOD} = 1
+                                  ORDER BY {csim} DESC, c.cent_id) AS rn
+        FROM v e CROSS JOIN cent c
       ) WHERE rn = 1
     """
 
@@ -412,14 +445,15 @@ def _ivf_sql() -> str:
 _IVF_ORACLE = f"""
     WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
                FROM embeddings),
+    cent AS ({_CENT_SQL}),
     assign AS ({_ivf_sql()}),
     probes AS (
       SELECT vec_id, embedding, vnorm, cell, pr FROM (
-        SELECT e.vec_id, e.embedding, e.vnorm, c.vec_id AS cell,
+        SELECT e.vec_id, e.embedding, e.vnorm, c.cent_id AS cell,
                row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {dot_sql('e.embedding', 'c.embedding')}
-                                           / (e.vnorm * c.vnorm) DESC, c.vec_id) AS pr
-        FROM v e JOIN v c ON c.vec_id % {CENTROID_MOD} = 1
+                                  ORDER BY {dot_sql('e.embedding', 'c.c_emb')}
+                                           / (e.vnorm * c.c_norm) DESC, c.cent_id) AS pr
+        FROM v e CROSS JOIN cent c
       ) WHERE pr <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
     ),
     cand AS (
@@ -441,18 +475,15 @@ _IVF_ORACLE = f"""
 
 @register("q_ann_ivf", oracle=_IVF_ORACLE)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: corpus partitioned into coarse-quantizer cells; each query
-    probes its NPROBE nearest cells and reranks exactly.  The scan-heavy
-    half (assignment) is one broadcast pass; search touches only
-    ~NPROBE/C of the corpus per query."""
+    """IVF ANN: corpus partitioned into IVF_C coarse-quantizer cells; each
+    query probes its NPROBE nearest cells and reranks exactly.  The
+    scan-heavy half (assignment) is one broadcast pass against the
+    constant-size centroid set; search touches only ~NPROBE/IVF_C of the
+    corpus per query."""
     v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     assign = ivf_assignments(v)
 
-    cent = v.filter(F.col("vec_id") % CENTROID_MOD == 1).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("vnorm").alias("c_norm"),
-    )
+    cent = ivf_centroids(v)
     qsim = dot(F.col("embedding"), F.col("c_emb")) / (
         F.col("vnorm") * F.col("c_norm")
     )

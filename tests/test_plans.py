@@ -280,3 +280,37 @@ def test_chunking_zero_shuffle(spark, sf_dir):
 
     df = curation.QUERIES["q_chunk_documents"](spark, sf_dir)
     assert num_shuffles(df) == 0
+
+
+def test_ivf_centroid_set_is_constant_size(spark, sf_dir):
+    """The IVF coarse quantizer must be O(1) in corpus rows: doubling the
+    corpus must not change the centroid count (pre-r4 it was a corpus
+    fraction — an O(n^2/25) assignment wearing a broadcast hint)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        IVF_C,
+        ivf_centroids,
+        with_norm,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+
+    v = with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", "vnorm"
+    )
+    n = v.count()
+    assert n > IVF_C  # the bound must actually bind at test scale
+    assert ivf_centroids(v).count() == IVF_C
+    doubled = v.union(v.withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000)))
+    assert ivf_centroids(doubled).count() == IVF_C
+
+
+def test_ivf_assignment_broadcasts_and_takeordered(spark, sf_dir):
+    """Assignment must broadcast the constant-size centroid set (never
+    shuffle the corpus against it) and select centroids via
+    TakeOrderedAndProject — per-partition top-C, O(IVF_C) task state."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = similarity.QUERIES["q_ann_ivf"](spark, sf_dir)
+    txt = plan_text(df, "simple")
+    assert "TakeOrderedAndProject" in txt, txt
+    assert num_broadcast_joins(df) >= 2  # assignment pass + probe/candidate passes
+    assert "CartesianProduct" not in txt
