@@ -271,7 +271,7 @@ def decode_features(mm: DataFrame, use_real_decoder: bool = False) -> DataFrame:
             }
             if use_real_decoder:
                 for p, m in zip(pdf["payload"], pdf["modality"]):
-                    decode_payload(bytes(p), m)  # raises NotImplementedError
+                    decode_payload(bytes(p), m)
             stats = [fake_decode_stats(bytes(p)) for p in pdf["payload"]]
             out["mean_byte"] = [s[0] for s in stats]
             out["max_byte"] = [s[1] for s in stats]
@@ -502,9 +502,14 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
     while i + 8 <= end:
         cid = payload[i : i + 4]
         csize = int.from_bytes(payload[i + 4 : i + 8], "little")
+        # bound against the declared RIFF end, not the raw payload length: a
+        # chunk overflowing the RIFF container must be rejected even when
+        # trailing payload bytes would happen to cover it.
+        if i + 8 + csize > end:
+            raise ValueError(
+                f"{cid!r} chunk overruns RIFF container: {i + 8 + csize} > {end}"
+            )
         body = payload[i + 8 : i + 8 + csize]
-        if len(body) < csize:
-            raise ValueError(f"truncated {cid!r} chunk: {len(body)} < {csize}")
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

@@ -48,10 +48,17 @@ N_QUERIES = 200
 # Key-packing multiplier for the numpy batch kernel: key = -sim_units * _ID_MULT
 # + vec_id.  sim_units ∈ [-1e6-1, 1e6+1], so ids < 1e12 stay exact in int64.
 _ID_MULT = 1_000_000_000_000
-# Extra rows kept per (batch, query) beyond k: the batch kernel's float-based
-# rounding can disagree with the merge's decimal F.round on an exact 0.5e-6
-# boundary; the margin lets such boundary rows reach the authoritative merge.
-_BATCH_MARGIN = 2
+# Pruning margin for the batch kernel, in 1e-6 sim UNITS (not rows): every
+# row whose float sim_units is within _UNIT_MARGIN of the batch's k-th key
+# survives to the authoritative decimal-F.round merge.  Derivation: float
+# rounding can disagree with decimal HALF_UP by at most 1 unit (only on an
+# exact 0.5e-6 boundary), so a true decimal-top-k row has float units
+# >= d_k - 1 >= (s_k - 1) - 1, where s_k is the float k-th key's units and
+# d_k >= s_k - 1 because the k best float rows each have decimal units
+# >= s_k - 1.  A unit-based margin (unlike the previous fixed "+2 rows")
+# stays correct when MANY rows tie on a boundary — e.g. duplicate vectors
+# sharing one boundary similarity all survive, however many there are.
+_UNIT_MARGIN = 2
 
 
 def register(name: str, oracle: str | None = None):
@@ -313,9 +320,9 @@ def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Rounds half-away-from-zero like F.round/DuckDB, but via binary
             # floats — near an exact 0.5e-6 boundary the float multiply can
             # land on the other side of the decimal-HALF_UP result, so this
-            # key is a PRUNING heuristic only; _BATCH_MARGIN extra rows per
-            # batch survive to the final merge, which re-ranks everything
-            # with F.round's decimal semantics.
+            # key is a PRUNING heuristic only; every row within _UNIT_MARGIN
+            # sim-units of the k-th batch key survives to the final merge,
+            # which re-ranks everything with F.round's decimal semantics.
             sim_units = (
                 np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)
             ).astype(np.int64)
@@ -328,20 +335,20 @@ def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             key = -sim_units * _ID_MULT + ids[:, None]
             key[ids[:, None] == q_ids[None, :]] = np.iinfo(np.int64).max  # self
-            kk = min(k + _BATCH_MARGIN, len(ids))
-            top = (
-                np.argpartition(key, kk - 1, axis=0)[:kk]
-                if kk < len(ids)
-                else np.argsort(key, axis=0)
+            kk = min(k, len(ids))
+            kth_key = np.partition(key, kk - 1, axis=0)[kk - 1]  # per query
+            # exact units of the k-th key: key = -s*M + id with 0 <= id < M,
+            # so floor-div recovers s even for the sentinel self rows.
+            s_kth = -(kth_key // _ID_MULT)
+            keep = (sim_units >= (s_kth - _UNIT_MARGIN)[None, :]) & (
+                key != np.iinfo(np.int64).max
             )
-            rows = top.reshape(-1)
-            cols = np.repeat(np.arange(n_q)[None, :], top.shape[0], axis=0).reshape(-1)
-            keep = key[rows, cols] != np.iinfo(np.int64).max
+            rows, cols = np.nonzero(keep)
             yield pd.DataFrame(
                 {
-                    "query_id": q_ids[cols[keep]],
-                    "neighbor_id": ids[rows[keep]],
-                    "sim": sims[rows[keep], cols[keep]],
+                    "query_id": q_ids[cols],
+                    "neighbor_id": ids[rows],
+                    "sim": sims[rows, cols],
                 }
             )
 

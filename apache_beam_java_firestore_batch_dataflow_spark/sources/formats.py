@@ -88,12 +88,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+_SCRATCH_ROOT: str | None = None
+
+
 def _scratch_path(tag: str, sf_dir: str) -> str:
     """Deterministic per-(query, sf) scratch dir + mode=overwrite, so
-    repeated driver/bench runs reuse one directory instead of leaking a
-    fresh mkdtemp table copy per invocation."""
+    repeated driver/bench runs within one process reuse one directory
+    instead of leaking a fresh mkdtemp table copy per invocation.  The
+    root is a session-scoped mkdtemp (cached in a module global): two
+    concurrent sessions — bench.py while the driver runs, or two users
+    on a shared host — never write/read the same path, and the
+    predictable-/tmp-name symlink hazard of a fixed path is avoided."""
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark-graft-fmt-")
     sf = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), f"spark-graft-fmt-{tag}-{sf}")
+    return os.path.join(_SCRATCH_ROOT, f"{tag}-{sf}")
 
 
 def _register(name: str, oracle: str):

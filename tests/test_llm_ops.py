@@ -376,6 +376,18 @@ def test_wav_decoder_malformed_inputs():
     non_pcm = good[:fmt_at] + struct.pack("<H", 3) + good[fmt_at + 2 :]
     with pytest.raises(ValueError, match="PCM"):
         decode_wav(non_pcm)
+    # a chunk overflowing the declared RIFF container must be rejected even
+    # when trailing payload bytes would happen to cover its claimed size
+    data_at = good.rfind(b"data")
+    data_len = int.from_bytes(good[data_at + 4 : data_at + 8], "little")
+    oversize = (
+        good[: data_at + 4]
+        + struct.pack("<I", data_len + 4)
+        + good[data_at + 8 :]
+        + b"\x00" * 8  # trailing bytes outside the RIFF size
+    )
+    with pytest.raises(ValueError, match="overruns"):
+        decode_wav(oversize)
 
 
 def test_wav_roundtrip_property():
