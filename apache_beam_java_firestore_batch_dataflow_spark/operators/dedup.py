@@ -408,6 +408,79 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), edges)
 
 
+LABEL_PROP_K = 3  # fixed rounds for the bench-able bounded variant
+
+
+def propagate_min_label(
+    vertices: DataFrame, edges: DataFrame, iterations: int = LABEL_PROP_K
+) -> DataFrame:
+    """Exactly ``iterations`` rounds of min-label propagation, unrolled
+    into ONE declarative plan (no driver-side convergence reads).
+
+    After k rounds ``cluster_id(v) == min(doc_id over vertices within
+    graph distance <= k)`` — near-dup clusters have tiny diameters, so a
+    small fixed k labels them fully while keeping the whole computation
+    a single Catalyst plan: k keyed join+combiner-agg stages, no
+    per-round ``count()`` actions.  This is the shape to benchmark
+    (``connected_components`` adds a scalar convergence read per round,
+    which is control flow, not dataflow).  Edges are persisted once so
+    the k joins don't re-derive the pair pipeline.
+    """
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = vertices.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(iterations):
+        neighbor_min = (
+            both.join(labels, both["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+    return labels
+
+
+_CLUSTER_K_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc, r, d) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION
+      SELECT reach.doc, e.dst, reach.d + 1
+      FROM reach JOIN edges e ON e.src = reach.r
+      WHERE reach.d < {LABEL_PROP_K}
+    )
+    SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc
+"""
+
+
+@register("q_dedup_clusters_k3", oracle=_CLUSTER_K_ORACLE)
+def q_dedup_clusters_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth near-dup clustering: exactly LABEL_PROP_K rounds of
+    min-label propagation over the MinHash-LSH pair graph.  Equivalent to
+    ``q_dedup_clusters`` whenever every component's diameter is <= k
+    (the near-dup norm); unlike the fixpoint loop it is a single
+    declarative plan, so the per-round label-propagation cost is
+    benchmarkable without convergence-control noise.  Oracle: min doc_id
+    within <= k hops (depth-bounded recursive CTE) — a walk of length
+    <= k reaches exactly the vertices at distance <= k."""
+    docs = _docs(spark, sf_dir)
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return propagate_min_label(docs.select("doc_id"), edges)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -289,6 +289,27 @@ def test_connected_components_chain_checkpoints(spark):
     assert plan.count("Join") <= 4, plan
 
 
+def test_propagate_min_label_k_hop_semantics(spark):
+    """Bounded label propagation is exactly min-doc-id-within-k-hops: on
+    a 10-chain with k=3, label(v) = max(1, v - 3); components with
+    diameter <= k get their true cluster id (matching the fixpoint
+    loop), larger ones a partial label — the documented contract."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        propagate_min_label,
+    )
+
+    n = 10
+    vertices = spark.createDataFrame([(i,) for i in range(1, n + 1)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in propagate_min_label(vertices, edges, iterations=3).collect()
+    }
+    assert got == {i: max(1, i - 3) for i in range(1, n + 1)}
+
+
 def test_embedding_dedup_invariant_to_block_count(spark):
     """The block-pair kernel is a partitioning detail: changing
     N_SIM_BLOCKS must not change the result set (every pair evaluated

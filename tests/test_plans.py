@@ -314,3 +314,18 @@ def test_ivf_assignment_broadcasts_and_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in txt, txt
     assert num_broadcast_joins(df) >= 2  # assignment pass + probe/candidate passes
     assert "CartesianProduct" not in txt
+
+
+def test_bounded_label_prop_single_plan_all_keyed(spark, sf_dir):
+    """q_dedup_clusters_k3 unrolls k rounds into one declarative plan:
+    every join is keyed (no cartesian/nested-loop anywhere in the LSH +
+    propagation pipeline) and each round is a combiner aggregation —
+    at least k HashAggregate pairs survive into the physical plan."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import dedup
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = dedup.QUERIES["q_dedup_clusters_k3"](spark, sf_dir)
+    txt = plan_text(df, "simple")
+    assert "CartesianProduct" not in txt, txt
+    assert "BroadcastNestedLoopJoin" not in txt, txt
+    assert txt.count("HashAggregate") >= 2 * dedup.LABEL_PROP_K
