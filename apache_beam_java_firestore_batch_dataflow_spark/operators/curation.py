@@ -470,3 +470,41 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ck").cast("int").alias("n_tokens"),
         F.array_join("ck", " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus length histogram (power-of-two buckets) — the profile that picks
+# chunking/packing budgets before a curation run
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_doc_length_histogram",
+    oracle="""
+    SELECT CAST(floor(log2(n_chars + 1)) AS INTEGER) AS log2_bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram on power-of-two buckets
+    (``floor(log2(n_chars+1))``), with per-bucket extrema.
+
+    Log buckets give a fixed, data-independent bucket count (~40 covers
+    anything up to a terabyte-long document), so unlike quantile
+    sketches the state is O(1) and the aggregation is one map-side
+    combine + one tiny shuffle.  log2 of exact integers is exact in
+    IEEE double at every power-of-two boundary, so bucket assignment
+    cannot drift between engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.log2(F.col("n_chars") + 1)).cast("int")
+    return (
+        docs.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

@@ -1082,3 +1082,51 @@ def q_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(corr, 6).cast("double").alias("corr_qty_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregation: HyperLogLog++ distinct counts with an accuracy
+# contract against the exact count
+# ---------------------------------------------------------------------------
+
+HLL_RSD = 0.01  # relative standard deviation handed to the sketch
+HLL_TOLERANCE = 0.05  # contract: sketch within 5% of exact (5 sigma)
+
+
+@register(
+    "q_approx_distinct_sketch",
+    # The sketch value itself is implementation-defined, so the oracled
+    # output is the EXACT count plus the accuracy contract the sketch
+    # must satisfy; a >5-sigma HLL++ excursion fails the hash check.
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_exact,
+           TRUE AS sketch_ok
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority, exact AND via
+    ``approx_count_distinct`` (HyperLogLog++), emitting the exact count
+    plus a flag that the sketch landed within HLL_TOLERANCE of it.
+
+    Why both: at 100 TB, ``count(DISTINCT key)`` forces a shuffle of
+    every distinct key per group; the HLL++ sketch is a few KB of
+    mergeable state per group — partial sketches combine map-side and
+    the exchange carries sketch bytes, not keys.  That is the only
+    distinct-count that scales on a high-cardinality column; this query
+    keeps the exact twin alongside as the accuracy certificate (rsd=1%
+    sketch, 5% tolerance = 5 sigma, so the flag is deterministically
+    TRUE for any sane HLL implementation).
+    """
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias("n_sketch"),
+    )
+    ok = (
+        F.abs(F.col("n_sketch") - F.col("n_exact"))
+        <= F.lit(HLL_TOLERANCE) * F.col("n_exact")
+    )
+    return agg.select("o_orderpriority", "n_exact", ok.alias("sketch_ok"))

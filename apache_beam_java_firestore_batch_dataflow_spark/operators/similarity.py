@@ -1105,3 +1105,78 @@ def kmeans(
         cent,
         n_iter,
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation (MRL-style): keep the first MRL_DIM dims,
+# re-normalize to unit length, fixed-point encode — the cheap-retrieval
+# representation for a tiered 100 TB vector index
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 8  # truncated prefix length
+MRL_FP = 1_000_000.0  # fixed-point scale for the emitted unit vector
+
+
+@register(
+    "q_embedding_mrl_truncate",
+    # Identical double arithmetic: slice, ordered sum-of-squares fold,
+    # sqrt, then round(x * FP / norm) per element — emitted values are
+    # integers (plus the norm rounded at 9 decimals), so the check is
+    # exact, mirroring q_embedding_quantize_int8.
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(list_slice(embedding, 1, {MRL_DIM}),
+                            x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, xd,
+             sqrt(list_reduce(list_prepend(0.0,
+                    list_transform(xd, x -> x * x)), (a, b) -> a + b)) AS nrm
+      FROM base
+    )
+    SELECT vec_id,
+           CAST(round(nrm, 9) AS DOUBLE) AS trunc_norm,
+           CASE WHEN nrm > 0
+                THEN list_transform(xd,
+                       x -> CAST(round(x * {MRL_FP} / nrm) AS BIGINT))
+                ELSE list_transform(xd, x -> CAST(0 AS BIGINT)) END AS unit_fp
+    FROM n
+    """,
+)
+def q_embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation: the first MRL_DIM dims of each
+    embedding, re-normalized to unit length and fixed-point encoded.
+
+    MRL-trained embeddings keep most retrieval quality in a short
+    prefix, so a tiered index stores the truncated unit vector for the
+    cheap first-pass scan (MRL_DIM/64 of the bytes) and full vectors
+    only for re-ranking.  Scale shape: pure in-row projection on the
+    scan — zero shuffles, zero UDFs, codegen throughout; the oracle
+    replays the identical double fold, and the emitted coordinates are
+    fixed-point integers so the hash check is exact.
+    """
+    v = _vecs(spark, sf_dir)
+    xd = F.transform(
+        F.slice("embedding", 1, MRL_DIM), lambda x: x.cast("double")
+    )
+    base = v.select("vec_id", xd.alias("xd"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("xd", lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+        )
+    )
+    n = base.select("vec_id", "xd", nrm.alias("nrm"))
+    unit_fp = F.when(
+        F.col("nrm") > 0,
+        F.transform(
+            "xd",
+            lambda x: F.round(x * F.lit(MRL_FP) / F.col("nrm")).cast("bigint"),
+        ),
+    ).otherwise(F.transform("xd", lambda x: F.lit(0).cast("bigint")))
+    return n.select(
+        "vec_id",
+        F.round(F.col("nrm"), 9).cast("double").alias("trunc_norm"),
+        unit_fp.alias("unit_fp"),
+    )

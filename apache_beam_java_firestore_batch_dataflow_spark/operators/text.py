@@ -582,3 +582,88 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score").cast("double"), 6).cast("double").alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): robust partial-overlap fingerprints, unlike the whole-doc
+# hash of q_text_fingerprint
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 5  # character-gram width
+WINNOW_W = 4  # winnowing window (consecutive gram hashes per window)
+
+
+def _winnow_oracle() -> str:
+    from ..functions.hashing import h56_sql
+
+    gram_hash = h56_sql(f"substr(t, i, {WINNOW_K})")
+    return rf"""
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len(t) - {WINNOW_K} + 1, 0) + 1),
+               i -> {gram_hash}) AS hs
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           fps
+    FROM (
+      SELECT doc_id,
+             CASE WHEN len(hs) >= {WINNOW_W}
+                  THEN list_sort(list_distinct(list_transform(
+                         range(1, len(hs) - {WINNOW_W} + 2),
+                         j -> list_aggregate(
+                                list_slice(hs, j, j + {WINNOW_W} - 1), 'min'))))
+                  ELSE CAST([] AS BIGINT[]) END AS fps
+      FROM h
+    )
+    """
+
+
+@register("q_text_winnow_fingerprints", oracle=_winnow_oracle())
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every character
+    ``WINNOW_K``-gram of the normalized text, slide a ``WINNOW_W``-wide
+    window over the hash sequence, keep each window's minimum, dedupe.
+
+    The classic guarantee (MOSS): any shared substring of length >=
+    K + W - 1 between two documents produces at least one shared
+    fingerprint — so these survive partial plagiarism/quotation overlap
+    that whole-document hashing (q_text_fingerprint) misses.
+
+    Scale shape: everything is in-row higher-order functions over the
+    scan — zero shuffles, zero UDFs, fingerprint count per doc bounded
+    by the gram count.  At 100 TB this is a pure map stage; the
+    downstream pair-join (block on fingerprint, like the rare-gram
+    family) reuses the bounded-fan-out postings pattern.
+    """
+    from ..functions.hashing import h56
+
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = docs.select("doc_id", norm.alias("t"))
+    n_grams = F.greatest(F.length("t") - F.lit(WINNOW_K - 1), F.lit(0))
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: h56(F.col("t").substr(i, F.lit(WINNOW_K))),
+    )
+    h = d.select("doc_id", F.when(n_grams > 0, hashes)
+                 .otherwise(F.array().cast("array<bigint>")).alias("hs"))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.size("hs") - F.lit(WINNOW_W - 1)),
+        lambda j: F.array_min(F.slice(F.col("hs"), j, WINNOW_W)),
+    )
+    fps = F.when(F.size("hs") >= WINNOW_W, F.array_sort(F.array_distinct(mins))) \
+        .otherwise(F.array().cast("array<bigint>"))
+    return h.select(
+        "doc_id",
+        F.size(fps).cast("bigint").alias("n_fp"),
+        fps.alias("fps"),
+    )

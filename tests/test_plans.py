@@ -329,3 +329,49 @@ def test_bounded_label_prop_single_plan_all_keyed(spark, sf_dir):
     assert "CartesianProduct" not in txt, txt
     assert "BroadcastNestedLoopJoin" not in txt, txt
     assert txt.count("HashAggregate") >= 2 * dedup.LABEL_PROP_K
+
+
+def test_winnow_fingerprints_zero_shuffle(spark, sf_dir):
+    """Winnowing is in-row higher-order functions over the scan: zero
+    exchanges, zero Python UDF nodes — a pure map stage at any scale."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = text_ops.QUERIES["q_text_winnow_fingerprints"](spark, sf_dir)
+    assert num_shuffles(df) == 0
+    txt = plan_text(df)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_mrl_truncate_zero_shuffle(spark, sf_dir):
+    """MRL truncation is a pure per-row projection: zero exchanges,
+    zero Python UDF nodes."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import similarity
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = similarity.QUERIES["q_embedding_mrl_truncate"](spark, sf_dir)
+    assert num_shuffles(df) == 0
+    txt = plan_text(df)
+    assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+
+
+def test_approx_distinct_sketch_bounded_shuffles(spark, sf_dir):
+    """Exact distinct forces the 2-exchange expand; the HLL sketch must
+    ride the SAME aggregation (no extra pass over orders), so the plan
+    has at most 2 exchanges and a partial aggregate before the first."""
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = relational.QUERIES["q_approx_distinct_sketch"](spark, sf_dir)
+    assert num_shuffles(df) <= 2
+    assert plan_text(df).count("HashAggregate") >= 2
+
+
+def test_doc_length_histogram_single_combiner_agg(spark, sf_dir):
+    """Log-bucket histogram is one combiner aggregation: exactly one
+    exchange, partial HashAggregate before it."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import curation
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = curation.QUERIES["q_doc_length_histogram"](spark, sf_dir)
+    assert num_shuffles(df) == 1
+    assert plan_text(df).count("HashAggregate") >= 2
