@@ -38,10 +38,29 @@ def rowset(rows):
     return sorted(tuple(norm(v) for v in row) for row in rows)
 
 
+def _head_stamp() -> str:
+    """Tie the artifact to the exact tree it proves (ADVICE r3: the
+    committed ORACLE_CHECK must be reproducibly linked to HEAD)."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True, text=True
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=root, capture_output=True, text=True
+        ).stdout.strip()
+        return f"HEAD {head}{' (dirty tree)' if dirty else ''}"
+    except OSError:
+        return "HEAD unknown (git unavailable)"
+
+
 def main() -> int:
     from apache_beam_java_firestore_batch_dataflow_spark.session import build_session
     import __spark_entry__ as entrymod
 
+    print(_head_stamp())
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     spark = build_session(app_name="oracle-check")
