@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_us
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -154,7 +155,7 @@ def q_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    gap_us = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
     flagged = events.withColumn(
         "is_new",
         F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),

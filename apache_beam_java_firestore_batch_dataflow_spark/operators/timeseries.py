@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_us
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -107,7 +108,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
     joined = asof_join(errors, clicks, on="user_id")
-    gap = F.unix_micros("ts") - F.unix_micros("asof_ts")
+    gap = epoch_us("ts") - epoch_us("asof_ts")
     return joined.select(
         "event_id", "user_id", "ts", "asof_ts", gap.cast("bigint").alias("gap_us")
     )

@@ -54,8 +54,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # TIMESTAMP(NANOS) columns arrive as long (see session.py nanosAsLong);
-    # normalize to microsecond timestamps, matching DuckDB's ns->us truncation.
+    # The driver has shipped events.ts as TIMESTAMP(NANOS) (read as long
+    # under nanosAsLong) and as plain TIMESTAMP_NTZ micros across fixture
+    # regenerations.  Normalize the nanos-as-long flavor here; NTZ columns
+    # are left as-is (their collected wall-clock values are tz-independent
+    # and match DuckDB naive timestamps exactly — epoch arithmetic goes
+    # through functions/timeutil.epoch_us, which accepts either type).
     from pyspark.sql import functions as F
 
     for field_name, dtype in df.dtypes:

@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_us
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -79,7 +80,7 @@ def click_error_interval_join(
             "click_ts",
             "error_id",
             "error_ts",
-            (F.unix_micros("error_ts") - F.unix_micros("click_ts")).alias(
+            (epoch_us("error_ts") - epoch_us("click_ts")).alias(
                 "lag_us"
             ),
         )
