@@ -737,3 +737,102 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= JACCARD_MIN).select(
         "doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate removal (CCNet/RefinedWeb line-dedup shape)
+# ---------------------------------------------------------------------------
+
+BP_CHUNK_W = 2    # tokens per chunk (the "line" unit on newline-free fixtures)
+BP_MIN_DOCS = 20  # a chunk seen in >= this many distinct docs is boilerplate
+
+_BOILERPLATE_ORACLE = rf"""
+    WITH tokd AS (
+      SELECT doc_id, {TOKENS_SQL} AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((s - 1) // {BP_CHUNK_W} AS INT) AS chunk_idx,
+             array_to_string(list_slice(t, s, s + {BP_CHUNK_W} - 1), ' ') AS ck
+      FROM tokd,
+           LATERAL (SELECT unnest(range(1, len(t) - {BP_CHUNK_W} + 2,
+                                        {BP_CHUNK_W})) AS s)
+    ),
+    bp AS (
+      SELECT ck FROM chunks GROUP BY ck
+      HAVING count(DISTINCT doc_id) >= {BP_MIN_DOCS}
+    ),
+    marked AS (
+      SELECT c.doc_id, c.chunk_idx, c.ck,
+             (b.ck IS NOT NULL) AS is_bp
+      FROM chunks c LEFT JOIN bp b ON c.ck = b.ck
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+           coalesce(string_agg(CASE WHEN NOT is_bp THEN ck END, ' '
+                               ORDER BY chunk_idx), '') AS clean_text
+    FROM marked
+    GROUP BY doc_id
+"""
+
+
+@register("q_dedup_boilerplate_chunks", oracle=_BOILERPLATE_ORACLE)
+def q_dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal: any 2-token chunk occurring in
+    >= ``BP_MIN_DOCS`` distinct documents is dropped from every document
+    (the CCNet / RefinedWeb repeated-line filter; the fixture corpus has
+    no newlines, so fixed-width token chunks stand in for lines).
+
+    Scale shape — three keyed stages, nothing quadratic:
+
+    1. chunking is a narrow ``Generate`` over the scan (rows ~= tokens/W);
+    2. the boilerplate vocabulary is ONE aggregation keyed on chunk text
+       (count distinct docs, map-side partial);
+    3. instances re-join that vocabulary on the same key, then one
+       groupBy(doc_id) reassembles retained chunks in order (collect_list
+       skips the nulled-out boilerplate entries; the in-row sort is
+       bounded by chunks-per-document).
+
+    The vocabulary is data-dependent but tiny relative to the corpus
+    (only chunks crossing the threshold); Spark's AQE broadcasts it when
+    it fits, and the plan stays a keyed equi-join either way.
+    """
+    docs = _docs(spark, sf_dir)
+    t = tokens_col(F.col("text"))
+    tokd = docs.select("doc_id", t.alias("t"))
+    chunks = (
+        tokd.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.size("t") - F.lit(BP_CHUNK_W - 1), F.lit(BP_CHUNK_W)
+                )
+            ).alias("s"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / F.lit(BP_CHUNK_W)).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice("t", F.col("s"), BP_CHUNK_W), " ").alias("ck"),
+        )
+    )
+    bp = (
+        chunks.groupBy("ck")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= BP_MIN_DOCS)
+        .select("ck", F.lit(True).alias("is_bp"))
+    )
+    marked = chunks.join(bp, "ck", "left").withColumn(
+        "is_bp", F.coalesce(F.col("is_bp"), F.lit(False))
+    )
+    kept = F.when(~F.col("is_bp"), F.struct("chunk_idx", "ck"))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("is_bp").cast("bigint")).alias("n_boilerplate"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept)), lambda x: x["ck"]),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -1130,3 +1130,51 @@ def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         <= F.lit(HLL_TOLERANCE) * F.col("n_exact")
     )
     return agg.select("o_orderpriority", "n_exact", ok.alias("sketch_ok"))
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / string_agg WITHIN GROUP)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_string_agg_ordered",
+    oracle="""
+    SELECT n.n_name,
+           count(*) AS n_suppliers,
+           string_agg(s.s_name, '|' ORDER BY s.s_name) AS supplier_csv,
+           string_agg(s.s_name, '|'
+                      ORDER BY s.s_acctbal DESC, s.s_name) AS by_balance_csv
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation ordered LISTAGG, twice: alphabetical and by descending
+    account balance (ties broken by name so the order is total).
+
+    Spark has no ordered ``string_agg``; the portable idiom is
+    collect-then-sort *inside the row*: ``collect_list`` of (key, value)
+    structs, ``array_sort`` on the struct ordering, project the value,
+    ``array_join``.  The sort is per-group in-row — no extra shuffle
+    beyond the groupBy, and group payloads are bounded by group size
+    (here ≤ |suppliers per nation|; at 100 TB cap the group first with a
+    window top-k if a group can exceed executor memory).  The dimension
+    join broadcasts (25 nations)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    joined = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "n_name", "s_name", "s_acctbal"
+    )
+    by_name = F.array_join(F.array_sort(F.collect_list("s_name")), "|")
+    # Sort key: balance DESC then name ASC.  array_sort orders structs
+    # field-by-field ascending, so negate the balance for DESC.
+    bal_struct = F.collect_list(F.struct((-F.col("s_acctbal")).alias("neg_bal"),
+                                         F.col("s_name").alias("s_name")))
+    by_balance = F.array_join(
+        F.transform(F.array_sort(bal_struct), lambda x: x["s_name"]), "|"
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        by_name.alias("supplier_csv"),
+        by_balance.alias("by_balance_csv"),
+    )

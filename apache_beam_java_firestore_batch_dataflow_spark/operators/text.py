@@ -667,3 +667,104 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fps).cast("bigint").alias("n_fp"),
         fps.alias("fps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality rules (Rae et al. 2021, table A1 shape)
+# ---------------------------------------------------------------------------
+
+# Thresholds in integer units so every comparison is exact in both engines.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_CENTI_LO = 300     # mean word length >= 3.00 chars
+GOPHER_MWL_CENTI_HI = 1_000   # mean word length <= 10.00 chars
+GOPHER_SYMBOL_BP_MAX = 1_000  # <= 10% non-letter, non-space characters
+GOPHER_SHORT_BP_MAX = 3_000   # <= 30% one/two-letter words
+GOPHER_DISTINCT_BP_MIN = 2_000  # >= 20% distinct words (repetition gate)
+
+_GOPHER_ORACLE = rf"""
+    SELECT doc_id, n_words, mwl_centi, symbol_bp, short_bp, distinct_bp,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+               AS ok_words,
+           (mwl_centi BETWEEN {GOPHER_MWL_CENTI_LO} AND {GOPHER_MWL_CENTI_HI})
+               AS ok_mwl,
+           (symbol_bp <= {GOPHER_SYMBOL_BP_MAX}) AS ok_symbols,
+           (short_bp <= {GOPHER_SHORT_BP_MAX}) AS ok_short,
+           (distinct_bp >= {GOPHER_DISTINCT_BP_MIN}) AS ok_distinct,
+           ((n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+            AND (mwl_centi BETWEEN {GOPHER_MWL_CENTI_LO} AND {GOPHER_MWL_CENTI_HI})
+            AND (symbol_bp <= {GOPHER_SYMBOL_BP_MAX})
+            AND (short_bp <= {GOPHER_SHORT_BP_MAX})
+            AND (distinct_bp >= {GOPHER_DISTINCT_BP_MIN})) AS passes
+    FROM (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(floor(list_sum(list_transform(toks, t -> length(t))) * 100.0
+                        / greatest(len(toks), 1)) AS BIGINT) AS mwl_centi,
+             CAST(floor(len(regexp_extract_all(text, '[^\p{{L}}\s]')) * 10000.0
+                        / greatest(n_chars, 1)) AS BIGINT) AS symbol_bp,
+             CAST(floor(len(list_filter(toks, t -> length(t) <= 2)) * 10000.0
+                        / greatest(len(toks), 1)) AS BIGINT) AS short_bp,
+             CAST(floor(len(list_distinct(toks)) * 10000.0
+                        / greatest(len(toks), 1)) AS BIGINT) AS distinct_bp
+      FROM (SELECT doc_id, text, n_chars, {TOKENS_SQL} AS toks FROM documents)
+    )
+"""
+
+
+@register("q_text_gopher_rules", oracle=_GOPHER_ORACLE)
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style composite quality gate: each document is scored
+    against five independent rules (word-count bounds, mean-word-length
+    bounds, symbol density, short-word density, distinct-word ratio) and
+    passes only if all hold.  Per-rule flags are kept in the output so a
+    curation run can report *why* documents were dropped, not just how
+    many — the operational difference between a quality gate and a black
+    box.
+
+    All ratios are floored into integer basis points before comparison,
+    so no float boundary can diverge between engines.  Scale shape: one
+    tokenize + in-row higher-order functions fused into the scan — zero
+    shuffles, zero UDFs, embarrassingly parallel at any corpus size.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = tokens_col(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("sum_len"),
+        F.regexp_count(F.col("text"), F.lit(r"[^\p{L}\s]")).alias("n_symbols"),
+        F.size(F.filter(toks, lambda t: F.length(t) <= 2)).alias("n_short"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.col("n_chars"),
+    )
+    wden = F.greatest(F.col("n_words"), F.lit(1))
+    cden = F.greatest(F.col("n_chars"), F.lit(1))
+    mwl_centi = F.floor(F.col("sum_len") * 100.0 / wden)
+    symbol_bp = F.floor(F.col("n_symbols") * 10000.0 / cden)
+    short_bp = F.floor(F.col("n_short") * 10000.0 / wden)
+    distinct_bp = F.floor(F.col("n_distinct") * 10000.0 / wden)
+    scored = d.select(
+        "doc_id",
+        "n_words",
+        mwl_centi.cast("bigint").alias("mwl_centi"),
+        symbol_bp.cast("bigint").alias("symbol_bp"),
+        short_bp.cast("bigint").alias("short_bp"),
+        distinct_bp.cast("bigint").alias("distinct_bp"),
+    )
+    ok_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_mwl = F.col("mwl_centi").between(GOPHER_MWL_CENTI_LO, GOPHER_MWL_CENTI_HI)
+    ok_symbols = F.col("symbol_bp") <= GOPHER_SYMBOL_BP_MAX
+    ok_short = F.col("short_bp") <= GOPHER_SHORT_BP_MAX
+    ok_distinct = F.col("distinct_bp") >= GOPHER_DISTINCT_BP_MIN
+    return scored.select(
+        "*",
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mwl"),
+        ok_symbols.alias("ok_symbols"),
+        ok_short.alias("ok_short"),
+        ok_distinct.alias("ok_distinct"),
+        (ok_words & ok_mwl & ok_symbols & ok_short & ok_distinct).alias("passes"),
+    )
