@@ -65,11 +65,12 @@ _MODULES = [
 # every query except 6 of the r1+r2 group (q12_priority_lines,
 # q_correlated_exists, q_cube, q_events_json, q_scalar_array,
 # q_window_range_frame — each already green twice) has a driver row within
-# the last two rounds; those 6, plus the 5 queries registered during round 4
+# the last two rounds; those 6, plus the 10 queries registered during round 4
 # (q_dedup_clusters_k3, q_text_winnow_fingerprints, q_embedding_mrl_truncate,
-# q_approx_distinct_sketch, q_doc_length_histogram — local-proof only until
-# then), lead the ROUND 5 prefix.  Queries not listed here follow in
-# module-registration order.
+# q_approx_distinct_sketch, q_doc_length_histogram, q_text_gopher_rules,
+# q_string_agg_ordered, q_dedup_boilerplate_chunks, q_embedding_gram_matrix,
+# q_ann_pq — local-proof only until then), lead the ROUND 5 prefix.
+# Queries not listed here follow in module-registration order.
 _PRIORITY = [
     # --- registered round 3, never driver-checked: highest-value rows ---
     "q_decontaminate_overlap",

@@ -1180,3 +1180,262 @@ def q_embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("nrm"), 9).cast("double").alias("trunc_norm"),
         unit_fp.alias("unit_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed Gram matrix (the PCA / covariance building block)
+# ---------------------------------------------------------------------------
+
+GRAM_SCALE = 10_000  # fixed-point units per embedding component
+
+_GRAM_ORACLE = f"""
+    WITH q AS (
+      SELECT list_transform(embedding,
+                 e -> CAST(floor(CAST(e AS DOUBLE) * {GRAM_SCALE} + 0.5)
+                           AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
+           sum(qv[i] * qv[j]) AS gram_units,
+           count(*) AS n
+    FROM q,
+         LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i),
+         LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS j)
+    WHERE j >= i
+    GROUP BY 1, 2
+"""
+
+
+@register("q_embedding_gram_matrix", oracle=_GRAM_ORACLE)
+def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix of the embedding corpus, X^T X, in
+    exact fixed-point units — the one-pass aggregation behind
+    distributed PCA / covariance (center and eigendecompose the tiny
+    D x D result on the driver; D is a model constant, not data).
+
+    Scale shape: the naive SQL formulation explodes every row into
+    D*(D+1)/2 (i, j) pairs — a 2080x row blowup at D=64 that turns a
+    100 TB scan into 200 PB of shuffle input.  Here each Arrow batch
+    collapses to ONE D x D partial via an integer matmul inside
+    ``mapInPandas`` (classic map-side combine, like the batched sink's
+    500-write amortization, sinks/firestore.py); the shuffle then
+    carries #batches * 2080 tiny rows and the final agg reduces them per
+    (i, j) key.  That is also why this beats a Pandas-UDF-per-pair: the
+    kernel is one BLAS-shaped op per batch, not 2080 Python calls.
+
+    Determinism: components are floored to ``GRAM_SCALE`` fixed-point
+    units BEFORE multiplication, so every partial product is an exact
+    int64 (|unit| <= ~2e4, squared 4e8, x10k-row batches ~ 4e12 — far
+    inside int64); partials combine by integer addition, which is
+    order-independent, and the final sum is decimal — bit-identical to
+    DuckDB's hugeint arithmetic at any parallelism.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = _vecs(spark, sf_dir).select("embedding")
+
+    def gram_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(E * GRAM_SCALE + 0.5).astype(np.int64)
+            G = Q.T @ Q
+            iu, ju = np.triu_indices(Q.shape[1])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype(np.int32),
+                    "j": ju.astype(np.int32),
+                    "partial": G[iu, ju],
+                    "n_batch": np.full(len(iu), len(pdf), dtype=np.int64),
+                }
+            )
+
+    partial = v.mapInPandas(
+        gram_batches, schema="i int, j int, partial long, n_batch long"
+    )
+    return partial.groupBy("i", "j").agg(
+        F.sum(F.col("partial").cast("decimal(38,0)")).alias("gram_units"),
+        F.sum("n_batch").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN via product quantization (ADC — asymmetric distance computation)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8       # subspaces
+PQ_SUB_D = DIM // PQ_M  # dims per subspace
+PQ_K = 16      # codewords per subspace (constant — corpus-size independent)
+
+_PQ_UNITS_SQL = (
+    f"list_transform(embedding, e -> CAST(floor(CAST(e AS DOUBLE) * {GRAM_SCALE}"
+    " + 0.5) AS BIGINT))"
+)
+
+_PQ_ORACLE = f"""
+    WITH u AS (
+      SELECT vec_id, {_PQ_UNITS_SQL} AS qv FROM embeddings
+    ),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv
+      FROM (SELECT vec_id, qv FROM u ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    subspaces AS (SELECT unnest(range(0, {PQ_M})) AS m),
+    assign AS (
+      SELECT u.vec_id, s.m, cb.c,
+             list_sum(list_transform(range(1, {PQ_SUB_D} + 1),
+                 d -> (u.qv[s.m * {PQ_SUB_D} + d] - cb.qv[s.m * {PQ_SUB_D} + d])
+                    * (u.qv[s.m * {PQ_SUB_D} + d] - cb.qv[s.m * {PQ_SUB_D} + d])))
+                 AS dist
+      FROM u, subspaces s, cb
+    ),
+    codes AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        FROM assign)
+      WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, qv FROM u
+      WHERE vec_id % {QUERY_MOD} = 0 ORDER BY vec_id LIMIT {N_QUERIES}
+    ),
+    adc AS (
+      SELECT q.query_id, x.vec_id AS neighbor_id,
+             sum(list_sum(list_transform(range(1, {PQ_SUB_D} + 1),
+                 d -> (q.qv[x.m * {PQ_SUB_D} + d] - cb.qv[x.m * {PQ_SUB_D} + d])
+                    * (q.qv[x.m * {PQ_SUB_D} + d] - cb.qv[x.m * {PQ_SUB_D} + d]))))
+                 AS adc_units
+      FROM queries q, codes x JOIN cb ON x.c = cb.c
+      WHERE x.vec_id <> q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(adc_units AS BIGINT) AS adc_units
+    FROM (SELECT query_id, neighbor_id, adc_units,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_units, neighbor_id) AS rank
+          FROM adc)
+    WHERE rank <= {ANN_K}
+"""
+
+
+def _pq_units_col() -> F.Column:
+    return F.transform(
+        "embedding",
+        lambda e: F.floor(e.cast("double") * GRAM_SCALE + 0.5).cast("bigint"),
+    )
+
+
+def _pq_subdist(qv, cb_entry, m):
+    """sum_d (qv[m*SUB_D + d] - cb_entry[d])^2 — exact int64 units."""
+    def step(acc, d):
+        diff = F.element_at(qv, (m * PQ_SUB_D + d).cast("int")) - F.element_at(
+            cb_entry, d.cast("int")
+        )
+        return acc + diff * diff
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(PQ_SUB_D)), F.lit(0).cast("bigint"), step
+    )
+
+
+@register("q_ann_pq", oracle=_PQ_ORACLE)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via product quantization: each vector is encoded as
+    ``PQ_M`` codeword ids (one per 8-dim subspace, nearest of ``PQ_K``
+    fixed codewords); queries rank the corpus by asymmetric distance
+    (exact query subvector vs the neighbor's codeword) — the
+    IVF/LSH/PQ triad's third leg, trading recall for an 8-byte-per-
+    vector index.
+
+    Scale design (the q_ann_ivf lesson, VERDICT r3): the codebook is
+    CONSTANT-size — PQ_M x PQ_K x PQ_SUB_D = 1024 integers from the
+    ``PQ_K`` lowest vec_ids — so the encode stage is a zero-shuffle map
+    over the scan with the codebook inlined as a literal (no join at
+    all), at ANY corpus size.  Encoded vectors are PQ_M small ints: the
+    ADC stage touches codes, never raw vectors, which is the entire
+    point of PQ at 100 TB (the scan after encode reads ~1/32 the bytes).
+    The bounded query set (<= N_QUERIES) broadcasts as in
+    q_knn_bruteforce; per-query ranking is a window top-k.
+
+    Determinism: all arithmetic in GRAM_SCALE fixed-point int64 units —
+    encode argmin tie-breaks to the lowest codeword id
+    (``array_position`` returns the FIRST minimum), ADC ties break by
+    neighbor_id; no float appears anywhere.
+    """
+    u = _vecs(spark, sf_dir).select("vec_id", _pq_units_col().alias("qv"))
+    cb_rows = u.orderBy("vec_id").limit(PQ_K).collect()  # PQ_K rows — O(1)
+    cb = [
+        [
+            [int(r["qv"][m * PQ_SUB_D + d]) for d in range(PQ_SUB_D)]
+            for r in cb_rows
+        ]
+        for m in range(PQ_M)
+    ]
+    cb_sql = (
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x}L" for x in cw) + ")" for cw in sub
+            )
+            + ")"
+            for sub in cb
+        )
+        + ")"
+    )
+    CB = F.expr(cb_sql)
+
+    def encode(qv):
+        def code_for(m):
+            sub_cb = F.element_at(CB, (m + 1).cast("int"))
+            dists = F.transform(
+                F.sequence(F.lit(1), F.lit(PQ_K)),
+                lambda c: _pq_subdist(qv, F.element_at(sub_cb, c.cast("int")), m),
+            )
+            return F.array_position(dists, F.array_min(dists)) - 1
+
+        return F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), code_for)
+
+    coded = u.select("vec_id", encode(F.col("qv")).alias("codes"))
+    queries = (
+        u.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("q_units"))
+    )
+
+    def adc(q_units, codes):
+        def step(acc, m):
+            c = F.element_at(codes, (m + 1).cast("int"))
+            cw = F.element_at(F.element_at(CB, (m + 1).cast("int")), (c + 1).cast("int"))
+            return acc + _pq_subdist(q_units, cw, m)
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0).cast("bigint"), step
+        )
+
+    pairs = coded.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        adc(F.col("q_units"), F.col("codes")).alias("adc_units"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_units"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("adc_units").cast("bigint").alias("adc_units"),
+        )
+    )

@@ -375,3 +375,55 @@ def test_doc_length_histogram_single_combiner_agg(spark, sf_dir):
     df = curation.QUERIES["q_doc_length_histogram"](spark, sf_dir)
     assert num_shuffles(df) == 1
     assert plan_text(df).count("HashAggregate") >= 2
+
+
+def test_gopher_rules_zero_shuffle(spark, sf_dir):
+    """The quality gate is a pure map stage: tokenize + in-row
+    higher-order functions, no exchange of any kind."""
+    df = TEXT_QUERIES["q_text_gopher_rules"](spark, sf_dir)
+    assert num_shuffles(df) == 0
+
+
+def test_boilerplate_chunks_all_stages_keyed(spark, sf_dir):
+    """Boilerplate removal: vocabulary agg, instance re-join, and doc
+    reassembly are all keyed — no cartesian/nested-loop pair stage."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import dedup
+
+    df = dedup.QUERIES["q_dedup_boilerplate_chunks"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gram_matrix_single_reduce_shuffle(spark, sf_dir):
+    """The Gram matrix collapses each batch to one D x D partial inside
+    mapInPandas; the only exchange is the tiny (i, j)-keyed final
+    reduce — never a D^2 row explosion of the corpus."""
+    df = similarity.QUERIES["q_embedding_gram_matrix"](spark, sf_dir)
+    assert num_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_pq_encode_inlines_codebook_and_broadcasts_queries(spark, sf_dir):
+    """PQ scale shape: the constant-size codebook is a literal (encode
+    joins nothing), the bounded query set broadcasts, and the only
+    shuffle is the per-query top-k window."""
+    df = similarity.QUERIES["q_ann_pq"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # bounded query set, broadcast side
+    assert "CartesianProduct" not in plan
+    assert num_shuffles(df) <= 1  # window partitioning on query_id only
+
+
+def test_pq_codebook_size_is_corpus_independent():
+    """The codebook is PQ_M x PQ_K x PQ_SUB_D by construction — a model
+    constant.  Guard the constants so a 'helpful' edit can't reintroduce
+    the corpus-proportional quantizer q_ann_ivf once had (VERDICT r3)."""
+    assert similarity.PQ_K * similarity.PQ_M * similarity.PQ_SUB_D == 1024
+    assert similarity.PQ_SUB_D * similarity.PQ_M == similarity.DIM
+
+
+def test_string_agg_ordered_broadcasts_dimension(spark, sf_dir):
+    df = relational.QUERIES["q_string_agg_ordered"](spark, sf_dir)
+    assert num_broadcast_joins(df) == 1
