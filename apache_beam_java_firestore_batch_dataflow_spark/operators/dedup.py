@@ -836,3 +836,105 @@ def q_dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing-fingerprint pair matching (MOSS-style overlap detection)
+# ---------------------------------------------------------------------------
+
+FP_DF_MAX = 10       # rare-fingerprint blocking: max docs sharing a block fp
+WINNOW_SIM_MIN = 0.2  # fingerprint-set Jaccard threshold
+
+
+def _winnow_pairs_oracle() -> str:
+    from .text import _winnow_oracle
+
+    return f"""
+    WITH w AS ({_winnow_oracle()}),
+    fp AS (SELECT doc_id, unnest(fps) AS f FROM w),
+    rare AS (
+      SELECT f FROM fp GROUP BY f HAVING count(*) BETWEEN 2 AND {FP_DF_MAX}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp a
+      JOIN rare r ON a.f = r.f
+      JOIN fp b ON b.f = a.f AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(wa.fps, wb.fps)) AS n_common,
+             wa.n_fp AS n_a, wb.n_fp AS n_b
+      FROM cand c
+      JOIN w wa ON wa.doc_id = c.doc_a
+      JOIN w wb ON wb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
+           CAST(round(n_common * 1.0 / (n_a + n_b - n_common), 6) AS DOUBLE)
+               AS overlap
+    FROM pairs
+    WHERE n_common * 1.0 / (n_a + n_b - n_common) >= {WINNOW_SIM_MIN}
+"""
+
+
+@register("q_dedup_winnow_pairs", oracle=_winnow_pairs_oracle())
+def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs whose winnowing fingerprint sets overlap (Jaccard
+    >= ``WINNOW_SIM_MIN``) — the pair-matching stage downstream of
+    ``q_text_winnow_fingerprints`` (MOSS): robust to partial overlap and
+    reordering in a way whole-doc hashing is not.
+
+    Same 100 TB shape as the rare-gram Jaccard family: candidates come
+    ONLY from fingerprints shared by 2..``FP_DF_MAX`` docs (per-
+    fingerprint fan-out bounded by C(FP_DF_MAX, 2)); verification joins
+    the two per-doc fingerprint ARRAYS and intersects in-row — never a
+    (pair x fingerprint) exploded shuffle.  Ubiquitous fingerprints
+    (df > FP_DF_MAX) cannot generate candidates, which is what kills
+    the head-term pair explosion on web-scale corpora.
+    """
+    from .text import q_text_winnow_fingerprints
+
+    w = q_text_winnow_fingerprints(spark, sf_dir).persist()
+    fp = w.select("doc_id", F.explode("fps").alias("f"))
+    rare = (
+        fp.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= FP_DF_MAX))
+        .select("f")
+    )
+    rare_fp = fp.join(rare, "f")
+    a = rare_fp.alias("a")
+    b = rare_fp.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), F.col("fps").alias("fps_a"),
+                  F.col("n_fp").alias("n_a"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), F.col("fps").alias("fps_b"),
+                  F.col("n_fp").alias("n_b"))
+    verified = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("fps_a", "fps_b")).alias("n_common"),
+            "n_a",
+            "n_b",
+        )
+    )
+    overlap = F.col("n_common") * 1.0 / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return verified.filter(overlap >= WINNOW_SIM_MIN).select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(overlap, 6).cast("double").alias("overlap"),
+    )

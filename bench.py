@@ -65,6 +65,11 @@ HEADLINE = [
     # round 4: label propagation over the LSH pair graph (bounded k so the
     # per-round join+agg cost is dataflow-only and benchmarkable)
     "q_dedup_clusters_k3",
+    # round 4: boilerplate removal, quality gate, Gram matrix, PQ ANN
+    "q_dedup_boilerplate_chunks",
+    "q_text_gopher_rules",
+    "q_embedding_gram_matrix",
+    "q_ann_pq",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

@@ -427,3 +427,15 @@ def test_pq_codebook_size_is_corpus_independent():
 def test_string_agg_ordered_broadcasts_dimension(spark, sf_dir):
     df = relational.QUERIES["q_string_agg_ordered"](spark, sf_dir)
     assert num_broadcast_joins(df) == 1
+
+
+def test_winnow_pairs_no_pair_explosion(spark, sf_dir):
+    """Pair matching goes through rare-fingerprint postings: every join
+    is keyed (fingerprint or doc id) — no cartesian/nested-loop stage,
+    mirroring the rare-gram Jaccard family's bound."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import dedup
+
+    df = dedup.QUERIES["q_dedup_winnow_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
