@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -767,4 +767,97 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_short.alias("ok_short"),
         ok_distinct.alias("ok_distinct"),
         (ok_words & ok_mwl & ok_symbols & ok_short & ok_distinct).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf profile: OLS slope of ln(freq) on ln(rank) over the top vocabulary
+# ---------------------------------------------------------------------------
+
+ZIPF_R = 500  # top terms fitted — a constant, so the fit stage is O(1)
+
+_ZIPF_ORACLE = rf"""
+    WITH vocab AS (
+      SELECT tok, count(*) AS tc
+      FROM (SELECT unnest({TOKENS_SQL.replace('text', 'lower(text)')}) AS tok
+            FROM documents)
+      GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, tc FROM vocab ORDER BY tc DESC, tok LIMIT {ZIPF_R}
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(row_number()
+                     OVER (ORDER BY tc DESC, tok) AS DOUBLE)), 9)
+                  AS DECIMAL(38,9)) AS x,
+             CAST(round(ln(CAST(tc AS DOUBLE)), 9) AS DECIMAL(38,9)) AS y
+      FROM top
+    ),
+    sums AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS sxy
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+               AS zipf_slope,
+           CAST(round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                      / n, 6) AS DOUBLE) AS zipf_intercept
+    FROM sums
+"""
+
+
+@register("q_text_zipf_slope", oracle=_ZIPF_ORACLE)
+def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of ln(freq)
+    on ln(rank) for the top ``ZIPF_R`` terms (natural text sits near
+    -1; a slope far off is a corpus-health red flag — boilerplate
+    floods flatten it, OCR junk steepens the tail).
+
+    Scale shape: one combiner aggregation builds the vocabulary; the
+    top-R selection is a distributed ``TakeOrderedAndProject`` (R is a
+    CONSTANT, so the fitted table — and the single-partition window
+    that ranks it — is O(1) regardless of corpus size); the fit itself
+    is one tiny aggregate.  Float determinism: ln() is evaluated on
+    identical integers in both engines and rounded to 9 dp immediately;
+    sums are exact decimals (the q_corr_manual sufficient-statistics
+    discipline), and the closed-form slope/intercept is a single double
+    expression over those exact sums.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(tokens_col(F.lower(F.col("text")))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tc"))
+    top = vocab.orderBy(F.desc("tc"), F.asc("tok")).limit(ZIPF_R)
+    w = Window.orderBy(F.desc("tc"), F.asc("tok"))
+    pts = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 9)
+        .cast("decimal(38,9)")
+        .alias("x"),
+        F.round(F.log(F.col("tc").cast("double")), 9)
+        .cast("decimal(38,9)")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("x").cast("double"), 9)
+            .cast("decimal(38,9)")
+        ).cast("double").alias("sxx"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y").cast("double"), 9)
+            .cast("decimal(38,9)")
+        ).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return sums.select(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).cast("double").alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).cast("double").alias("zipf_intercept"),
     )

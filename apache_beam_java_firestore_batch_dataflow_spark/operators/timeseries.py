@@ -159,3 +159,125 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolled.select(
         "day", "event_type", "user_id", "n_events", "sum_value", "lvl"
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel analysis (ordered-step conversion counts)
+# --------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+    UNION ALL SELECT '2_click', count(*) FROM s2
+    UNION ALL SELECT '3_purchase', count(*) FROM s3
+"""
+
+
+@register("q_events_funnel", oracle=_FUNNEL_ORACLE)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: a user
+    reaches stage N only with an event strictly AFTER their stage-N-1
+    time (the product-analytics semantics, not mere per-type presence).
+
+    Each stage is one filtered aggregation joined to the previous
+    stage's (user, time) table — every shuffle keys on user_id, so the
+    three stages reuse one partitioning; stage tables only ever shrink.
+    At 100 TB the filters prune event types at the scan (pushed), and
+    no stage holds more than (users x 1 row).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return (
+        stage("1_signup", s1)
+        .unionAll(stage("2_click", s2))
+        .unionAll(stage("3_purchase", s3))
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort retention (first-activity cohort x day-k activity)
+# --------------------------------------------------------------------------
+
+RETENTION_MAX_K = 7
+
+
+_RETENTION_ORACLE = f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, min(d) AS cohort_day FROM days GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, d.d) AS INT) AS k,
+           count(DISTINCT d.user_id) AS n_users
+    FROM days d JOIN first f ON d.user_id = f.user_id
+    WHERE date_diff('day', f.cohort_day, d.d) <= {RETENTION_MAX_K}
+    GROUP BY 1, 2
+"""
+
+
+@register("q_events_retention", oracle=_RETENTION_ORACLE)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-activity day,
+    counted on each of the next ``RETENTION_MAX_K`` active days.
+
+    Scale shape: the (user, day) activity table is the only large
+    intermediate (one distinct-agg over the scan, bounded by
+    users x days); the cohort table is one row per user and joins back
+    on user_id — the same partitioning as the distinct, so Spark
+    reuses the exchange.  The final (cohort, k) aggregate is tiny.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    first = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    k = F.datediff(F.col("d"), F.col("cohort_day"))
+    return (
+        days.join(first, "user_id")
+        .filter(k <= RETENTION_MAX_K)
+        .select("cohort_day", k.cast("int").alias("k"), "user_id")
+        .groupBy("cohort_day", "k")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

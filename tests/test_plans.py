@@ -439,3 +439,35 @@ def test_winnow_pairs_no_pair_explosion(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_stages_all_keyed_on_user(spark, sf_dir):
+    """Every funnel stage is a filtered agg + user_id equi-join — no
+    cartesian stage, and the event_type filters reach the scan."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import timeseries
+
+    df = timeseries.QUERIES["q_events_funnel"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    filters = pushed_filters(df)
+    assert any("event_type" in f for f in filters), filters
+
+
+def test_retention_reuses_user_partitioning(spark, sf_dir):
+    """Cohort retention: distinct (user, day), per-user min, re-join,
+    final tiny agg — all keyed; no unkeyed join anywhere."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import timeseries
+
+    df = timeseries.QUERIES["q_events_retention"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zipf_top_r_is_distributed_topk(spark, sf_dir):
+    """The top-R selection must plan as TakeOrderedAndProject (a
+    distributed top-k), not a global sort of the vocabulary; the
+    single-partition ranking window only ever sees R = O(1) rows."""
+    df = TEXT_QUERIES["q_text_zipf_slope"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
