@@ -938,3 +938,109 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_common").cast("bigint").alias("n_common"),
         F.round(overlap, 6).cast("double").alias("overlap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest screening (new batch vs corpus, MinHash-LSH index)
+# ---------------------------------------------------------------------------
+
+INGEST_MOD = 5  # fixture split: doc_id % INGEST_MOD == 0 is the "new batch"
+
+_INCREMENTAL_ORACLE = f"""
+    WITH pairs AS ({_MINHASH_ORACLE}),
+    newdocs AS (
+      SELECT doc_id FROM documents WHERE doc_id % {INGEST_MOD} = 0
+    ),
+    matches AS (
+      SELECT n.doc_id,
+             count(*) AS n_matches,
+             min(CASE WHEN p.doc_a = n.doc_id THEN p.doc_b ELSE p.doc_a END)
+                 AS best_match
+      FROM newdocs n JOIN pairs p
+        ON (p.doc_a = n.doc_id AND p.doc_b % {INGEST_MOD} != 0)
+        OR (p.doc_b = n.doc_id AND p.doc_a % {INGEST_MOD} != 0)
+      GROUP BY n.doc_id
+    )
+    SELECT n.doc_id,
+           CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+           m.best_match,
+           (m.doc_id IS NULL) AS accepted
+    FROM newdocs n LEFT JOIN matches m ON n.doc_id = m.doc_id
+"""
+
+
+@register("q_dedup_incremental_ingest", oracle=_INCREMENTAL_ORACLE)
+def q_dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest screening: each document of a NEW batch
+    (fixture split: doc_id % ``INGEST_MOD`` == 0) is accepted only if no
+    near-duplicate (MinHash-LSH candidate verified at Jaccard >=
+    ``JACCARD_MIN``) already exists in the CORPUS — the production shape
+    of dedup, where a maintained index screens every arriving batch
+    instead of re-deduplicating the world.
+
+    Scale shape: the corpus band index is the precomputed, persisted
+    artifact (here rebuilt from the fixture; in production it lives in
+    a table); the band join is new-batch x index on (band_idx,
+    band_hash) — the small new-batch side broadcasts, so screening cost
+    is O(batch x collisions), INDEPENDENT of corpus size.  Verification
+    intersects shingle arrays per candidate, and only new-vs-corpus
+    pairs are ever generated (new-vs-new duplicates are settled by the
+    batch's own run of q_dedup_exact/minhash, not this screen).
+    """
+    docs = _docs(spark, sf_dir)
+    shs = shingle_sets_df(docs).persist()
+    bands = band_hashes(minhash_signatures_from(
+        shs.select("doc_id", F.explode("shs").alias("sh"))
+    ))
+    is_new = F.col("doc_id") % INGEST_MOD == 0
+    new_bands = bands.filter(is_new)
+    corpus_bands = bands.filter(~is_new)
+    cand = (
+        new_bands.alias("n")
+        .join(
+            corpus_bands.alias("c"),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sa = shs.select(F.col("doc_id").alias("new_doc"), F.col("shs").alias("shs_a"))
+    sb = shs.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("shs").alias("shs_b")
+    )
+    verified = (
+        cand.join(sa, "new_doc")
+        .join(sb, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.size(F.array_intersect("shs_a", "shs_b")).alias("n_common"),
+            F.size("shs_a").alias("n_a"),
+            F.size("shs_b").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common") * 1.0 / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    matches = (
+        verified.filter(jac >= JACCARD_MIN)
+        .groupBy("new_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("corpus_doc").alias("best_match"),
+        )
+    )
+    newdocs = docs.filter(is_new).select("doc_id")
+    out = newdocs.join(
+        matches.withColumnRenamed("new_doc", "doc_id"), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_matches"), F.lit(0)).cast("bigint").alias("n_matches"),
+        F.col("best_match"),
+        F.col("n_matches").isNull().alias("accepted"),
+    )

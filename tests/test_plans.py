@@ -471,3 +471,15 @@ def test_zipf_top_r_is_distributed_topk(spark, sf_dir):
     df = TEXT_QUERIES["q_text_zipf_slope"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_incremental_ingest_screen_all_keyed(spark, sf_dir):
+    """Ingest screening joins new-batch bands to the corpus index on
+    (band_idx, band_hash) and verifies candidates only — no cartesian
+    stage; screening cost is O(batch x collisions), not O(corpus^2)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import dedup
+
+    df = dedup.QUERIES["q_dedup_incremental_ingest"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
