@@ -70,9 +70,10 @@ _MODULES = [
 # q_approx_distinct_sketch, q_doc_length_histogram, q_text_gopher_rules,
 # q_string_agg_ordered, q_dedup_boilerplate_chunks, q_embedding_gram_matrix,
 # q_ann_pq, q_dedup_winnow_pairs, q_events_funnel, q_events_retention,
-# q_text_zipf_slope, q_dedup_incremental_ingest — local-proof only until
-# then), lead the ROUND 5 prefix.  Queries not listed here follow in
-# module-registration order.
+# q_text_zipf_slope, q_dedup_incremental_ingest, q_events_transitions,
+# q_bucketed_join_copartitioned — local-proof only until then), lead the
+# ROUND 5 prefix.  Queries not listed here follow in module-registration
+# order.
 _PRIORITY = [
     # --- registered round 3, never driver-checked: highest-value rows ---
     "q_decontaminate_overlap",

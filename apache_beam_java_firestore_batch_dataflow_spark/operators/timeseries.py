@@ -281,3 +281,56 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "k")
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov counts over user journeys)
+# --------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    t AS (
+      SELECT src, dst, count(*) AS n FROM seq WHERE dst IS NOT NULL
+      GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           CAST(round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS DOUBLE)
+               AS p
+    FROM t
+"""
+
+
+@register("q_events_transitions", oracle=_TRANSITIONS_ORACLE)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: counts and row-normalized probabilities for each
+    (event_type -> next event_type) step — the journey-analysis /
+    next-action-model input.
+
+    One shuffle on user_id for the sequence window (tie-broken by
+    event_id, so the order is total); the transition table itself is at
+    most |types|^2 rows, so the final aggregate and its normalizing
+    window are O(1) however large the corpus.  The probability divides
+    two exact counts and rounds once — no float accumulation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wsrc = Window.partitionBy("src")
+    return t.select(
+        "src",
+        "dst",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wsrc), 6)
+        .cast("double")
+        .alias("p"),
+    )

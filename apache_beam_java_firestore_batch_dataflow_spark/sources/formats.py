@@ -188,3 +188,51 @@ def q_partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
     )
+
+
+_BUCKETED_ORACLE = """
+    SELECT o.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_custkey
+"""
+
+
+@_register("q_bucketed_join_copartitioned", _BUCKETED_ORACLE)
+def q_bucketed_join_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout-investment join: orders and lineitem are written as
+    bucketed tables on the join key, then joined — the daily fact-fact
+    join of a 100 TB warehouse, where paying one bucketed write removes
+    the per-query join shuffle forever after
+    (tests/test_bucketing.py pins the no-exchange sort-merge plan; this
+    registered query proves the VALUES survive the bucketed round-trip).
+
+    The bucket count (8 here) is the knob that must scale with data:
+    at 100 TB you bucket to ~128 MB files (thousands of buckets), and
+    both sides must agree on it.  l_quantity is integer-valued, so the
+    double sum is exact (< 2^53) under any reduction order.
+    """
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    sf_tag = (os.path.basename(sf_dir.rstrip("/")) or "sf").replace(".", "_")
+    t_orders, t_lineitem = f"graft_b_orders_{sf_tag}", f"graft_b_li_{sf_tag}"
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    for name, df in ((t_orders, orders), (t_lineitem, lineitem)):
+        (
+            df.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .option("path", _scratch_path(f"bucket-{name}", sf_dir))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    joined = spark.table(t_orders).join(spark.table(t_lineitem), "o_orderkey")
+    return joined.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("l_quantity").cast("double").alias("total_qty"),
+    )
