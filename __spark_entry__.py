@@ -71,9 +71,9 @@ _MODULES = [
 # q_string_agg_ordered, q_dedup_boilerplate_chunks, q_embedding_gram_matrix,
 # q_ann_pq, q_dedup_winnow_pairs, q_events_funnel, q_events_retention,
 # q_text_zipf_slope, q_dedup_incremental_ingest, q_events_transitions,
-# q_bucketed_join_copartitioned — local-proof only until then), lead the
-# ROUND 5 prefix.  Queries not listed here follow in module-registration
-# order.
+# q_bucketed_join_copartitioned, q_cdc_merge_upsert — local-proof only
+# until then), lead the ROUND 5 prefix.  Queries not listed here follow
+# in module-registration order.
 _PRIORITY = [
     # --- registered round 3, never driver-checked: highest-value rows ---
     "q_decontaminate_overlap",

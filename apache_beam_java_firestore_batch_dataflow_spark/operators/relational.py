@@ -1178,3 +1178,83 @@ def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         by_name.alias("supplier_csv"),
         by_balance.alias("by_balance_csv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE / upsert (apply a changes feed onto a snapshot)
+# ---------------------------------------------------------------------------
+
+_CDC_CHANGES_SQL = """
+      SELECT c_custkey, 'U' AS op, c_name,
+             CAST(round(c_acctbal + 100.0, 2) AS DOUBLE) AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', NULL, NULL
+      FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 7 != 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I',
+             'Customer#NEW' || CAST(c_custkey AS VARCHAR),
+             CAST(0.0 AS DOUBLE)
+      FROM customer WHERE c_custkey % 13 = 0
+"""
+
+_CDC_ORACLE = f"""
+    WITH changes AS ({_CDC_CHANGES_SQL})
+    SELECT coalesce(ch.c_custkey, b.c_custkey) AS c_custkey,
+           coalesce(ch.c_name, b.c_name) AS c_name,
+           coalesce(ch.c_acctbal, b.c_acctbal) AS c_acctbal
+    FROM customer b FULL OUTER JOIN changes ch ON b.c_custkey = ch.c_custkey
+    WHERE ch.op IS NULL OR ch.op != 'D'
+"""
+
+
+@register("q_cdc_merge_upsert", oracle=_CDC_ORACLE)
+def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE semantics on plain tables: apply a changes feed (upserts,
+    deletes, inserts) onto a snapshot in ONE keyed full-outer join —
+    what `MERGE INTO` compiles to on engines without a transactional
+    table format, and the batch core of any CDC ingestion pipeline.
+
+    The changes feed here is synthesized deterministically from the
+    snapshot itself (update keys %7, delete keys %11, fresh insert keys
+    %13 shifted past the key space) so the query is self-contained and
+    value-checkable.  Scale shape: one shuffle on the merge key for
+    each side; updates/deletes/inserts all resolve row-locally with
+    coalesce/filter — no window, no second pass, and the changes side
+    is typically tiny relative to the snapshot (AQE broadcasts it).
+    """
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    c = _t(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).cast("double").alias("c_acctbal"),
+    )
+    deletes = c.filter(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("Customer#NEW"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    ch = changes.alias("ch")
+    b = base.alias("b")
+    merged = b.join(ch, F.col("b.c_custkey") == F.col("ch.c_custkey"), "full_outer")
+    return merged.filter(
+        F.col("ch.op").isNull() | (F.col("ch.op") != "D")
+    ).select(
+        F.coalesce(F.col("ch.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("ch.c_name"), F.col("b.c_name")).alias("c_name"),
+        F.coalesce(F.col("ch.c_acctbal"), F.col("b.c_acctbal")).alias("c_acctbal"),
+    )
