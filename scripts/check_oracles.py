@@ -48,9 +48,15 @@ def _head_stamp() -> str:
         head = subprocess.run(
             ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True, text=True
         ).stdout.strip()
-        dirty = subprocess.run(
+        # The artifact file itself is rewritten by the shell redirect
+        # before this stamp runs — exclude it (and its siblings) so a
+        # clean tree is not reported dirty by its own proof run.
+        status = subprocess.run(
             ["git", "status", "--porcelain"], cwd=root, capture_output=True, text=True
-        ).stdout.strip()
+        ).stdout.splitlines()
+        dirty = "\n".join(
+            l for l in status if "ORACLE_CHECK" not in l
+        ).strip()
         return f"HEAD {head}{' (dirty tree)' if dirty else ''}"
     except OSError:
         return "HEAD unknown (git unavailable)"
