@@ -1196,7 +1196,7 @@ _GRAM_ORACLE = f"""
       FROM embeddings
     )
     SELECT CAST(i - 1 AS INT) AS i, CAST(j - 1 AS INT) AS j,
-           sum(qv[i] * qv[j]) AS gram_units,
+           CAST(sum(qv[i] * qv[j]) AS BIGINT) AS gram_units,
            count(*) AS n
     FROM q,
          LATERAL (SELECT unnest(range(1, len(qv) + 1)) AS i),
@@ -1255,8 +1255,15 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = v.mapInPandas(
         gram_batches, schema="i int, j int, partial long, n_batch long"
     )
+    # Accumulate as decimal (exact at any scale), project as bigint: the
+    # totals fit int64 far beyond bench scale (|unit| <= ~3e4, so ~1e9
+    # per product — int64 holds ~9e9 such rows per (i, j) cell), and a
+    # single integer output type avoids decimal-vs-hugeint dtype drift
+    # between engines' comparators.
     return partial.groupBy("i", "j").agg(
-        F.sum(F.col("partial").cast("decimal(38,0)")).alias("gram_units"),
+        F.sum(F.col("partial").cast("decimal(38,0)"))
+        .cast("bigint")
+        .alias("gram_units"),
         F.sum("n_batch").alias("n"),
     )
 
