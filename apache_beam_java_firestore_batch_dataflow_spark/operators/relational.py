@@ -1258,3 +1258,96 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("ch.c_name"), F.col("b.c_name")).alias("c_name"),
         F.coalesce(F.col("ch.c_acctbal"), F.col("b.c_acctbal")).alias("c_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audits: referential integrity + single-pass table profile
+# ---------------------------------------------------------------------------
+
+_ORPHANS_ORACLE = """
+    SELECT 'orders_without_customer' AS relation,
+           count(*) AS n_orphans
+    FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_without_order', count(*)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_without_part', count(*)
+    FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+"""
+
+
+@register("q_audit_referential_orphans", oracle=_ORPHANS_ORACLE)
+def q_audit_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: row counts that violate each foreign
+    key — the health check every ingestion pipeline runs before
+    publishing a snapshot (a nonzero row here means an upstream export
+    raced or truncated).
+
+    Each check is a LEFT ANTI join (the same decorrelated plan Catalyst
+    gives NOT EXISTS) followed by a count — shuffles key on the FK, and
+    the dimension side broadcasts when small.  Checks are independent
+    and union at the end, so Spark runs them as parallel stages of one
+    job.
+    """
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(name).alias("relation"), "n_orphans"
+        )
+
+    orders_orphan = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    li_no_order = l.join(o, l.l_orderkey == o.o_orderkey, "left_anti")
+    li_no_part = l.join(p, l.l_partkey == p.p_partkey, "left_anti")
+    return (
+        check("orders_without_customer", orders_orphan)
+        .unionAll(check("lineitem_without_order", li_no_order))
+        .unionAll(check("lineitem_without_part", li_no_part))
+    )
+
+
+_PROFILE_ORACLE = """
+    SELECT count(*) AS n_rows,
+           count(o_custkey) AS custkey_nonnull,
+           count(DISTINCT o_custkey) AS custkey_distinct,
+           count(DISTINCT o_orderstatus) AS status_distinct,
+           count(DISTINCT o_orderpriority) AS priority_distinct,
+           CAST(min(o_totalprice) AS DOUBLE) AS price_min,
+           CAST(max(o_totalprice) AS DOUBLE) AS price_max,
+           min(o_orderdate) AS date_min,
+           max(o_orderdate) AS date_max
+    FROM orders
+"""
+
+
+@register("q_profile_table_stats", oracle=_PROFILE_ORACLE)
+def q_profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile of ``orders``: row count, per-column
+    null/distinct cardinalities, numeric and date ranges — the summary
+    a pipeline publishes next to every snapshot so consumers can sanity
+    check before reading.
+
+    All statistics are aggregates of ONE scan (Spark plans the multiple
+    count-distincts via expand + one aggregation pass); min/max/count
+    are exact and order-independent by definition, so no rounding
+    discipline is needed anywhere.
+    """
+    o = _t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("custkey_nonnull"),
+        F.count_distinct("o_custkey").alias("custkey_distinct"),
+        F.count_distinct("o_orderstatus").alias("status_distinct"),
+        F.count_distinct("o_orderpriority").alias("priority_distinct"),
+        F.min("o_totalprice").cast("double").alias("price_min"),
+        F.max("o_totalprice").cast("double").alias("price_max"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+    )
