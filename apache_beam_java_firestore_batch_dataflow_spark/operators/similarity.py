@@ -1467,3 +1467,126 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("adc_units").cast("bigint").alias("adc_units"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-grouped exact kNN: UNBOUNDED query set (no broadcast, no collect)
+# ---------------------------------------------------------------------------
+
+KNN_QB = 4  # query blocks; at scale pick so |Q|/QB fits one task's memory
+KNN_CB = 4  # corpus blocks; |C|/CB rows per cogroup side
+
+_KNN_COGROUP_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round({dot_sql('q.embedding', 'v.embedding')} / (q.vnorm * v.vnorm), 6)
+                 AS sim
+      FROM q JOIN v ON q.vec_id <> v.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(sim AS DOUBLE) AS cosine
+    FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+@register("q_knn_bruteforce_cogrouped", oracle=_KNN_COGROUP_ORACLE)
+def q_knn_bruteforce_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-K with an UNBOUNDED query set — the distributed
+    twin of ``q_knn_bruteforce_numpy`` for when the queries are a table,
+    not a broadcastable list (the limitation N_QUERIES documents).
+
+    Bipartite block-pair shape (the ``q_dedup_embedding_cosine``
+    pattern, generalized): queries replicate to ``KNN_CB`` corpus
+    blocks, corpus rows to ``KNN_QB`` query blocks, and each (qb, cb)
+    cogroup runs one BLAS matmul over |Q|/QB x |C|/CB rows — per-task
+    memory shrinks with the block grid while total flops stay the
+    inherent Q x C.  Each cogroup emits only its per-query top-K (with
+    the `_UNIT_MARGIN` float-boundary guard); the global merge window
+    re-ranks the K*CB survivors per query under decimal F.round
+    semantics, so the result is bit-identical to the single-node oracle.
+    Nothing is collected or broadcast at any corpus or query size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # Two independent scans: deriving both cogroup children from ONE
+    # DataFrame makes DeduplicateRelations re-alias the right child's
+    # columns, and the kernel then receives a pandas frame without the
+    # original names (observed KeyError: 'vec_id' on Spark 4.1).
+    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    v2 = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    queries = v.filter(F.col("vec_id") % QUERY_MOD == 0)
+    q_repl = queries.withColumn("qb", (F.col("vec_id") % KNN_QB).cast("int")) \
+        .withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(KNN_CB - 1))))
+    c_repl = v2.withColumn("cb", (F.col("vec_id") % KNN_CB).cast("int")) \
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(KNN_QB - 1))))
+    k = KNN_K
+
+    def block_kernel(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": pd.Series(dtype="int64"),
+             "neighbor_id": pd.Series(dtype="int64"),
+             "sim": pd.Series(dtype="float64")}
+        )
+        if qpdf.empty or cpdf.empty:
+            return empty
+        q_ids = qpdf["vec_id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack([np.asarray(e, dtype=np.float64) for e in qpdf["embedding"]])
+        q_norm = qpdf["vnorm"].to_numpy(dtype=np.float64)
+        ids = cpdf["vec_id"].to_numpy(dtype=np.int64)
+        x = np.stack([np.asarray(e, dtype=np.float64) for e in cpdf["embedding"]])
+        xn = cpdf["vnorm"].to_numpy(dtype=np.float64)
+        sims = (x @ q_mat.T) / np.outer(xn, q_norm)  # c × q
+        # identical pruning discipline to the mapInPandas batch kernel
+        # (see topk_per_batch above): rounded-unit key, per-query k-th,
+        # margin keeps every float-boundary-ambiguous row alive for the
+        # decimal merge.
+        sim_units = (np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)).astype(
+            np.int64
+        )
+        if ids.max() >= _ID_MULT:
+            raise ValueError(
+                f"vec_id {ids.max()} >= {_ID_MULT}; widen _ID_MULT"
+            )
+        key = -sim_units * _ID_MULT + ids[:, None]
+        key[ids[:, None] == q_ids[None, :]] = np.iinfo(np.int64).max  # self
+        kk = min(k, len(ids))
+        kth_key = np.partition(key, kk - 1, axis=0)[kk - 1]
+        s_kth = -(kth_key // _ID_MULT)
+        keep = (sim_units >= (s_kth - _UNIT_MARGIN)[None, :]) & (
+            key != np.iinfo(np.int64).max
+        )
+        rows, cols = np.nonzero(keep)
+        return pd.DataFrame(
+            {"query_id": q_ids[cols], "neighbor_id": ids[rows],
+             "sim": sims[rows, cols]}
+        )
+
+    partial = (
+        q_repl.groupby("qb", "cb")
+        .cogroup(c_repl.groupby("qb", "cb"))
+        .applyInPandas(
+            block_kernel, schema="query_id long, neighbor_id long, sim double"
+        )
+    )
+    rounded = F.round("sim", 6)
+    w = Window.partitionBy("query_id").orderBy(rounded.desc(), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            rounded.cast("double").alias("cosine"),
+        )
+    )

@@ -65,11 +65,13 @@ HEADLINE = [
     # round 4: label propagation over the LSH pair graph (bounded k so the
     # per-round join+agg cost is dataflow-only and benchmarkable)
     "q_dedup_clusters_k3",
-    # round 4: boilerplate removal, quality gate, Gram matrix, PQ ANN
+    # round 4: boilerplate removal, quality gate, Gram matrix, PQ ANN,
+    # and the unbounded-query cogrouped kNN (the N_QUERIES-free path)
     "q_dedup_boilerplate_chunks",
     "q_text_gopher_rules",
     "q_embedding_gram_matrix",
     "q_ann_pq",
+    "q_knn_bruteforce_cogrouped",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

@@ -483,3 +483,14 @@ def test_incremental_ingest_screen_all_keyed(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_cogrouped_no_broadcast_no_cartesian(spark, sf_dir):
+    """The unbounded-query kNN must be a pure cogroup plan: block keys
+    carry both sides (FlatMapCoGroupsInPandas), nothing broadcasts and
+    nothing is cartesian — queries can be arbitrarily many."""
+    df = similarity.QUERIES["q_knn_bruteforce_cogrouped"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" not in plan
