@@ -51,7 +51,7 @@ _MODULES = [
 ]
 
 # The external driver value-checks exactly the first 50 of ``queries()`` in
-# registration order (observed rounds 1-3).  The registry holds 127 queries,
+# registration order (observed rounds 1-3).  The registry holds 129 queries,
 # all with full DuckDB oracles, so the prefix rotates each round until every
 # query has a recorded driver row; `scripts/check_oracles.py` re-proves the
 # FULL registry locally every round (artifact: ORACLE_CHECK_r04.txt, 0
@@ -73,9 +73,9 @@ _MODULES = [
 # q_text_zipf_slope, q_dedup_incremental_ingest, q_events_transitions,
 # q_bucketed_join_copartitioned, q_cdc_merge_upsert,
 # q_audit_referential_orphans, q_profile_table_stats,
-# q_knn_bruteforce_cogrouped — local-proof only until then), lead the
-# ROUND 5 prefix.  Queries not listed here follow in module-registration
-# order.
+# q_knn_bruteforce_cogrouped, q_split_train_val_test, q_ann_pq_rerank —
+# local-proof only until then), lead the ROUND 5 prefix.  Queries not
+# listed here follow in module-registration order.
 _PRIORITY = [
     # --- registered round 3, never driver-checked: highest-value rows ---
     "q_decontaminate_overlap",

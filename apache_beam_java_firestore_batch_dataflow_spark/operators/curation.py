@@ -509,3 +509,52 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (hash-partitioned, source-stratified)
+# ---------------------------------------------------------------------------
+
+SPLIT_TRAIN_PCT = 80  # md5 bucket < 80  -> train
+SPLIT_VAL_PCT = 90    # 80 <= bucket < 90 -> val, else test
+
+_SPLIT_ORACLE = f"""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT
+                  AS BIGINT) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+"""
+
+
+@register("q_split_train_val_test", oracle=_SPLIT_ORACLE)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment keyed on md5(doc_id) — the
+    split every training pipeline needs, made reproducible: the
+    assignment is a pure function of the document id, so re-runs,
+    retries, repartitions, and future corpus growth never move an
+    existing document across splits (adding docs only ever adds rows to
+    each split — the property that keeps eval sets frozen).
+
+    Zero shuffles: one hash + two comparisons fused into the scan.
+    Contrast with ``randomSplit``, whose assignment depends on
+    partitioning and seed plumbing.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("bigint") % 100
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
