@@ -806,9 +806,16 @@ def q_dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokd.select(
             "doc_id",
             F.explode(
-                F.sequence(
-                    F.lit(1), F.size("t") - F.lit(BP_CHUNK_W - 1), F.lit(BP_CHUNK_W)
-                )
+                # Degenerate docs (fewer tokens than one chunk) would give
+                # sequence() a start > stop bound, which Spark rejects at
+                # runtime; emit an empty array instead so explode drops the
+                # doc — matching the oracle's range() semantics.
+                F.when(
+                    F.size("t") >= BP_CHUNK_W,
+                    F.sequence(
+                        F.lit(1), F.size("t") - F.lit(BP_CHUNK_W - 1), F.lit(BP_CHUNK_W)
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
             ).alias("s"),
             "t",
         )

@@ -1534,8 +1534,12 @@ def q_knn_bruteforce_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     v2 = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     queries = v.filter(F.col("vec_id") % QUERY_MOD == 0)
-    q_repl = queries.withColumn("qb", (F.col("vec_id") % KNN_QB).cast("int")) \
-        .withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(KNN_CB - 1))))
+    # qb must be decorrelated from the QUERY_MOD id stride (vec_id % KNN_QB
+    # would populate only gcd-compatible blocks); a hash spreads queries
+    # across the full (qb, cb) grid so per-task load matches the design.
+    q_repl = queries.withColumn(
+        "qb", F.pmod(F.xxhash64("vec_id"), F.lit(KNN_QB)).cast("int")
+    ).withColumn("cb", F.explode(F.sequence(F.lit(0), F.lit(KNN_CB - 1))))
     c_repl = v2.withColumn("cb", (F.col("vec_id") % KNN_CB).cast("int")) \
         .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(KNN_QB - 1))))
     k = KNN_K

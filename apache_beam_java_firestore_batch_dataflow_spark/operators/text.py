@@ -49,9 +49,18 @@ def tokens_col(text: Column) -> Column:
 
 
 # DuckDB fragment with identical semantics (RE2 also supports \p{L}).
-TOKENS_SQL = (
-    r"list_filter(regexp_split_to_array(text, '[^\p{L}]+'), t -> length(t) > 0)"
-)
+def tokens_sql(col_expr: str = "text") -> str:
+    """Oracle tokenizer over an arbitrary column expression — parameterized
+    so callers never string-replace the column name inside the fragment
+    (a substring swap would corrupt the SQL if the fragment ever gained a
+    second 'text' occurrence)."""
+    return (
+        rf"list_filter(regexp_split_to_array({col_expr}, '[^\p{{L}}]+'),"
+        r" t -> length(t) > 0)"
+    )
+
+
+TOKENS_SQL = tokens_sql()
 
 
 @register(
@@ -779,7 +788,7 @@ ZIPF_R = 500  # top terms fitted — a constant, so the fit stage is O(1)
 _ZIPF_ORACLE = rf"""
     WITH vocab AS (
       SELECT tok, count(*) AS tc
-      FROM (SELECT unnest({TOKENS_SQL.replace('text', 'lower(text)')}) AS tok
+      FROM (SELECT unnest({tokens_sql('lower(text)')}) AS tok
             FROM documents)
       GROUP BY tok
     ),

@@ -49,13 +49,16 @@ def _head_stamp() -> str:
             ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True, text=True
         ).stdout.strip()
         # The artifact file itself is rewritten by the shell redirect
-        # before this stamp runs — exclude it (and its siblings) so a
-        # clean tree is not reported dirty by its own proof run.
+        # before this stamp runs — exclude exactly that one file (set via
+        # ORACLE_ARTIFACT, e.g. ORACLE_CHECK_r05.txt) so a clean tree is
+        # not reported dirty by its own proof run, while hand-edits to
+        # any OTHER proof file still flag the tree as dirty.
+        artifact = os.environ.get("ORACLE_ARTIFACT", "")
         status = subprocess.run(
             ["git", "status", "--porcelain"], cwd=root, capture_output=True, text=True
         ).stdout.splitlines()
         dirty = "\n".join(
-            l for l in status if "ORACLE_CHECK" not in l
+            l for l in status if not (artifact and l[3:].strip() == artifact)
         ).strip()
         return f"HEAD {head}{' (dirty tree)' if dirty else ''}"
     except OSError:

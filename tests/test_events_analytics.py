@@ -121,3 +121,25 @@ def test_boilerplate_removes_ubiquitous_chunks_and_keeps_order(spark, tmp_path):
     # docs), so the cleaned text is empty
     assert rows[0] == (1, 1, "")
     assert rows[100] == (2, 0, "a b c d")
+
+
+def test_boilerplate_drops_degenerate_docs_like_oracle(spark, tmp_path):
+    """Docs with fewer tokens than one chunk (empty / punctuation-only /
+    single-token) must be silently dropped — the oracle's range() returns
+    an empty list for them; an unguarded F.sequence raises 'Illegal
+    sequence boundaries' instead (ADVICE r4)."""
+    sf = str(tmp_path)
+    n = dedup.BP_MIN_DOCS
+    docs = [(i, f"x y unique{i}", "en", "s", 12) for i in range(n)]
+    docs += [(200, "", "en", "s", 0),        # zero tokens
+             (201, "!!! ...", "en", "s", 7),  # punctuation-only -> zero tokens
+             (202, "solo", "en", "s", 4)]     # one token < BP_CHUNK_W
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = {
+        r["doc_id"]: (r["n_chunks"], r["n_boilerplate"])
+        for r in dedup.QUERIES["q_dedup_boilerplate_chunks"](spark, sf).collect()
+    }
+    assert 200 not in rows and 201 not in rows and 202 not in rows
+    assert rows[0] == (1, 1)
