@@ -57,79 +57,77 @@ _MODULES = [
 # FULL registry locally every round (artifact: ORACLE_CHECK_r04.txt, 0
 # failures).
 #
-# Driver-row ledger going into round 4 (CORRECTNESS_r01/r02/r03, all green):
-# 50 queries have a fresh r3 row; 9 registered during round 3 have never seen
-# the driver; 36 queries' only green row is r2; 11 queries have r1+r2 rows
-# but nothing since.  ROUND 4 prefix (exactly 50): the 9 never-checked, the
-# 36 r2-only greens, and 5 canaries from the r1+r2 group.  After a green r4,
-# every query except 6 of the r1+r2 group (q12_priority_lines,
-# q_correlated_exists, q_cube, q_events_json, q_scalar_array,
-# q_window_range_frame — each already green twice) has a driver row within
-# the last two rounds; those 6, plus the 10 queries registered during round 4
-# (q_dedup_clusters_k3, q_text_winnow_fingerprints, q_embedding_mrl_truncate,
-# q_approx_distinct_sketch, q_doc_length_histogram, q_text_gopher_rules,
-# q_string_agg_ordered, q_dedup_boilerplate_chunks, q_embedding_gram_matrix,
-# q_ann_pq, q_dedup_winnow_pairs, q_events_funnel, q_events_retention,
-# q_text_zipf_slope, q_dedup_incremental_ingest, q_events_transitions,
-# q_bucketed_join_copartitioned, q_cdc_merge_upsert,
-# q_audit_referential_orphans, q_profile_table_stats,
-# q_knn_bruteforce_cogrouped, q_split_train_val_test, q_ann_pq_rerank —
-# local-proof only until then), lead the ROUND 5 prefix.  Queries not
-# listed here follow in module-registration order.
+# Driver-row ledger going into round 5 (CORRECTNESS_r01..r04, all green):
+# 50 queries have a fresh r4 row, 50 an r3 row, 6 have nothing since r2
+# (q12_priority_lines, q_correlated_exists, q_cube, q_events_json,
+# q_scalar_array, q_window_range_frame), and the 23 queries registered
+# during round 4 (PQ/ADC + rerank, cogrouped kNN, gram matrix, MRL,
+# winnowing, incremental ingest, boilerplate, clusters-k3, gopher/zipf,
+# funnel/retention/transitions, CDC merge, audits, profile, split,
+# histogram, sketch, listagg, bucketed join) have never seen the driver —
+# judge-verified against DuckDB only.  ROUND 5 prefix (exactly 50): those
+# 23 never-checked first, then the 6 r2-stale rows, then 21 of the 50
+# r3-last rows chosen to span every operator family that lacks an r4 row
+# (LSH dedup, numpy kNN, multimodal audio/video, session window, JSON
+# format, partition pruning, window fns, text battery, scalars, joins,
+# aggs).  After a green r5, EVERY registered query has a driver row and
+# the steady-state rotation just refreshes the stalest (the 29 remaining
+# r3 rows + anything registered during round 5 lead round 6).  Queries
+# not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- registered round 3, never driver-checked: highest-value rows ---
-    "q_decontaminate_overlap",
-    "q_embedding_quantize_int8",
-    "q_text_unigram_logprob",
-    "q_text_tfidf_top_terms",
-    "q_pii_redact",
-    "q_kmeans_one_step",
-    "q_mix_weighted_sources",
-    "q_embedding_outliers",
-    "q_chunk_documents",
-    # --- only green row is round 2: re-verify after a round of code change ---
-    "q11_important_values",
-    "q13_customer_distribution",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_asof_join",
-    "q_dedup_clusters",
-    "q_dedup_embedding_cosine",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_embedding_centroids",
-    "q_format_roundtrip_csv",
-    "q_format_roundtrip_orc",
-    "q_knn_bruteforce",
-    "q_multimodal_decode_stats",
-    "q_multimodal_frame_sample",
-    "q_multimodal_manifest",
-    "q_pack_char_budget",
-    "q_quantiles_doc_length",
-    "q_salted_join_skew",
-    "q_sample_hash_deterministic",
-    "q_sample_stratified_quota",
-    "q_sessionize_gaps",
-    "q_stream_dedup_replayed",
-    "q_stream_interval_join",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_text_bigrams_top",
-    "q_text_fingerprint",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_time_rollup",
-    "q_token_count_bpe",
-    "q_udf_grouped_agg_pandas",
-    "q_udf_grouped_map_zscore",
-    "q_udf_scalar_pandas",
-    # --- canaries from the r1+r2 group (last row r2; cross-family tripwires) ---
-    "q1_pricing_summary",
-    "q_wordcount_documents",
-    "q_join_broadcast_dim",
-    "q_range_join_bucketed",
-    "q_subquery_in",
+    # --- registered round 4, never driver-checked: highest-value rows ---
+    "q_ann_pq",
+    "q_ann_pq_rerank",
+    "q_knn_bruteforce_cogrouped",
+    "q_embedding_gram_matrix",
+    "q_embedding_mrl_truncate",
+    "q_dedup_winnow_pairs",
+    "q_dedup_incremental_ingest",
+    "q_dedup_boilerplate_chunks",
+    "q_dedup_clusters_k3",
+    "q_text_winnow_fingerprints",
+    "q_text_gopher_rules",
+    "q_text_zipf_slope",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_events_transitions",
+    "q_cdc_merge_upsert",
+    "q_audit_referential_orphans",
+    "q_profile_table_stats",
+    "q_split_train_val_test",
+    "q_string_agg_ordered",
+    "q_approx_distinct_sketch",
+    "q_doc_length_histogram",
+    "q_bucketed_join_copartitioned",
+    # --- last driver row is round 2: stalest greens in the registry ---
+    "q12_priority_lines",
+    "q_correlated_exists",
+    "q_cube",
+    "q_events_json",
+    "q_scalar_array",
+    "q_window_range_frame",
+    # --- last row r3: 21 picks spanning families with no r4 coverage ---
+    "q_dedup_minhash_lsh",
+    "q_knn_bruteforce_numpy",
+    "q_multimodal_audio_stats",
+    "q_multimodal_video_stats",
+    "q_stream_session",
+    "q_format_roundtrip_json",
+    "q_partitioned_write_prune",
+    "q_window_rank",
+    "q_window_running",
+    "q_window_analytics",
+    "q_window_topk_per_group",
+    "q_text_lang_id",
+    "q_text_normalize",
+    "q_text_token_stats",
+    "q_scalar_date",
+    "q_scalar_levenshtein",
+    "q_agg_distinct",
+    "q_grouping_sets",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_orderby_limit",
 ]
 
 
