@@ -1336,104 +1336,104 @@ def _pq_units_col() -> F.Column:
     )
 
 
-def _pq_subdist(qv, cb_entry, m):
-    """sum_d (qv[m*SUB_D + d] - cb_entry[d])^2 — exact int64 units."""
-    def step(acc, d):
-        diff = F.element_at(qv, (m * PQ_SUB_D + d).cast("int")) - F.element_at(
-            cb_entry, d.cast("int")
-        )
-        return acc + diff * diff
-
-    return F.aggregate(
-        F.sequence(F.lit(1), F.lit(PQ_SUB_D)), F.lit(0).cast("bigint"), step
-    )
-
-
 def _pq_adc_scored(spark: SparkSession, sf_dir: str):
     """Shared PQ machinery: returns (units frame, ADC-scored pairs).
-    Codebook build + zero-shuffle encode + per-query distance-table
-    ADC — used by the plain top-k (q_ann_pq) and the two-stage
-    exact rerank (q_ann_pq_rerank)."""
+
+    One Arrow-batched numpy kernel does encode + ADC + per-batch top-k
+    pruning in a single zero-shuffle pass over the corpus scan (the
+    ``q_embedding_gram_matrix`` pattern — VERDICT r4 flagged the former
+    Catalyst expression-tree version as the slowest headline query; the
+    kernel replaces per-row `F.aggregate` interpretation with three
+    BLAS-shaped array ops per batch).  Used by the plain top-k
+    (q_ann_pq) and the two-stage exact rerank (q_ann_pq_rerank).
+
+    Driver-side state is corpus-size independent: the codebook is PQ_K
+    rows (a model constant) and the query set is the same bounded
+    <= N_QUERIES collect that ``q_knn_bruteforce_numpy`` documents —
+    both ship to executors as a ~25 KiB closure, so the corpus pass
+    joins nothing and shuffles nothing.
+
+    Pruning discipline: ``scored`` is a per-batch top-KEEP superset of
+    the global per-query top-KEEP (KEEP = max(PQ_SHORTLIST, ANN_K)).
+    ADC units are exact int64, so a batch-local `<= k-th smallest`
+    cutoff loses nothing: any row in the GLOBAL top-KEEP by
+    (adc_units, neighbor_id) is preceded by fewer than KEEP rows in its
+    own batch, hence survives; ties at the cutoff are all kept and the
+    downstream window resolves them by neighbor_id.  No float ever
+    appears, so no `_UNIT_MARGIN`-style guard is needed.
+    """
+    import numpy as np
+    import pandas as pd
+
     u = _vecs(spark, sf_dir).select("vec_id", _pq_units_col().alias("qv"))
     cb_rows = u.orderBy("vec_id").limit(PQ_K).collect()  # PQ_K rows — O(1)
-    cb = [
+    # cb[k, m, d]: codeword k's units in subspace m
+    cb = np.array(
         [
-            [int(r["qv"][m * PQ_SUB_D + d]) for d in range(PQ_SUB_D)]
+            [
+                [int(r["qv"][m * PQ_SUB_D + d]) for d in range(PQ_SUB_D)]
+                for m in range(PQ_M)
+            ]
             for r in cb_rows
-        ]
-        for m in range(PQ_M)
-    ]
-    cb_sql = (
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(
-                "array(" + ",".join(f"{x}L" for x in cw) + ")" for cw in sub
-            )
-            + ")"
-            for sub in cb
-        )
-        + ")"
+        ],
+        dtype=np.int64,
     )
-    CB = F.expr(cb_sql)
-
-    def encode(qv):
-        def code_for(m):
-            sub_cb = F.element_at(CB, (m + 1).cast("int"))
-            dists = F.transform(
-                F.sequence(F.lit(1), F.lit(PQ_K)),
-                lambda c: _pq_subdist(qv, F.element_at(sub_cb, c.cast("int")), m),
-            )
-            return F.array_position(dists, F.array_min(dists)) - 1
-
-        return F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), code_for)
-
-    coded = u.select("vec_id", encode(F.col("qv")).alias("codes"))
-
-    # The ADC trick that makes PQ fast: precompute, PER QUERY, the
-    # PQ_M x PQ_K table of subspace distances to every codeword (128
-    # entries — done once on the tiny query side), so scoring a corpus
-    # vector is PQ_M table LOOKUPS instead of a fresh DIM-dimensional
-    # distance (8 element_at vs 64 multiply-adds per pair; measured 13x
-    # on the sf0.1 bench).
-    def dist_table(q_units):
-        def table_for(m):
-            sub_cb = F.element_at(CB, (m + 1).cast("int"))
-            return F.transform(
-                F.sequence(F.lit(1), F.lit(PQ_K)),
-                lambda c: _pq_subdist(q_units, F.element_at(sub_cb, c.cast("int")), m),
-            )
-
-        return F.transform(F.sequence(F.lit(0), F.lit(PQ_M - 1)), table_for)
-
-    queries = (
+    q_rows = (
         u.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
         .limit(N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            dist_table(F.col("qv")).alias("dtab"),
-        )
+        .collect()
+    )  # bounded query set — the documented N_QUERIES limitation
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in q_rows], dtype=np.int64).reshape(
+        len(q_rows), PQ_M, PQ_SUB_D
     )
+    # The ADC trick: precompute PER QUERY the PQ_M x PQ_K table of
+    # subspace distances to every codeword (128 ints/query, once), so
+    # scoring a corpus vector is PQ_M table lookups, not a fresh
+    # DIM-dimensional distance.  dtab[q, m, k].
+    dtab = (
+        ((qmat[:, None, :, :] - cb[None, :, :, :]) ** 2)
+        .sum(axis=3)
+        .transpose(0, 2, 1)
+        .copy()
+    )
+    keep = max(PQ_SHORTLIST, ANN_K)
+    sentinel = np.iinfo(np.int64).max
 
-    def adc(dtab, codes):
-        def step(acc, m):
-            c = F.element_at(codes, (m + 1).cast("int"))
-            return acc + F.element_at(
-                F.element_at(dtab, (m + 1).cast("int")), (c + 1).cast("int")
+    def adc_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = np.stack(
+                [np.asarray(e, dtype=np.int64) for e in pdf["qv"]]
+            ).reshape(len(pdf), PQ_M, PQ_SUB_D)
+            # encode: nearest codeword per subspace; np.argmin returns
+            # the FIRST minimum — lowest codeword id on ties, matching
+            # the oracle's row_number() ORDER BY dist, c.
+            d_bkm = ((x[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d_bkm.argmin(axis=1)  # [B, M]
+            # ADC lookup: scores[q, b] = sum_m dtab[q, m, codes[b, m]]
+            scores = dtab[:, np.arange(PQ_M)[None, :], codes].sum(axis=2)
+            self_mask = q_ids[:, None] == ids[None, :]
+            scores[self_mask] = sentinel
+            if scores.shape[1] > keep:
+                kth = np.partition(scores, keep - 1, axis=1)[:, keep - 1]
+                emit = (scores <= kth[:, None]) & ~self_mask
+            else:
+                emit = ~self_mask
+            qi, bi = np.nonzero(emit)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qi],
+                    "neighbor_id": ids[bi],
+                    "adc_units": scores[qi, bi],
+                }
             )
 
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)), F.lit(0).cast("bigint"), step
-        )
-
-    pairs = coded.crossJoin(F.broadcast(queries)).filter(
-        F.col("vec_id") != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        adc(F.col("dtab"), F.col("codes")).alias("adc_units"),
+    scored = u.mapInPandas(
+        adc_batches, schema="query_id long, neighbor_id long, adc_units long"
     )
     return u, scored
 

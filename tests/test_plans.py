@@ -405,15 +405,16 @@ def test_gram_matrix_single_reduce_shuffle(spark, sf_dir):
     assert "Generate" not in plan  # no explode anywhere
 
 
-def test_pq_encode_inlines_codebook_and_broadcasts_queries(spark, sf_dir):
-    """PQ scale shape: the constant-size codebook is a literal (encode
-    joins nothing), the bounded query set broadcasts, and the only
-    shuffle is the per-query top-k window."""
+def test_pq_encode_inlines_codebook_and_joins_nothing(spark, sf_dir):
+    """PQ scale shape: the constant-size codebook and bounded query
+    distance tables ship as a closure into ONE Arrow kernel (encode +
+    ADC + per-batch prune), so the corpus pass has no join of any kind
+    and the only shuffle is the per-query top-k window."""
     df = similarity.QUERIES["q_ann_pq"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastNestedLoopJoin" in plan  # bounded query set, broadcast side
-    assert "CartesianProduct" not in plan
-    assert num_shuffles(df) <= 1  # window partitioning on query_id only
+    assert "MapInPandas" in plan   # the fused encode+ADC kernel
+    assert "Join" not in plan      # no broadcast/cartesian/equi join at all
+    assert num_shuffles(df) <= 1   # window partitioning on query_id only
 
 
 def test_pq_codebook_size_is_corpus_independent():
