@@ -84,6 +84,12 @@ SCALING_QUERIES = [
     "q_dedup_minhash_lsh",
     "q_ann_ivf",
     "q_kmeans_one_step",
+    # round-5 additions (VERDICT r4): the round-4 families' O()-claims
+    # were plan-pinned but never curve-checked
+    "q_ann_pq",
+    "q_knn_bruteforce_cogrouped",
+    "q_dedup_winnow_pairs",
+    "q_dedup_incremental_ingest",
 ]
 
 
@@ -111,6 +117,67 @@ def scaling_bench(spark, registry) -> dict:
             times[key] = round(sorted(reps)[1], 3)
         times["ratio"] = round(times["large_sec"] / max(times["small_sec"], 1e-9), 2)
         out[name] = times
+    return out
+
+
+def skew_bench(spark) -> dict:
+    """Skew-resistance proof at bench scale (VERDICT r4 item 7): a
+    synthetic fact table with one pathologically hot key (90% of rows on
+    key 0) joined to a 1000-row dim with broadcast disabled, three ways:
+    the plain shuffle join with AQE's skew split off (the hot-reducer
+    baseline), the same join with AQE on (Spark's runtime fix), and the
+    static ``salted_join`` (the fallback for skew AQE can't split).
+    Disable with SPARK_GRAFT_SKEW=0."""
+    if os.environ.get("SPARK_GRAFT_SKEW", "1") == "0":
+        return {}
+    from pyspark.sql import functions as F
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.skew import salted_join
+
+    n = int(os.environ.get("SPARK_GRAFT_SKEW_ROWS", "4000000"))
+    fact = spark.range(n).select(
+        F.when(F.pmod("id", F.lit(10)) < 9, F.lit(0))
+        .otherwise(F.pmod("id", F.lit(1000)))
+        .cast("long")
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+    )
+    conf = spark.conf
+    saved = {
+        c: conf.get(c)
+        for c in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+        )
+    }
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def timed(df) -> float:
+        reps = []
+        for _ in range(3):
+            start = time.monotonic()
+            df.write.format("noop").mode("overwrite").save()
+            reps.append(time.monotonic() - start)
+        return round(sorted(reps)[1], 3)
+
+    def agg(joined):
+        return joined.groupBy("attr").agg(F.sum("v").alias("s"))
+
+    out: dict[str, float] = {}
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        out["plain_hot_sec"] = timed(agg(fact.join(dim, "k")))
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        out["plain_aqe_sec"] = timed(agg(fact.join(dim, "k")))
+        out["salted_sec"] = timed(agg(salted_join(fact, dim, on="k")))
+    finally:
+        for c, v in saved.items():
+            conf.set(c, v)
+    out["salted_vs_hot"] = round(
+        out["plain_hot_sec"] / max(out["salted_sec"], 1e-9), 2
+    )
     return out
 
 
@@ -179,6 +246,7 @@ def main() -> None:
 
     sink = sink_ratio_bench(spark)
     scaling = scaling_bench(spark, registry)
+    skew = skew_bench(spark)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
@@ -192,6 +260,7 @@ def main() -> None:
                 "sf": float(sf) if sf else SF_DIR,
                 "sink": sink,
                 "scaling": scaling,
+                "skew": skew,
             }
         )
     )
