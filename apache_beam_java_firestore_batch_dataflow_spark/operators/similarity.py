@@ -1336,7 +1336,86 @@ def _pq_units_col() -> F.Column:
     )
 
 
-def _pq_adc_scored(spark: SparkSession, sf_dir: str):
+def _pq_seed_codebook(u: DataFrame):
+    """Deterministic seed codebook: the PQ_K lowest vec_ids' unit
+    subvectors, as cb[k, m, d] int64 — an O(1) collect."""
+    import numpy as np
+
+    cb_rows = u.orderBy("vec_id").limit(PQ_K).collect()
+    return np.array(
+        [
+            [
+                [int(r["qv"][m * PQ_SUB_D + d]) for d in range(PQ_SUB_D)]
+                for m in range(PQ_M)
+            ]
+            for r in cb_rows
+        ],
+        dtype=np.int64,
+    )
+
+
+def _pq_lloyd_refine(u: DataFrame, cb):
+    """One k-means (Lloyd) step per subspace over the seed codebook.
+
+    Distributed shape: a mapInPandas pass emits per-batch partial
+    (subspace, codeword, dim) sums + member counts (<= PQ_M*PQ_K*PQ_SUB_D
+    = 1024 rows per batch, constants), one keyed agg folds them, and the
+    driver collects exactly those <= 1024 rows — corpus-size independent,
+    mirroring q_kmeans_one_step's combiner discipline.
+
+    Determinism: the refined centroid unit is
+    floor((2*S + n) / (2*n)) — round-half-up of the exact rational mean —
+    computed in IEEE double on BOTH engines (Python here, DuckDB in the
+    oracle), so results agree bit-for-bit; empty clusters keep their seed
+    codeword.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(e, dtype=np.int64) for e in pdf["qv"]]
+            ).reshape(len(pdf), PQ_M, PQ_SUB_D)
+            d_bkm = ((x[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d_bkm.argmin(axis=1)  # first-min tie-break, as encode
+            s = np.zeros((PQ_M, PQ_K, PQ_SUB_D), dtype=np.int64)
+            n = np.zeros((PQ_M, PQ_K), dtype=np.int64)
+            for m in range(PQ_M):  # PQ_M=8 iterations of vector ops
+                np.add.at(s[m], codes[:, m], x[:, m, :])
+                np.add.at(n[m], codes[:, m], 1)
+            mi, ci, di = np.nonzero(s + n[:, :, None] != 0)
+            yield pd.DataFrame(
+                {
+                    "m": mi.astype(np.int32),
+                    "c": ci.astype(np.int32),
+                    "d": di.astype(np.int32),
+                    "s": s[mi, ci, di],
+                    "n": n[mi, ci],
+                }
+            )
+
+    agg = (
+        u.select("qv")
+        .mapInPandas(partials, schema="m int, c int, d int, s long, n long")
+        .groupBy("m", "c", "d")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .collect()
+    )  # <= 1024 rows — a model constant
+    refined = cb.copy()
+    for r in agg:
+        if r["n"] > 0:
+            refined[r["c"], r["m"], r["d"]] = math.floor(
+                (2.0 * r["s"] + r["n"]) / (2.0 * r["n"])
+            )
+    return refined
+
+
+def _pq_adc_scored(spark: SparkSession, sf_dir: str, trained: bool = False):
     """Shared PQ machinery: returns (units frame, ADC-scored pairs).
 
     One Arrow-batched numpy kernel does encode + ADC + per-batch top-k
@@ -1366,18 +1445,9 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str):
     import pandas as pd
 
     u = _vecs(spark, sf_dir).select("vec_id", _pq_units_col().alias("qv"))
-    cb_rows = u.orderBy("vec_id").limit(PQ_K).collect()  # PQ_K rows — O(1)
-    # cb[k, m, d]: codeword k's units in subspace m
-    cb = np.array(
-        [
-            [
-                [int(r["qv"][m * PQ_SUB_D + d]) for d in range(PQ_SUB_D)]
-                for m in range(PQ_M)
-            ]
-            for r in cb_rows
-        ],
-        dtype=np.int64,
-    )
+    cb = _pq_seed_codebook(u)  # cb[k, m, d]
+    if trained:
+        cb = _pq_lloyd_refine(u, cb)
     q_rows = (
         u.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
@@ -1463,6 +1533,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor_id; no float appears anywhere.
     """
     u, scored = _pq_adc_scored(spark, sf_dir)
+    return _pq_topk(scored)
+
+
+def _pq_topk(scored: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.asc("adc_units"), F.asc("neighbor_id")
     )
@@ -1475,6 +1549,195 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
             F.col("adc_units").cast("bigint").alias("adc_units"),
         )
+    )
+
+
+def _pq_trained_oracle() -> str:
+    """The PQ oracle with the codebook refined by one Lloyd step.
+
+    The refined centroid unit floor((2*S + n) / (2*n)) is round-half-up
+    of the exact rational mean computed in IEEE double — bit-identical
+    between DuckDB here and Python in ``_pq_lloyd_refine``.
+    """
+    sub_d, m_n, k_n = PQ_SUB_D, PQ_M, PQ_K
+    return f"""
+    WITH u AS (
+      SELECT vec_id, {_PQ_UNITS_SQL} AS qv FROM embeddings
+    ),
+    cb0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, qv
+      FROM (SELECT vec_id, qv FROM u ORDER BY vec_id LIMIT {k_n})
+    ),
+    subspaces AS (SELECT unnest(range(0, {m_n})) AS m),
+    dims AS (SELECT unnest(range(1, {sub_d} + 1)) AS d),
+    assign0 AS (
+      SELECT u.vec_id, s.m, cb0.c,
+             list_sum(list_transform(range(1, {sub_d} + 1),
+                 d -> (u.qv[s.m * {sub_d} + d] - cb0.qv[s.m * {sub_d} + d])
+                    * (u.qv[s.m * {sub_d} + d] - cb0.qv[s.m * {sub_d} + d])))
+                 AS dist
+      FROM u, subspaces s, cb0
+    ),
+    codes0 AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        FROM assign0)
+      WHERE rn = 1
+    ),
+    sums AS (
+      SELECT x.m, x.c, dims.d,
+             sum(u.qv[x.m * {sub_d} + dims.d]) AS s, count(*) AS n
+      FROM codes0 x JOIN u USING (vec_id) CROSS JOIN dims
+      GROUP BY x.m, x.c, dims.d
+    ),
+    refined AS (
+      SELECT m, c,
+             list(CAST(floor((2.0 * s + n) / (2.0 * n)) AS BIGINT)
+                  ORDER BY d) AS cw
+      FROM sums GROUP BY m, c
+    ),
+    cb1 AS (
+      SELECT s.m, cb0.c,
+             coalesce(r.cw,
+                      list_transform(range(1, {sub_d} + 1),
+                          d -> cb0.qv[s.m * {sub_d} + d])) AS cw
+      FROM subspaces s CROSS JOIN cb0
+      LEFT JOIN refined r ON r.m = s.m AND r.c = cb0.c
+    ),
+    assign1 AS (
+      SELECT u.vec_id, b.m, b.c,
+             list_sum(list_transform(range(1, {sub_d} + 1),
+                 d -> (u.qv[b.m * {sub_d} + d] - b.cw[d])
+                    * (u.qv[b.m * {sub_d} + d] - b.cw[d]))) AS dist
+      FROM u, cb1 b
+    ),
+    codes1 AS (
+      SELECT vec_id, m, c FROM (
+        SELECT vec_id, m, c,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn
+        FROM assign1)
+      WHERE rn = 1
+    ),
+    queries AS (
+      SELECT vec_id AS query_id, qv FROM u
+      WHERE vec_id % {QUERY_MOD} = 0 ORDER BY vec_id LIMIT {N_QUERIES}
+    ),
+    adc AS (
+      SELECT q.query_id, x.vec_id AS neighbor_id,
+             sum(list_sum(list_transform(range(1, {sub_d} + 1),
+                 d -> (q.qv[x.m * {sub_d} + d] - b.cw[d])
+                    * (q.qv[x.m * {sub_d} + d] - b.cw[d]))))
+                 AS adc_units
+      FROM queries q, codes1 x JOIN cb1 b ON b.m = x.m AND b.c = x.c
+      WHERE x.vec_id <> q.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(adc_units AS BIGINT) AS adc_units
+    FROM (SELECT query_id, neighbor_id, adc_units,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_units, neighbor_id) AS rank
+          FROM adc)
+    WHERE rank <= {ANN_K}
+"""
+
+
+@register("q_ann_pq_trained", oracle=_pq_trained_oracle())
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_ann_pq with a TRAINED codebook: one k-means (Lloyd) step per
+    subspace refines the seed codewords toward the actual cluster means
+    before encoding (the standard PQ training recipe; more steps = the
+    same machinery iterated).
+
+    Same scale shape as q_ann_pq — the training pass adds one
+    constant-output (<= 1024-row) partial-sum agg over the corpus, and
+    everything downstream is unchanged.  Recall improvement vs the seed
+    codebook is measured (not assumed) in ``q_ann_recall`` and pinned by
+    a pytest.
+    """
+    u, scored = _pq_adc_scored(spark, sf_dir, trained=True)
+    return _pq_topk(scored)
+
+
+_RECALL_ORACLE = f"""
+    WITH exact_all AS ({_KNN_ORACLE}),
+    qs AS (SELECT DISTINCT query_id FROM exact_all),
+    exact AS (SELECT query_id, neighbor_id FROM exact_all
+              WHERE rank <= {ANN_K}),
+    lsh_all AS ({_ANN_ORACLE}),
+    ivf_all AS ({_IVF_ORACLE}),
+    pq_all AS ({_PQ_ORACLE}),
+    pqt_all AS ({_pq_trained_oracle()}),
+    m AS (
+      SELECT 'lsh' AS method, query_id, neighbor_id
+      FROM lsh_all JOIN qs USING (query_id)
+      UNION ALL
+      SELECT 'ivf', query_id, neighbor_id FROM ivf_all JOIN qs USING (query_id)
+      UNION ALL
+      SELECT 'pq', query_id, neighbor_id FROM pq_all JOIN qs USING (query_id)
+      UNION ALL
+      SELECT 'pq_trained', query_id, neighbor_id
+      FROM pqt_all JOIN qs USING (query_id)
+    ),
+    methods AS (
+      SELECT unnest(['lsh', 'ivf', 'pq', 'pq_trained']) AS method
+    ),
+    hit AS (
+      SELECT m.method, count(*) AS hits
+      FROM m JOIN exact USING (query_id, neighbor_id)
+      GROUP BY m.method
+    )
+    SELECT methods.method,
+           CAST(coalesce(hit.hits, 0) AS BIGINT) AS hits,
+           CAST(round(coalesce(hit.hits, 0)
+                      / ((SELECT count(*) FROM qs) * {ANN_K}), 6) AS DOUBLE)
+               AS recall
+    FROM methods LEFT JOIN hit USING (method)
+"""
+
+
+@register("q_ann_recall", oracle=_RECALL_ORACLE)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{ANN_K} of every ANN method against exact brute-force
+    ground truth over the bounded query set — the quality axis that
+    turns "ANN runs" into "ANN is measurably good" (VERDICT r4 item 6).
+
+    Itself a join + agg: each method's top-k pairs semi-join the exact
+    top-k pairs; recall = hits / (|queries| * k).  All inputs are
+    already-registered, oracle-checked queries, so this both measures
+    quality and cross-checks the four pipelines against each other.
+    """
+    from functools import reduce
+
+    exact_all = q_knn_bruteforce(spark, sf_dir)
+    qs = exact_all.select("query_id").distinct()
+    exact = exact_all.filter(F.col("rank") <= ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    denom = qs.agg((F.count(F.lit(1)) * ANN_K).alias("denom"))
+    parts = []
+    for name, fn in (
+        ("lsh", q_ann_lsh),
+        ("ivf", q_ann_ivf),
+        ("pq", q_ann_pq),
+        ("pq_trained", q_ann_pq_trained),
+    ):
+        res = (
+            fn(spark, sf_dir)
+            .select("query_id", "neighbor_id")
+            .join(qs, "query_id", "left_semi")
+        )
+        parts.append(
+            res.join(exact, ["query_id", "neighbor_id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(F.lit(name).alias("method"), "hits")
+        )
+    hits = reduce(lambda a, b: a.unionByName(b), parts)
+    return hits.crossJoin(F.broadcast(denom)).select(
+        "method",
+        F.col("hits").cast("bigint").alias("hits"),
+        F.round(F.col("hits") / F.col("denom"), 6).cast("double").alias("recall"),
     )
 
 
