@@ -1248,15 +1248,25 @@ def q_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("c_acctbal"),
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
+    return merge_changes(base, changes, key="c_custkey")
+
+
+def merge_changes(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Apply a CDC feed (op column: U/D/I rows carrying full new values)
+    onto a snapshot in one keyed full-outer join.  ``base``'s columns
+    define the output schema; works identically whether the snapshot
+    comes from parquet or a JDBC source (Derby round-trip proven in
+    tests/test_stream_sources.py)."""
     ch = changes.alias("ch")
     b = base.alias("b")
-    merged = b.join(ch, F.col("b.c_custkey") == F.col("ch.c_custkey"), "full_outer")
+    merged = b.join(ch, F.col(f"b.{key}") == F.col(f"ch.{key}"), "full_outer")
     return merged.filter(
         F.col("ch.op").isNull() | (F.col("ch.op") != "D")
     ).select(
-        F.coalesce(F.col("ch.c_custkey"), F.col("b.c_custkey")).alias("c_custkey"),
-        F.coalesce(F.col("ch.c_name"), F.col("b.c_name")).alias("c_name"),
-        F.coalesce(F.col("ch.c_acctbal"), F.col("b.c_acctbal")).alias("c_acctbal"),
+        *[
+            F.coalesce(F.col(f"ch.{c}"), F.col(f"b.{c}")).alias(c)
+            for c in base.columns
+        ]
     )
 
 

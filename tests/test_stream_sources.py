@@ -171,3 +171,76 @@ def test_kafka_like_stream_matches_kafka_schema(spark, tmp_path):
     assert [(r.k, r.v, r.topic, r.partition, r.offset) for r in rows] == [
         (f"k{i}", f"payload-{i}", "docs", i % 2, i) for i in range(6)
     ]
+
+
+def test_cdc_merge_against_jdbc_snapshot(spark, sf_dir, tmp_path):
+    """The production CDC pattern end-to-end: the snapshot lives in a
+    database (embedded Derby), is read through read_jdbc's partitioned
+    path, and the same merge_changes applied to it must equal the
+    registered parquet-based q_cdc_merge_upsert row-for-row."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        QUERIES,
+        merge_changes,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/cdc_rt;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select("c_custkey", "c_name", "c_acctbal")
+    (
+        base.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "CUST_SNAP")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    lo, hi = base.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    jdbc_base = read_jdbc(
+        spark,
+        url=url,
+        table="CUST_SNAP",
+        partition_column="c_custkey",
+        lower_bound=int(lo),
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+        driver=driver,
+    ).select("c_custkey", "c_name", "c_acctbal")
+
+    # the registered query's synthesized feed, rebuilt against parquet
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("U").alias("op"),
+        "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).cast("double").alias("c_acctbal"),
+    )
+    deletes = c.filter(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select(
+        "c_custkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("Customer#NEW"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+
+    got = sorted(
+        tuple(r) for r in merge_changes(jdbc_base, changes, "c_custkey").collect()
+    )
+    want = sorted(
+        tuple(r) for r in QUERIES["q_cdc_merge_upsert"](spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
