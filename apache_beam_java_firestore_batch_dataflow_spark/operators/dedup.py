@@ -1051,3 +1051,69 @@ def q_dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("best_match"),
         F.col("n_matches").isNull().alias("accepted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection: which duplicate survives each near-dup cluster
+# ---------------------------------------------------------------------------
+
+_CANONICAL_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    clusters AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc),
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    keepers AS (SELECT cluster_id, doc_id AS keeper_id FROM ranked WHERE rn = 1)
+    SELECT r.doc_id, r.cluster_id, k.keeper_id,
+           CAST(r.doc_id = k.keeper_id AS BOOLEAN) AS keep
+    FROM ranked r JOIN keepers k ON k.cluster_id = r.cluster_id
+"""
+
+
+@register("q_dedup_canonical_keep", oracle=_CANONICAL_ORACLE)
+def q_dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision that completes the dedup pipeline: within
+    each near-dup cluster the LONGEST document survives (ties to the
+    lowest doc_id) — the RefinedWeb/FineWeb policy, where near-dups are
+    usually truncations or boilerplate-wrapped copies of the fullest
+    version.
+
+    Scale shape: clustering is the existing label-propagation query;
+    keeper election is a ``max(struct(n_chars, -doc_id, doc_id))``
+    combiner aggregation — map-side partial, no window sort over the
+    corpus — and one keyed re-join broadcasts the (tiny) keeper table
+    under AQE.  Output is a full per-document decision ledger
+    (doc_id, cluster_id, keeper_id, keep), which downstream filters
+    with ``keep`` rather than re-deriving.
+    """
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    labeled = clusters.join(docs, "doc_id")
+    keepers = labeled.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(
+                F.col("n_chars"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("doc_id").alias("kid"),
+            )
+        )["kid"].alias("keeper_id")
+    )
+    return labeled.join(keepers, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+    )

@@ -2002,3 +2002,85 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sim").cast("double").alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Power iteration on the Gram matrix: distributed top-eigenvector estimate
+# ---------------------------------------------------------------------------
+
+PI_SCALE = 1_000_000  # fixed-point units for normalized eigenvector components
+
+_POWER_ITER_ORACLE = f"""
+    WITH gram AS ({_GRAM_ORACLE}),
+    full_g AS (
+      SELECT i, j, gram_units FROM gram
+      UNION ALL
+      SELECT j AS i, i AS j, gram_units FROM gram WHERE i <> j
+    ),
+    v1 AS (
+      SELECT i, CAST(sum(gram_units) AS DECIMAL(38,0)) AS v
+      FROM full_g GROUP BY i
+    ),
+    w1 AS (
+      SELECT i, CAST(round(CAST(v AS DOUBLE) * {PI_SCALE}
+                     / (SELECT max(abs(CAST(v AS DOUBLE))) FROM v1), 0)
+                 AS BIGINT) AS w
+      FROM v1
+    ),
+    v2 AS (
+      SELECT g.i, CAST(sum(CAST(g.gram_units AS DECIMAL(38,0)) * w1.w)
+                       AS DECIMAL(38,0)) AS v
+      FROM full_g g JOIN w1 ON w1.i = g.j GROUP BY g.i
+    ),
+    w2 AS (
+      SELECT i, CAST(round(CAST(v AS DOUBLE) * {PI_SCALE}
+                     / (SELECT max(abs(CAST(v AS DOUBLE))) FROM v2), 0)
+                 AS BIGINT) AS w
+      FROM v2
+    )
+    SELECT i, w AS eig_unit FROM w2
+"""
+
+
+@register("q_embedding_power_iteration", oracle=_POWER_ITER_ORACLE)
+def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps toward X^T X's top eigenvector — the
+    distributed-PCA building block, riding entirely on the Gram matrix
+    query (the ONLY corpus pass; everything after operates on the
+    constant DIM x DIM = 64x64 frame, so iteration cost is
+    corpus-independent).
+
+    Determinism without floats where it matters: matrix-vector products
+    accumulate exact int64·int64 terms in decimal(38,0); only the
+    per-step normalization (infinity norm → {PI_SCALE}-unit fixed
+    point) touches IEEE doubles, computed identically on both engines.
+    Start vector = all-ones, so step 1 is the Gram row sums.  More
+    steps = the same two stages repeated.
+    """
+    gram = q_embedding_gram_matrix(spark, sf_dir).select("i", "j", "gram_units")
+    full_g = gram.unionByName(
+        gram.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "gram_units"
+        )
+    )
+    v1 = full_g.groupBy("i").agg(
+        F.sum(F.col("gram_units").cast("decimal(38,0)")).alias("v")
+    )
+
+    def normalize(v: DataFrame) -> DataFrame:
+        m = v.agg(F.max(F.abs(F.col("v").cast("double"))).alias("m"))
+        return v.crossJoin(F.broadcast(m)).select(
+            "i",
+            F.round(F.col("v").cast("double") * PI_SCALE / F.col("m"), 0)
+            .cast("bigint")
+            .alias("w"),
+        )
+
+    w1 = normalize(v1)
+    v2 = (
+        full_g.join(w1.select(F.col("i").alias("j"), "w"), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("gram_units").cast("decimal(38,0)") * F.col("w")).alias("v"))
+    )
+    w2 = normalize(v2)
+    return w2.select("i", F.col("w").alias("eig_unit"))

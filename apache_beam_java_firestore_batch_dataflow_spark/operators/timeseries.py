@@ -334,3 +334,58 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-key EWMA: ordered sequential fold, expressed declaratively
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.125  # 1/8 — exactly representable in binary, reproducible fold
+
+_EWMA_ORACLE = f"""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(round(list_reduce(list(value ORDER BY ts, event_id),
+                          (acc, x) -> acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA}),
+                      6) AS DOUBLE) AS ewma
+    FROM events GROUP BY user_id
+"""
+
+
+@register("q_events_ewma", oracle=_EWMA_ORACLE)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of ``value`` in
+    event order — the canonical ORDER-DEPENDENT sequential state that
+    has no window-function form (each step needs the previous step's
+    result, not a frame aggregate).
+
+    Expressed declaratively anyway: one groupBy collects the user's
+    (ts, event_id, value) sequence, ``array_sort`` fixes the order
+    in-row, and ``F.aggregate`` folds left-to-right — a single shuffle
+    on user_id, no applyInPandas, no state store.  Per-task memory is
+    bounded by one user's event history (the same bound sessionization
+    already carries); both engines fold the identical IEEE expression
+    over the identical order, so results match bit-for-bit before the
+    final 6-dp round.  Seed = first value (``list_reduce`` semantics),
+    then acc*(1-a) + x*a per element.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq"),
+    )
+    vals = F.transform(F.col("seq"), lambda s: s["value"])
+    folded = F.aggregate(
+        F.slice(vals, F.lit(2), F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: acc * F.lit(1 - EWMA_ALPHA) + x * F.lit(EWMA_ALPHA),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(folded, 6).cast("double").alias("ewma"),
+    )
