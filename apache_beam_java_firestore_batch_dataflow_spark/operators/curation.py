@@ -558,3 +558,58 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_K = 100
+_U_DENOM = float((1 << 56) + 1)  # uniform u = (h56 + 1) / (2^56 + 1) ∈ (0, 1)
+
+
+def _weighted_oracle() -> str:
+    from ..functions.hashing import h56_sql
+
+    h = h56_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, n_chars,
+           CAST(round(ln((({h}) + 1) / {_U_DENOM!r}) / n_chars, 9) AS DOUBLE)
+               AS es_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY ln((({h}) + 1) / {_U_DENOM!r}) / n_chars DESC, doc_id
+    LIMIT {WEIGHTED_K}
+"""
+
+
+@register("q_sample_weighted", oracle=_weighted_oracle())
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k={WEIGHTED_K}, weight =
+    document length — the Efraimidis-Spirakis exponential-key trick:
+    every row gets key ln(u)/w (u a content-derived uniform), and the
+    global top-k by key IS a weighted sample without replacement.
+
+    Why this shape at 100 TB: one narrow projection + a global top-k
+    (``TakeOrderedAndProject`` — per-partition heaps of k, merged on one
+    tiny reduce; no sort of the corpus, no sequential reservoir).  The
+    uniform comes from the md5 hash family, not a seeded RNG, so like
+    q_sample_hash_deterministic the selected set is stable across
+    cluster size, partitioning, and task retries — and value-checkable
+    in DuckDB.
+    """
+    from ..functions.hashing import h56
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (h56(F.col("doc_id").cast("string")) + 1).cast("double") / F.lit(_U_DENOM)
+    key = F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round("es_key", 9).cast("double").alias("es_key"),
+        )
+    )

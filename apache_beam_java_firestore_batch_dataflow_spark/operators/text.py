@@ -870,3 +870,199 @@ def q_text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).cast("double").alias("zipf_slope"),
         F.round((sy - slope * sx) / n, 6).cast("double").alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse similarity join: TF-IDF cosine via rare-term postings
+# ---------------------------------------------------------------------------
+
+TFIDF_SIM_DF_MAX = 10   # blocking terms: docs sharing a term with df <= this
+TFIDF_SIM_MIN = 0.30    # emit pairs at or above this 6-dp-rounded cosine
+
+
+def _tfidf_weights_sql() -> str:
+    """(doc_id, tok, wi): integer micro-units of the 6-dp tf·idf weight —
+    the exact float discipline q_text_tfidf_top_terms proved portable."""
+    return rf"""
+    toks AS (
+      SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                 t -> length(t) > 0)) AS tok
+      FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM doc_tok GROUP BY tok),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    idf AS (
+      SELECT tok,
+             CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+                  AS DECIMAL(38,6)) AS idf6
+      FROM dfreq, n
+    ),
+    w AS (
+      SELECT d.doc_id, d.tok,
+             CAST(round(CAST(round(CAST(CAST(d.c AS DECIMAL(38,6)) * idf.idf6
+                                        AS DOUBLE), 6) AS DOUBLE)
+                        * 1000000, 0) AS BIGINT) AS wi
+      FROM doc_tok d JOIN idf USING (tok)
+    )
+"""
+
+
+# Candidate blocking: rare character 5-grams (the q_dedup_ngram_jaccard
+# discipline, inlined — text.py can't import dedup.py, dedup imports us).
+# Token-level rare-term blocking degenerates when the corpus vocabulary
+# is small (every token is common); character grams cross word
+# boundaries and stay selective.
+_SIM_GRAMS_SQL = r"""
+    SELECT DISTINCT doc_id, g FROM (
+      SELECT doc_id,
+             unnest(CASE WHEN length(norm) >= 5
+                         THEN list_transform(range(1, length(norm) - 3),
+                                             i -> substr(norm, i, 5))
+                         ELSE [] END) AS g
+      FROM (SELECT doc_id,
+                   regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+            FROM documents)
+    )
+"""
+
+_TFIDF_SIM_ORACLE = f"""
+    WITH {_tfidf_weights_sql()},
+    grams AS ({_SIM_GRAMS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM grams a
+      JOIN (SELECT g FROM grams GROUP BY g
+            HAVING count(*) BETWEEN 2 AND {TFIDF_SIM_DF_MAX}) r ON a.g = r.g
+      JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
+    ),
+    norms AS (
+      SELECT doc_id, sum(CAST(wi AS DECIMAL(38,0)) * wi) AS n2 FROM w GROUP BY doc_id
+    ),
+    dots AS (
+      SELECT c.doc_a, c.doc_b,
+             sum(CAST(wa.wi AS DECIMAL(38,0)) * wb.wi) AS dotp,
+             count(*) AS n_shared
+      FROM cand c
+      JOIN w wa ON wa.doc_id = c.doc_a
+      JOIN w wb ON wb.doc_id = c.doc_b AND wb.tok = wa.tok
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+      SELECT d.doc_a, d.doc_b, d.n_shared,
+             round(CAST(d.dotp AS DOUBLE)
+                   / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+                 AS cosine
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.doc_a
+      JOIN norms nb ON nb.doc_id = d.doc_b
+    )
+    SELECT doc_a, doc_b, n_shared, CAST(cosine AS DOUBLE) AS cosine
+    FROM scored WHERE cosine >= {TFIDF_SIM_MIN}
+"""
+
+
+@register("q_doc_similarity_tfidf", oracle=_TFIDF_SIM_ORACLE)
+def q_doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse similarity join: document pairs whose TF-IDF vectors have
+    cosine >= {TFIDF_SIM_MIN} — the lexical complement to the dense
+    embedding near-dup family (catches topical/vocabulary overlap dense
+    vectors may blur, and needs no embedding model at all).
+
+    Scale shape (the rare-gram Jaccard discipline, applied to IR
+    weights): candidate pairs come ONLY from character 5-grams shared
+    by 2..{TFIDF_SIM_DF_MAX} documents — per-gram fan-out is bounded,
+    so candidates ~ |true near-pairs|, never n² (recall is limited to
+    pairs sharing a rare gram, the documented blocking contract; token
+    -level blocking would degenerate on small vocabularies where every
+    term is common).  The dot product then runs over candidate pairs'
+    shared terms via two keyed joins; norms are a per-doc combiner agg.
+    Exact integer micro-unit weights keep every sum deterministic;
+    floats appear only at the final normalize-and-round, identically on
+    both engines.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = doc_tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = dfreq.join(F.broadcast(n)).select(
+        "tok",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")), 6
+        )
+        .cast("decimal(38,6)")
+        .alias("idf6"),
+    )
+    w = doc_tok.join(idf, "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.round(
+                (F.col("c").cast("decimal(38,6)") * F.col("idf6")).cast("double"),
+                6,
+            )
+            * 1_000_000,
+            0,
+        )
+        .cast("bigint")
+        .alias("wi"),
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    gram_arr = F.when(
+        F.length("norm") >= 5,
+        F.expr(
+            "array_distinct(transform(sequence(1, length(norm) - 4), "
+            "i -> substring(norm, i, 5)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (
+        docs.select("doc_id", norm.alias("norm"))
+        .select("doc_id", F.explode(gram_arr).alias("g"))
+    )
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df_g"))
+        .filter((F.col("df_g") >= 2) & (F.col("df_g") <= TFIDF_SIM_DF_MAX))
+        .select("g")
+    )
+    cand = (
+        grams.join(rare, "g")
+        .select("g", F.col("doc_id").alias("doc_a"))
+        .join(grams.select("g", F.col("doc_id").alias("doc_b")), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("wi").cast("decimal(38,0)") * F.col("wi")).alias("n2")
+    )
+    wa = w.select(F.col("doc_id").alias("doc_a"), "tok", F.col("wi").alias("wia"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), "tok", F.col("wi").alias("wib"))
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.col("wia").cast("decimal(38,0)") * F.col("wib")).alias("dotp"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("n2a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("n2b"))
+    cosine = F.round(
+        F.col("dotp").cast("double")
+        / F.sqrt(F.col("n2a").cast("double") * F.col("n2b").cast("double")),
+        6,
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= TFIDF_SIM_MIN)
+    )
