@@ -1361,3 +1361,141 @@ def q_profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("date_min"),
         F.max("o_orderdate").alias("date_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter runtime pre-filter: the semi-join pushdown pattern
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 1 << 14  # filter bits
+BLOOM_W = 32       # bits per word (32 keeps 1 << bit shift-safe on both engines)
+BLOOM_K = 3        # hash probes per key
+_BLOOM_DIM_PRED = "c_acctbal > 9000"
+
+
+def _bloom_oracle() -> str:
+    from ..functions.hashing import H2_SALT, h56_sql, minhash_term_sql
+
+    def pos_sql(i: int) -> str:
+        return f"({minhash_term_sql('h1', 'h2', i)}) % {BLOOM_M}"
+
+    dim_h = (
+        f"SELECT c_custkey, {h56_sql('CAST(c_custkey AS VARCHAR)')} AS h1, "
+        f"{h56_sql('CAST(c_custkey AS VARCHAR)', salt=H2_SALT)} AS h2 "
+        f"FROM customer WHERE {_BLOOM_DIM_PRED}"
+    )
+    ord_h = (
+        f"SELECT o_custkey, {h56_sql('CAST(o_custkey AS VARCHAR)')} AS h1, "
+        f"{h56_sql('CAST(o_custkey AS VARCHAR)', salt=H2_SALT)} AS h2 "
+        f"FROM orders"
+    )
+    member = " AND ".join(
+        f"((ws[CAST(p{i} // {BLOOM_W} AS INT) + 1]"
+        f" >> CAST(p{i} % {BLOOM_W} AS INT)) & 1) = 1"
+        for i in range(BLOOM_K)
+    )
+    probes = ", ".join(f"{pos_sql(i)} AS p{i}" for i in range(BLOOM_K))
+    return f"""
+    WITH dim AS ({dim_h}),
+    pos AS (
+      SELECT unnest([{', '.join(pos_sql(i) for i in range(BLOOM_K))}]) AS pos
+      FROM dim
+    ),
+    words AS (
+      SELECT CAST(pos // {BLOOM_W} AS INT) AS wi,
+             bit_or(1::BIGINT << CAST(pos % {BLOOM_W} AS INT)) AS w
+      FROM pos GROUP BY 1
+    ),
+    warr AS (
+      SELECT list(coalesce(words.w, 0) ORDER BY t.range) AS ws
+      FROM range(0, {BLOOM_M // BLOOM_W}) t LEFT JOIN words ON words.wi = t.range
+    ),
+    probed AS (SELECT o_custkey, {probes} FROM ({ord_h})),
+    passed AS (
+      SELECT o_custkey FROM probed, warr WHERE {member}
+    )
+    SELECT count(*) AS n_pass_bloom,
+           sum(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_true_match,
+           sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS n_false_positive
+    FROM passed LEFT JOIN dim d ON d.c_custkey = passed.o_custkey
+"""
+
+
+@register("q_bloom_semi_join", oracle=_bloom_oracle())
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The runtime-filter pattern made explicit: a {BLOOM_M}-bit Bloom
+    filter built from the (filtered) dimension keys prunes the fact
+    scan MAP-SIDE before any shuffle — what engines inject as
+    'runtime filters' / 'dynamic partition pruning', here as a portable
+    operator with its false-positive count measured and value-checked.
+
+    Scale shape: the filter build aggregates bit positions into
+    {BLOOM_M // BLOOM_W} words (combiner-friendly `bit_or`), collected
+    once — O(1) driver state, like the PQ codebook — and inlined as a
+    literal array, so the fact side evaluates 3 md5 probes + 3 array
+    lookups per row inside codegen, shuffling NOTHING for non-members.
+    At 100 TB the win is shuffle volume: only bloom-passing rows (true
+    matches + measured FPs) reach the verification join.  All hashes
+    are the md5 family — deterministic, so even the false-positive
+    count is reproducible and oracle-checked.
+    """
+    from ..functions.hashing import H2_SALT, h56, minhash_term
+
+    def probe_cols(col):
+        h1 = h56(col.cast("string"))
+        h2 = h56(col.cast("string"), salt=H2_SALT)
+        return [minhash_term(h1, h2, i) % BLOOM_M for i in range(BLOOM_K)]
+
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.expr(_BLOOM_DIM_PRED))
+        .select("c_custkey")
+    )
+    pos = dim.select(
+        F.explode(F.array(*probe_cols(F.col("c_custkey")))).alias("pos")
+    )
+    words = (
+        pos.select(
+            (F.col("pos") / BLOOM_W).cast("int").alias("wi"),
+            F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_W} AS INT))").alias("bit"),
+        )
+        .groupBy("wi")
+        .agg(F.bit_or("bit").alias("w"))
+        .collect()
+    )  # <= BLOOM_M / BLOOM_W = 512 rows — constant driver state
+    arr = [0] * (BLOOM_M // BLOOM_W)
+    for r in words:
+        arr[r["wi"]] = r["w"]
+    ws = F.array(*[F.lit(int(x)).cast("long") for x in arr])
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    probed = orders.select(
+        "o_custkey",
+        *[p.alias(f"p{i}") for i, p in enumerate(probe_cols(F.col("o_custkey")))],
+    )
+    member = None
+    for i in range(BLOOM_K):
+        wi = (F.col(f"p{i}") / BLOOM_W).cast("int")
+        bit = (F.col(f"p{i}") % BLOOM_W).cast("int")
+        hit = F.expr(
+            f"((element_at(__ws, CAST(p{i} / {BLOOM_W} AS INT) + 1)"
+            f" >> CAST(p{i} % {BLOOM_W} AS INT)) & 1) = 1"
+        )
+        member = hit if member is None else member & hit
+    passed = probed.withColumn("__ws", ws).filter(member).select("o_custkey")
+    verified = passed.join(
+        F.broadcast(
+            dim.select(F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("hit"))
+        ),
+        "o_custkey",
+        "left",
+    )
+    return verified.agg(
+        F.count(F.lit(1)).alias("n_pass_bloom"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_true_match"),
+        F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positive"),
+    )
