@@ -779,3 +779,176 @@ def q_multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return y4m_table(spark, sf_dir).mapInPandas(run, schema=DECODE_Y4M_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (dHash) near-dup over decoded images
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 4      # G x G grayscale cells -> G*(G-1) = 12 gradient bits
+PHASH_HAM_MAX = 2   # pairs within this Hamming distance are near-dups
+# hamming <= 2 over 3 nibbles => >= 1 nibble identical (pigeonhole), so
+# blocking on the three 4-bit groups loses no qualifying pair.
+
+
+def decode_ppm_raster(payload: bytes) -> tuple[int, int, bytes]:
+    """Full-raster variant of :func:`decode_ppm`: same strict header
+    parse, returns (width, height, raster bytes) for pixel-level ops."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6 magic missing)")
+    tokens: list[bytes] = []
+    i = 0
+    while len(tokens) < 4:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i >= len(payload):
+            raise ValueError("truncated PPM header")
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(payload[i:j])
+        i = j
+    i += 1
+    if tokens[0] != b"P6":
+        raise ValueError(f"malformed PPM magic token {tokens[0]!r}")
+    width, height, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    n_raster = 3 * width * height
+    raster = payload[i : i + n_raster]
+    if len(raster) < n_raster:
+        raise ValueError("truncated raster")
+    return width, height, raster
+
+
+def dhash_ppm(payload: bytes, grid: int = PHASH_GRID) -> int:
+    """Difference hash of a PPM image: grayscale, block-mean downsample
+    to grid x grid, one bit per horizontal gradient.  Pure integer
+    arithmetic (floor means), so the hash is engine-exact."""
+    import numpy as np
+
+    w, h, raster = decode_ppm_raster(payload)
+    a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64).reshape(h, w, 3)
+    gray = a.sum(axis=2) // 3
+    ci = (np.arange(h) * grid) // h
+    cj = (np.arange(w) * grid) // w
+    sums = np.zeros((grid, grid), dtype=np.int64)
+    cnts = np.zeros((grid, grid), dtype=np.int64)
+    np.add.at(sums, (ci[:, None], cj[None, :]), gray)
+    np.add.at(cnts, (ci[:, None], cj[None, :]), 1)
+    cells = sums // cnts
+    ph = 0
+    for i in range(grid):
+        for j in range(grid - 1):
+            if cells[i, j] > cells[i, j + 1]:
+                ph |= 1 << (i * (grid - 1) + j)
+    return ph
+
+
+_PHASH_ORACLE = f"""
+    WITH params AS (
+      SELECT doc_id, text, doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h,
+             length(text) AS n
+      FROM documents
+    ),
+    gray AS (
+      SELECT doc_id, w, h, p // w AS y, p % w AS x,
+             (unicode(substr(text, CAST((3*p) % n AS INT) + 1, 1))
+            + unicode(substr(text, CAST((3*p+1) % n AS INT) + 1, 1))
+            + unicode(substr(text, CAST((3*p+2) % n AS INT) + 1, 1))) // 3 AS g
+      FROM params, LATERAL (SELECT unnest(range(0, w*h)) AS p)
+    ),
+    cells AS (
+      SELECT doc_id, (y * {PHASH_GRID}) // h AS ci, (x * {PHASH_GRID}) // w AS cj,
+             sum(g) // count(*) AS cv
+      FROM gray GROUP BY doc_id, (y * {PHASH_GRID}) // h, (x * {PHASH_GRID}) // w
+    ),
+    hashes AS (
+      SELECT a.doc_id,
+             sum(CASE WHEN a.cv > b.cv
+                      THEN 1 << (a.ci * {PHASH_GRID - 1} + a.cj) ELSE 0 END) AS ph
+      FROM cells a JOIN cells b ON b.doc_id = a.doc_id AND b.ci = a.ci
+                               AND b.cj = a.cj + 1
+      GROUP BY a.doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, ph, ph % 16 AS b0, (ph // 16) % 16 AS b1, ph // 256 AS b2
+      FROM hashes
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.ph AS pha, b.ph AS phb
+      FROM blocks a JOIN blocks b
+        ON a.doc_id < b.doc_id
+       AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2)
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(pha, phb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(pha, phb)) <= {PHASH_HAM_MAX}
+"""
+
+
+@register("q_multimodal_phash_pairs", oracle=_PHASH_ORACLE)
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection end-to-end: decode every P6 PPM,
+    dHash it (grayscale -> {PHASH_GRID}x{PHASH_GRID} block means -> 12
+    horizontal-gradient bits), and pair images within Hamming distance
+    {PHASH_HAM_MAX} — the visual analogue of SimHash text dedup, and
+    what a real image-dedup pipeline runs after swapping the decoder.
+
+    Scale shape mirrors q_dedup_simhash exactly: hashing is a
+    zero-shuffle mapInPandas over the payload scan (bytes never
+    shuffle; only 12-bit hashes do); pairing blocks on the three 4-bit
+    nibbles — a pair within the Hamming bound must share a nibble
+    (pigeonhole), so three keyed equi-joins generate candidates, never
+    a cross join; `bit_count(xor)` verifies in codegen.  The oracle
+    recomputes every pixel, cell, bit, and pair from first principles
+    in SQL.
+    """
+    imgs = ppm_table(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ph": [dhash_ppm(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    hashes = imgs.mapInPandas(run, schema="doc_id long, ph long")
+    blocks = hashes.select(
+        "doc_id",
+        "ph",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), (F.col("ph") % 16).alias("bv")),
+                F.struct(
+                    F.lit(1).alias("bi"),
+                    ((F.col("ph") / 16).cast("long") % 16).alias("bv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("bi"), (F.col("ph") / 256).cast("long").alias("bv")
+                ),
+            )
+        ).alias("blk"),
+    ).select("doc_id", "ph", F.col("blk.bi").alias("bi"), F.col("blk.bv").alias("bv"))
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"), F.col("ph").alias("pha"), "bi", "bv"
+    )
+    b = blocks.select(
+        F.col("doc_id").alias("doc_b"), F.col("ph").alias("phb"), "bi", "bv"
+    )
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pha", "phb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pha").bitwiseXOR(F.col("phb")))
+    return cand.filter(ham <= PHASH_HAM_MAX).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )
