@@ -2057,7 +2057,15 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Start vector = all-ones, so step 1 is the Gram row sums.  More
     steps = the same two stages repeated.
     """
-    gram = q_embedding_gram_matrix(spark, sf_dir).select("i", "j", "gram_units")
+    # Materialize the Gram matrix ONCE: it is referenced by both union
+    # branches and both matvec joins, and without truncation Catalyst
+    # re-derives the corpus aggregation for every reference (measured 12
+    # scans).  The checkpointed frame is a constant DIM*(DIM+1)/2 rows.
+    gram = (
+        q_embedding_gram_matrix(spark, sf_dir)
+        .select("i", "j", "gram_units")
+        .localCheckpoint(eager=True)
+    )
     full_g = gram.unionByName(
         gram.filter(F.col("i") != F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "gram_units"

@@ -999,19 +999,30 @@ def q_doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(38,6)")
         .alias("idf6"),
     )
-    w = doc_tok.join(idf, "tok").select(
-        "doc_id",
-        "tok",
-        F.round(
+    # Materialize the weights ONCE: w feeds norms and both dot-product
+    # sides, and without truncation Catalyst re-derives the whole
+    # tokenize→count→idf pipeline (2 shuffles + the one-row broadcast)
+    # for every reference.  Size is Σ distinct terms per doc — far
+    # smaller than the corpus text it summarizes.
+    w = (
+        doc_tok.join(idf, "tok")
+        .select(
+            "doc_id",
+            "tok",
             F.round(
-                (F.col("c").cast("decimal(38,6)") * F.col("idf6")).cast("double"),
-                6,
+                F.round(
+                    (F.col("c").cast("decimal(38,6)") * F.col("idf6")).cast(
+                        "double"
+                    ),
+                    6,
+                )
+                * 1_000_000,
+                0,
             )
-            * 1_000_000,
-            0,
+            .cast("bigint")
+            .alias("wi"),
         )
-        .cast("bigint")
-        .alias("wi"),
+        .localCheckpoint(eager=True)
     )
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     gram_arr = F.when(

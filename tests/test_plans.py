@@ -495,3 +495,76 @@ def test_knn_cogrouped_no_broadcast_no_cartesian(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" not in plan
+
+
+def test_ewma_single_shuffle_no_window(spark, sf_dir):
+    """The ordered fold runs inside one groupBy: exactly 1 exchange, no
+    window sort of the corpus, no Python stage."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import timeseries
+
+    df = timeseries.QUERIES["q_events_ewma"](spark, sf_dir)
+    assert num_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "InPandas" not in plan
+
+
+def test_weighted_sample_is_global_topk(spark, sf_dir):
+    """A-ES sampling must plan as TakeOrderedAndProject (per-partition
+    heaps of k), never a global Sort of the corpus."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import curation
+
+    df = curation.QUERIES["q_sample_weighted"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_filter_prunes_before_single_join(spark, sf_dir):
+    """The bloom membership test is a literal-array filter on the fact
+    scan: exactly ONE join in the whole plan (the verification join),
+    and it is broadcast."""
+    df = relational.QUERIES["q_bloom_semi_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1
+    assert num_broadcast_joins(df) == 1
+
+
+def test_tfidf_similarity_no_pair_explosion(spark, sf_dir):
+    """Sparse cosine pairs must come from keyed gram/term joins only.
+    The single allowed nested-loop join is the one-row n_docs scalar
+    broadcast (the idf denominator — the established scalar-subquery
+    pattern); anything more means a pair explosion crept in."""
+    df = TEXT_QUERIES["q_doc_similarity_tfidf"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_phash_no_pair_explosion_and_kernel_hashing(spark, sf_dir):
+    """Image near-dup: hashing is one Arrow kernel over the payload scan
+    (bytes never shuffle); pairing is nibble-block equi-joins only."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import multimodal
+
+    df = multimodal.QUERIES["q_multimodal_phash_pairs"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_trained_same_shape_as_seeded(spark, sf_dir):
+    """Training must not change the serving plan: the trained query's
+    corpus pass is still one join-free Arrow kernel + one window."""
+    df = similarity.QUERIES["q_ann_pq_trained"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert num_shuffles(df) <= 1
+
+
+def test_power_iteration_single_corpus_pass(spark, sf_dir):
+    """Both matvec steps ride on the checkpointed Gram frame: the final
+    plan reads NO parquet at all (the one corpus pass happened at
+    checkpoint time), so iterations are corpus-independent."""
+    df = similarity.QUERIES["q_embedding_power_iteration"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan
