@@ -1710,7 +1710,10 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from functools import reduce
 
-    exact_all = q_knn_bruteforce(spark, sf_dir)
+    # Materialized once: the ground truth feeds qs, exact, and the four
+    # per-method semi-joins — without truncation each reference re-runs
+    # the brute-force scan.  Size is <= N_QUERIES * KNN_K rows.
+    exact_all = q_knn_bruteforce(spark, sf_dir).localCheckpoint(eager=True)
     qs = exact_all.select("query_id").distinct()
     exact = exact_all.filter(F.col("rank") <= ANN_K).select(
         "query_id", "neighbor_id"
