@@ -1077,3 +1077,127 @@ def q_doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_shared", cosine.alias("cosine"))
         .filter(F.col("cosine") >= TFIDF_SIM_MIN)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: bounded-memory frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_D = 3     # hash rows
+CMS_W = 1024  # counters per row
+CMS_TOP = 20  # report the exact top-N words' estimates
+
+
+def _cms_oracle() -> str:
+    from ..functions.hashing import H2_SALT, h56_sql, minhash_term_sql
+
+    def pos(i: int) -> str:
+        return f"({minhash_term_sql('h1', 'h2', i)}) % {CMS_W}"
+
+    est = ", ".join(
+        f"(SELECT c FROM cms WHERE cms.i = {i} AND cms.pos = t.p{i}) AS e{i}"
+        for i in range(CMS_D)
+    )
+    probes = ", ".join(f"{pos(i)} AS p{i}" for i in range(CMS_D))
+    return f"""
+    WITH words AS (
+      SELECT unnest({TOKENS_SQL}) AS word FROM documents
+    ),
+    hashed AS (
+      SELECT word, {h56_sql('word')} AS h1, {h56_sql('word', salt=H2_SALT)} AS h2
+      FROM words
+    ),
+    cms AS (
+      SELECT i, pos, count(*) AS c FROM (
+        SELECT unnest(range(0, {CMS_D})) AS i, word, h1, h2 FROM hashed
+      ) z, LATERAL (SELECT (h1 + h2 * z.i + z.i * z.i) % {(1 << 61) - 1} AS t56)
+         , LATERAL (SELECT t56 % {CMS_W} AS pos)
+      GROUP BY i, pos
+    ),
+    truth AS (
+      SELECT word, count(*) AS n_true,
+             any_value(h1) AS h1, any_value(h2) AS h2
+      FROM hashed GROUP BY word
+      ORDER BY n_true DESC, word LIMIT {CMS_TOP}
+    ),
+    t AS (SELECT word, n_true, {probes} FROM truth)
+    SELECT word, n_true, least({', '.join(f'e{i}' for i in range(CMS_D))}) AS n_est
+    FROM (SELECT word, n_true, {est} FROM t)
+"""
+
+
+@register("q_sketch_countmin_words", oracle=_cms_oracle())
+def q_sketch_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the word stream: a {CMS_D}x{CMS_W} counter
+    grid estimates any word's frequency in O(1) memory — completing the
+    sketch family (HLL = distincts, Bloom = membership, CMS =
+    frequencies).  The query reports the exact top-{CMS_TOP} words with
+    their CMS estimates (est >= true always; equality at this scale
+    shows the grid is wide enough).
+
+    Scale shape: the sketch build is ONE combiner aggregation over
+    (row, position) pairs — {CMS_D} rows per token map-side-combine
+    into <= {CMS_D * CMS_W} cells, a constant.  The estimate lookup
+    joins the {CMS_TOP}-row truth table against the constant-size
+    sketch {CMS_D} times — all broadcastable.  The md5 hash family
+    makes every counter value reproducible, so even collision noise is
+    oracle-checked.
+    """
+    from ..functions.hashing import H2_SALT, h56, minhash_term
+
+    toks = _docs(spark, sf_dir).select(
+        F.explode(tokens_col(F.col("text"))).alias("word")
+    )
+    hashed = toks.select(
+        "word",
+        h56(F.col("word")).alias("h1"),
+        h56(F.col("word"), salt=H2_SALT).alias("h2"),
+    )
+    rows = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (minhash_term(F.col("h1"), F.col("h2"), i) % CMS_W).alias(
+                            "pos"
+                        ),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("cell")
+    ).select(F.col("cell.i").alias("i"), F.col("cell.pos").alias("pos"))
+    cms = rows.groupBy("i", "pos").agg(F.count(F.lit(1)).alias("c"))
+    truth = (
+        hashed.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.first("h1").alias("h1"),
+            F.first("h2").alias("h2"),
+        )
+        .orderBy(F.desc("n_true"), F.asc("word"))
+        .limit(CMS_TOP)
+    )
+    t = truth.select(
+        "word",
+        "n_true",
+        *[
+            (minhash_term(F.col("h1"), F.col("h2"), i) % CMS_W).alias(f"p{i}")
+            for i in range(CMS_D)
+        ],
+    )
+    for i in range(CMS_D):
+        t = t.join(
+            F.broadcast(
+                cms.filter(F.col("i") == i).select(
+                    F.col("pos").alias(f"p{i}"), F.col("c").alias(f"e{i}")
+                )
+            ),
+            f"p{i}",
+        )
+    return t.select(
+        "word",
+        "n_true",
+        F.least(*[F.col(f"e{i}") for i in range(CMS_D)]).alias("n_est"),
+    )
