@@ -72,6 +72,14 @@ HEADLINE = [
     "q_embedding_gram_matrix",
     "q_ann_pq",
     "q_knn_bruteforce_cogrouped",
+    # round 5: trained PQ (Lloyd-step codebook), sparse TF-IDF similarity
+    # join, image perceptual-hash dedup, ordered EWMA fold, bloom runtime
+    # filter — one representative per new family
+    "q_ann_pq_trained",
+    "q_doc_similarity_tfidf",
+    "q_multimodal_phash_pairs",
+    "q_events_ewma",
+    "q_bloom_semi_join",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
