@@ -389,3 +389,73 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(folded, 6).cast("double").alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection: median absolute deviation per event type
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0  # flag |x - median| > K * MAD
+
+_MAD_ORACLE = f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           CAST(round(d.value, 6) AS DOUBLE) AS value,
+           CAST(round(d.adev / m.mad, 6) AS DOUBLE) AS dev_ratio
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.adev > {MAD_K} * m.mad
+"""
+
+
+@register("q_events_anomaly_mad", oracle=_MAD_ORACLE)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from their
+    type's median by more than {MAD_K}x the median absolute deviation —
+    the estimator that doesn't let the outliers it hunts poison the
+    threshold (unlike mean/stddev z-scores).
+
+    Scale shape: two EXACT-percentile aggregations keyed on event_type
+    (per-group state is the group's sorted values — event-type
+    cardinality is tiny, value streams per type large; Spark's exact
+    `percentile` buffers per group, the knob to swap for
+    `approx_percentile` when groups outgrow memory) and two broadcast
+    joins of the per-type statistics back onto the stream.  Spark's
+    exact percentile interpolates identically to DuckDB's
+    quantile_cont, verified bit-for-bit before rounding.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > MAD_K * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).cast("double").alias("value"),
+            F.round(F.col("adev") / F.col("mad"), 6)
+            .cast("double")
+            .alias("dev_ratio"),
+        )
+    )
