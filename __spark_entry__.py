@@ -70,10 +70,16 @@ _MODULES = [
 # r3-last rows chosen to span every operator family that lacks an r4 row
 # (LSH dedup, numpy kNN, multimodal audio/video, session window, JSON
 # format, partition pruning, window fns, text battery, scalars, joins,
-# aggs).  After a green r5, EVERY registered query has a driver row and
-# the steady-state rotation just refreshes the stalest (the 29 remaining
-# r3 rows + anything registered during round 5 lead round 6).  Queries
-# not listed here follow in module-registration order.
+# aggs).  After a green r5, EVERY query registered before round 5 has a
+# driver row and the steady-state rotation just refreshes the stalest:
+# the 12 queries REGISTERED DURING ROUND 5 (q_ann_pq_trained,
+# q_ann_recall, q_dedup_canonical_keep, q_events_ewma,
+# q_embedding_power_iteration, q_sample_weighted, q_doc_similarity_tfidf,
+# q_bloom_semi_join, q_multimodal_phash_pairs, q_sketch_countmin_words,
+# q_events_anomaly_mad, q_text_bigram_logprob — local-proof only, see
+# ORACLE_CHECK_r05.txt) plus the 29 remaining r3-last rows lead the
+# ROUND 6 prefix; fill the rest with the stalest r4 rows.  Queries not
+# listed here follow in module-registration order.
 _PRIORITY = [
     # --- registered round 4, never driver-checked: highest-value rows ---
     "q_ann_pq",

@@ -621,3 +621,54 @@ def test_pq_training_improves_recall(spark):
     refined = _pq_lloyd_refine(u, seed)
     assert refined.shape == seed.shape
     assert (refined != seed).any()
+
+
+def test_dhash_gradient_bits():
+    """dHash ground truth on crafted rasters: brightness increasing
+    left-to-right sets no gradient bits; decreasing sets all 12."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        PHASH_GRID,
+        dhash_ppm,
+    )
+
+    w = h = 8
+
+    def ppm(rowfn):
+        raster = bytes(
+            rowfn(x) for y in range(h) for x in range(w) for _ in range(3)
+        )
+        return b"P6\n%d %d\n255\n" % (w, h) + raster
+
+    assert dhash_ppm(ppm(lambda x: x * 30)) == 0
+    assert dhash_ppm(ppm(lambda x: 255 - x * 30)) == (
+        1 << (PHASH_GRID * (PHASH_GRID - 1))
+    ) - 1
+    # determinism: identical payloads, identical hash
+    assert dhash_ppm(ppm(lambda x: x * 7)) == dhash_ppm(ppm(lambda x: x * 7))
+
+
+def test_bigram_logprob_tiny_corpus_and_degenerate_docs(spark, tmp_path):
+    """Hand-computed LM on a one-doc corpus: 'a b a' has bigrams (a,b)
+    and (b,a), each with add-one probability (1+1)/(1+2) = 2/3, so the
+    doc's mean logprob is ln(2/3) rounded at 6 dp.  Docs with fewer
+    than 2 tokens must drop out entirely (no bigrams), matching the
+    oracle's range() semantics."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import (
+        text as text_ops,
+    )
+
+    sf = str(tmp_path)
+    docs = [(1, "a b a", "en", "s", 5),
+            (2, "solo", "en", "s", 4),
+            (3, "", "en", "s", 0)]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in text_ops.QUERIES["q_text_bigram_logprob"](spark, sf).collect()
+    }
+    assert set(rows) == {1}
+    assert rows[1] == (2, round(math.log(2 / 3), 6))
