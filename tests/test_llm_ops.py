@@ -672,3 +672,103 @@ def test_bigram_logprob_tiny_corpus_and_degenerate_docs(spark, tmp_path):
     }
     assert set(rows) == {1}
     assert rows[1] == (2, round(math.log(2 / 3), 6))
+
+
+def test_dhash_matches_reference_property():
+    """Property: dhash_ppm equals a from-scratch pure-Python dHash on
+    arbitrary rasters (independent reimplementation, no numpy)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        PHASH_GRID,
+        dhash_ppm,
+    )
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        w=st.integers(min_value=PHASH_GRID, max_value=14),
+        h=st.integers(min_value=PHASH_GRID, max_value=12),
+        data=st.data(),
+    )
+    def check(w, h, data):
+        n = 3 * w * h
+        raster = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+        )
+        payload = (
+            b"P6\n" + str(w).encode() + b" " + str(h).encode() + b"\n255\n" + raster
+        )
+        g = PHASH_GRID
+        sums = [[0] * g for _ in range(g)]
+        cnts = [[0] * g for _ in range(g)]
+        for y in range(h):
+            for x in range(w):
+                p = 3 * (y * w + x)
+                gray = (raster[p] + raster[p + 1] + raster[p + 2]) // 3
+                sums[y * g // h][x * g // w] += gray
+                cnts[y * g // h][x * g // w] += 1
+        cells = [
+            [sums[i][j] // cnts[i][j] for j in range(g)] for i in range(g)
+        ]
+        want = 0
+        for i in range(g):
+            for j in range(g - 1):
+                if cells[i][j] > cells[i][j + 1]:
+                    want |= 1 << (i * (g - 1) + j)
+        assert dhash_ppm(payload) == want
+
+    check()
+
+
+def test_ewma_fold_matches_python_property(spark):
+    """Property: the declarative EWMA fold equals a sequential Python
+    fold over the ts-then-event_id-ordered values, for arbitrary event
+    sets including duplicate timestamps and a single-event user."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        EWMA_ALPHA,
+        QUERIES,
+    )
+
+    @settings(max_examples=8, deadline=None)  # each example runs a Spark job
+    @given(data=st.data())
+    def check(data):
+        import datetime
+        import tempfile
+
+        n = data.draw(st.integers(min_value=1, max_value=12))
+        rows = []
+        for eid in range(n):
+            ts = datetime.datetime(
+                2024, 1, 1, 0, data.draw(st.integers(0, 3))
+            )  # few distinct minutes -> frequent ts ties
+            uid = data.draw(st.integers(1, 2))
+            val = data.draw(
+                st.floats(-100, 100, allow_nan=False, allow_infinity=False)
+            )
+            rows.append((eid, ts, uid, "e", val, "{}"))
+        with tempfile.TemporaryDirectory() as sf:
+            spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string",
+            ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+            got = {
+                r["user_id"]: (r["n_events"], r["ewma"])
+                for r in QUERIES["q_events_ewma"](spark, sf).collect()
+            }
+        expect = {}
+        for uid in {r[2] for r in rows}:
+            seq = sorted(
+                (r for r in rows if r[2] == uid), key=lambda r: (r[1], r[0])
+            )
+            acc = seq[0][4]
+            for r in seq[1:]:
+                acc = acc * (1 - EWMA_ALPHA) + r[4] * EWMA_ALPHA
+            expect[uid] = (len(seq), round(acc, 6))
+        assert got == expect
+
+    check()
