@@ -760,6 +760,18 @@ def test_ewma_fold_matches_python_property(spark):
                 r["user_id"]: (r["n_events"], r["ewma"])
                 for r in QUERIES["q_events_ewma"](spark, sf).collect()
             }
+        # Spark's F.round is HALF_UP over the double's shortest repr
+        # (BigDecimal.valueOf); Python's round is half-even and differs
+        # on exact 6-dp boundaries like 0.3828125 — mirror Spark.
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r6(x):
+            return float(
+                Decimal(repr(x)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+
         expect = {}
         for uid in {r[2] for r in rows}:
             seq = sorted(
@@ -768,7 +780,7 @@ def test_ewma_fold_matches_python_property(spark):
             acc = seq[0][4]
             for r in seq[1:]:
                 acc = acc * (1 - EWMA_ALPHA) + r[4] * EWMA_ALPHA
-            expect[uid] = (len(seq), round(acc, 6))
+            expect[uid] = (len(seq), r6(acc))
         assert got == expect
 
     check()
