@@ -54,7 +54,7 @@ _MODULES = [
 # registration order (observed rounds 1-3).  The registry holds 141 queries,
 # all with full DuckDB oracles, so the prefix rotates each round until every
 # query has a recorded driver row; `scripts/check_oracles.py` re-proves the
-# FULL registry locally every round (artifact: ORACLE_CHECK_r04.txt, 0
+# FULL registry locally every round (artifact: ORACLE_CHECK_r05.txt, 0
 # failures).
 #
 # Driver-row ledger going into round 5 (CORRECTNESS_r01..r04, all green):
