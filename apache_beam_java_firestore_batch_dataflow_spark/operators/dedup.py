@@ -854,10 +854,10 @@ WINNOW_SIM_MIN = 0.2  # fingerprint-set Jaccard threshold
 
 
 def _winnow_pairs_oracle() -> str:
-    from .text import _winnow_oracle
+    from .text import _winnow_arrays_sql
 
     return f"""
-    WITH w AS ({_winnow_oracle()}),
+    WITH w AS ({_winnow_arrays_sql()}),
     fp AS (SELECT doc_id, unnest(fps) AS f FROM w),
     rare AS (
       SELECT f FROM fp GROUP BY f HAVING count(*) BETWEEN 2 AND {FP_DF_MAX}
@@ -899,9 +899,9 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (df > FP_DF_MAX) cannot generate candidates, which is what kills
     the head-term pair explosion on web-scale corpora.
     """
-    from .text import q_text_winnow_fingerprints
+    from .text import winnow_fingerprint_arrays
 
-    w = q_text_winnow_fingerprints(spark, sf_dir).persist()
+    w = winnow_fingerprint_arrays(spark, sf_dir).persist()
     fp = w.select("doc_id", F.explode("fps").alias("f"))
     rare = (
         fp.groupBy("f")

@@ -1477,8 +1477,6 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     member = None
     for i in range(BLOOM_K):
-        wi = (F.col(f"p{i}") / BLOOM_W).cast("int")
-        bit = (F.col(f"p{i}") % BLOOM_W).cast("int")
         hit = F.expr(
             f"((element_at(__ws, CAST(p{i} / {BLOOM_W} AS INT) + 1)"
             f" >> CAST(p{i} % {BLOOM_W} AS INT)) & 1) = 1"

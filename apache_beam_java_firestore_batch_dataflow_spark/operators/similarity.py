@@ -1122,7 +1122,11 @@ MRL_FP = 1_000_000.0  # fixed-point scale for the emitted unit vector
     # Identical double arithmetic: slice, ordered sum-of-squares fold,
     # sqrt, then round(x * FP / norm) per element — emitted values are
     # integers (plus the norm rounded at 9 decimals), so the check is
-    # exact, mirroring q_embedding_quantize_int8.
+    # exact, mirroring q_embedding_quantize_int8.  Output is one row per
+    # (vec_id, dim_idx): the driver's canonicalizer sorts columns in
+    # pandas and cannot hash list cells (VERDICT r5 — the array-typed
+    # first cut was the round's only driver error), so the truncated
+    # unit vector is emitted exploded rather than as array<bigint>.
     oracle=f"""
     WITH base AS (
       SELECT vec_id,
@@ -1138,24 +1142,26 @@ MRL_FP = 1_000_000.0  # fixed-point scale for the emitted unit vector
     )
     SELECT vec_id,
            CAST(round(nrm, 9) AS DOUBLE) AS trunc_norm,
+           CAST(i - 1 AS INT) AS dim_idx,
            CASE WHEN nrm > 0
-                THEN list_transform(xd,
-                       x -> CAST(round(x * {MRL_FP} / nrm) AS BIGINT))
-                ELSE list_transform(xd, x -> CAST(0 AS BIGINT)) END AS unit_fp
-    FROM n
+                THEN CAST(round(xd[i] * {MRL_FP} / nrm) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS unit_val
+    FROM n, LATERAL (SELECT unnest(range(1, len(xd) + 1)) AS i)
     """,
 )
 def q_embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style truncation: the first MRL_DIM dims of each
-    embedding, re-normalized to unit length and fixed-point encoded.
+    embedding, re-normalized to unit length and fixed-point encoded,
+    one output row per (vec_id, dim_idx) coordinate.
 
     MRL-trained embeddings keep most retrieval quality in a short
     prefix, so a tiered index stores the truncated unit vector for the
     cheap first-pass scan (MRL_DIM/64 of the bytes) and full vectors
-    only for re-ranking.  Scale shape: pure in-row projection on the
-    scan — zero shuffles, zero UDFs, codegen throughout; the oracle
-    replays the identical double fold, and the emitted coordinates are
-    fixed-point integers so the hash check is exact.
+    only for re-ranking.  Scale shape: pure in-row projection +
+    posexplode on the scan — zero shuffles, zero UDFs, codegen
+    throughout; the oracle replays the identical double fold, and the
+    emitted coordinates are fixed-point integers so the hash check is
+    exact.  The MRL_DIM-row fan-out is a model constant, not data.
     """
     v = _vecs(spark, sf_dir)
     xd = F.transform(
@@ -1178,7 +1184,12 @@ def q_embedding_mrl_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "vec_id",
         F.round(F.col("nrm"), 9).cast("double").alias("trunc_norm"),
-        unit_fp.alias("unit_fp"),
+        F.posexplode(unit_fp).alias("dim_idx", "unit_val"),
+    ).select(
+        "vec_id",
+        "trunc_norm",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        "unit_val",
     )
 
 
@@ -1388,7 +1399,14 @@ def _pq_lloyd_refine(u: DataFrame, cb):
             for m in range(PQ_M):  # PQ_M=8 iterations of vector ops
                 np.add.at(s[m], codes[:, m], x[:, m, :])
                 np.add.at(n[m], codes[:, m], 1)
-            mi, ci, di = np.nonzero(s + n[:, :, None] != 0)
+            # Emit every dim of every NON-EMPTY cluster: filtering on
+            # membership counts only.  Filtering on s + n != 0 (the first
+            # cut) silently dropped any (m, c, d) cell whose signed
+            # dim-sum equals -count (reachable: units are signed), making
+            # the refined centroid batch-partitioning-dependent.
+            mi, ci, di = np.nonzero(
+                np.broadcast_to(n[:, :, None] != 0, s.shape)
+            )
             yield pd.DataFrame(
                 {
                     "m": mi.astype(np.int32),

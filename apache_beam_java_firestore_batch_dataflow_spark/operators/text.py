@@ -603,7 +603,10 @@ WINNOW_K = 5  # character-gram width
 WINNOW_W = 4  # winnowing window (consecutive gram hashes per window)
 
 
-def _winnow_oracle() -> str:
+def _winnow_arrays_sql() -> str:
+    """Array-form winnow frame (doc_id, n_fp, fps BIGINT[]) — the
+    internal shape the pair query joins on; the registered query
+    explodes it (the driver cannot canonicalize array columns)."""
     from ..functions.hashing import h56_sql
 
     gram_hash = h56_sql(f"substr(t, i, {WINNOW_K})")
@@ -636,23 +639,20 @@ def _winnow_oracle() -> str:
     """
 
 
-@register("q_text_winnow_fingerprints", oracle=_winnow_oracle())
-def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints: hash every character
-    ``WINNOW_K``-gram of the normalized text, slide a ``WINNOW_W``-wide
-    window over the hash sequence, keep each window's minimum, dedupe.
-
-    The classic guarantee (MOSS): any shared substring of length >=
-    K + W - 1 between two documents produces at least one shared
-    fingerprint — so these survive partial plagiarism/quotation overlap
-    that whole-document hashing (q_text_fingerprint) misses.
-
-    Scale shape: everything is in-row higher-order functions over the
-    scan — zero shuffles, zero UDFs, fingerprint count per doc bounded
-    by the gram count.  At 100 TB this is a pure map stage; the
-    downstream pair-join (block on fingerprint, like the rare-gram
-    family) reuses the bounded-fan-out postings pattern.
+def _winnow_oracle() -> str:
+    return f"""
+    SELECT doc_id, n_fp,
+           unnest(CASE WHEN len(fps) = 0 THEN CAST([NULL] AS BIGINT[])
+                       ELSE fps END) AS fp
+    FROM ({_winnow_arrays_sql()})
     """
+
+
+def winnow_fingerprint_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-form winnow frame (doc_id, n_fp, fps array<bigint>) —
+    shared by the registered exploded query and the pair join in
+    ``dedup.q_dedup_winnow_pairs`` (which intersects the arrays
+    in-row and must not pay a re-explode/re-collect round trip)."""
     from ..functions.hashing import h56
 
     docs = _docs(spark, sf_dir)
@@ -676,6 +676,32 @@ def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(fps).cast("bigint").alias("n_fp"),
         fps.alias("fps"),
     )
+
+
+@register("q_text_winnow_fingerprints", oracle=_winnow_oracle())
+def q_text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints: hash every character
+    ``WINNOW_K``-gram of the normalized text, slide a ``WINNOW_W``-wide
+    window over the hash sequence, keep each window's minimum, dedupe.
+
+    The classic guarantee (MOSS): any shared substring of length >=
+    K + W - 1 between two documents produces at least one shared
+    fingerprint — so these survive partial plagiarism/quotation overlap
+    that whole-document hashing (q_text_fingerprint) misses.
+
+    Scale shape: everything is in-row higher-order functions over the
+    scan — zero shuffles, zero UDFs, fingerprint count per doc bounded
+    by the gram count.  At 100 TB this is a pure map stage; the
+    downstream pair-join (block on fingerprint, like the rare-gram
+    family) reuses the bounded-fan-out postings pattern.
+
+    Output is one row per (doc_id, fp) — ``explode_outer`` so docs too
+    short to fingerprint survive as a single NULL-fp row (the driver's
+    canonicalizer cannot hash array cells, VERDICT r5; ``n_fp`` keeps
+    the per-doc count exactly recoverable from the exploded form).
+    """
+    w = winnow_fingerprint_arrays(spark, sf_dir)
+    return w.select("doc_id", "n_fp", F.explode_outer("fps").alias("fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -957,8 +983,8 @@ _TFIDF_SIM_ORACLE = f"""
                    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
                  AS cosine
       FROM dots d
-      JOIN norms na ON na.doc_id = d.doc_a
-      JOIN norms nb ON nb.doc_id = d.doc_b
+      JOIN norms na ON na.doc_id = d.doc_a AND na.n2 > 0
+      JOIN norms nb ON nb.doc_id = d.doc_b AND nb.n2 > 0
     )
     SELECT doc_a, doc_b, n_shared, CAST(cosine AS DOUBLE) AS cosine
     FROM scored WHERE cosine >= {TFIDF_SIM_MIN}
@@ -1083,7 +1109,16 @@ def q_doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vb = wvec.select(
         F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"), F.col("n2").alias("n2b")
     )
-    paired = cand.join(va, "doc_a").join(vb, "doc_b")
+    # n2 > 0 on BOTH sides (engine and oracle): a doc whose every token
+    # appears in all docs has an all-zero weight vector, making cosine
+    # 0/0 — NULL in Spark (row silently dropped by the >= filter) but
+    # NaN in DuckDB, where NaN sorts ABOVE the threshold and the oracle
+    # would emit pairs the engine omits.
+    paired = (
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .filter((F.col("n2a") > 0) & (F.col("n2b") > 0))
+    )
     dotp = F.aggregate(
         F.map_keys("ma"),
         dec0,

@@ -415,7 +415,7 @@ _MAD_ORACLE = f"""
            CAST(round(d.value, 6) AS DOUBLE) AS value,
            CAST(round(d.adev / m.mad, 6) AS DOUBLE) AS dev_ratio
     FROM dev d JOIN mad m USING (event_type)
-    WHERE d.adev > {MAD_K} * m.mad
+    WHERE m.mad > 0 AND d.adev > {MAD_K} * m.mad
 """
 
 
@@ -447,9 +447,13 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.expr("percentile(adev, 0.5)").alias("mad")
     )
+    # mad > 0 guard on BOTH engines: with a degenerate MAD of 0 (half
+    # the type's values equal its median) adev/0 is NULL under Spark's
+    # non-ANSI division but +inf under DuckDB's IEEE division, so the
+    # dev_ratio column would diverge exactly when an outlier exists.
     return (
         dev.join(F.broadcast(mad), "event_type")
-        .filter(F.col("adev") > MAD_K * F.col("mad"))
+        .filter((F.col("mad") > 0) & (F.col("adev") > MAD_K * F.col("mad")))
         .select(
             "event_id",
             "event_type",

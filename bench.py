@@ -122,6 +122,7 @@ def scaling_bench(spark, registry) -> dict:
                 start = time.monotonic()
                 df.write.format("noop").mode("overwrite").save()
                 reps.append(time.monotonic() - start)
+                spark.catalog.clearCache()
             times[key] = round(sorted(reps)[1], 3)
         times["ratio"] = round(times["large_sec"] / max(times["small_sec"], 1e-9), 2)
         out[name] = times
@@ -250,6 +251,11 @@ def main() -> None:
             start = time.monotonic()
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.monotonic() - start)
+            # Each invocation of a persist()-using query (TF-IDF, winnow
+            # pairs) caches a fresh frame; drop it so neither storage
+            # accumulates across the sweep nor a warm cache flatters the
+            # next rep (ADVICE r5).
+            spark.catalog.clearCache()
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     sink = sink_ratio_bench(spark)

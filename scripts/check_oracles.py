@@ -95,6 +95,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
             continue
+        finally:
+            # Queries that persist() an intermediate (TF-IDF weight maps,
+            # winnow arrays) cache one frame per invocation; across a
+            # 140+-query sweep that accumulates in executor storage
+            # (ADVICE r5), so drop everything after each action.
+            spark.catalog.clearCache()
         spark_s = time.monotonic() - t0
         if name not in oracles:
             print(f"okay {name}: rows-only ({len(srows)} rows, {spark_s:.1f}s) [no oracle]")

@@ -623,6 +623,43 @@ def test_pq_training_improves_recall(spark):
     assert (refined != seed).any()
 
 
+def test_pq_lloyd_refine_keeps_negative_sum_cells(spark):
+    """ADVICE r5 (medium): a partial-sum cell whose signed dim-sum
+    equals -count used to be dropped by the s + n != 0 emit filter,
+    making the refined centroid depend on Arrow batch partitioning.
+    Craft a corpus where one codeword's cluster is a single vector
+    whose every dim is -1 (sum = -count exactly): the refined centroid
+    for that cell must be -1, not the silently-kept seed value."""
+    import numpy as np
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB_D,
+        _pq_lloyd_refine,
+    )
+
+    # Seed codebook: codeword 0 at 0 (nearest to the all--1 vector),
+    # the rest far away (+100 * k).  The seed must DIFFER from the true
+    # cluster mean (-1), otherwise the dropped cell is indistinguishable
+    # from a correctly-kept one.
+    cb = np.zeros((PQ_K, PQ_M, PQ_SUB_D), dtype=np.int64)
+    for k in range(1, PQ_K):
+        cb[k] = 100 * k
+    dim = PQ_M * PQ_SUB_D
+    u = spark.createDataFrame(
+        [(0, [-1] * dim)], "vec_id long, qv array<long>"
+    )
+    refined = _pq_lloyd_refine(u, cb)
+    # Cluster 0's mean over its one member is exactly -1 on every dim;
+    # the buggy filter dropped those cells (sum -1 + count 1 == 0) and
+    # left the seed 0 in place.
+    assert (refined[0] == -1).all(), refined[0]
+    # Empty clusters keep their seeds untouched.
+    for k in range(1, PQ_K):
+        assert (refined[k] == cb[k]).all()
+
+
 def test_dhash_gradient_bits():
     """dHash ground truth on crafted rasters: brightness increasing
     left-to-right sets no gradient bits; decreasing sets all 12."""
