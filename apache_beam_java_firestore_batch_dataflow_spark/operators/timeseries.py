@@ -352,26 +352,20 @@ _EWMA_ORACLE = f"""
 """
 
 
-@register("q_events_ewma", oracle=_EWMA_ORACLE)
-def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user exponentially weighted moving average of ``value`` in
-    event order — the canonical ORDER-DEPENDENT sequential state that
-    has no window-function form (each step needs the previous step's
-    result, not a frame aggregate).
+def ewma_fold(ev: DataFrame) -> DataFrame:
+    """Fold (user_id, ts, event_id, value) rows into per-user EWMA.
 
-    Expressed declaratively anyway: one groupBy collects the user's
-    (ts, event_id, value) sequence, ``array_sort`` fixes the order
-    in-row, and ``F.aggregate`` folds left-to-right — a single shuffle
-    on user_id, no applyInPandas, no state store.  Per-task memory is
-    bounded by one user's event history (the same bound sessionization
-    already carries); both engines fold the identical IEEE expression
-    over the identical order, so results match bit-for-bit before the
-    final 6-dp round.  Seed = first value (``list_reduce`` semantics),
-    then acc*(1-a) + x*a per element.
+    HOT-USER BOUND: the ``collect_list`` materializes ONE user's whole
+    event history as a single in-row array, so per-task memory — and the
+    single largest row — is bounded by the hottest key, not the corpus
+    (the exact bound sessionization carries).  At ~48 bytes/event a
+    10M-event user is ~500 MB in one row: beyond roughly 10^6-10^7
+    events/user, route through the streaming escape hatch instead
+    (``streaming/stateful.py`` keeps O(1) running state per key via
+    ``applyInPandasWithState``) or pre-aggregate coarser time buckets.
+    The driver fixtures top out at ~10^2 events/user;
+    ``test_ewma_hot_user`` pins correctness at 50k.
     """
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value"
-    )
     g = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.array_sort(
@@ -389,6 +383,30 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round(folded, 6).cast("double").alias("ewma"),
     )
+
+
+@register("q_events_ewma", oracle=_EWMA_ORACLE)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of ``value`` in
+    event order — the canonical ORDER-DEPENDENT sequential state that
+    has no window-function form (each step needs the previous step's
+    result, not a frame aggregate).
+
+    Expressed declaratively anyway: one groupBy collects the user's
+    (ts, event_id, value) sequence, ``array_sort`` fixes the order
+    in-row, and ``F.aggregate`` folds left-to-right — a single shuffle
+    on user_id, no applyInPandas, no state store.  Per-task memory is
+    bounded by one user's event history (see ``ewma_fold`` for the
+    documented hot-user cap and the streaming escape hatch); both
+    engines fold the identical IEEE expression over the identical
+    order, so results match bit-for-bit before the final 6-dp round.
+    Seed = first value (``list_reduce`` semantics), then
+    acc*(1-a) + x*a per element.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return ewma_fold(ev)
 
 
 # ---------------------------------------------------------------------------

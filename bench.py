@@ -98,6 +98,12 @@ SCALING_QUERIES = [
     "q_knn_bruteforce_cogrouped",
     "q_dedup_winnow_pairs",
     "q_dedup_incremental_ingest",
+    # round-6 additions (VERDICT r5 item 5): the round-5 heavies' claims
+    # — postings-bounded TF-IDF pairs, nibble-block phash pairs, O(1)
+    # bloom state — get empirical curves
+    "q_doc_similarity_tfidf",
+    "q_multimodal_phash_pairs",
+    "q_bloom_semi_join",
 ]
 
 
@@ -155,13 +161,22 @@ def skew_bench(spark) -> dict:
     )
     conf = spark.conf
     saved = {
-        c: conf.get(c)
+        c: conf.get(c, None)
         for c in (
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
         )
     }
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # At bench scale the hot partition is ~30 MB — far under the 256 MB
+    # default skew threshold, so AQE never split it and the AQE leg
+    # measured the THRESHOLD, not the feature (VERDICT r5 item 8).
+    # Scale the knobs to the fixture so the skew-split path actually
+    # exercises: split anything 4x the 2 MB advisory target.
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8m")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
 
     def timed(df) -> float:
         reps = []
@@ -183,9 +198,12 @@ def skew_bench(spark) -> dict:
         out["salted_sec"] = timed(agg(salted_join(fact, dim, on="k")))
     finally:
         for c, v in saved.items():
-            conf.set(c, v)
+            conf.set(c, v) if v is not None else conf.unset(c)
     out["salted_vs_hot"] = round(
         out["plain_hot_sec"] / max(out["salted_sec"], 1e-9), 2
+    )
+    out["aqe_vs_hot"] = round(
+        out["plain_hot_sec"] / max(out["plain_aqe_sec"], 1e-9), 2
     )
     return out
 

