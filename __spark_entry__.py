@@ -116,7 +116,15 @@ _PRIORITY = [
     "q_set_ops",
     "q_subquery_scalar",
     "q_union_except",
-    # --- registered round 6, never driver-checked (fills to 50) ---
+    # --- registered round 6, never driver-checked (fills to 50; the
+    # two remaining r6 registrations, q_quality_topp_per_source and
+    # q_events_robust_scale, queue for the r7 prefix) ---
+    "q_ann_rrf_fusion",
+    "q_dedup_semantic",
+    "q_dedup_minhash_est_error",
+    "q_text_novelty_ngrams",
+    "q_layout_zorder_buckets",
+    "q_multimodal_scene_cuts",
 ]
 
 

@@ -613,3 +613,51 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("es_key", 9).cast("double").alias("es_key"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality gate: keep the top-p quantile within each stratum
+# ---------------------------------------------------------------------------
+
+TOPP_FRAC = 0.2  # keep the best 20% per source
+
+_TOPP_ORACLE = f"""
+    SELECT doc_id, source, score, pr
+    FROM (
+      SELECT doc_id, source, score,
+             CAST(round(percent_rank() OVER (
+                    PARTITION BY source ORDER BY score DESC, doc_id), 6)
+                  AS DOUBLE) AS pr
+      FROM (
+        SELECT doc_id, source,
+               CAST(n_chars * 1000 + doc_id % 1000 AS BIGINT) AS score
+        FROM documents
+      )
+    )
+    WHERE pr <= {TOPP_FRAC}
+"""
+
+
+@register("q_quality_topp_per_source", oracle=_TOPP_ORACLE)
+def q_quality_topp_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quality gate: within each ``source`` stratum keep only
+    the top-``TOPP_FRAC`` of documents by quality score — the standard
+    per-domain filter that stops one noisy domain's tail from surviving
+    just because another domain's floor is higher (a GLOBAL cutoff
+    would do exactly that).  The fixture score is a deterministic
+    integer proxy (length-dominated with an id tiebreak component);
+    swap any scalar quality metric in unchanged.
+
+    Scale shape: one shuffle on source + per-partition sort for the
+    window; percent_rank needs no global sort and no second pass (rank
+    and count come from the same window).  The (score DESC, doc_id)
+    order is total, so percent_rank is deterministic and both engines
+    agree exactly — ties cannot straddle the cutoff."""
+    docs = load_table(spark, sf_dir, "documents")
+    score = (F.col("n_chars") * 1000 + F.col("doc_id") % 1000).cast("bigint")
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", score.alias("score"))
+        .withColumn("pr", F.round(F.percent_rank().over(w), 6).cast("double"))
+        .filter(F.col("pr") <= TOPP_FRAC)
+    )

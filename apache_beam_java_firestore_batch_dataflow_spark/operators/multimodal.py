@@ -952,3 +952,121 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= PHASH_HAM_MAX).select(
         "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scene-cut detection: per-frame-pair Y-plane mean absolute difference
+# ---------------------------------------------------------------------------
+
+SCENE_CUT_MAD_CENTI = 12500  # flag pairs whose Y MAD exceeds 125.00/pixel
+# (the synthetic planes' pairwise MADs span ~97..154/pixel, so this sits
+# mid-distribution and both flag values occur in the fixture)
+
+
+def y4m_frame_diffs(payload: bytes) -> list[tuple[int, int]]:
+    """Parse a YUV4MPEG2 stream and return, for each consecutive frame
+    pair, ``(frame_idx, y_mad_centi)`` — the mean absolute Y-plane
+    difference in centi-units (floor(100 * Σ|ΔY| / (w*h))).  Reuses the
+    strict :func:`decode_y4m` header/frame contract but keeps per-frame
+    planes instead of folding them into stream totals."""
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing stream-header newline")
+    fields = payload[:nl].split(b" ")
+    if fields[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    for tag in fields[1:]:
+        if tag[:1] == b"W":
+            width = int(tag[1:])
+        elif tag[:1] == b"H":
+            height = int(tag[1:])
+    if not width or not height:
+        raise ValueError("stream header missing W/H")
+    frame_bytes = 3 * width * height
+    y_px = width * height
+    i = nl + 1
+    prev = None
+    frame_idx = 0
+    out: list[tuple[int, int]] = []
+    while i < len(payload):
+        fnl = payload.find(b"\n", i)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        fheader = payload[i:fnl]
+        if fheader != b"FRAME" and not fheader.startswith(b"FRAME "):
+            raise ValueError(f"bad FRAME marker {fheader!r}")
+        y_plane = payload[fnl + 1 : fnl + 1 + y_px]
+        if len(payload[fnl + 1 : fnl + 1 + frame_bytes]) < frame_bytes:
+            raise ValueError("truncated frame")
+        if prev is not None:
+            sad = sum(abs(a - b) for a, b in zip(y_plane, prev))
+            out.append((frame_idx, sad * 100 // y_px))
+        prev = y_plane
+        frame_idx += 1
+        i = fnl + 1 + frame_bytes
+    return out
+
+
+@register(
+    "q_multimodal_scene_cuts",
+    # Replays the synthesis formula: Y byte p of frame f of doc d is
+    # (d*31 + f*97 + p*13) % 251 for p < w*h.
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,
+             doc_id % 3 + 1 AS nf
+      FROM documents
+      WHERE doc_id % 3 + 1 >= 2
+    ),
+    diffs AS (
+      SELECT doc_id, w, h, f,
+             sum(abs((doc_id * 31 + f * 97 + p * 13) % 251
+                     - (doc_id * 31 + (f - 1) * 97 + p * 13) % 251)) AS sad
+      FROM params,
+           LATERAL (SELECT unnest(range(1, nf)) AS f),
+           LATERAL (SELECT unnest(range(0, w * h)) AS p)
+      GROUP BY doc_id, w, h, f
+    )
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(sad * 100 // (w * h) AS BIGINT) AS y_mad_centi,
+           (sad * 100 // (w * h) > {SCENE_CUT_MAD_CENTI}) AS is_cut
+    FROM diffs
+    """,
+)
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection: for every consecutive frame pair of
+    every stream, the Y-plane mean absolute difference (centi-units per
+    pixel), flagged as a cut above ``SCENE_CUT_MAD_CENTI`` — the
+    shot-boundary primitive a video-curation pipeline runs before
+    frame-sampling (sample per SHOT, not per fixed stride, or a
+    30-minute static shot eats the budget a 50-cut trailer needs).
+
+    Scale shape: identical to the stats/phash kernels — synthesis and
+    diffing both live in ONE mapInPandas pass over the payload scan, so
+    the raw video bytes NEVER shuffle; only (doc, frame, centi-MAD)
+    triples leave the stage (zero joins, zero exchanges before the
+    sink).  Integer-exact: the synthetic Y planes replay in the DuckDB
+    oracle from the generator formula, and floor-division centi-units
+    avoid float entirely."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                for frame_idx, mad in y4m_frame_diffs(bytes(p)):
+                    rows.append((int(d), frame_idx, mad))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "y_mad_centi"]
+            )
+
+    diffs = y4m_table(spark, sf_dir).mapInPandas(
+        run, schema="doc_id long, frame_idx int, y_mad_centi long"
+    )
+    return diffs.select(
+        "doc_id",
+        "frame_idx",
+        "y_mad_centi",
+        (F.col("y_mad_centi") > SCENE_CUT_MAD_CENTI).alias("is_cut"),
+    )

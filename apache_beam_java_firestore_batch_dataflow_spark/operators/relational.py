@@ -1497,3 +1497,108 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_positive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout key: multi-dimensional clustering for data skipping
+# ---------------------------------------------------------------------------
+
+ZORDER_EPOCH = "1992-01-01"  # TPC-H date floor
+ZBUCKET_SHIFT = 16  # top 16 of the 32 interleaved bits: fixture dims use ~12+11
+# bits, so this yields O(100) buckets with tight envelopes at sf0.01-0.1
+
+# 16-bit Morton spread masks (classic bit-twiddling; identical literals on
+# both engines, all arithmetic in int64 so no overflow under ANSI mode)
+_SPREAD = [
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+]
+
+
+def _morton_spread(col):
+    """Spread the low 16 bits of ``col`` into the even bit positions."""
+    x = col.bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def _morton_spread_sql(expr: str) -> str:
+    x = f"(({expr}) & 65535)"
+    for shift, mask in _SPREAD:
+        x = f"((({x} | ({x} << {shift})) & {mask}))"
+    return x
+
+
+def _zorder_oracle() -> str:
+    sx = _morton_spread_sql("o_custkey")
+    sy = _morton_spread_sql("d")
+    return f"""
+    WITH dims AS (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', DATE '{ZORDER_EPOCH}',
+                       CAST(o_orderdate AS DATE)) AS d
+      FROM orders
+    ),
+    z AS (
+      SELECT o_orderkey, o_custkey, d,
+             ({sx} | ({sy} << 1)) AS zcode
+      FROM dims
+    )
+    SELECT CAST(zcode >> {ZBUCKET_SHIFT} AS BIGINT) AS zbucket,
+           count(*) AS n,
+           CAST(min(o_custkey) AS BIGINT) AS custkey_lo,
+           CAST(max(o_custkey) AS BIGINT) AS custkey_hi,
+           CAST(min(d) AS BIGINT) AS day_lo,
+           CAST(max(d) AS BIGINT) AS day_hi,
+           CAST(min(zcode) AS BIGINT) AS z_lo,
+           CAST(max(zcode) AS BIGINT) AS z_hi
+    FROM z
+    GROUP BY 1
+"""
+
+
+@register("q_layout_zorder_buckets", oracle=_zorder_oracle())
+def q_layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (customer, order-day): interleave
+    the low 16 bits of each dimension and bucket rows by the top
+    interleaved bits — the multi-dimensional clustering key that lets a
+    lakehouse skip files for BOTH ``o_custkey`` range predicates AND
+    date range predicates from one sort order (a plain sort clusters
+    only its leading column).  The emitted per-bucket min/max envelopes
+    ARE the data-skipping index: each bucket covers a tight
+    custkey x day rectangle, which is the property range pruning
+    exploits.
+
+    Scale shape: the z-code is pure in-row bit arithmetic inside the
+    scan's codegen (zero cost at any corpus size); the bucket summary
+    is one combiner-friendly aggregation on a 1024-value key.  In a
+    real table layout the write would be
+    ``df.repartitionByRange(F.col("zcode")).sortWithinPartitions`` —
+    the computation here is exactly the key that write would use, with
+    its locality envelope value-checked against DuckDB bit-for-bit."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit(ZORDER_EPOCH))
+    ).cast("long")
+    dims = orders.select("o_orderkey", "o_custkey", d.alias("d"))
+    zcode = _morton_spread(F.col("o_custkey")).bitwiseOR(
+        F.shiftleft(_morton_spread(F.col("d")), 1)
+    )
+    z = dims.select("o_orderkey", "o_custkey", "d", zcode.alias("zcode"))
+    return (
+        z.groupBy(
+            F.shiftright("zcode", ZBUCKET_SHIFT).cast("bigint").alias("zbucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_custkey").cast("bigint").alias("custkey_lo"),
+            F.max("o_custkey").cast("bigint").alias("custkey_hi"),
+            F.min("d").cast("bigint").alias("day_lo"),
+            F.max("d").cast("bigint").alias("day_hi"),
+            F.min("zcode").cast("bigint").alias("z_lo"),
+            F.max("zcode").cast("bigint").alias("z_hi"),
+        )
+    )

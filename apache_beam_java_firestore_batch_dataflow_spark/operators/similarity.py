@@ -2113,3 +2113,167 @@ def q_embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w2 = normalize(v2)
     return w2.select("i", F.col("w").alias("eig_unit"))
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of two ANN retrievers (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+
+_RRF_ORACLE = f"""
+    WITH lsh AS ({_ANN_ORACLE}),
+    ivf AS ({_IVF_ORACLE}),
+    fused AS (
+      SELECT coalesce(l.query_id, i.query_id) AS query_id,
+             coalesce(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+             coalesce(1.0 / ({RRF_K} + l.rank), 0)
+               + coalesce(1.0 / ({RRF_K} + i.rank), 0) AS score,
+             (CASE WHEN l.rank IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN i.rank IS NOT NULL THEN 1 ELSE 0 END) AS n_lists
+      FROM lsh l
+      FULL OUTER JOIN ivf i
+        ON l.query_id = i.query_id AND l.neighbor_id = i.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, n_lists, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS fused_rank
+      FROM fused
+    )
+    SELECT query_id, neighbor_id,
+           CAST(fused_rank AS INT) AS fused_rank,
+           CAST(n_lists AS INT) AS n_lists,
+           CAST(round(score, 9) AS DOUBLE) AS rrf_score
+    FROM ranked WHERE fused_rank <= {ANN_K}
+"""
+
+
+@register("q_ann_rrf_fusion", oracle=_RRF_ORACLE)
+def q_ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the LSH and IVF ANN rankings per query by
+    reciprocal-rank fusion — score = Σ 1/(RRF_K + rank) over the lists
+    that retrieved the pair — the standard way to combine retrievers
+    with incomparable score scales (no score normalization needed, only
+    ranks).
+
+    Scale shape: both inputs are already rank-truncated to ANN_K rows
+    per query, so the fusion is a full-outer equi-join + window over
+    O(queries · k) rows — corpus size never appears.  Determinism: the
+    score is a fixed two-term IEEE sum (coalesced addends in a fixed
+    order), identical in DuckDB, so the (score DESC, neighbor_id)
+    window order agrees bit-for-bit; rounding to 9 dp happens only at
+    emit."""
+    lsh = q_ann_lsh(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_lsh")
+    )
+    ivf = q_ann_ivf(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("rank_ivf")
+    )
+    fused = lsh.join(ivf, ["query_id", "neighbor_id"], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lsh")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_ivf")), F.lit(0.0))
+    n_lists = (
+        F.when(F.col("rank_lsh").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("rank_ivf").isNotNull(), 1).otherwise(0)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        fused.select(
+            "query_id",
+            "neighbor_id",
+            score.alias("score"),
+            n_lists.alias("n_lists"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            F.col("n_lists").cast("int").alias("n_lists"),
+            F.round("score", 9).cast("double").alias("rrf_score"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape): coarse cells, then within-cell near-dup
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 0.40  # within-cell cosine at/above this marks the higher id a dup
+# (the synthetic embeddings are near-orthogonal — within-cell max is ~0.47
+# at sf0.01 — so the fixture threshold sits at the distribution tail to
+# exercise real drops; a production corpus with true paraphrase dups would
+# run this at 0.9+)
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    cent AS ({_CENT_SQL}),
+    assign AS ({_ivf_sql()}),
+    dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.vnorm * b.vnorm)
+            >= {SEM_TAU}
+    )
+    SELECT s.vec_id, s.cell,
+           (d.vec_id IS NULL) AS keep
+    FROM assign s LEFT JOIN dups d ON d.vec_id = s.vec_id
+"""
+
+
+@register("q_dedup_semantic", oracle=_SEMDEDUP_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, the SemDeDup recipe (Abbas et al. 2023): assign
+    every embedding to a coarse cluster (the IVF quantizer's constant
+    {IVF_C}-centroid codebook — reused, not retrained), then within each
+    cluster drop every vector that has a LOWER-id neighbor at cosine >=
+    {SEM_TAU}.  The keep/drop ledger is the curation deliverable: near-
+    duplicate *meanings* (paraphrases, re-crawls, boilerplate variants)
+    collapse to one exemplar even when their text hashes differ.
+
+    Scale shape: assignment is the ``ivf_assignments`` broadcast pass
+    (O(IVF_C) state, one corpus scan); pairing is an equi-join keyed on
+    cell, so compute is Σ|cell|² — the embedding-cosine family's
+    documented within-block quadratic, bounded by the largest cell, not
+    the corpus (raise IVF_C to shrink cells as the corpus grows; the
+    codebook stays O(1) driver state).  The >= τ filter compares raw
+    IEEE doubles both engines compute identically, the established
+    near-dup contract.
+
+    The assignment frame persists: it feeds BOTH pair sides and the
+    final ledger — without the cache the corpus x IVF_C assignment
+    scan would run three times (the wvec/TF-IDF discipline; harnesses
+    clearCache after each query)."""
+    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    assign = ivf_assignments(v).persist()
+    a = assign.select(
+        F.col("cell").alias("cell_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("vnorm").alias("norm_a"),
+    )
+    b = assign.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("vnorm").alias("norm_b"),
+    )
+    sim = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    dups = (
+        a.join(b, (F.col("cell_a") == F.col("cell_b")) & (F.col("id_a") < F.col("id_b")))
+        .filter(sim >= SEM_TAU)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assign.select("vec_id", "cell")
+        .join(dups, "vec_id", "left")
+        .select("vec_id", "cell", F.col("is_dup").isNull().alias("keep"))
+    )

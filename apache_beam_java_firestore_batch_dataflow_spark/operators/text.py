@@ -1411,3 +1411,90 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty vs a reference corpus (training-data freshness scoring)
+# ---------------------------------------------------------------------------
+
+NOVELTY_K = 3    # token n-gram width
+NOVELTY_MOD = 10  # doc_id % MOD == 0 is the reference corpus
+
+_NOVELTY_ORACLE = f"""
+    WITH g AS (
+      SELECT DISTINCT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(t) >= {NOVELTY_K}
+                           THEN list_transform(range(1, len(t) - {NOVELTY_K - 2}),
+                                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                           ELSE [] END) AS sh
+        FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+      )
+    ),
+    ref AS (
+      SELECT DISTINCT sh FROM g WHERE doc_id % {NOVELTY_MOD} = 0
+    ),
+    cand AS (SELECT doc_id, sh FROM g WHERE doc_id % {NOVELTY_MOD} != 0)
+    SELECT c.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(round(sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) * 1.0
+                      / count(*), 6) AS DOUBLE) AS novelty
+    FROM cand c LEFT JOIN ref r ON r.sh = c.sh
+    GROUP BY c.doc_id
+"""
+
+
+@register("q_text_novelty_ngrams", oracle=_NOVELTY_ORACLE)
+def q_text_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against a reference corpus: the fraction of
+    a doc's distinct {NOVELTY_K}-token n-grams that appear NOWHERE in
+    the reference slice (doc_id % {NOVELTY_MOD} == 0) — the freshness /
+    redundancy score a data-mixing pipeline uses to prefer documents
+    that add new content over ones the corpus already covers (the
+    continuous-valued complement of ``q_decontaminate_overlap``'s
+    binary gate).
+
+    Scale shape: n-grams build in-row (zero shuffles, the shingle
+    discipline), the reference gram set is a distinct-agg, and novelty
+    is ONE left join keyed on the gram — at 100 TB both sides
+    hash-partition on the gram key; no broadcast grows with the corpus
+    and no pair space exists at all.  Counts are exact integers; the
+    one ratio rounds at emit."""
+    docs = _docs(spark, sf_dir)
+    tokd = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+    sh_arr = F.when(
+        F.size("t") >= NOVELTY_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (NOVELTY_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice("t", i, NOVELTY_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = tokd.select(
+        "doc_id", F.explode(F.array_distinct(sh_arr)).alias("sh")
+    )
+    ref = (
+        g.filter(F.col("doc_id") % NOVELTY_MOD == 0)
+        .select("sh")
+        .distinct()
+        .withColumn("in_ref", F.lit(1))
+    )
+    cand = g.filter(F.col("doc_id") % NOVELTY_MOD != 0)
+    joined = cand.join(ref, "sh", "left")
+    novel = F.sum(F.when(F.col("in_ref").isNull(), 1).otherwise(0))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 6)
+            .cast("double")
+            .alias("novelty"),
+        )
+    )

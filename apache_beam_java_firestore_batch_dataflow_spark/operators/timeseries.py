@@ -481,3 +481,63 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dev_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust scaling: (x - median) / IQR per event type (outlier-immune z-score)
+# ---------------------------------------------------------------------------
+
+_ROBUST_ORACLE = """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.50) AS med,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(round(e.value, 6) AS DOUBLE) AS value,
+           CAST(round((e.value - q.med) / (q.q3 - q.q1), 6) AS DOUBLE)
+               AS scaled
+    FROM events e JOIN q USING (event_type)
+    WHERE q.q3 - q.q1 > 0
+"""
+
+
+@register("q_events_robust_scale", oracle=_ROBUST_ORACLE)
+def q_events_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust feature scaling: (value - median) / IQR per event type —
+    the normalization that survives heavy-tailed value distributions
+    where mean/stddev z-scores get dragged by the very outliers
+    ``q_events_anomaly_mad`` hunts (same estimator family, applied to
+    normalization instead of detection).
+
+    Scale shape: one exact-percentile aggregation keyed on event_type
+    (three quantiles from ONE percentile pass — per-group state is the
+    sorted value buffer, the approx_percentile swap documented on the
+    MAD query applies here too) and one broadcast rejoin onto the
+    stream.  Spark's exact percentile interpolates identically to
+    DuckDB's quantile_cont; the IQR > 0 guard pins the degenerate case
+    on both engines (same NULL-vs-inf division divergence the MAD
+    query guards)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.50)").alias("med"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .filter(iqr > 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).cast("double").alias("value"),
+            F.round((F.col("value") - F.col("med")) / iqr, 6)
+            .cast("double")
+            .alias("scaled"),
+        )
+    )

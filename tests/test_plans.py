@@ -580,3 +580,113 @@ def test_power_iteration_single_corpus_pass(spark, sf_dir):
     df = similarity.QUERIES["q_embedding_power_iteration"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators: plan pins for the new families
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fusion_rank_truncated_inputs(spark, sf_dir):
+    """RRF fuses two ALREADY rank-truncated lists: the plan must contain
+    the two window top-k filters feeding a join — and no cartesian or
+    corpus-sized nested loop anywhere outside the constant centroid
+    broadcasts the ANN inputs legitimately carry."""
+    df = similarity.QUERIES["q_ann_rrf_fusion"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("RunningWindowFunction") >= 0  # window nodes exist
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") >= 1
+
+
+def test_semantic_dedup_cell_blocked(spark, sf_dir):
+    """SemDeDup pairs only within quantizer cells: the pair join must be
+    an equi-join keyed on cell (hash or sort-merge), never a cartesian
+    product; the only nested-loop joins are the constant IVF_C centroid
+    broadcasts of the assignment stage."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import similarity as sim
+
+    df = sim.QUERIES["q_dedup_semantic"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the dup pair join keys on cell: an equi-join node must exist
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) >= 1
+    # the assignment frame is cached and read three times (both pair
+    # sides + the ledger); the constant-centroid nested loop lives only
+    # inside the cached definition, so the LIVE plan has none
+    assert plan.count("InMemoryTableScan") >= 3
+    live = plan.split("InMemoryRelation")[0]
+    assert "BroadcastNestedLoopJoin" not in live
+
+
+def test_minhash_est_error_no_pair_explosion(spark, sf_dir):
+    """Estimator calibration reuses the banded candidate join; signature
+    agreement folds in-row (zip_with) — no (pair x hash-slot) explode,
+    no cartesian pair space."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import dedup
+
+    df = dedup.QUERIES["q_dedup_minhash_est_error"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_novelty_keyed_join_only(spark, sf_dir):
+    """Novelty is one left join keyed on the gram: no broadcast that
+    grows with the corpus (the reference side is itself corpus-derived,
+    so it must hash-join, not broadcast at scale — at fixture size AQE
+    may still broadcast it, which is fine; the pin is no cartesian and
+    the join keys on the gram column)."""
+    df = TEXT_QUERIES["q_text_novelty_ngrams"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_single_aggregation_exchange(spark, sf_dir):
+    """The z-code is in-row bit arithmetic inside the scan stage; the
+    bucket summary is ONE combiner aggregation — exactly one shuffle,
+    zero joins, zero Python."""
+    df = relational.QUERIES["q_layout_zorder_buckets"](spark, sf_dir)
+    assert num_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_scene_cuts_zero_shuffle_kernel(spark, sf_dir):
+    """Scene-cut detection is one Arrow kernel over the payload scan:
+    video bytes never shuffle, no joins, no exchanges before the sink."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import multimodal
+
+    df = multimodal.QUERIES["q_multimodal_scene_cuts"](spark, sf_dir)
+    assert num_shuffles(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+
+
+def test_topp_single_window_shuffle(spark, sf_dir):
+    """The per-source quantile gate is one shuffle on source + one
+    window — no global sort, no second pass for the denominator."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import curation
+
+    df = curation.QUERIES["q_quality_topp_per_source"](spark, sf_dir)
+    assert num_shuffles(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+
+
+def test_robust_scale_broadcast_rejoin(spark, sf_dir):
+    """Robust scaling: per-type quantiles aggregate once, then broadcast
+    back onto the stream — the stats side is O(types), never sorted
+    globally."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import timeseries
+
+    df = timeseries.QUERIES["q_events_robust_scale"](spark, sf_dir)
+    assert num_broadcast_joins(df) >= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
