@@ -104,3 +104,59 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "[PHONE]",
         ).alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit over quasi-identifier classes
+# ---------------------------------------------------------------------------
+
+K_ANON = 5   # minimum equivalence-class size
+L_DIV = 3    # minimum distinct sensitive values per class
+
+_KANON_ORACLE = f"""
+    SELECT c_nationkey, c_mktsegment,
+           count(*) AS n,
+           count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+               AS n_sensitive,
+           (count(*) >= {K_ANON}) AS k_ok,
+           (count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= {L_DIV})
+               AS l_ok
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@register("q_kanonymity_audit", oracle=_KANON_ORACLE)
+def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit: group rows by their quasi-identifier
+    tuple (nation, market segment — the attributes an attacker can link
+    from outside data) and report each equivalence class's size and its
+    count of distinct sensitive values (account-balance kilobuckets).
+    ``k_ok`` fails for classes smaller than {K_ANON} (k-anonymity: an
+    individual hides among k lookalikes) and ``l_ok`` for classes with
+    fewer than {L_DIV} distinct sensitive values (l-diversity: a class
+    where everyone shares one sensitive value leaks it even at large k).
+    The failing rows are exactly what a release pipeline must generalize
+    or suppress before export.
+
+    Scale shape: ONE aggregation keyed on the quasi-identifier tuple;
+    the distinct-count rides the same shuffle (count(DISTINCT) expands
+    in-aggregate, no second pass over the table).  Output is O(QI
+    classes), never O(rows); integer-exact everywhere."""
+    cust = load_table(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(sens).alias("n_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            "n_sensitive",
+            (F.col("n") >= K_ANON).alias("k_ok"),
+            (F.col("n_sensitive") >= L_DIV).alias("l_ok"),
+        )
+    )

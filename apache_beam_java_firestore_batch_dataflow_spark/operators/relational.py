@@ -1602,3 +1602,72 @@ def q_layout_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zcode").cast("bigint").alias("z_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (ANALYZE-style CBO statistics)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 10
+
+_hist_cuts = [i / HIST_BUCKETS for i in range(1, HIST_BUCKETS)]
+
+_HIST_ORACLE = f"""
+    WITH cuts AS (
+      SELECT {", ".join(f"quantile_cont(o_totalprice, {c}) AS c{i}"
+                        for i, c in enumerate(_hist_cuts))}
+      FROM orders
+    )
+    SELECT bucket,
+           count(*) AS n,
+           CAST(round(min(o_totalprice), 4) AS DOUBLE) AS lo,
+           CAST(round(max(o_totalprice), 4) AS DOUBLE) AS hi
+    FROM (
+      SELECT o_totalprice,
+             CAST(1 {" ".join(f"+ CASE WHEN o_totalprice > c{i} THEN 1 ELSE 0 END"
+                              for i in range(len(_hist_cuts)))} AS INT) AS bucket
+      FROM orders, cuts
+    )
+    GROUP BY bucket
+"""
+
+
+@register("q_histogram_equidepth", oracle=_HIST_ORACLE)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of ``o_totalprice`` in {HIST_BUCKETS}
+    buckets — the ANALYZE-statistics primitive a cost-based optimizer
+    feeds on (equi-depth, not equi-width: each bucket holds ~the same
+    row count, so selectivity estimates stay accurate in dense regions
+    where fixed-width buckets blur).
+
+    Scale shape — deliberately NOT ``ntile()``: a global NTILE window
+    needs a total order, which plans as a single-partition sort (the
+    one-reducer shape that dies at 100 TB).  Instead one exact-
+    percentile aggregation produces the {HIST_BUCKETS - 1} cut points
+    (O(1) broadcast state), and a second scan assigns buckets with a
+    chain of comparisons inside codegen + one combiner agg.  Spark's
+    exact percentile interpolates identically to DuckDB's
+    quantile_cont, and boundary comparisons are the same IEEE doubles
+    on both engines, so bucket membership is deterministic."""
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
+    cuts = orders.agg(
+        *[
+            F.expr(f"percentile(o_totalprice, {c})").alias(f"c{i}")
+            for i, c in enumerate(_hist_cuts)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(len(_hist_cuts)):
+        bucket = bucket + F.when(
+            F.col("o_totalprice") > F.col(f"c{i}"), 1
+        ).otherwise(0)
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .select("o_totalprice", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).cast("double").alias("lo"),
+            F.round(F.max("o_totalprice"), 4).cast("double").alias("hi"),
+        )
+    )

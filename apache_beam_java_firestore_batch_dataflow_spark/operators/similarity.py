@@ -2277,3 +2277,60 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dups, "vec_id", "left")
         .select("vec_id", "cell", F.col("is_dup").isNull().alias("keep"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral projection: per-vector score along the dominant eigenvector
+# ---------------------------------------------------------------------------
+
+_SPECTRAL_ORACLE = f"""
+    WITH pi AS ({_POWER_ITER_ORACLE}),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 e -> CAST(floor(CAST(e AS DOUBLE) * {GRAM_SCALE} + 0.5)
+                           AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT q.vec_id,
+           CAST(sum(q.qv[pi.i + 1] * pi.eig_unit) AS BIGINT) AS spectral_units
+    FROM q JOIN pi ON pi.i < len(q.qv)
+    GROUP BY q.vec_id
+"""
+
+
+@register("q_embedding_spectral_scores", oracle=_SPECTRAL_ORACLE)
+def q_embedding_spectral_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector projection onto the corpus's dominant principal
+    direction (the power-iteration eigenvector) — the leverage score a
+    curation pipeline uses to find vectors that dominate the spectrum
+    (cap them for diversity) or sit far off the main axis (outlier
+    candidates, complementing ``q_embedding_outliers``' centroid
+    distance with a direction-aware signal).
+
+    Scale shape: the eigenvector is a DIM-row frame (a model constant)
+    collected once — the PQ-codebook discipline — and inlined as an
+    array literal, so the projection is a pure IN-ROW integer dot
+    product inside the corpus scan's codegen: zero joins, zero
+    shuffles, zero Python.  All arithmetic is int64 x int64 fixed-point
+    (|term| <= GRAM_SCALE * PI_SCALE * DIM << 2^63), bit-identical to
+    the oracle's join-based replay."""
+    eig_rows = q_embedding_power_iteration(spark, sf_dir).collect()
+    eig = [0] * len(eig_rows)
+    for r in eig_rows:
+        eig[r["i"]] = int(r["eig_unit"])
+    ev = F.lit(eig).cast("array<long>")
+    qv = F.transform(
+        "embedding",
+        lambda e: F.floor(e.cast("double") * GRAM_SCALE + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    score = F.aggregate(
+        F.zip_with(qv, ev, lambda a, b: a * b),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + t.cast("decimal(38,0)"),
+    )
+    return _vecs(spark, sf_dir).select(
+        "vec_id", score.cast("bigint").alias("spectral_units")
+    )

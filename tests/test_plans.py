@@ -690,3 +690,39 @@ def test_robust_scale_broadcast_rejoin(spark, sf_dir):
     assert num_broadcast_joins(df) >= 1
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_kanonymity_single_aggregation(spark, sf_dir):
+    """The k-anonymity audit is one aggregation keyed on the QI tuple;
+    the distinct-count rides the same shuffle pair (expand strategy),
+    never a separate pass over customer."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import privacy
+
+    df = privacy.QUERIES["q_kanonymity_audit"](spark, sf_dir)
+    assert num_shuffles(df) <= 2  # expand for count(distinct) allows 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_spectral_scores_inline_projection(spark, sf_dir):
+    """The eigenvector ships as an inlined array literal: the corpus
+    pass is a pure in-row dot product — zero joins, zero shuffles, zero
+    Python in the live plan."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import similarity as sim
+
+    df = sim.QUERIES["q_embedding_spectral_scores"](spark, sf_dir)
+    assert num_shuffles(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_histogram_boundaries_broadcast_no_global_sort(spark, sf_dir):
+    """Equi-depth histogram must NOT plan a global sort (the ntile
+    shape): cut points come from one percentile agg broadcast back, and
+    the bucket agg is combiner-style."""
+    df = relational.QUERIES["q_histogram_equidepth"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort [o_totalprice" not in plan  # no global order-by on data
+    assert num_broadcast_joins(df) >= 1
+    assert plan.count("HashAggregate") >= 2
