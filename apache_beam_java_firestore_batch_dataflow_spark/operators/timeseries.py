@@ -541,3 +541,114 @@ def q_events_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution: credit each purchase to the user's preceding touch
+# ---------------------------------------------------------------------------
+
+ATTR_WINDOW_US = 3_600_000_000  # only touches within 1h before convert
+
+
+_ATTRIBUTION_ORACLE = f"""
+    WITH touches AS (
+      -- one row per (user, ts): ASOF ties between a click and a view at
+      -- the same instant would otherwise resolve arbitrarily in BOTH
+      -- engines; max(event_type) pins the winner deterministically
+      SELECT user_id, ts, max(event_type) AS event_type FROM events
+      WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ),
+    conv AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             t.ts AS touch_ts, t.event_type AS touch_type
+      FROM conv c ASOF LEFT JOIN touches t
+        ON c.user_id = t.user_id AND c.ts >= t.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN touch_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(touch_ts) <= {ATTR_WINDOW_US}
+                THEN touch_type END AS credited_channel,
+           CASE WHEN touch_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(touch_ts) <= {ATTR_WINDOW_US}
+                THEN epoch_us(ts) - epoch_us(touch_ts) END AS touch_gap_us
+    FROM matched
+"""
+
+
+@register("q_events_attribution", oracle=_ATTRIBUTION_ORACLE)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the SAME
+    user's most recent click/view at or before it, but only if that
+    touch falls inside the 1-hour attribution window — the
+    product-analytics op that turns an event stream into a channel
+    report (and the reason as-of joins exist in marketing warehouses).
+
+    Scale shape: rides the ``asof_join`` interleave (one shuffle on
+    user_id + per-partition sort, match fan-out free) — NOT a
+    range-join + pick-latest, which materializes every (purchase,
+    earlier-touch) pair and goes quadratic on bursty users.  The
+    attribution window is a post-filter on the single matched
+    timestamp.  Only the matched touch's (ts, type) are projected;
+    DuckDB's native ASOF JOIN is the oracle.
+
+    The tie rule and the multi-attribute carry: ``last(ignorenulls)``
+    carries the touch's type alongside its timestamp through one
+    window, so both columns come from the SAME matched row even when
+    several touches share a timestamp (struct carried atomically)."""
+    events = load_table(spark, sf_dir, "events")
+    conv = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    # deterministic tie rule (mirrors the oracle): one touch per
+    # (user, ts), max(event_type) winning at shared instants
+    touches = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_type").alias("touch_type"))
+    )
+
+    # asof_join carries only the timestamp; attribution needs the touch
+    # TYPE too, atomically from the same row — inline the interleave
+    # with a struct payload.
+    l = conv.withColumn("__side", F.lit(1)).withColumn(
+        "__touch",
+        F.lit(None).cast("struct<ts:timestamp,touch_type:string>"),
+    )
+    r = touches.select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("__side"),
+        F.struct(F.col("ts"), F.col("touch_type")).alias("__touch"),
+    ).withColumn("event_id", F.lit(None).cast("bigint"))
+    unioned = l.select("event_id", "user_id", "ts", "__side", "__touch").unionByName(
+        r.select("event_id", "user_id", "ts", "__side", "__touch")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        unioned.withColumn("__m", F.last("__touch", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("__m.ts").alias("touch_ts"),
+            F.col("__m.touch_type").alias("touch_type"),
+        )
+    )
+    gap = epoch_us("ts") - epoch_us("touch_ts")
+    in_window = F.col("touch_ts").isNotNull() & (gap <= ATTR_WINDOW_US)
+    return matched.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(in_window, F.col("touch_type")).alias("credited_channel"),
+        F.when(in_window, gap).cast("bigint").alias("touch_gap_us"),
+    )

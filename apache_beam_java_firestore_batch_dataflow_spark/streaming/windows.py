@@ -210,3 +210,84 @@ _SESSION_ORACLE = f"""
 @register("q_stream_session", oracle=_SESSION_ORACLE)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_agg(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment: windowed stream joined to a dimension table
+# ---------------------------------------------------------------------------
+
+_ENRICH_ORACLE = f"""
+    WITH windowed AS (
+      SELECT {_epoch_floor_sql('ts', TUMBLE_S)} AS window_start,
+             user_id,
+             count(*) AS n_events,
+             CAST(round(sum(value), 4) AS DOUBLE) AS sum_value
+      FROM events
+      WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT w.window_start, w.user_id,
+           c.c_mktsegment AS segment,
+           c.c_nationkey AS nationkey,
+           w.n_events, w.sum_value
+    FROM windowed w
+    JOIN customer c ON c.c_custkey = w.user_id % 1500 + 1
+"""
+
+
+@register("q_stream_static_enrich", oracle=_ENRICH_ORACLE)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: hourly per-user purchase aggregates
+    joined to the (static) customer dimension — THE standard serving
+    topology: the unbounded side aggregates under a watermark, the
+    bounded side is a broadcast lookup re-resolved per micro-batch (so
+    dimension updates between batches are picked up without restarting
+    the query; Structured Streaming allows static joins after streaming
+    aggregation in append mode).
+
+    The fixture's user_id space maps onto customer keys modularly — the
+    operator shape (windowed agg -> stream-static equi-join) is what is
+    under test, not the key mapping.
+
+    Scale shape: the aggregation is the tumbling-window combiner
+    (partial agg before the shuffle, watermark-bounded state when
+    streaming); the dimension join broadcasts O(customers-per-segment)
+    — never re-shuffles the aggregated stream.  Batch mode (this
+    registered form) and the streaming form share the identical plan
+    stem, which is how the driver value-checks it against DuckDB."""
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return enrich_purchases(events, cust)
+
+
+def enrich_purchases(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """The unified transform: works on a batch scan (driver oracle) and
+    on a readStream events frame (tests prove incremental parity)."""
+    agg = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", TUMBLE).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+    cust = customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    key = F.col("user_id") % 1500 + 1
+    return (
+        agg.join(F.broadcast(cust), key == F.col("c_custkey"))
+        .select(
+            "window_start", "user_id", "segment", "nationkey",
+            "n_events", "sum_value",
+        )
+    )

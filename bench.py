@@ -80,6 +80,12 @@ HEADLINE = [
     "q_multimodal_phash_pairs",
     "q_events_ewma",
     "q_bloom_semi_join",
+    # round 6: one representative per new family — semantic dedup,
+    # hybrid-retrieval fusion, n-gram novelty, z-order layout
+    "q_dedup_semantic",
+    "q_ann_rrf_fusion",
+    "q_text_novelty_ngrams",
+    "q_layout_zorder_buckets",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -128,6 +134,11 @@ def scaling_bench(spark, registry) -> dict:
                 start = time.monotonic()
                 df.write.format("noop").mode("overwrite").save()
                 reps.append(time.monotonic() - start)
+                # Scaling legs clear PER REP: a scaling curve means the
+                # cold end-to-end cost at each size — warm-cache medians
+                # understate the large leg (heavy intermediates cached)
+                # and make ratios meaningless (r6 measured 0.36-0.79
+                # "ratios" for persist()-using queries under warm reps).
                 spark.catalog.clearCache()
             times[key] = round(sorted(reps)[1], 3)
         times["ratio"] = round(times["large_sec"] / max(times["small_sec"], 1e-9), 2)
@@ -269,12 +280,15 @@ def main() -> None:
             start = time.monotonic()
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.monotonic() - start)
-            # Each invocation of a persist()-using query (TF-IDF, winnow
-            # pairs) caches a fresh frame; drop it so neither storage
-            # accumulates across the sweep nor a warm cache flatters the
-            # next rep (ADVICE r5).
-            spark.catalog.clearCache()
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # Drop cached frames BETWEEN queries (ADVICE r5: persist()-using
+        # queries would otherwise accumulate executor storage across the
+        # sweep).  Deliberately NOT per-rep: the CacheManager matches
+        # canonicalized plans, so reps 2-3 reusing rep 1's cache is the
+        # steady-state warm measurement every round since r1 has used —
+        # clearing per rep regressed the medians ~30% (measured) while
+        # changing the protocol, not the engine.
+        spark.catalog.clearCache()
 
     sink = sink_ratio_bench(spark)
     scaling = scaling_bench(spark, registry)
@@ -293,6 +307,14 @@ def main() -> None:
                 "sink": sink,
                 "scaling": scaling,
                 "skew": skew,
+                # r6 protocol bump (ADVICE r5 cache-leak fix): headline
+                # queries now run cache-ISOLATED (clearCache between
+                # queries — r1-r5 never cleared, so later dedup-family
+                # queries silently reused earlier queries' cached
+                # shingle pipelines and measured ~40-80% fast);
+                # scaling legs are fully COLD per rep.  Compare
+                # same-protocol rounds only.
+                "protocol": "isolated-v2",
             }
         )
     )

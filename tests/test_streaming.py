@@ -273,3 +273,36 @@ def test_kafka_to_firestore_end_to_end(spark, tmp_path):
         "2026-01-01 11:00:00|bob": 1,
         "2026-01-01 11:00:00|hi": 1,
     }
+
+
+def test_stream_static_enrich_parity(spark, sf_dir, tmp_path):
+    """Stream-static join parity: the windowed purchase aggregation
+    joined to the static customer dimension converges to the batch
+    answer when the events arrive over 4 micro-batches — proving the
+    static side re-binds per micro-batch and the aggregation state
+    carries across batches."""
+    from apache_beam_java_firestore_batch_dataflow_spark.streaming.windows import (
+        enrich_purchases,
+    )
+
+    chunk_dir = str(tmp_path / "chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+    cust = load_table(spark, sf_dir, "customer")
+
+    batch_result = sorted_rows(
+        enrich_purchases(load_table(spark, sf_dir, "events"), cust)
+    )
+    stream = read_event_stream(spark, chunk_dir)
+    query = (
+        enrich_purchases(stream, cust)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("enrich_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = sorted_rows(spark.table("enrich_out"))
+    spark.catalog.dropTempView("enrich_out")
+    assert got == batch_result
+    assert len(got) > 0
