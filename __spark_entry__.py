@@ -117,8 +117,11 @@ _PRIORITY = [
     "q_subquery_scalar",
     "q_union_except",
     # --- registered round 6, never driver-checked (fills to 50; the
-    # two remaining r6 registrations, q_quality_topp_per_source and
-    # q_events_robust_scale, queue for the r7 prefix) ---
+    # seven remaining r6 registrations queue for the r7 prefix:
+    # q_quality_topp_per_source, q_events_robust_scale,
+    # q_kanonymity_audit, q_embedding_spectral_scores,
+    # q_histogram_equidepth, q_events_attribution,
+    # q_stream_static_enrich) ---
     "q_ann_rrf_fusion",
     "q_dedup_semantic",
     "q_dedup_minhash_est_error",
