@@ -1671,3 +1671,109 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).cast("double").alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (theta) sketch: join-cardinality estimation from two k-min summaries
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+_H56_SPACE = float(1 << 56)
+
+
+def _kmv_oracle() -> str:
+    from ..functions.hashing import h56_sql
+
+    return f"""
+    WITH sa AS (
+      SELECT DISTINCT {h56_sql('CAST(o_custkey AS VARCHAR)')} AS h FROM orders
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    sb AS (
+      SELECT DISTINCT {h56_sql('CAST(c_custkey AS VARCHAR)')} AS h FROM customer
+      ORDER BY h LIMIT {KMV_K}
+    ),
+    theta AS (
+      SELECT least((SELECT max(h) FROM sa), (SELECT max(h) FROM sb)) AS th
+    ),
+    common AS (
+      SELECT count(*) AS k_common
+      FROM sa JOIN sb USING (h) CROSS JOIN theta WHERE sa.h < theta.th
+    ),
+    exact AS (
+      SELECT count(*) AS n_exact FROM (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer)
+      )
+    )
+    SELECT CAST({KMV_K} AS INT) AS k,
+           CAST(common.k_common AS BIGINT) AS k_common,
+           CAST(exact.n_exact AS BIGINT) AS n_exact,
+           CAST(round(common.k_common * ({_H56_SPACE} / theta.th)) AS BIGINT)
+               AS est_intersection
+    FROM common, exact, theta
+"""
+
+
+@register("q_sketch_kmv_join_estimate", oracle=_kmv_oracle())
+def q_sketch_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from KMV (theta) sketches: each
+    side's k = {KMV_K} smallest distinct key hashes summarize it; the
+    intersection estimate is |common below θ| · (H/θ) where θ is the
+    smaller side's k-th minimum — what a cost-based optimizer (or an
+    engine deciding broadcast vs shuffle) computes WITHOUT running the
+    join.  Emitted beside the exact intersection so the estimator's
+    error is measured, not assumed (the sketch family's quality
+    discipline: CMS, HLL, minhash all ship the same way).
+
+    Scale shape: each k-min summary plans as a distinct-agg +
+    ``TakeOrderedAndProject`` — every partition keeps its local k
+    minima and the driver merges P·k rows, so sketch construction is
+    one scan with O(k) state per task at any corpus size; everything
+    downstream operates on <= 2k rows.  md5-family hashing keeps the
+    estimate — including its error — bit-reproducible across engines."""
+    from ..functions.hashing import h56
+
+    sa = (
+        _t(spark, sf_dir, "orders")
+        .select(h56(F.col("o_custkey").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    sb = (
+        _t(spark, sf_dir, "customer")
+        .select(h56(F.col("c_custkey").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    theta = sa.agg(F.max("h").alias("tha")).crossJoin(
+        sb.agg(F.max("h").alias("thb"))
+    ).select(F.least("tha", "thb").alias("th"))
+    common = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("k_common"))
+    )
+    orders_keys = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    cust_keys = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    exact = (
+        orders_keys.join(cust_keys, "o_custkey", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return (
+        common.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            F.lit(KMV_K).cast("int").alias("k"),
+            F.col("k_common").cast("bigint").alias("k_common"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round(F.col("k_common") * (F.lit(_H56_SPACE) / F.col("th")))
+            .cast("bigint")
+            .alias("est_intersection"),
+        )
+    )

@@ -2334,3 +2334,121 @@ def q_embedding_spectral_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _vecs(spark, sf_dir).select(
         "vec_id", score.cast("bigint").alias("spectral_units")
     )
+
+
+# ---------------------------------------------------------------------------
+# Metadata-filtered ANN: same-label neighbors only (filtered vector search)
+# ---------------------------------------------------------------------------
+
+_FILTERED_ANN_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, label, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    cent AS ({_CENT_SQL}),
+    assign AS (
+      SELECT vec_id, embedding, label, vnorm, cell FROM (
+        SELECT e.vec_id, e.embedding, e.label, e.vnorm, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dot_sql('e.embedding', 'c.c_emb')}
+                                           / (e.vnorm * c.c_norm) DESC, c.cent_id) AS rn
+        FROM v e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id, embedding, label, vnorm, cell FROM (
+        SELECT e.vec_id, e.embedding, e.label, e.vnorm, c.cent_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {dot_sql('e.embedding', 'c.c_emb')}
+                                           / (e.vnorm * c.c_norm) DESC, c.cent_id) AS pr
+        FROM v e CROSS JOIN cent c
+      ) WHERE pr <= {NPROBE} AND vec_id % {QUERY_MOD} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {dot_sql('q.embedding', 'a.embedding')} / (q.vnorm * a.vnorm) AS sim
+      FROM probes q JOIN assign a
+        ON a.cell = q.cell AND a.label = q.label AND a.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(round(sim, 6) AS DOUBLE) AS cosine
+    FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+@register("q_ann_filtered_by_label", oracle=_FILTERED_ANN_ORACLE)
+def q_ann_filtered_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search: IVF ANN where candidates must
+    share the query's ``label`` — the feature every production vector
+    store needs (search within a tenant / language / document type)
+    and the one that breaks post-filtering: filtering AFTER top-k
+    returns fewer than k survivors when the filter is selective.  Here
+    the predicate joins INTO candidate generation (cell AND label), so
+    the top-k is computed over the filtered population directly.
+
+    Scale shape: identical to ``q_ann_ivf`` plus one equi-key — the
+    candidate join keys on (cell, label), so per-query work shrinks by
+    the filter's selectivity instead of growing a rejection loop.
+    Constant {IVF_C}-centroid broadcast, one corpus scan, no
+    re-ranking pass over unfiltered candidates."""
+    v = with_norm(_vecs(spark, sf_dir)).select(
+        "vec_id", "embedding", "label", "vnorm"
+    )
+    cent = ivf_centroids(v.select("vec_id", "embedding", "vnorm"))
+    csim = dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("vnorm") * F.col("c_norm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id")
+    )
+    scored = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "embedding", "label", "vnorm", "cent_id", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+    )
+    assign = scored.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "label", "vnorm", F.col("cent_id").alias("cell")
+    )
+    probes = (
+        scored.filter(
+            (F.col("rn") <= NPROBE) & (F.col("vec_id") % QUERY_MOD == 0)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+            F.col("vnorm").alias("q_norm"),
+            F.col("cent_id").alias("cell"),
+        )
+    )
+    sim = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("vnorm")
+    )
+    cand = (
+        assign.join(
+            F.broadcast(probes),
+            (assign["cell"] == probes["cell"])
+            & (assign["label"] == probes["q_label"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "vnorm")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        cand.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).cast("double").alias("cosine"),
+        )
+    )

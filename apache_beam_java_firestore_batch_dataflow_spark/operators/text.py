@@ -131,9 +131,7 @@ _LANG_MARKERS = {
 }
 
 
-@register(
-    "q_text_lang_id",
-    oracle=f"""
+_LANGID_ORACLE = f"""
     SELECT doc_id, lang AS lang_actual,
            CASE
              WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
@@ -150,8 +148,10 @@ _LANG_MARKERS = {
              len(regexp_extract_all(lower(text), '{_LANG_MARKERS["es"]}')) AS es_hits
       FROM documents
     )
-    """,
-)
+    """
+
+
+@register("q_text_lang_id", oracle=_LANGID_ORACLE)
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language ID: count per-language marker hits, argmax
     with a fixed priority order (en > fr > de > es on ties)."""
@@ -1496,5 +1496,51 @@ def q_text_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 6)
             .cast("double")
             .alias("novelty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID quality: confusion matrix against the labeled lang column
+# ---------------------------------------------------------------------------
+
+_LANGID_CONF_ORACLE = f"""
+    WITH pred AS ({_LANGID_ORACLE})
+    SELECT lang_actual, lang_pred,
+           count(*) AS n,
+           CAST(round(count(*) * 1.0
+                      / sum(count(*)) OVER (PARTITION BY lang_actual), 6)
+                AS DOUBLE) AS frac_of_actual
+    FROM pred
+    GROUP BY lang_actual, lang_pred
+"""
+
+
+@register("q_text_langid_confusion", oracle=_LANGID_CONF_ORACLE)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID measured quality: the confusion matrix of the
+    stopword-marker classifier against the corpus's labeled ``lang``
+    column — per (actual, predicted) cell counts and the per-actual-
+    language recall fraction.  The text family's quality axis, the
+    third of the kind (``q_ann_recall`` for retrieval,
+    ``q_dedup_minhash_est_error`` for sketches): an approximation
+    ships WITH its measured error, not just a correctness oracle.
+
+    Scale shape: rides the lang-id projection (zero-shuffle regex
+    scoring in codegen) into ONE aggregation on a |langs|² key space;
+    the normalizing window runs over those O(16) rows — corpus size
+    appears only in the scan."""
+    pred = q_text_lang_id(spark, sf_dir)
+    w = Window.partitionBy("lang_actual")
+    return (
+        pred.groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "lang_actual",
+            "lang_pred",
+            "n",
+            F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6)
+            .cast("double")
+            .alias("frac_of_actual"),
         )
     )

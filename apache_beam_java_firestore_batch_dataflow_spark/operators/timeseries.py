@@ -652,3 +652,119 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("touch_type")).alias("credited_channel"),
         F.when(in_window, gap).cast("bigint").alias("touch_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: Population Stability Index over reference deciles
+# ---------------------------------------------------------------------------
+
+PSI_MOD = 10  # user_id % MOD == 0 is the reference population
+PSI_BUCKETS = 10
+
+_psi_cuts = [i / PSI_BUCKETS for i in range(1, PSI_BUCKETS)]
+
+
+def _psi_oracle() -> str:
+    cut_cols = ", ".join(
+        f"quantile_cont(value, {c}) AS c{i}" for i, c in enumerate(_psi_cuts)
+    )
+    bucket = "1 " + " ".join(
+        f"+ CASE WHEN value > c{i} THEN 1 ELSE 0 END"
+        for i in range(len(_psi_cuts))
+    )
+    return f"""
+    WITH ref AS (SELECT value FROM events WHERE user_id % {PSI_MOD} = 0),
+    cur AS (SELECT value FROM events WHERE user_id % {PSI_MOD} != 0),
+    cuts AS (SELECT {cut_cols} FROM ref),
+    rb AS (
+      SELECT CAST({bucket} AS INT) AS bucket, count(*) AS n_ref
+      FROM ref, cuts GROUP BY 1
+    ),
+    cb AS (
+      SELECT CAST({bucket} AS INT) AS bucket, count(*) AS n_cur
+      FROM cur, cuts GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT sum(n_ref) FROM rb) AS t_ref,
+             (SELECT sum(n_cur) FROM cb) AS t_cur
+    )
+    SELECT b.bucket,
+           CAST(coalesce(rb.n_ref, 0) AS BIGINT) AS n_ref,
+           CAST(coalesce(cb.n_cur, 0) AS BIGINT) AS n_cur,
+           CAST(round(
+             (greatest(coalesce(cb.n_cur, 0), 1) * 1.0 / t_cur
+              - greatest(coalesce(rb.n_ref, 0), 1) * 1.0 / t_ref)
+             * ln((greatest(coalesce(cb.n_cur, 0), 1) * 1.0 / t_cur)
+                  / (greatest(coalesce(rb.n_ref, 0), 1) * 1.0 / t_ref)), 9)
+             AS DOUBLE) AS psi_term
+    FROM (SELECT unnest(range(1, {PSI_BUCKETS} + 1)) AS bucket) b
+    LEFT JOIN rb ON rb.bucket = b.bucket
+    LEFT JOIN cb ON cb.bucket = b.bucket
+    CROSS JOIN tot
+"""
+
+
+@register("q_drift_psi_events", oracle=_psi_oracle())
+def q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring: the Population Stability Index of
+    the current population's ``value`` distribution against the
+    reference slice (user_id % {PSI_MOD} == 0), per reference-decile
+    bucket — the standard production-ML drift alarm (PSI < 0.1 stable,
+    > 0.25 retrain).  Emitted per bucket so the drifting REGION is
+    visible, not just the total (sum the psi_term column for the
+    headline number).
+
+    Scale shape: decile cut points come from ONE exact-percentile
+    aggregation over the reference slice (O(1) broadcast — the
+    ``q_histogram_equidepth`` discipline, never a global sort), then
+    each population bucket-assigns in codegen and combiner-aggregates
+    to {PSI_BUCKETS} rows.  Zero-count buckets floor at 1 row on BOTH
+    engines (the standard PSI epsilon guard) so the log never sees 0."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    ref = ev.filter(F.col("user_id") % PSI_MOD == 0).select("value")
+    cur = ev.filter(F.col("user_id") % PSI_MOD != 0).select("value")
+    cuts = ref.agg(
+        *[
+            F.expr(f"percentile(value, {c})").alias(f"c{i}")
+            for i, c in enumerate(_psi_cuts)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(len(_psi_cuts)):
+        bucket = bucket + F.when(F.col("value") > F.col(f"c{i}"), 1).otherwise(0)
+
+    def bucketed(pop: DataFrame, out: str) -> DataFrame:
+        return (
+            pop.crossJoin(F.broadcast(cuts))
+            .select(bucket.cast("int").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    rb = bucketed(ref, "n_ref")
+    cb = bucketed(cur, "n_cur")
+    buckets = spark.range(1, PSI_BUCKETS + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    joined = (
+        buckets.join(rb, "bucket", "left")
+        .join(cb, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).cast("bigint").alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).cast("bigint").alias("n_cur"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = F.greatest(F.col("n_cur"), F.lit(1)) * 1.0 / F.col("t_cur")
+    p_ref = F.greatest(F.col("n_ref"), F.lit(1)) * 1.0 / F.col("t_ref")
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 9)
+        .cast("double")
+        .alias("psi_term"),
+    )

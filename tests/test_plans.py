@@ -726,3 +726,51 @@ def test_histogram_boundaries_broadcast_no_global_sort(spark, sf_dir):
     assert "Sort [o_totalprice" not in plan  # no global order-by on data
     assert num_broadcast_joins(df) >= 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_langid_confusion_tiny_aggregation(spark, sf_dir):
+    """The confusion matrix rides the zero-shuffle lang-id projection
+    into one aggregation on a |langs|^2 key space + a window over those
+    few rows — no joins, no Python."""
+    df = TEXT_QUERIES["q_text_langid_confusion"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_psi_boundaries_broadcast(spark, sf_dir):
+    """PSI: decile cuts from ONE percentile agg broadcast onto both
+    population scans; no global sort anywhere."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import timeseries
+
+    df = timeseries.QUERIES["q_drift_psi_events"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert num_broadcast_joins(df) >= 2  # cuts onto ref and cur
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_kmin_is_take_ordered(spark, sf_dir):
+    """KMV sketch construction must plan as TakeOrderedAndProject (local
+    k-minima per partition, driver merges P*k) — never a global sort of
+    the distinct key stream."""
+    df = relational.QUERIES["q_sketch_kmv_join_estimate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort ") <= plan.count("TakeOrderedAndProject") + plan.count("SortMergeJoin") * 2
+
+
+def test_filtered_ann_label_in_join_keys(spark, sf_dir):
+    """Filtered ANN: the label predicate must sit IN the candidate
+    join (cell AND label equi-keys), not as a post-top-k filter; the
+    only nested loops are the constant centroid broadcasts."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import similarity as sim
+
+    df = sim.QUERIES["q_ann_filtered_by_label"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # candidate join keys on both cell and label
+    import re
+    m = re.search(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "cell" in m.group(1) and "label" in m.group(1), m.group(0)
