@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from apache_beam_java_firestore_batch_dataflow_spark.operators import (
     curation,
     dedup,
+    graph,
     multimodal,
     privacy,
     relational,
@@ -48,6 +49,7 @@ _MODULES = [
     curation,
     privacy,
     format_queries,
+    graph,
 ]
 
 # The external driver value-checks exactly the first 50 of ``queries()`` in
@@ -117,11 +119,15 @@ _PRIORITY = [
     "q_subquery_scalar",
     "q_union_except",
     # --- registered round 6, never driver-checked (fills to 50; the
-    # seven remaining r6 registrations queue for the r7 prefix:
+    # remaining r6 registrations queue for the r7 prefix:
     # q_quality_topp_per_source, q_events_robust_scale,
     # q_kanonymity_audit, q_embedding_spectral_scores,
     # q_histogram_equidepth, q_events_attribution,
-    # q_stream_static_enrich) ---
+    # q_stream_static_enrich, q_text_langid_confusion,
+    # q_drift_psi_events, q_sketch_kmv_join_estimate,
+    # q_ann_filtered_by_label, q_graph_pagerank, q_graph_triangles,
+    # q_scd2_priority_history, q_agg_incremental_merge,
+    # q_profile_entropy_mi, q_er_fuzzy_blocked, q_text_bpe_merge) ---
     "q_ann_rrf_fusion",
     "q_dedup_semantic",
     "q_dedup_minhash_est_error",

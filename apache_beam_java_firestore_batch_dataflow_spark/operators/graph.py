@@ -1,0 +1,319 @@
+"""Distributed graph analytics over derived relationship graphs.
+
+Two graphs arise naturally in this corpus and stand in for the link /
+similarity graphs a 100 TB training-data pipeline carries:
+
+* the **transaction graph** — the bipartite customer↔supplier relation
+  induced by orders⋈lineitem (who trades with whom); `q_graph_pagerank`
+  ranks its nodes with two damped power-iteration steps, the importance
+  propagation behind reputation-weighted sampling of sources;
+* the **semantic graph** — embedding pairs with cosine ≥ τ (the
+  `cosine_threshold_pairs` block-pair kernel shared with the dedup
+  family); `q_graph_triangles` runs a degree-ordered triangle census
+  over it, the community-density signal (local clustering) that tells
+  near-dup clusters apart from chains.
+
+Both are pure DataFrame plans.  PageRank keeps the repo's exact-decimal
+discipline for order-independent sums: each contribution rank/out-degree
+is rounded to 12 decimals and summed as DECIMAL(38,12), so the result is
+identical at any partitioning — the property a double sum loses on a
+1000-executor shuffle.  The triangle join orients every edge from its
+lower-(degree, id) endpoint to the higher one, bounding per-node wedge
+fan-out by O(sqrt(m)) (arboricity bound) instead of the raw degree —
+the difference between a feasible and an exploding wedge stage when a
+hub node shows up at scale.
+
+Label propagation (connected components) lives in `operators/dedup.py`
+(`q_dedup_clusters_k3`); this module adds the spectral/centrality and
+counting side of the graph toolbox.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .similarity import cosine_threshold_pairs
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the customer↔supplier transaction graph
+# ---------------------------------------------------------------------------
+
+# Fixed-point PageRank: ranks live in integer micro-units of 1e-12
+# (rank_u = rank · PR_SCALE as BIGINT) and the damping factor 0.85 is
+# the exact rational 17/20, so every step — contribution split, damped
+# update — is integer arithmetic.  No double round() exists anywhere in
+# the iteration, which makes the result bit-identical across engines,
+# partitionings, and reduction orders (a 12-decimal double round was
+# measured 1 ulp apart between Spark's BigDecimal shortest-repr
+# rounding and DuckDB's multiply-based round on this very graph).
+# Integer division truncates ~1e-12 of mass per term; the deficit is
+# deterministic and far below any ranking-relevant difference.
+PR_SCALE = 10**12
+
+# Node encoding keeps one BIGINT key space: customers at 2·custkey,
+# suppliers at 2·suppkey+1.  The undirected bipartite graph is stored as
+# both directed arcs, so out-degree == degree and no dangling-mass term
+# exists (every node that appears has at least one outgoing arc).
+_PR_EDGES_SQL = """
+      SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+_PAGERANK_ORACLE = f"""
+    WITH half AS ({_PR_EDGES_SQL}),
+    e AS (SELECT src, dst FROM half
+          UNION ALL SELECT dst AS src, src AS dst FROM half),
+    deg AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY src),
+    n AS (SELECT count(*) AS n_nodes FROM deg),
+    r0 AS (SELECT node, outdeg, {PR_SCALE} // n_nodes AS ru FROM deg, n),
+    c1 AS (SELECT e.dst AS node, sum(r0.ru // r0.outdeg) AS su
+           FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst),
+    r1 AS (SELECT d.node, d.outdeg,
+                  (15 * {PR_SCALE}) // (100 * n.n_nodes)
+                  + (17 * c1.su) // 20 AS ru
+           FROM deg d JOIN c1 ON d.node = c1.node, n),
+    c2 AS (SELECT e.dst AS node, sum(r1.ru // r1.outdeg) AS su
+           FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst),
+    r2 AS (SELECT d.node,
+                  (15 * {PR_SCALE}) // (100 * n.n_nodes)
+                  + (17 * c2.su) // 20 AS ru
+           FROM deg d JOIN c2 ON d.node = c2.node, n)
+    SELECT node,
+           (node % 2 = 1) AS is_supplier,
+           CAST(ru AS BIGINT) AS rank_units,
+           CAST(CAST(ru AS DOUBLE) / {PR_SCALE} AS DOUBLE) AS pagerank
+    FROM r2
+"""
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    half = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    both = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # arcs feed degree + one join per iteration (3+ plan branches) —
+    # materialize once instead of re-running the join+distinct per branch
+    return both.localCheckpoint(eager=True)
+
+
+@register("q_graph_pagerank", oracle=_PAGERANK_ORACLE)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two damped PageRank iterations over the customer↔supplier graph
+    (uniform init, d=17/20) — distributed centrality without a graph
+    framework: each iteration is one equi-join (arcs ⋈ ranks on src)
+    plus one combiner aggregation keyed on dst.
+
+    Determinism: all arithmetic is integer fixed-point (micro-units of
+    1e-12, damping as the exact rational 17/20 — see PR_SCALE comment),
+    so the result is bit-identical under any partitioning, join order,
+    or reduction order; no float enters until the final display column.
+    The node count enters as a one-row broadcast, never a collected
+    scalar.
+
+    Scale shape: per iteration the arc table shuffles once on src (join)
+    and once on dst (aggregate) — both keyed, both map-side combined;
+    the rank table is O(nodes) and AQE will broadcast it when nodes ≪
+    arcs.  k iterations = k·2 shuffles, plan depth linear (for large k,
+    checkpoint the rank table the way `kmeans()` does).  No dangling
+    handling is needed: the graph is stored as both arcs of each
+    undirected edge, so out-degree ≥ 1 for every node present.
+    """
+    e = _pr_edges(spark, sf_dir)
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    ranks = deg.join(F.broadcast(n)).select(
+        "node", "outdeg", F.expr(f"{PR_SCALE} div n_nodes").alias("ru")
+    )
+    for _ in range(2):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("cnode"),
+                F.expr("ru div outdeg").alias("term"),
+            )
+            .groupBy("cnode")
+            .agg(F.sum("term").alias("su"))
+        )
+        ranks = (
+            deg.join(contrib, deg.node == contrib.cnode)
+            .join(F.broadcast(n))
+            .select(
+                "node",
+                "outdeg",
+                F.expr(
+                    f"(15 * {PR_SCALE}) div (100 * n_nodes) + (17 * su) div 20"
+                ).alias("ru"),
+            )
+        )
+    return ranks.select(
+        "node",
+        (F.col("node") % 2 == 1).alias("is_supplier"),
+        F.col("ru").cast("bigint").alias("rank_units"),
+        (F.col("ru").cast("double") / PR_SCALE).cast("double").alias("pagerank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree-ordered triangle census over the semantic similarity graph
+# ---------------------------------------------------------------------------
+
+TRI_TAU = 0.25  # edge threshold: cosine ≥ τ (lower than the dedup τ=0.35
+#                 so the graph has real community structure to count)
+
+# The oracle counts triangles with the simple canonical-order join (same
+# result as the degree-ordered plan by symmetry), then credits each of
+# the 3 corners.  Edge membership uses the RAW double sim >= τ — the
+# identical sequential-fold dot product both engines compute.
+_TRI_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding,
+                  sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE))),
+                      (acc, x) -> acc + x)) AS vnorm
+               FROM embeddings),
+    e AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(0.0,
+                list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE)
+                         * CAST(b.embedding[i] AS DOUBLE))),
+                (acc, x) -> acc + x) / (a.vnorm * b.vnorm) >= {TRI_TAU}
+    ),
+    deg AS (
+      SELECT node, count(*) AS degree FROM (
+        SELECT va AS node FROM e UNION ALL SELECT vb AS node FROM e)
+      GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.va AS a, e1.vb AS b, e2.vb AS c
+      FROM e e1 JOIN e e2 ON e1.vb = e2.va
+                JOIN e e3 ON e1.va = e3.va AND e2.vb = e3.vb
+    ),
+    corner AS (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcount AS (SELECT node, count(*) AS n_triangles FROM corner GROUP BY node)
+    SELECT d.node AS vec_id,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN d.degree >= 2 THEN
+                  round(2.0 * coalesce(t.n_triangles, 0)
+                        / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS DOUBLE) AS clustering
+    FROM deg d LEFT JOIN tcount t ON d.node = t.node
+"""
+
+
+@register("q_graph_triangles", oracle=_TRI_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle census + local clustering coefficient over the
+    cosine ≥ {TRI_TAU} semantic graph — dense triangle neighborhoods are
+    coherent near-dup communities; high-degree low-clustering nodes are
+    hubs bridging unrelated content (boilerplate, templates).
+
+    Plan: edges from the exact block-pair kernel (shared with
+    `q_dedup_embedding_cosine`); each edge is then **oriented from its
+    lower-(degree, id) endpoint to the higher** before the wedge join,
+    so a node's wedge fan-out is its ORIENTED out-degree — bounded by
+    O(sqrt(m)) regardless of raw degree (the node-iterator++ bound).
+    Without the orientation a single hub of degree h contributes h²
+    wedges; with it, hubs sit on the receiving side of their edges and
+    contribute none.  Wedges close against the canonical (min, max)
+    edge set via one equi-join; each triangle then credits its three
+    corners through an explode + combiner count.  Three joins + two
+    aggregations total, all keyed — nothing quadratic in nodes, no
+    broadcast of anything unbounded.
+    """
+    raw = cosine_threshold_pairs(spark, sf_dir, tau=TRI_TAU).select("vec_a", "vec_b")
+    # localCheckpoint: edges feed 4 plan branches (degree, orientation,
+    # closing join) — without it the O(n²/blocks) kernel re-runs per branch.
+    e = raw.localCheckpoint(eager=True)
+    deg = (
+        e.select(F.col("vec_a").alias("node"))
+        .unionAll(e.select(F.col("vec_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient each edge toward the higher (degree, id) endpoint
+    da = deg.select(F.col("node").alias("vec_a"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("node").alias("vec_b"), F.col("degree").alias("degb"))
+    ed = e.join(da, "vec_a").join(db, "vec_b")
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("vec_a") < F.col("vec_b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("vec_a")).otherwise(F.col("vec_b")).alias("lo"),
+        F.when(a_first, F.col("vec_b")).otherwise(F.col("vec_a")).alias("hi"),
+    )
+    # wedges: two oriented edges out of the same low node
+    o2 = o.select(F.col("lo").alias("lo2"), F.col("hi").alias("hi2"))
+    wedges = o.join(o2, (F.col("lo") == F.col("lo2")) & (F.col("hi") < F.col("hi2")))
+    # close against the canonical edge set (vec_a < vec_b always holds)
+    closing = e.select(
+        F.col("vec_a").alias("hi"), F.col("vec_b").alias("hi2")
+    )
+    tri = wedges.join(closing, ["hi", "hi2"]).select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("hi2").alias("c")
+    )
+    corners = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(corners, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce(F.col("n_triangles"), F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .cast("double")
+            .alias("clustering"),
+        )
+    )

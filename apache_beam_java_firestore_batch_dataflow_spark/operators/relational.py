@@ -1777,3 +1777,248 @@ def q_sketch_kmv_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension build: effective-dated attribute history
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             row_number() OVER (PARTITION BY o_custkey, o_orderpriority
+                                ORDER BY o_orderdate, o_orderkey) AS rnp
+      FROM orders
+    ),
+    isl AS (
+      SELECT o_custkey, o_orderpriority,
+             min(o_orderdate) AS valid_from,
+             min(rn) AS island_start,
+             count(*) AS n_orders
+      FROM seq GROUP BY o_custkey, o_orderpriority, rn - rnp
+    ),
+    v AS (
+      SELECT o_custkey, o_orderpriority, valid_from, n_orders,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY island_start) AS valid_to
+      FROM isl
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           valid_from, valid_to,
+           (valid_to IS NULL) AS is_current,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM v
+"""
+
+
+@register("q_scd2_priority_history", oracle=_SCD2_ORACLE)
+def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build: collapse each customer's
+    order-priority stream into effective-dated version rows
+    (valid_from, valid_to, is_current) — the dimension-table maintenance
+    pattern behind every warehouse's customer/product history, expressed
+    as gaps-and-islands (rn − rn_per_value is constant within a run of
+    equal attribute values).
+
+    Plan shape: two window functions over the SAME (custkey, date, key)
+    sort order — Catalyst evaluates both in ONE window stage after one
+    exchange on custkey — then a combiner aggregation per island and a
+    per-customer `lead` to close each version's interval.  Everything is
+    keyed by custkey; no self-join, no driver state.  At 100 TB the
+    single sort per customer partition is the inherent cost of
+    versioning; skewed mega-customers are bounded by their own history
+    length (the sessionize bound).  Ties on (date) break on o_orderkey
+    in both engines, so island boundaries are deterministic.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    worder = [F.col("o_orderdate"), F.col("o_orderkey")]
+    w_all = Window.partitionBy("o_custkey").orderBy(*worder)
+    w_val = Window.partitionBy("o_custkey", "o_orderpriority").orderBy(*worder)
+    seq = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_val).alias("rnp"),
+    )
+    isl = (
+        seq.groupBy("o_custkey", "o_orderpriority", (F.col("rn") - F.col("rnp")).alias("grp"))
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.min("rn").alias("island_start"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w_isl = Window.partitionBy("o_custkey").orderBy("island_start")
+    return isl.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        F.lead("valid_from").over(w_isl).alias("valid_to"),
+        F.lead("valid_from").over(w_isl).isNull().alias("is_current"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance: merge partial states, don't rescan
+# ---------------------------------------------------------------------------
+
+AGG_CUTOFF = "1997-06-01"  # base = orders before, delta = orders on/after
+
+_INCR_MERGE_ORACLE = f"""
+    SELECT o_orderpriority AS priority,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {stable_sum_sql('o_totalprice', 'revenue')},
+           CAST(min(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority, year(o_orderdate)
+"""
+
+
+@register("q_agg_incremental_merge", oracle=_INCR_MERGE_ORACLE)
+def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the base slice (orders before
+    {AGG_CUTOFF}) is aggregated to ALGEBRAIC partial states (count, exact
+    decimal sum, min, max), the delta slice to the same states, and the
+    published result is the MERGE of the two — never a rescan of base.
+    The oracle recomputes from scratch over the full table; the hash
+    match IS the proof that the merge law holds (the materialized-view
+    maintenance contract: agg(base ∪ delta) = merge(agg(base),
+    agg(delta))).
+
+    Scale story: at 100 TB the base partials are a few thousand rows
+    persisted from yesterday's run; today's cost is the DELTA scan plus
+    a merge keyed on the group — the difference between re-reading 100
+    TB nightly and reading one day's increment.  Exactly-mergeable
+    states require the repo's decimal-sum discipline: a double sum would
+    make merge ≠ recompute at the low-order bits and poison the
+    downstream equality check.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    dec = F.round(F.col("o_totalprice"), 6).cast("decimal(30,6)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec).alias("s"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < AGG_CUTOFF))
+    delta = partial(orders.filter(F.col("o_orderdate") >= AGG_CUTOFF))
+    return (
+        base.unionAll(delta)
+        .groupBy("priority", "yr")
+        .agg(
+            F.sum("n").alias("n_merge"),
+            F.sum("s").alias("s_merge"),
+            F.min("mn").alias("mn_merge"),
+            F.max("mx").alias("mx_merge"),
+        )
+        .select(
+            "priority",
+            "yr",
+            F.col("n_merge").cast("bigint").alias("n_orders"),
+            F.round(F.col("s_merge"), 2).cast("double").alias("revenue"),
+            F.col("mn_merge").cast("double").alias("min_price"),
+            F.col("mx_merge").cast("double").alias("max_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column entropy + mutual information: dataset-profiling statistics
+# ---------------------------------------------------------------------------
+
+_ENTROPY_MI_ORACLE = """
+    WITH n AS (SELECT count(*) AS n FROM customer),
+    cx AS (SELECT c_mktsegment, count(*) AS c FROM customer GROUP BY c_mktsegment),
+    cy AS (SELECT c_nationkey, count(*) AS c FROM customer GROUP BY c_nationkey),
+    cxy AS (SELECT c_mktsegment, c_nationkey, count(*) AS c
+            FROM customer GROUP BY c_mktsegment, c_nationkey),
+    sx AS (SELECT sum(c * CAST(round(ln(CAST(c AS DOUBLE) / n.n), 6)
+                               AS DECIMAL(38,6))) AS s FROM cx, n),
+    sy AS (SELECT sum(c * CAST(round(ln(CAST(c AS DOUBLE) / n.n), 6)
+                               AS DECIMAL(38,6))) AS s FROM cy, n),
+    sxy AS (SELECT sum(c * CAST(round(ln(CAST(c AS DOUBLE) / n.n), 6)
+                                AS DECIMAL(38,6))) AS s FROM cxy, n)
+    SELECT n.n AS n_rows,
+           CAST(round(CAST(-sx.s AS DOUBLE) / n.n, 6) AS DOUBLE) AS h_segment,
+           CAST(round(CAST(-sy.s AS DOUBLE) / n.n, 6) AS DOUBLE) AS h_nation,
+           CAST(round(CAST(-sxy.s AS DOUBLE) / n.n, 6) AS DOUBLE) AS h_joint,
+           CAST(round(CAST(-sx.s - sy.s + sxy.s AS DOUBLE) / n.n, 6) AS DOUBLE)
+               AS mutual_info
+    FROM n, sx, sy, sxy
+"""
+
+
+@register("q_profile_entropy_mi", oracle=_ENTROPY_MI_ORACLE)
+def q_profile_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of two categorical columns plus their mutual
+    information — the dataset-profiling statistics behind feature
+    relevance, leakage screening (high MI between a feature and a label
+    that shouldn't know it), and dedup-key selection (low-entropy
+    columns make bad blocking keys).
+
+    Float discipline (the bigram-LM pattern): H(X) = −Σ pᵢ ln pᵢ is
+    rewritten −(Σ cᵢ·ln₆(cᵢ/n))/n where cᵢ are exact integer counts and
+    ln₆ is ln rounded to 6 decimals immediately — each Σ is an exact
+    decimal dot product, MI = (−Sx − Sy + Sxy)/n combines the three
+    decimal sums exactly, and floats appear only at the final divide.
+    Scale shape: three combiner aggregations (|X|, |Y|, |X×Y| groups),
+    one-row frames broadcast-joined; output is a single row.
+    """
+    cust = _t(spark, sf_dir, "customer")
+    n = cust.agg(F.count(F.lit(1)).alias("n"))
+
+    def logsum(df: DataFrame, *keys: str):
+        counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+        return (
+            counts.join(F.broadcast(n))
+            .select(
+                (
+                    F.col("c")
+                    * F.round(F.log(F.col("c").cast("double") / F.col("n")), 6).cast(
+                        "decimal(38,6)"
+                    )
+                ).alias("term")
+            )
+            .agg(F.sum("term").alias("s"))
+        )
+
+    sx = logsum(cust, "c_mktsegment").select(F.col("s").alias("sx"))
+    sy = logsum(cust, "c_nationkey").select(F.col("s").alias("sy"))
+    sxy = logsum(cust, "c_mktsegment", "c_nationkey").select(F.col("s").alias("sxy"))
+    return (
+        n.crossJoin(F.broadcast(sx))
+        .crossJoin(F.broadcast(sy))
+        .crossJoin(F.broadcast(sxy))
+        .select(
+            F.col("n").alias("n_rows"),
+            F.round((-F.col("sx")).cast("double") / F.col("n"), 6)
+            .cast("double")
+            .alias("h_segment"),
+            F.round((-F.col("sy")).cast("double") / F.col("n"), 6)
+            .cast("double")
+            .alias("h_nation"),
+            F.round((-F.col("sxy")).cast("double") / F.col("n"), 6)
+            .cast("double")
+            .alias("h_joint"),
+            F.round(
+                (-F.col("sx") - F.col("sy") + F.col("sxy")).cast("double")
+                / F.col("n"),
+                6,
+            )
+            .cast("double")
+            .alias("mutual_info"),
+        )
+    )

@@ -565,34 +565,16 @@ def _pairwise_sims(A, na, B, nb):
     return S / (na[:, None] * nb[None, :])
 
 
-@register("q_dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: EXACT threshold join (cosine ≥ 0.35)
-    as a cogrouped block-pair kernel — no nested-loop join in the plan.
-
-    Why not LSH candidates: at τ=0.35 the hyperplane-collision probability
-    per plane is ~0.61, so qualifying pairs spread across the full hamming
-    range of any practical signature (measured on this corpus: hamming 0–7
-    under 8 planes) — no bounded-probe LSH family is *complete* at such a
-    low threshold, and this query's contract is exactness.  Exact all-pairs
-    is inherently O(n²) compute; the scalable shape distributes it:
-
-    * rows replicate to block-PAIR keys (ba ≤ bb): a block-β row sits on
-      the left of pairs (β, j≥β) and the right of pairs (i≤β, β) —
-      ~N_SIM_BLOCKS copies per row, but **each cogroup holds only two
-      blocks** (≈ 2·n/N_SIM_BLOCKS rows), so kernel memory is bounded at
-      any corpus size, unlike keying by single block (which would drag
-      the whole corpus into every group);
-    * each of the N(N+1)/2 cogroups evaluates its pair slice with
-      ``_pairwise_sims`` — vectorized across pairs, **bit-identical** to
-      the sequential fold the DuckDB oracle computes (see its docstring);
-    * a cross-block pair occurs in exactly one group; diagonal groups
-      dedup by id order.  Only qualifying pairs leave the kernel.
-
-    Parallelism = N(N+1)/2 block pairs (raise N_SIM_BLOCKS with the
-    cluster: replication grows linearly, kernel memory shrinks
-    quadratically).  For approximate-but-cheap near-dup at higher
-    thresholds, use `q_ann_lsh`'s bucket join instead."""
+def cosine_threshold_pairs(
+    spark: SparkSession, sf_dir: str, tau: float = 0.35
+) -> DataFrame:
+    """Exact cosine-threshold pair join at an arbitrary ``tau`` — the
+    block-pair kernel behind ``q_dedup_embedding_cosine``, shared with
+    the semantic-graph operators (``operators/graph.py``) which build
+    their edge set at a lower threshold.  Returns (vec_a < vec_b, sim)
+    with RAW double sims (callers round at their output boundary).
+    Block-pair replication, kernel memory, and determinism are documented
+    on the registered τ=0.35 form below."""
     import numpy as np
     import pandas as pd
 
@@ -641,20 +623,51 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         diagonal = int(pdf["ba"].iat[0]) == int(pdf["bb"].iat[0])
         if diagonal:
             # both sides are the same block: keep each unordered pair once
-            keep = (ids_a[:, None] < ids_b[None, :]) & (sims >= 0.35)
+            keep = (ids_a[:, None] < ids_b[None, :]) & (sims >= tau)
         else:
             # disjoint blocks: every (a, b) is unique; order ids on output
-            keep = sims >= 0.35
+            keep = sims >= tau
         ai, bi = np.nonzero(keep)
         lo = np.minimum(ids_a[ai], ids_b[bi])
         hi = np.maximum(ids_a[ai], ids_b[bi])
         return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim": sims[ai, bi]})
 
-    pairs = (
+    return (
         left.unionAll(right)
         .groupBy("ba", "bb")
         .applyInPandas(block_pairs, schema="vec_a long, vec_b long, sim double")
     )
+
+
+@register("q_dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: EXACT threshold join (cosine ≥ 0.35)
+    as a cogrouped block-pair kernel — no nested-loop join in the plan.
+
+    Why not LSH candidates: at τ=0.35 the hyperplane-collision probability
+    per plane is ~0.61, so qualifying pairs spread across the full hamming
+    range of any practical signature (measured on this corpus: hamming 0–7
+    under 8 planes) — no bounded-probe LSH family is *complete* at such a
+    low threshold, and this query's contract is exactness.  Exact all-pairs
+    is inherently O(n²) compute; the scalable shape distributes it:
+
+    * rows replicate to block-PAIR keys (ba ≤ bb): a block-β row sits on
+      the left of pairs (β, j≥β) and the right of pairs (i≤β, β) —
+      ~N_SIM_BLOCKS copies per row, but **each cogroup holds only two
+      blocks** (≈ 2·n/N_SIM_BLOCKS rows), so kernel memory is bounded at
+      any corpus size, unlike keying by single block (which would drag
+      the whole corpus into every group);
+    * each of the N(N+1)/2 cogroups evaluates its pair slice with
+      ``_pairwise_sims`` — vectorized across pairs, **bit-identical** to
+      the sequential fold the DuckDB oracle computes (see its docstring);
+    * a cross-block pair occurs in exactly one group; diagonal groups
+      dedup by id order.  Only qualifying pairs leave the kernel.
+
+    Parallelism = N(N+1)/2 block pairs (raise N_SIM_BLOCKS with the
+    cluster: replication grows linearly, kernel memory shrinks
+    quadratically).  For approximate-but-cheap near-dup at higher
+    thresholds, use `q_ann_lsh`'s bucket join instead."""
+    pairs = cosine_threshold_pairs(spark, sf_dir, tau=0.35)
     return pairs.select(
         "vec_a", "vec_b", F.round("sim", 6).cast("double").alias("cosine")
     )

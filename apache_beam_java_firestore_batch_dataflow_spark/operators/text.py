@@ -1544,3 +1544,80 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("frac_of_actual"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE training step: adjacent-pair frequency census + merge ranking
+# ---------------------------------------------------------------------------
+
+BPE_TOP = 32  # merge-table prefix reported
+
+_BPE_MERGE_ORACLE = rf"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                 t -> length(t) > 1)) AS tok
+      FROM documents
+    ),
+    pairs AS (
+      SELECT substr(tok, i, 2) AS pair
+      FROM toks, LATERAL (SELECT unnest(range(1, length(tok))) AS i)
+    ),
+    counts AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair),
+    top AS (SELECT pair, n FROM counts
+            ORDER BY n DESC, pair LIMIT {BPE_TOP})
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS merge_rank,
+           pair, CAST(n AS BIGINT) AS n
+    FROM top
+"""
+
+
+@register("q_text_bpe_merge", oracle=_BPE_MERGE_ORACLE)
+def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training step over the corpus: count every adjacent
+    character pair inside word tokens and rank the top-{BPE_TOP} merge
+    candidates — the census a tokenizer trainer (BPE/WordPiece) runs
+    once per merge round, and, run standalone, a corpus-similarity
+    fingerprint (the pair table is what makes `th`/`he` merge before
+    `zq`).
+
+    Plan: tokenize + pair-explode are narrow in-row ops feeding ONE
+    combiner aggregation on the pair (≤ alphabet² distinct groups, so
+    map-side combine collapses virtually everything before the
+    shuffle); the top-{BPE_TOP} is a `TakeOrderedAndProject` per-
+    partition heap, and the merge_rank window runs on the {BPE_TOP}
+    surviving rows only — never a global sort of the corpus.  Ties
+    break on the pair string, so the merge table is deterministic.
+    Subsequent merge rounds re-run the same census over re-segmented
+    tokens (the loop shape of `kmeans()`)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), TOKENIZER_PATTERN),
+                lambda t: F.length(t) > 1,
+            )
+        ).alias("tok")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.substr(F.col("tok"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("merge_rank"),
+        "pair",
+        F.col("n").cast("bigint").alias("n"),
+    )
