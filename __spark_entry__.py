@@ -127,7 +127,10 @@ _PRIORITY = [
     # q_drift_psi_events, q_sketch_kmv_join_estimate,
     # q_ann_filtered_by_label, q_graph_pagerank, q_graph_triangles,
     # q_scd2_priority_history, q_agg_incremental_merge,
-    # q_profile_entropy_mi, q_er_fuzzy_blocked, q_text_bpe_merge) ---
+    # q_profile_entropy_mi, q_er_fuzzy_blocked, q_text_bpe_merge,
+    # q_events_m4_downsample, q_events_gapfill_hourly,
+    # q_assoc_pairs_lift, q_agg_mode, q_multimodal_audio_silence,
+    # q_multimodal_image_histogram) ---
     "q_ann_rrf_fusion",
     "q_dedup_semantic",
     "q_dedup_minhash_est_error",

@@ -539,6 +539,31 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, int, int, int]:
     return rate, channels, n // channels, peak, abs_sum, sum_sq
 
 
+def decode_wav_samples(payload: bytes) -> list[int]:
+    """The interleaved int16 sample stream of a RIFF/WAVE PCM file —
+    the same chunk walk as ``decode_wav`` but returning the raw samples
+    (for run-structure features the aggregate stats can't express)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    riff_size = int.from_bytes(payload[4:8], "little")
+    i, end = 12, 8 + riff_size
+    data = None
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        csize = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if i + 8 + csize > end:
+            raise ValueError("chunk overruns RIFF container")
+        if cid == b"data":
+            data = payload[i + 8 : i + 8 + csize]
+        i += 8 + csize + (csize % 2)
+    if data is None:
+        raise ValueError("missing data chunk")
+    return [
+        int.from_bytes(data[2 * k : 2 * k + 2], "little", signed=True)
+        for k in range(len(data) // 2)
+    ]
+
+
 def wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, payload): a REAL RIFF/WAVE PCM file per document.
 
@@ -1069,4 +1094,160 @@ def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         "y_mad_centi",
         (F.col("y_mad_centi") > SCENE_CUT_MAD_CENTI).alias("is_cut"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence-run detection (VAD-style run structure over PCM samples)
+# ---------------------------------------------------------------------------
+
+SILENCE_THRESH = 8192  # |sample| below this is "silent" (~25% of range)
+SILENCE_MIN_RUN = 2    # runs at least this long count as silence segments
+
+_AUDIO_SILENCE_ORACLE = f"""
+    WITH params AS (
+      SELECT doc_id,
+             doc_id % 50 + 20 AS n_frames,
+             doc_id % 2 + 1  AS channels
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, k,
+             (doc_id * 7919 + k * 104729) % 65521 - 32760 AS s
+      FROM params, LATERAL (SELECT unnest(range(0, n_frames * channels)) AS k)
+    ),
+    silent AS (
+      SELECT doc_id, k,
+             k - row_number() OVER (PARTITION BY doc_id ORDER BY k) AS grp
+      FROM samples WHERE abs(s) < {SILENCE_THRESH}
+    ),
+    runs AS (
+      SELECT doc_id, count(*) AS run_len
+      FROM silent GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             sum(run_len) AS n_silent,
+             sum(CASE WHEN run_len >= {SILENCE_MIN_RUN} THEN 1 ELSE 0 END)
+                 AS n_runs,
+             max(run_len) AS longest_run
+      FROM runs GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.n_frames * p.channels AS BIGINT) AS n_samples,
+           CAST(coalesce(d.n_silent, 0) AS BIGINT) AS n_silent,
+           CAST(coalesce(d.n_runs, 0) AS BIGINT) AS n_runs,
+           CAST(coalesce(d.longest_run, 0) AS BIGINT) AS longest_run
+    FROM params p LEFT JOIN per_doc d ON p.doc_id = d.doc_id
+"""
+
+
+@register("q_multimodal_audio_silence", oracle=_AUDIO_SILENCE_ORACLE)
+def q_multimodal_audio_silence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run detection over decoded PCM: per clip, the count of
+    silent samples, the number of silence segments (runs ≥
+    {SILENCE_MIN_RUN}), and the longest run — the VAD-style structure
+    feature an audio curation pipeline uses to drop dead air and split
+    clips, and the first operator here that needs the sample SEQUENCE,
+    not just aggregate stats.
+
+    The kernel re-parses the RIFF container (`decode_wav_samples`) and
+    finds runs with one pass over the sample array; the oracle replays
+    the generating formula and derives the identical runs via
+    gaps-and-islands in SQL — parser, kernel, and oracle are three
+    independent code paths that must agree on every run boundary.
+    Payload bytes never shuffle (the features leave the scan stage);
+    per-task memory is one clip's samples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples": [], "n_silent": [],
+                   "n_runs": [], "longest_run": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = decode_wav_samples(bytes(payload))
+                n_silent = n_runs = longest = cur = 0
+                for s in samples:
+                    if abs(s) < SILENCE_THRESH:
+                        cur += 1
+                        n_silent += 1
+                    else:
+                        if cur >= SILENCE_MIN_RUN:
+                            n_runs += 1
+                        longest = max(longest, cur)
+                        cur = 0
+                if cur >= SILENCE_MIN_RUN:
+                    n_runs += 1
+                longest = max(longest, cur)
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(len(samples))
+                out["n_silent"].append(n_silent)
+                out["n_runs"].append(n_runs)
+                out["longest_run"].append(longest)
+            yield pd.DataFrame(out)
+
+    return wav_table(spark, sf_dir).mapInPandas(
+        run,
+        schema="doc_id long, n_samples long, n_silent long, "
+        "n_runs long, longest_run long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Image channel histogram (feature extraction for training-data curation)
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 8  # byte-value buckets of width 32
+
+_IMG_HIST_ORACLE = f"""
+    WITH params AS (
+      SELECT doc_id, text,
+             doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h,
+             length(text) AS tl
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id,
+             ascii(substr(text, CAST((p - 1) % tl AS INT) + 1, 1)) AS b
+      FROM params, LATERAL (SELECT unnest(range(1, 3 * w * h + 1)) AS p)
+    )
+    SELECT doc_id, CAST(b // 32 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM bytes GROUP BY doc_id, b // 32
+"""
+
+
+@register("q_multimodal_image_histogram", oracle=_IMG_HIST_ORACLE)
+def q_multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image intensity histogram ({HIST_BUCKETS} buckets of width
+    32) over the decoded PPM raster — the exposure/contrast screening
+    feature an image curation stack computes before any model sees a
+    pixel (all-dark, all-bright, or low-dynamic-range images get
+    dropped here).
+
+    The kernel decodes the real P6 container (`decode_ppm_raster`) and
+    buckets raster bytes with one `np.bincount` per image; the oracle
+    replays the raster synthesis positionally (text cycled to 3wh
+    bytes) and buckets in SQL.  Only (doc_id, bucket, count) rows leave
+    the scan — at 100 TB of images the shuffle carries {HIST_BUCKETS}
+    rows per image, never pixels."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "bucket": [], "n": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, raster = decode_ppm_raster(bytes(payload))
+                counts = np.bincount(
+                    np.frombuffer(raster, dtype=np.uint8) >> 5,
+                    minlength=HIST_BUCKETS,
+                )
+                for b in range(HIST_BUCKETS):
+                    if counts[b]:
+                        out["doc_id"].append(int(doc_id))
+                        out["bucket"].append(b)
+                        out["n"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    return ppm_table(spark, sf_dir).mapInPandas(
+        run, schema="doc_id long, bucket int, n long"
     )

@@ -2022,3 +2022,149 @@ def q_profile_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mutual_info"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules: pair support + lift
+# ---------------------------------------------------------------------------
+
+ASSOC_MIN_SUP = 2  # minimum co-occurrence count for a reported pair
+
+_ASSOC_ORACLE = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+    item AS (SELECT l_partkey, count(*) AS c FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS c_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= {ASSOC_MIN_SUP}
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.c_ab AS BIGINT) AS support,
+           CAST(ia.c AS BIGINT) AS n_a,
+           CAST(ib.c AS BIGINT) AS n_b,
+           CAST(round(CAST(p.c_ab AS DOUBLE) * n.n_orders
+                      / (CAST(ia.c AS DOUBLE) * ib.c), 6) AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN item ia ON p.part_a = ia.l_partkey
+    JOIN item ib ON p.part_b = ib.l_partkey, n
+"""
+
+
+@register("q_assoc_pairs_lift", oracle=_ASSOC_ORACLE)
+def q_assoc_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: co-purchased part pairs with
+    support and lift (P(a,b)/(P(a)·P(b))) — the recommender /
+    cross-sell primitive, and in a curation stack the co-occurrence
+    statistic behind phrase detection and entity linking.
+
+    Scale shape: pairs are generated IN-ROW — each order's distinct
+    sorted part list comes from one combiner aggregation, pair arrays
+    from a nested `transform` + `flatten`, so pair fan-out is bounded
+    by C(basket, 2) of the largest single basket (13 parts here; a
+    basket is small by nature, the way a rare-gram posting is).  One
+    further combiner agg counts pair support; item supports and the
+    basket count ride broadcast joins onto the O(pairs) result — the
+    raw (order × part) stream is never self-joined in the engine."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = op.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    )
+    n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pair_arrays = baskets.select(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("parts"), i + 2, F.size("parts")),
+                    lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+                ),
+            )
+        ).alias("ps")
+    )
+    pairs = (
+        pair_arrays.select(F.explode("ps").alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= ASSOC_MIN_SUP)
+    )
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("c_ab").cast("bigint").alias("support"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            )
+            .cast("double")
+            .alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical mode per group (deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+_MODE_ORACLE = """
+    WITH c AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    r AS (
+      SELECT c_mktsegment, c_nationkey, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey) AS rk
+      FROM c
+    )
+    SELECT c_mktsegment, c_nationkey AS modal_nation,
+           CAST(n AS BIGINT) AS n_mode
+    FROM r WHERE rk = 1
+"""
+
+
+@register("q_agg_mode", oracle=_MODE_ORACLE)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE() per group with a pinned tie rule: the most frequent
+    nation within each market segment, ties broken toward the smaller
+    key.  Built-in `mode` aggregates (both engines) leave ties
+    engine-defined — unacceptable under a determinism contract — so the
+    mode is computed as count + window top-1, the same
+    `WindowGroupLimit`-eligible shape as the top-k family.
+
+    Scale: one combiner agg to O(groups × values) rows, then the rank
+    window runs over value-count rows (tiny), never the base table."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("c_nationkey")
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("modal_nation"),
+            F.col("n").cast("bigint").alias("n_mode"),
+        )
+    )

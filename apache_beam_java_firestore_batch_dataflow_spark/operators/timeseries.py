@@ -768,3 +768,195 @@ def q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling: the lossless min/max/first/last envelope per bucket
+# ---------------------------------------------------------------------------
+
+_M4_ORACLE = """
+    WITH pts AS (
+      -- CAST: DuckDB's date_trunc('day') yields DATE; Spark yields TIMESTAMP
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             ts, event_id, value,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rf,
+             row_number() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(min(value) AS DOUBLE) AS v_min,
+           CAST(max(value) AS DOUBLE) AS v_max,
+           CAST(min(CASE WHEN rf = 1 THEN value END) AS DOUBLE) AS v_first,
+           CAST(min(CASE WHEN rl = 1 THEN value END) AS DOUBLE) AS v_last
+    FROM pts GROUP BY event_type, bucket
+"""
+
+
+@register("q_events_m4_downsample", oracle=_M4_ORACLE)
+def q_events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling: per (series, time bucket) keep exactly the
+    min, max, first, and last values — the 4 points that make a
+    pixel-perfect line rendering of any bucket (the standard
+    dashboard/observability downsample), and the bounded envelope a
+    100 TB metrics store rolls up to before humans ever see a chart.
+
+    Plan: the first/last markers are two row_numbers over the SAME
+    (series, bucket) partition — one window sort, opposite directions
+    collapse into Catalyst's single window stage — then ONE combiner
+    aggregation emits the envelope.  Output is O(series × buckets),
+    input is never sorted globally.  Ties on ts break on event_id in
+    both engines, so first/last are deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.date_trunc("day", F.col("ts")).alias("bucket")
+    worder = [F.col("ts"), F.col("event_id")]
+    w_f = Window.partitionBy("event_type", "bucket").orderBy(*worder)
+    w_l = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    pts = ev.select("event_type", bucket, "ts", "event_id", "value").select(
+        "event_type",
+        "bucket",
+        "value",
+        F.row_number().over(w_f).alias("rf"),
+        F.row_number().over(w_l).alias("rl"),
+    )
+    return pts.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min("value").cast("double").alias("v_min"),
+        F.max("value").cast("double").alias("v_max"),
+        F.min(F.when(F.col("rf") == 1, F.col("value"))).cast("double").alias("v_first"),
+        F.min(F.when(F.col("rl") == 1, F.col("value"))).cast("double").alias("v_last"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap filling + linear interpolation over an hourly grid
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(round(sum(CAST(round(value, 6) AS DECIMAL(30,6))), 2)
+                  AS DOUBLE) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    span AS (
+      SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly
+      GROUP BY event_type
+    ),
+    grid AS (
+      SELECT s.event_type, g.h
+      FROM span s,
+           LATERAL (SELECT unnest(generate_series(s.h0, s.h1,
+                                  INTERVAL 1 HOUR)) AS h) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.h, hourly.v,
+             epoch(g.h) AS eh
+      FROM grid g LEFT JOIN hourly
+        ON g.event_type = hourly.event_type AND g.h = hourly.h
+    ),
+    walls AS (
+      SELECT event_type, h, v, eh,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pe,
+             first_value(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN eh END IGNORE NULLS)
+               OVER (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne
+      FROM joined
+    )
+    SELECT event_type, h AS bucket,
+           (v IS NULL) AS filled,
+           CAST(round(CASE WHEN v IS NOT NULL THEN v
+                ELSE pv + (nv - pv) * (eh - pe) / (ne - pe) END, 4)
+                AS DOUBLE) AS value
+    FROM walls
+"""
+
+
+@register("q_events_gapfill_hourly", oracle=_GAPFILL_ORACLE)
+def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling with linear interpolation: densify each series onto
+    its full hourly grid (~5% of slots are empty in this corpus) and
+    interpolate missing buckets between their nearest real neighbors —
+    `time_bucket_gapfill` / `interpolate` from timeseries databases,
+    expressed as pure DataFrame ops.
+
+    Plan: hourly sums are one combiner agg (exact decimal, so both
+    engines interpolate from identical doubles); each series' grid is
+    generated IN-ROW from its (min, max) span via `sequence` + explode
+    — no driver-side calendar, no cross join against a global grid; the
+    neighbor walls are two `last`/`first` ignoreNulls windows over one
+    per-series sort.  Per-task memory is one series' grid (the
+    sessionize bound); output is O(series × slots).  Interpolation
+    arithmetic runs on identical inputs in both engines and rounds at
+    the output boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+        )
+        .agg(
+            F.round(F.sum(F.round(F.col("value"), 6).cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("v")
+        )
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "h",
+        "v",
+        F.unix_timestamp("h").cast("double").alias("eh"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked_eh = F.when(F.col("v").isNotNull(), F.col("eh"))
+    walls = joined.select(
+        "event_type",
+        "h",
+        "v",
+        "eh",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(marked_eh, ignorenulls=True).over(w_prev).alias("pe"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(marked_eh, ignorenulls=True).over(w_next).alias("ne"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("eh") - F.col("pe")
+    ) / (F.col("ne") - F.col("pe"))
+    return walls.select(
+        "event_type",
+        F.col("h").alias("bucket"),
+        F.col("v").isNull().alias("filled"),
+        F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 4)
+        .cast("double")
+        .alias("value"),
+    )

@@ -86,6 +86,16 @@ HEADLINE = [
     "q_ann_rrf_fusion",
     "q_text_novelty_ngrams",
     "q_layout_zorder_buckets",
+    # round 6 (cont.): graph analytics, SCD2 versioning, blocked entity
+    # resolution, BPE pair census
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_scd2_priority_history",
+    "q_er_fuzzy_blocked",
+    "q_text_bpe_merge",
+    "q_events_gapfill_hourly",
+    "q_assoc_pairs_lift",
+    "q_multimodal_audio_silence",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
