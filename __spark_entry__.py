@@ -130,7 +130,10 @@ _PRIORITY = [
     # q_profile_entropy_mi, q_er_fuzzy_blocked, q_text_bpe_merge,
     # q_events_m4_downsample, q_events_gapfill_hourly,
     # q_assoc_pairs_lift, q_agg_mode, q_multimodal_audio_silence,
-    # q_multimodal_image_histogram) ---
+    # q_multimodal_image_histogram, q_ann_hamming_rank,
+    # q_privacy_dp_counts, q_agg_skew_kurtosis,
+    # q_window_running_distinct, q_stream_window_topk,
+    # q_layout_zonemap_skipping) ---
     "q_ann_rrf_fusion",
     "q_dedup_semantic",
     "q_dedup_minhash_est_error",

@@ -160,3 +160,76 @@ def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_sensitive") >= L_DIV).alias("l_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy release: Laplace-noised counts (seeded mechanism)
+# ---------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  # per-release budget; sensitivity of a count is 1
+_U_SPACE = float(1 << 52)  # 13 hex digits of md5 -> uniform grid
+
+_DP_ORACLE = f"""
+    WITH c AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    ),
+    u AS (
+      SELECT c_nationkey, c_mktsegment, n,
+             (CAST(CAST('0x' || substr(md5('dp:' || CAST(c_nationkey AS VARCHAR)
+                        || '|' || c_mktsegment), 1, 13) AS BIGINT) AS DOUBLE)
+              + 0.5) / {_U_SPACE} AS u
+      FROM c
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(n AS BIGINT) AS n,
+           CAST(round(CASE WHEN u < 0.5
+                      THEN round(ln(2.0 * u), 6) / {DP_EPSILON}
+                      ELSE -round(ln(2.0 - 2.0 * u), 6) / {DP_EPSILON} END, 4)
+                AS DOUBLE) AS noise,
+           CAST(round(n + CASE WHEN u < 0.5
+                      THEN round(ln(2.0 * u), 6) / {DP_EPSILON}
+                      ELSE -round(ln(2.0 - 2.0 * u), 6) / {DP_EPSILON} END, 4)
+                AS DOUBLE) AS noisy_n
+    FROM u
+"""
+
+
+@register("q_privacy_dp_counts", oracle=_DP_ORACLE)
+def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per-group counts plus
+    Laplace(1/ε) noise via inverse-CDF sampling — the aggregate-release
+    mechanism (ε={DP_EPSILON}, count sensitivity 1).  The uniform draw
+    is derived from md5 of the group key, which makes the release
+    REPRODUCIBLE across runs and engines — the property a pipeline
+    needs to re-emit identical reports on retry (a production system
+    keys the hash by a secret release nonce instead; and it releases
+    only ``noisy_n`` — the true ``n`` is emitted here solely so the
+    oracle can check the mechanism arithmetic end-to-end).
+
+    Float discipline: the one ln() per group is rounded to 6 decimals
+    immediately (the bigram-LM rule); everything around it is exact
+    integer/hash arithmetic, so the noise is deterministic at any
+    partitioning.  Scale: one combiner aggregation; the mechanism is a
+    per-group projection on O(groups) rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    key = F.concat(
+        F.lit("dp:"), F.col("c_nationkey").cast("string"),
+        F.lit("|"), F.col("c_mktsegment"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 0.5
+    ) / F.lit(_U_SPACE)
+    noise = F.when(
+        u < 0.5, F.round(F.log(2.0 * u), 6) / DP_EPSILON
+    ).otherwise(-F.round(F.log(2.0 - 2.0 * u), 6) / DP_EPSILON)
+    return c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(noise, 4).cast("double").alias("noise"),
+        F.round(F.col("n") + noise, 4).cast("double").alias("noisy_n"),
+    )

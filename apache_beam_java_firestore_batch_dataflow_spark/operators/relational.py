@@ -2168,3 +2168,226 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("bigint").alias("n_mode"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Higher moments: skewness / kurtosis from exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+_MOMENTS_ORACLE = """
+    WITH s AS (
+      SELECT c_mktsegment,
+             count(*) AS n,
+             sum(CAST(round(c_acctbal, 6) AS DECIMAL(38,6))) AS s1,
+             sum(CAST(round(c_acctbal * c_acctbal, 6) AS DECIMAL(38,6))) AS s2,
+             sum(CAST(round(c_acctbal * c_acctbal * c_acctbal, 6)
+                      AS DECIMAL(38,6))) AS s3,
+             sum(CAST(round(c_acctbal * c_acctbal * c_acctbal * c_acctbal, 6)
+                      AS DECIMAL(38,6))) AS s4
+      FROM customer GROUP BY c_mktsegment
+    ),
+    m AS (
+      SELECT c_mktsegment, n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             CAST(s2 AS DOUBLE) / n AS m2,
+             CAST(s3 AS DOUBLE) / n AS m3,
+             CAST(s4 AS DOUBLE) / n AS m4
+      FROM s
+    )
+    SELECT c_mktsegment,
+           CAST(n AS BIGINT) AS n,
+           CAST(round(m1, 4) AS DOUBLE) AS mean,
+           CAST(round(m2 - m1 * m1, 4) AS DOUBLE) AS variance,
+           CAST(round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                      / ((m2 - m1 * m1) * sqrt(m2 - m1 * m1)), 6)
+                AS DOUBLE) AS skewness,
+           CAST(round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2
+                       - 3 * m1 * m1 * m1 * m1)
+                      / ((m2 - m1 * m1) * (m2 - m1 * m1)) - 3, 6)
+                AS DOUBLE) AS kurtosis
+    FROM m
+"""
+
+
+@register("q_agg_skew_kurtosis", oracle=_MOMENTS_ORACLE)
+def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profiling: mean, variance, skewness, excess
+    kurtosis per group from raw power sums — the statistics a data
+    profiler reports to flag skewed or heavy-tailed columns before
+    they wreck a join or a normalization.
+
+    The `q_corr_manual` discipline extended to 4th order: built-in
+    `skewness`/`kurtosis` use streaming one-pass updates whose results
+    depend on reduction order (non-deterministic at scale); here all
+    four power sums are exact decimals (order-independent), and the
+    moment formulas run on identical doubles in both engines —
+    σ³ is written var·sqrt(var) because `pow(x, 1.5)` is not
+    correctly-rounded libm while sqrt and multiply are IEEE-exact.
+    One combiner aggregation; O(groups) output."""
+    cust = _t(spark, sf_dir, "customer")
+    x = F.col("c_acctbal")
+
+    def psum(expr, alias):
+        return F.sum(F.round(expr, 6).cast("decimal(38,6)")).alias(alias)
+
+    s = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        psum(x, "s1"),
+        psum(x * x, "s2"),
+        psum(x * x * x, "s3"),
+        psum(x * x * x * x, "s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    m4 = F.col("s4").cast("double") / F.col("n")
+    var = m2 - m1 * m1
+    return s.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(m1, 4).cast("double").alias("mean"),
+        F.round(var, 4).cast("double").alias("variance"),
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var)), 6
+        )
+        .cast("double")
+        .alias("skewness"),
+        F.round(
+            (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 * m1 * m1 * m1)
+            / (var * var)
+            - 3,
+            6,
+        )
+        .cast("double")
+        .alias("kurtosis"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running distinct count (windowed COUNT(DISTINCT) via first-seen flags)
+# ---------------------------------------------------------------------------
+
+_RUNNING_DISTINCT_ORACLE = """
+    WITH flagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, user_id, ts,
+           CAST(sum(first_seen) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_types_so_far
+    FROM flagged
+"""
+
+
+@register("q_window_running_distinct", oracle=_RUNNING_DISTINCT_ORACLE)
+def q_window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) per key — how many distinct event types
+    each user has touched as of each event (the engagement-breadth
+    curve).  SQL window frames cannot express DISTINCT directly; the
+    standard rewrite marks each (user, type)'s FIRST occurrence with
+    one row_number and running-sums the flags with a second window —
+    two window stages over compatible (user-keyed) sorts, no self-join,
+    no quadratic state.  Ties on ts break on event_id in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    worder = [F.col("ts"), F.col("event_id")]
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(*worder)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*worder)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("first_seen").over(w_run).cast("bigint").alias("n_types_so_far"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone maps: per-file min/max envelopes + predicate skipping evaluation
+# ---------------------------------------------------------------------------
+
+ZM_FILES = 64  # synthetic file granularity (orderkey-range "files")
+ZM_LO = "1997-03-01"
+ZM_HI = "1997-06-01"
+
+_ZONEMAP_ORACLE = f"""
+    WITH bounds AS (
+      SELECT max(l_orderkey) + 1 AS mk FROM lineitem
+    ),
+    zm AS (
+      SELECT CAST((l_orderkey * {ZM_FILES}) // mk AS INT) AS file_id,
+             count(*) AS n_rows,
+             min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+             min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+      FROM lineitem, bounds
+      GROUP BY 1
+    )
+    SELECT file_id,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           min_ship, max_ship,
+           CAST(min_price AS DOUBLE) AS min_price,
+           CAST(max_price AS DOUBLE) AS max_price,
+           (max_ship < TIMESTAMP '{ZM_LO}'
+            OR min_ship >= TIMESTAMP '{ZM_HI}') AS skippable
+    FROM zm
+"""
+
+
+@register("q_layout_zonemap_skipping", oracle=_ZONEMAP_ORACLE)
+def q_layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone maps (per-file min/max statistics) plus a skipping
+    evaluation: which "files" can a shipdate-range predicate prove
+    empty without reading them — the ANALYZE-side of data skipping that
+    `q_layout_zorder_buckets` optimizes the layout FOR (a time-ordered
+    table skips date predicates well and price predicates badly;
+    z-ordering trades between them; this operator is how you measure
+    that trade).
+
+    Files are synthesized as {ZM_FILES} orderkey ranges (the natural
+    write order of the fixture); the envelope is ONE combiner
+    aggregation over the scan and the skip decision a per-file
+    projection — at 100 TB this is metadata-table maintenance:
+    O(files) output, recomputed incrementally per newly-written file,
+    and the `skippable` fraction is the measurable benefit a layout
+    change buys before anyone rewrites a byte."""
+    li = _t(spark, sf_dir, "lineitem")
+    mk = li.agg((F.max("l_orderkey") + 1).alias("mk"))
+    zm = (
+        li.join(F.broadcast(mk))
+        .groupBy(
+            F.expr(f"(l_orderkey * {ZM_FILES}) div mk").cast("int").alias("file_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+    return zm.select(
+        "file_id",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "min_ship",
+        "max_ship",
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+        (
+            (F.col("max_ship") < F.lit(ZM_LO).cast("timestamp"))
+            | (F.col("min_ship") >= F.lit(ZM_HI).cast("timestamp"))
+        ).alias("skippable"),
+    )

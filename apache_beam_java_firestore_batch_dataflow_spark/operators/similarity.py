@@ -2465,3 +2465,111 @@ def q_ann_filtered_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).cast("double").alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Binary (1-bit) quantization: Hamming-ranked ANN over sign signatures
+# --------------------------------------------------------------------------
+
+HAM_PLANES = 32  # signature width; completes the quantization family
+HAM_K = 5
+
+
+def _ham_sig_sql() -> str:
+    signs = hyperplane_signs(HAM_PLANES, DIM)
+    terms = []
+    for j in range(HAM_PLANES):
+        proj = dot_sql("embedding", f"CAST({_signs_sql_list(signs[j])} AS DOUBLE[])")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_HAMMING_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, CAST({_ham_sig_sql()} AS BIGINT) AS sig
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             bit_count(xor(q.sig, v.sig)) AS ham
+      FROM q JOIN v ON q.vec_id <> v.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, ham,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY ham, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(ham AS INT) AS hamming
+    FROM ranked WHERE rank <= {HAM_K}
+"""
+
+
+@register("q_ann_hamming_rank", oracle=_HAMMING_ORACLE)
+def q_ann_hamming_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit quantization retrieval: each vector compresses to a
+    {HAM_PLANES}-bit sign signature (the binary end of the quantization
+    spectrum next to int8 and PQ), and candidates rank by Hamming
+    distance — a single XOR+popcount per pair, the cheapest similarity
+    a vector store can serve and the filter stage binary-embedding
+    systems run before exact rerank.
+
+    Scale shape: signatures are one zero-shuffle map over the corpus
+    (512× smaller than the float vectors — THE point of 1-bit: the
+    whole index fits where 0.2% of the corpus did); the bounded query
+    signature set broadcasts, ranking reuses the kNN top-k window.
+    Integer distances make ties exact; (ham, neighbor_id) ordering
+    pins them.  Recall quality is measured, not assumed — the same
+    discipline as q_ann_recall (see test_llm_ops floors)."""
+    import numpy as np
+    import pandas as pd
+
+    signs = hyperplane_signs(HAM_PLANES, DIM)
+    S = np.asarray(signs, dtype=np.float64)  # HAM_PLANES × DIM, constant
+
+    def sig_kernel(batches):
+        # per-plane projections with the oracle's sequential dim fold
+        # (see _pairwise_sims): vectorized across rows, bit-identical
+        # at the sign boundary
+        weights = np.int64(1) << np.arange(HAM_PLANES, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"vec_id": pd.Series(dtype="int64"),
+                     "sig": pd.Series(dtype="int64")}
+                )
+                continue
+            X = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            P = np.zeros((X.shape[0], HAM_PLANES), dtype=np.float64)
+            for i in range(X.shape[1]):
+                P += X[:, i : i + 1] * S[None, :, i]
+            bits = (P > 0).astype(np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                 "sig": bits @ weights}
+            )
+
+    v = _vecs(spark, sf_dir).mapInPandas(sig_kernel, schema="vec_id long, sig long")
+    q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    pairs = v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr("bit_count(sig ^ qsig)").alias("ham"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HAM_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("ham").cast("int").alias("hamming"),
+        )
+    )

@@ -291,3 +291,82 @@ def enrich_purchases(events: DataFrame, customer: DataFrame) -> DataFrame:
             "n_events", "sum_value",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Windowed top-k (the trending-items topology)
+# --------------------------------------------------------------------------
+
+WINDOW_TOPK = 2  # event types reported per window
+
+
+def window_type_counts(events: DataFrame) -> DataFrame:
+    """Per (tumbling hour, event type) counts — the streamable half of
+    the trending-items topology (plain windowed agg, unified API)."""
+    return (
+        events.groupBy(F.window("ts", TUMBLE).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def topk_of_counts(counts: DataFrame) -> DataFrame:
+    """Rank-and-filter half: top-{WINDOW_TOPK} per window, ties toward
+    the lexically smaller type.  Not streamable inside one query (rank
+    windows over an un-finalized aggregate are unsupported by design) —
+    the streaming topology runs this per micro-batch in ``foreachBatch``
+    over the agg's update stream; tests/test_streaming.py proves the
+    split topology equals the batch plan."""
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= WINDOW_TOPK)
+        .select(
+            "window_start",
+            F.col("rank").cast("int").alias("rank"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+    )
+
+
+def window_topk(events: DataFrame) -> DataFrame:
+    return topk_of_counts(window_type_counts(events))
+
+
+_WINDOW_TOPK_ORACLE = f"""
+    WITH counts AS (
+      SELECT {_epoch_floor_sql('ts', TUMBLE_S)} AS window_start,
+             event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, event_type, n_events,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, event_type) AS rank
+      FROM counts
+    )
+    SELECT window_start, CAST(rank AS INT) AS rank, event_type,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM ranked WHERE rank <= {WINDOW_TOPK}
+"""
+
+
+@register("q_stream_window_topk", oracle=_WINDOW_TOPK_ORACLE)
+def q_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-{WINDOW_TOPK} event types per tumbling hour.
+    Scale shape: the count agg map-side combines per (window, type);
+    the rank window runs over O(windows × types) aggregate rows —
+    `WindowGroupLimit` pushes the per-window heap below its exchange —
+    never over raw events.  Streaming form: windowed agg under the
+    unified API + per-micro-batch rank in foreachBatch (see
+    `window_topk` docstring and the parity test)."""
+    return window_topk(_events(spark, sf_dir))

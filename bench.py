@@ -96,6 +96,9 @@ HEADLINE = [
     "q_events_gapfill_hourly",
     "q_assoc_pairs_lift",
     "q_multimodal_audio_silence",
+    "q_ann_hamming_rank",
+    "q_window_running_distinct",
+    "q_stream_window_topk",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

@@ -120,3 +120,110 @@ def test_image_histogram_covers_raster(spark, sf_dir):
     for doc_id, total in per_doc.items():
         w, h = doc_id % 13 + 4, doc_id % 7 + 4
         assert total == 3 * w * h
+
+
+def test_hamming_rank_structure(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        HAM_K,
+        HAM_PLANES,
+        q_ann_hamming_rank,
+    )
+
+    rows = q_ann_hamming_rank(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.hamming <= HAM_PLANES
+        by_q.setdefault(r.query_id, []).append(r)
+    for _qid, vs in by_q.items():
+        vs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in vs] == list(range(1, HAM_K + 1))
+        hams = [r.hamming for r in vs]
+        assert hams == sorted(hams)  # distance nondecreasing with rank
+
+
+def test_dp_counts_mechanism_arithmetic(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.privacy import (
+        q_privacy_dp_counts,
+    )
+
+    a = {(r.c_nationkey, r.c_mktsegment): r for r in
+         q_privacy_dp_counts(spark, sf_dir).collect()}
+    b = {(r.c_nationkey, r.c_mktsegment): r for r in
+         q_privacy_dp_counts(spark, sf_dir).collect()}
+    assert a.keys() == b.keys()
+    for k, r in a.items():
+        assert abs((r.n + r.noise) - r.noisy_n) < 1e-3  # output rounding only
+        # seeded mechanism: bit-identical across runs (retry reproducibility)
+        assert (r.noise, r.noisy_n) == (b[k].noise, b[k].noisy_n)
+
+
+def test_moments_against_numpy(spark, sf_dir):
+    import numpy as np
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_agg_skew_kurtosis,
+    )
+
+    rows = {r.c_mktsegment: r for r in q_agg_skew_kurtosis(spark, sf_dir).collect()}
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/customer.parquet").to_pydict()
+    by_seg: dict[str, list[float]] = {}
+    for seg, bal in zip(t["c_mktsegment"], t["c_acctbal"]):
+        by_seg.setdefault(seg, []).append(bal)
+    for seg, xs in by_seg.items():
+        x = np.asarray(xs)
+        mu, var = x.mean(), x.var()
+        skew = ((x - mu) ** 3).mean() / var**1.5
+        kurt = ((x - mu) ** 4).mean() / var**2 - 3
+        r = rows[seg]
+        assert abs(r.mean - mu) < 1e-2
+        assert abs(r.variance - var) < 1.0  # var ~1e6; population formula
+        assert abs(r.skewness - skew) < 1e-4
+        assert abs(r.kurtosis - kurt) < 1e-4
+
+
+def test_running_distinct_final_equals_distinct(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_window_running_distinct,
+    )
+
+    rows = q_window_running_distinct(spark, sf_dir).collect()
+    last: dict[int, tuple] = {}
+    for r in rows:
+        key = (r.ts, r.event_id)
+        if r.user_id not in last or key > last[r.user_id][0]:
+            last[r.user_id] = (key, r.n_types_so_far)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import pyspark.sql.functions as F
+
+    truth = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("n"))
+        .collect()
+    }
+    assert {u: n for u, (_k, n) in last.items()} == truth
+
+
+def test_zonemap_skippable_files_are_empty_in_range(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        ZM_FILES,
+        ZM_HI,
+        ZM_LO,
+        q_layout_zonemap_skipping,
+    )
+
+    rows = q_layout_zonemap_skipping(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    assert sum(r.n_rows for r in rows) == li.count()
+    mk = li.agg(F.max("l_orderkey")).first()[0] + 1
+    in_range = li.filter(
+        (F.col("l_shipdate") >= ZM_LO) & (F.col("l_shipdate") < ZM_HI)
+    ).select(F.expr(f"(l_orderkey * {ZM_FILES}) div {mk}").alias("fid"))
+    touched = {r.fid for r in in_range.distinct().collect()}
+    for r in rows:
+        if r.skippable:
+            assert r.file_id not in touched  # zone map proof is sound

@@ -306,3 +306,34 @@ def test_stream_static_enrich_parity(spark, sf_dir, tmp_path):
     spark.catalog.dropTempView("enrich_out")
     assert got == batch_result
     assert len(got) > 0
+
+
+def test_stream_window_topk_parity(spark, sf_dir, tmp_path):
+    """Trending-items parity: the windowed count aggregation streams
+    over 4 micro-batches (complete mode), the rank-and-filter half runs
+    over the final materialized snapshot — the foreachBatch topology —
+    and together they equal the single batch plan."""
+    from apache_beam_java_firestore_batch_dataflow_spark.streaming.windows import (
+        topk_of_counts,
+        window_topk,
+        window_type_counts,
+    )
+
+    chunk_dir = str(tmp_path / "topk_chunks")
+    write_event_chunks(spark, sf_dir, chunk_dir, n_chunks=4)
+
+    batch_result = sorted_rows(window_topk(load_table(spark, sf_dir, "events")))
+    stream = read_event_stream(spark, chunk_dir)
+    query = (
+        window_type_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("topk_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    got = sorted_rows(topk_of_counts(spark.table("topk_counts")))
+    spark.catalog.dropTempView("topk_counts")
+    assert got == batch_result
+    assert len(got) > 0
