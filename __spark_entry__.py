@@ -133,7 +133,10 @@ _PRIORITY = [
     # q_multimodal_image_histogram, q_ann_hamming_rank,
     # q_privacy_dp_counts, q_agg_skew_kurtosis,
     # q_window_running_distinct, q_stream_window_topk,
-    # q_layout_zonemap_skipping) ---
+    # q_layout_zonemap_skipping, q_events_holt_linear,
+    # q_events_cusum_changepoint, q_regress_trend_per_type,
+    # q_customer_rfm, q_market_concentration_hhi,
+    # q_udtf_chunk_words) ---
     "q_ann_rrf_fusion",
     "q_dedup_semantic",
     "q_dedup_minhash_est_error",

@@ -2391,3 +2391,280 @@ def q_layout_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("min_ship") >= F.lit(ZM_HI).cast("timestamp"))
         ).alias("skippable"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-series OLS trend (slope/intercept/R² from exact sufficient stats)
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = """
+    WITH t0 AS (
+      SELECT event_type, min(ts) AS ts0 FROM events GROUP BY event_type
+    ),
+    xy AS (
+      -- epoch_us on both engines: DuckDB epoch() keeps fractional
+      -- seconds while Spark unix_timestamp truncates — microsecond
+      -- integers are the common exact currency
+      SELECT e.event_type,
+             CAST(epoch_us(e.ts) - epoch_us(t.ts0) AS DOUBLE) / 3600000000.0
+                 AS x,
+             e.value AS y
+      FROM events e JOIN t0 t USING (event_type)
+    ),
+    s AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(CAST(round(x, 6) AS DECIMAL(38,6))) AS sx,
+             sum(CAST(round(y, 6) AS DECIMAL(38,6))) AS sy,
+             sum(CAST(round(x * y, 6) AS DECIMAL(38,6))) AS sxy,
+             sum(CAST(round(x * x, 6) AS DECIMAL(38,6))) AS sxx,
+             sum(CAST(round(y * y, 6) AS DECIMAL(38,6))) AS syy
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                      6) AS DOUBLE) AS slope,
+           CAST(round((CAST(sy AS DOUBLE)
+                       - (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / n, 6) AS DOUBLE) AS intercept,
+           CAST(round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                      6) AS DOUBLE) AS r2
+    FROM s
+"""
+
+
+@register("q_regress_trend_per_type", oracle=_OLS_ORACLE)
+def q_regress_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend line: slope (value per hour), intercept, and
+    R² of value against time — the "is this metric drifting and how
+    fast" regression behind capacity planning and data-drift triage
+    (CUSUM locates a level shift; this quantifies a continuous trend).
+
+    The `q_corr_manual` discipline: five sufficient statistics as exact
+    decimal sums (time centered per series to hours-from-start for
+    conditioning — raw epoch seconds squared would eat the decimal
+    headroom), closed-form slope/intercept/R² evaluated on identical
+    doubles in both engines.  One agg for the per-series start times
+    (broadcast back), one combiner agg for the sums; O(series) output."""
+    ev = _t(spark, sf_dir, "events")
+    t0 = ev.groupBy("event_type").agg(F.min("ts").alias("ts0"))
+    from ..functions.timeutil import epoch_us
+
+    xy = ev.join(F.broadcast(t0), "event_type").select(
+        "event_type",
+        (
+            (epoch_us("ts") - epoch_us("ts0")).cast("double") / 3600000000.0
+        ).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def dsum(expr, alias):
+        return F.sum(F.round(expr, 6).cast("decimal(38,6)")).alias(alias)
+
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("x"), "sx"),
+        dsum(F.col("y"), "sy"),
+        dsum(F.col("x") * F.col("y"), "sxy"),
+        dsum(F.col("x") * F.col("x"), "sxx"),
+        dsum(F.col("y") * F.col("y"), "syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_n = n * sxx - sx * sx
+    slope = cov_n / var_n
+    return s.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).cast("double").alias("slope"),
+        F.round((sy - slope * sx) / n, 6).cast("double").alias("intercept"),
+        F.round(cov_n * cov_n / (var_n * (n * syy - sy * sy)), 6)
+        .cast("double")
+        .alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (recency / frequency / monetary quintile scores)
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+    WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate), (SELECT maxd FROM mx))
+                 AS recency_days,
+             count(*) AS frequency,
+             CAST(round(sum(CAST(round(o_totalprice, 6) AS DECIMAL(30,6))), 2)
+                  AS DOUBLE) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+             quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS fq,
+             quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mq
+      FROM base
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           -- recency: LOWER is better, so score descends as days grow
+           CAST(5 - ((recency_days > rq[1])::INT + (recency_days > rq[2])::INT
+                 + (recency_days > rq[3])::INT + (recency_days > rq[4])::INT)
+                AS INT) AS r_score,
+           CAST(1 + (frequency > fq[1])::INT + (frequency > fq[2])::INT
+                 + (frequency > fq[3])::INT + (frequency > fq[4])::INT
+                AS INT) AS f_score,
+           CAST(1 + (monetary > mq[1])::INT + (monetary > mq[2])::INT
+                 + (monetary > mq[3])::INT + (monetary > mq[4])::INT
+                AS INT) AS m_score
+    FROM base, cuts
+"""
+
+
+@register("q_customer_rfm", oracle=_RFM_ORACLE)
+def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days-since-last-order (recency),
+    order count (frequency), exact-decimal revenue (monetary), each
+    scored 1–5 against the corpus quintiles — the classic CRM / cohort
+    segmentation, and the same broadcast-cut-points shape as the
+    equi-depth histogram (deliberately NOT ntile: a single-reducer
+    global sort; a score against O(1) broadcast cut points is a pure
+    map).
+
+    Exact percentiles interpolate bit-identically in both engines (the
+    MAD/robust-scale precedent); `>` on the cut points with integer or
+    exact-decimal metrics makes every score deterministic.  One keyed
+    agg + one 12-value broadcast; O(customers) output."""
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    base = (
+        orders.join(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("maxd"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice"), 6).cast("decimal(30,6)")), 2
+            )
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    qs = [0.2, 0.4, 0.6, 0.8]
+    cuts = base.agg(
+        F.percentile("recency_days", F.lit(qs)).alias("rq"),
+        F.percentile("frequency", F.lit(qs)).alias("fq"),
+        F.percentile("monetary", F.lit(qs)).alias("mq"),
+    )
+
+    def score(col, cut, ascending):
+        hits = sum(
+            (F.col(col) > F.element_at(F.col(cut), i + 1)).cast("int")
+            for i in range(4)
+        )
+        return (1 + hits) if ascending else (5 - hits)
+
+    return base.join(F.broadcast(cuts)).select(
+        "custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        score("recency_days", "rq", ascending=False).cast("int").alias("r_score"),
+        score("frequency", "fq", ascending=True).cast("int").alias("f_score"),
+        score("monetary", "mq", ascending=True).cast("int").alias("m_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration: Herfindahl–Hirschman index per nation
+# ---------------------------------------------------------------------------
+
+_HHI_ORACLE = """
+    WITH rev AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
+                           AS DECIMAL(30,6))) AS DOUBLE) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT nationkey, CAST(sum(CAST(round(r, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                 AS t, count(*) AS n_suppliers
+      FROM rev GROUP BY nationkey
+    )
+    SELECT r.nationkey,
+           CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           CAST(round(CAST(sum(CAST(round((r.r / t.t) * (r.r / t.t) * 10000, 6)
+                                    AS DECIMAL(38,6))) AS DOUBLE), 2)
+                AS DOUBLE) AS hhi
+    FROM rev r JOIN tot t USING (nationkey)
+    GROUP BY r.nationkey, t.n_suppliers
+"""
+
+
+@register("q_market_concentration_hhi", oracle=_HHI_ORACLE)
+def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per nation: Σ (supplier
+    revenue share)² in basis points — the antitrust-style concentration
+    statistic, and in a data pipeline the "is one source dominating
+    this slice" alarm (the sharper-edged cousin of the mixture report).
+
+    Two keyed combiner aggs (supplier revenue, nation totals) + one
+    broadcast-back; share² terms are quantized to 6 decimals and summed
+    exactly, so the index is reduction-order-independent.  O(nations)
+    output."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    rev = (
+        li.join(F.broadcast(supp), "l_suppkey")
+        .groupBy("nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+                ).cast("decimal(30,6)")
+            )
+            .cast("double")
+            .alias("r")
+        )
+    )
+    tot = rev.groupBy("nationkey").agg(
+        F.sum(F.round(F.col("r"), 6).cast("decimal(30,6)"))
+        .cast("double")
+        .alias("t"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "nationkey")
+        .groupBy("nationkey", "n_suppliers")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(share * share * 10000, 6).cast("decimal(38,6)")
+                ).cast("double"),
+                2,
+            )
+            .cast("double")
+            .alias("hhi")
+        )
+        .select(
+            "nationkey",
+            F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
+            "hhi",
+        )
+    )

@@ -960,3 +960,189 @@ def q_events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear (double exponential) smoothing: level + trend fold
+# ---------------------------------------------------------------------------
+
+# α=1/2, β=1/4: exact binary fractions, so every fold step is IEEE-exact
+# multiplication/addition — the smoothed state is bit-identical across
+# engines with no rounding discipline needed inside the fold.
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.25
+
+# The oracle folds via a RECURSIVE CTE rather than list_reduce with a
+# struct accumulator: DuckDB's list_reduce mutates the accumulator
+# buffer field-by-field in declaration order, so a struct step whose
+# 't' expression reads acc.l observes the ALREADY-UPDATED level
+# (verified empirically: {'l','t'} and {'t','l'} orders each corrupt
+# the other field).  The recursive form states the recurrence
+# explicitly with no shared buffer.
+_HOLT_ORACLE = f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(round(sum(CAST(round(value, 6) AS DECIMAL(30,6))), 2)
+                  AS DOUBLE) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    seq AS (
+      SELECT event_type, list(v ORDER BY h) AS vs, count(*) AS n
+      FROM hourly GROUP BY event_type
+    ),
+    fold AS (
+      SELECT event_type, 1 AS i, vs[1] AS l, CAST(0.0 AS DOUBLE) AS t, vs, n
+      FROM seq
+      UNION ALL
+      SELECT event_type, i + 1,
+             {HOLT_ALPHA} * vs[i + 1] + {1 - HOLT_ALPHA} * (l + t),
+             {HOLT_BETA} * ({HOLT_ALPHA} * vs[i + 1]
+                            + {1 - HOLT_ALPHA} * (l + t) - l)
+             + {1 - HOLT_BETA} * t,
+             vs, n
+      FROM fold WHERE i < n
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_buckets,
+           CAST(round(l, 4) AS DOUBLE) AS level,
+           CAST(round(t, 4) AS DOUBLE) AS trend,
+           CAST(round(l + t, 4) AS DOUBLE) AS forecast_next
+    FROM fold WHERE i = n
+"""
+
+
+@register("q_events_holt_linear", oracle=_HOLT_ORACLE)
+def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear smoothing per series: the level+trend coupled fold
+    (each step needs BOTH previous states) over hourly sums, with the
+    one-step-ahead forecast level+trend — the forecasting upgrade of
+    `q_events_ewma`, and the shape that proves the declarative-fold
+    technique extends to STRUCT accumulators, not just scalars.
+
+    α=1/2 and β=1/4 are exact binary fractions, so the whole fold is
+    IEEE-exact arithmetic — bit-identical across engines and
+    partitionings with no per-step rounding.  Scale shape: one combiner
+    agg to hourly buckets, one groupBy collecting each series' bucket
+    sequence (per-task memory = one series' buckets — coarser and
+    therefore safer than the EWMA per-event bound), `F.aggregate` folds
+    in-row.  Rounding happens only at the output boundary."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.round(F.sum(F.round(F.col("value"), 6).cast("decimal(30,6)")), 2)
+        .cast("double")
+        .alias("v")
+    )
+    seq = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("sq"),
+    )
+    vals = F.transform(F.col("sq"), lambda s: s["v"])
+    init = F.struct(
+        F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("t")
+    )
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+
+    def step(acc, x):
+        nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (acc["l"] + acc["t"])
+        nt = HOLT_BETA * (nl - acc["l"]) + (1 - HOLT_BETA) * acc["t"]
+        return F.struct(nl.alias("l"), nt.alias("t"))
+
+    st = F.aggregate(rest, init, step)
+    return seq.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_buckets"),
+        F.round(st["l"], 4).cast("double").alias("level"),
+        F.round(st["t"], 4).cast("double").alias("trend"),
+        F.round(st["l"] + st["t"], 4).cast("double").alias("forecast_next"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection per series
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+    WITH mu AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(round(CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6)))
+                             AS DOUBLE) / count(*), 6) AS DOUBLE) AS mean_v
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.ts, e.event_id, m.n,
+             sum(CAST(round(e.value - m.mean_v, 6) AS DECIMAL(30,6))) OVER (
+               PARTITION BY e.event_type ORDER BY e.ts, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM events e JOIN mu m USING (event_type)
+    ),
+    ranked AS (
+      SELECT event_type, ts, event_id, n, cusum,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(cusum) DESC, ts, event_id) AS rk
+      FROM dev
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ts AS changepoint_ts,
+           CAST(round(CAST(cusum AS DOUBLE), 2) AS DOUBLE) AS peak_cusum
+    FROM ranked WHERE rk = 1
+"""
+
+
+@register("q_events_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection: per series, the running sum of
+    (value − series mean) and the point where |CUSUM| peaks — the
+    classic distribution-shift locator behind data-drift alarms (PSI
+    tells you THAT a window drifted; CUSUM tells you WHEN the level
+    shifted).
+
+    Determinism: deviations are rounded to 6 decimals and accumulated
+    as exact decimals in the running window, so the peak and its
+    position are partitioning-independent; |CUSUM| ties break on
+    (ts, event_id).  Scale shape: one agg for the means (broadcast
+    back), one per-series window sort, one top-1 rank over the same
+    sort — state bounded by one series' history."""
+    ev = load_table(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value"), 6).cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_v"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = ev.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "ts",
+        "event_id",
+        "n",
+        F.sum(
+            F.round(F.col("value") - F.col("mean_v"), 6).cast("decimal(30,6)")
+        )
+        .over(w_run)
+        .alias("cusum"),
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        dev.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("ts").alias("changepoint_ts"),
+            F.round(F.col("cusum").cast("double"), 2)
+            .cast("double")
+            .alias("peak_cusum"),
+        )
+    )

@@ -142,3 +142,63 @@ def q_udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(
         _zscore_group, schema="user_id long, event_id long, z double"
     )
+
+
+# --- tier 5: Python UDTF (table function + LATERAL join) --------------------
+
+UDTF_CHUNK = 10  # words per chunk
+
+_UDTF_CHUNK_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), s -> length(s) > 0) AS ws
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(ws[i * {UDTF_CHUNK} + 1 : (i + 1) * {UDTF_CHUNK}], ' ')
+               AS chunk,
+           CAST(least({UDTF_CHUNK}, len(ws) - i * {UDTF_CHUNK}) AS INT)
+               AS n_words
+    FROM toks, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ws) / {UDTF_CHUNK}.0)
+                                                    AS BIGINT))) AS i)
+"""
+
+
+@register("q_udtf_chunk_words", oracle=_UDTF_CHUNK_ORACLE)
+def q_udtf_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF tier: a table function that explodes each document
+    into numbered {UDTF_CHUNK}-word chunks via ``LATERAL`` — the one
+    UDF shape the other tiers don't cover (one input row → many typed
+    output rows, composable inside SQL).  Spark 4 runs Python UDTFs
+    natively; `spark.sql.execution.pythonUDTF.arrow.enabled` batches
+    them over Arrow like pandas UDFs.
+
+    The chunk rule is deliberately trivial and engine-portable — the
+    point is the API tier, and as the docstring convention here goes:
+    this COULD be the built-in split+sequence+slice plan
+    `q_chunk_documents` already runs (and should be, in production);
+    the UDTF exists to prove the table-function plumbing against the
+    same oracle gate.  Scale: a UDTF is a narrow per-row expansion —
+    no shuffle; the explode happens inside the scan stage like any
+    Generate."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_words int")
+    class ChunkWords:
+        def eval(self, text: str):
+            if text is None:
+                return
+            words = [w for w in text.split(" ") if w]
+            for i in range(0, len(words), UDTF_CHUNK):
+                part = words[i : i + UDTF_CHUNK]
+                yield i // UDTF_CHUNK, " ".join(part), len(part)
+
+    spark.udtf.register("chunk_words", ChunkWords)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM udtf_docs d, LATERAL chunk_words(d.text) c
+        """
+    )

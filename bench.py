@@ -99,6 +99,9 @@ HEADLINE = [
     "q_ann_hamming_rank",
     "q_window_running_distinct",
     "q_stream_window_topk",
+    "q_events_holt_linear",
+    "q_customer_rfm",
+    "q_udtf_chunk_words",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

@@ -227,3 +227,117 @@ def test_zonemap_skippable_files_are_empty_in_range(spark, sf_dir):
     for r in rows:
         if r.skippable:
             assert r.file_id not in touched  # zone map proof is sound
+
+
+def test_holt_matches_python_fold(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        HOLT_ALPHA,
+        HOLT_BETA,
+        q_events_holt_linear,
+    )
+
+    rows = {r.event_type: r for r in q_events_holt_linear(spark, sf_dir).collect()}
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.round(F.sum(F.round("value", 6).cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("v")
+        )
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in hourly:
+        series.setdefault(r.event_type, []).append((r.h, r.v))
+    for etype, pts in series.items():
+        pts.sort()
+        vs = [v for _h, v in pts]
+        level, trend = vs[0], 0.0
+        for x in vs[1:]:
+            nl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (level + trend)
+            trend = HOLT_BETA * (nl - level) + (1 - HOLT_BETA) * trend
+            level = nl
+        r = rows[etype]
+        assert r.n_buckets == len(vs)
+        assert abs(r.level - round(level, 4)) < 1e-9
+        assert abs(r.trend - round(trend, 4)) < 1e-9
+
+
+def test_cusum_peak_is_global_max(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_cusum_changepoint,
+    )
+
+    rows = q_events_cusum_changepoint(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_type: dict[str, list] = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, []).append(e)
+    for r in rows:
+        es = sorted(by_type[r.event_type], key=lambda e: (e.ts, e.event_id))
+        mean = round(sum(round(e.value, 6) for e in es) / len(es), 6)
+        cs, peak = 0.0, 0.0
+        for e in es:
+            cs += round(e.value - mean, 6)
+            peak = max(peak, abs(cs))
+        assert r.n_events == len(es)
+        assert abs(abs(r.peak_cusum) - round(peak, 2)) < 0.02
+
+
+def test_rfm_scores_partition_quintiles(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_customer_rfm,
+    )
+
+    rows = q_customer_rfm(spark, sf_dir).collect()
+    n = len(rows)
+    for col, better_low in (("r_score", False), ("f_score", False), ("m_score", False)):
+        hist: dict[int, int] = {}
+        for r in rows:
+            v = getattr(r, col)
+            assert 1 <= v <= 5
+            hist[v] = hist.get(v, 0) + 1
+        # quintiles: no bucket should be wildly off 20% (ties can skew
+        # the integer-valued frequency metric)
+        assert max(hist.values()) < 0.65 * n
+    # monetary has ~no ties: its buckets should be near-exact fifths
+    m_hist: dict[int, int] = {}
+    for r in rows:
+        m_hist[r.m_score] = m_hist.get(r.m_score, 0) + 1
+    for c in m_hist.values():
+        assert abs(c - n / 5) <= n * 0.02 + 2
+
+
+def test_hhi_bounds(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_market_concentration_hhi,
+    )
+
+    rows = q_market_concentration_hhi(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # HHI in basis points: 10000/n (perfect split) .. 10000 (monopoly)
+        assert 10000 / r.n_suppliers - 1 <= r.hhi <= 10000 + 1e-6
+
+
+def test_udtf_chunks_reassemble(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.udfs import (
+        UDTF_CHUNK,
+        q_udtf_chunk_words,
+    )
+
+    rows = q_udtf_chunk_words(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.n_words <= UDTF_CHUNK
+        per_doc.setdefault(r.doc_id, []).append(r)
+    docs = {r.doc_id: r.text for r in
+            spark.read.parquet(f"{sf_dir}/documents.parquet").collect()}
+    for doc_id, chunks in per_doc.items():
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        rebuilt = " ".join(c.chunk for c in chunks)
+        assert rebuilt == " ".join(w for w in docs[doc_id].split(" ") if w)
