@@ -136,7 +136,8 @@ _PRIORITY = [
     # q_layout_zonemap_skipping, q_events_holt_linear,
     # q_events_cusum_changepoint, q_regress_trend_per_type,
     # q_customer_rfm, q_market_concentration_hhi,
-    # q_udtf_chunk_words) ---
+    # q_udtf_chunk_words, q_graph_components_semantic,
+    # q_agg_percentile_disc, q_join_null_safe) ---
     "q_ann_rrf_fusion",
     "q_dedup_semantic",
     "q_dedup_minhash_est_error",

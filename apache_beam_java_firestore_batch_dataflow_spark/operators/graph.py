@@ -13,19 +13,17 @@ similarity graphs a 100 TB training-data pipeline carries:
   over it, the community-density signal (local clustering) that tells
   near-dup clusters apart from chains.
 
-Both are pure DataFrame plans.  PageRank keeps the repo's exact-decimal
-discipline for order-independent sums: each contribution rank/out-degree
-is rounded to 12 decimals and summed as DECIMAL(38,12), so the result is
-identical at any partitioning — the property a double sum loses on a
-1000-executor shuffle.  The triangle join orients every edge from its
-lower-(degree, id) endpoint to the higher one, bounding per-node wedge
-fan-out by O(sqrt(m)) (arboricity bound) instead of the raw degree —
-the difference between a feasible and an exploding wedge stage when a
-hub node shows up at scale.
-
-Label propagation (connected components) lives in `operators/dedup.py`
-(`q_dedup_clusters_k3`); this module adds the spectral/centrality and
-counting side of the graph toolbox.
+All pure DataFrame plans.  PageRank goes one step past the repo's
+exact-decimal discipline to pure INTEGER fixed-point (see PR_SCALE), so
+its result is bit-identical at any partitioning — the property a
+double-summed PageRank loses on a 1000-executor shuffle.  The triangle
+join orients every edge from its lower-(degree, id) endpoint to the
+higher one, bounding per-node wedge fan-out by O(sqrt(m)) (arboricity
+bound) instead of the raw degree — the difference between a feasible
+and an exploding wedge stage when a hub node shows up at scale.
+`q_graph_components_semantic` closes the toolbox (centrality, density,
+connectivity) by reusing the generic min-label propagation from
+`operators/dedup.py` over the semantic edge set.
 """
 
 from __future__ import annotations
@@ -316,4 +314,78 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("clustering"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected components of the semantic graph (+ component size profile)
+# ---------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = f"""
+    WITH RECURSIVE v AS (SELECT vec_id, embedding,
+                  sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE))),
+                      (acc, x) -> acc + x)) AS vnorm
+               FROM embeddings),
+    e AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(0.0,
+                list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE)
+                         * CAST(b.embedding[i] AS DOUBLE))),
+                (acc, x) -> acc + x) / (a.vnorm * b.vnorm) >= {TRI_TAU}
+    ),
+    arcs AS (SELECT va AS src, vb AS dst FROM e
+             UNION ALL SELECT vb, va FROM e),
+    reach(node, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT reach.node, a.dst FROM reach JOIN arcs a ON a.src = reach.r
+    ),
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node),
+    sizes AS (SELECT component_id, count(*) AS component_size
+              FROM comp GROUP BY component_id)
+    SELECT c.node AS vec_id, c.component_id,
+           CAST(s.component_size AS BIGINT) AS component_size
+    FROM comp c JOIN sizes s USING (component_id)
+"""
+
+
+@register("q_graph_components_semantic", oracle=_COMPONENTS_ORACLE)
+def q_graph_components_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the cosine ≥ {TRI_TAU} semantic graph,
+    each node labeled with its component and the component's size — the
+    cluster inventory that turns pairwise similarity into actionable
+    groups (dedup clusters, topic islands, isolated singletons), and
+    the third leg of the graph toolbox beside centrality (PageRank) and
+    density (triangles).
+
+    Reuses the generic min-label propagation from `operators/dedup.py`
+    (`connected_components`): per iteration one keyed join + one
+    combiner agg, `localCheckpoint` lineage truncation, a scalar-only
+    convergence check — iterations = component diameter.  Edges come
+    from the shared block-pair kernel, checkpointed once.  The size
+    profile is one extra combiner agg on O(nodes) label rows."""
+    from .dedup import connected_components
+    from .similarity import cosine_threshold_pairs
+
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    e = (
+        cosine_threshold_pairs(spark, sf_dir, tau=TRI_TAU)
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    labels = connected_components(vecs, e)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("component_id"),
+        F.col("component_size").cast("bigint").alias("component_size"),
     )

@@ -2668,3 +2668,85 @@ def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentiles (percentile_disc) + null-safe join surface
+# ---------------------------------------------------------------------------
+
+_PCTL_DISC_ORACLE = """
+    SELECT event_type,
+           CAST(quantile_disc(value, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_disc(value, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_disc(value, 0.75) AS DOUBLE) AS p75,
+           CAST(max(value) AS DOUBLE) AS p100
+    FROM events GROUP BY event_type
+"""
+
+
+@register("q_agg_percentile_disc", oracle=_PCTL_DISC_ORACLE)
+def q_agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE_DISC per group: the discrete quantile that returns an
+    ACTUAL data value (p25/p50/p75 here), completing the percentile
+    surface next to the interpolating percentile_cont family
+    (`q_quantiles_doc_length`) and the approximate sketch
+    (`tests/test_approx.py`).  Discrete quantiles are exact-match
+    comparable across engines by construction — no interpolation
+    arithmetic to align, the value either is in the data or isn't.
+    One sort-based aggregation per group; O(groups) output."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)")
+        .cast("double")
+        .alias("p25"),
+        F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)")
+        .cast("double")
+        .alias("p50"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY value)")
+        .cast("double")
+        .alias("p75"),
+        F.max("value").cast("double").alias("p100"),
+    )
+
+
+_NULLSAFE_ORACLE = """
+    WITH l AS (
+      SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+      FROM customer
+    ),
+    r AS (
+      SELECT DISTINCT nullif(c_mktsegment, 'BUILDING') AS seg,
+             length(c_mktsegment) AS seg_len
+      FROM customer
+    )
+    SELECT l.seg, CAST(max(r.seg_len) AS INT) AS seg_len,
+           CAST(count(*) AS BIGINT) AS n
+    FROM l JOIN r ON l.seg IS NOT DISTINCT FROM r.seg
+    GROUP BY l.seg
+"""
+
+
+@register("q_join_null_safe", oracle=_NULLSAFE_ORACLE)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping — the semantics a
+    dimension join needs when "unknown" is itself a category (here one
+    segment is nullified to play that role).  Catalyst plans `<=>` as a
+    hash join exactly like `=` (null-safe keys are still shuffle
+    keys) — this is a SEMANTIC surface row, not a new plan shape."""
+    cust = _t(spark, sf_dir, "customer")
+    left = cust.select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    right = cust.select(
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("rseg"),
+        F.length("c_mktsegment").alias("seg_len"),
+    ).distinct()
+    return (
+        left.join(right, F.col("seg").eqNullSafe(F.col("rseg")))
+        .groupBy("seg")
+        .agg(
+            F.max("seg_len").cast("int").alias("seg_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )

@@ -341,3 +341,76 @@ def test_udtf_chunks_reassemble(spark, sf_dir):
         assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
         rebuilt = " ".join(c.chunk for c in chunks)
         assert rebuilt == " ".join(w for w in docs[doc_id].split(" ") if w)
+
+
+def test_components_match_union_find(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        TRI_TAU,
+        q_graph_components_semantic,
+    )
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pydict()
+    ids = np.asarray(emb["vec_id"], dtype=np.int64)
+    X = np.stack([np.asarray(e, dtype=np.float64) for e in emb["embedding"]])
+    S = np.zeros((len(ids), len(ids)))
+    for i in range(X.shape[1]):
+        S += X[:, i : i + 1] * X[None, :, i]
+    n = np.sqrt(np.diag(S)).copy()
+    S /= np.outer(n, n)
+    A = S >= TRI_TAU
+    np.fill_diagonal(A, False)
+
+    parent = {int(v): int(v) for v in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in zip(*np.nonzero(np.triu(A))):
+        a, b = find(int(ids[i])), find(int(ids[j]))
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    truth: dict[int, set] = {}
+    for v in ids:
+        truth.setdefault(find(int(v)), set()).add(int(v))
+
+    got_rows = q_graph_components_semantic(spark, sf_dir).collect()
+    got: dict[int, set] = {}
+    for r in got_rows:
+        got.setdefault(r.component_id, set()).add(r.vec_id)
+        assert r.component_size == len(truth[find(r.vec_id)])
+    assert got == {min(m): m for m in truth.values()}
+
+
+def test_percentile_disc_values_exist_in_data(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_agg_percentile_disc,
+    )
+
+    rows = q_agg_percentile_disc(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    by_type: dict[str, set] = {}
+    for e in ev:
+        by_type.setdefault(e.event_type, set()).add(e.value)
+    for r in rows:
+        vals = by_type[r.event_type]
+        for p in (r.p25, r.p50, r.p75, r.p100):
+            assert p in vals  # discrete quantiles return actual data values
+        assert r.p25 <= r.p50 <= r.p75 <= r.p100
+
+
+def test_null_safe_join_keeps_null_key(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_join_null_safe,
+    )
+
+    rows = q_join_null_safe(spark, sf_dir).collect()
+    segs = {r.seg for r in rows}
+    assert None in segs  # the nullified key matched, not dropped
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.n for r in rows) == n_cust
