@@ -137,7 +137,10 @@ _PRIORITY = [
     # q_events_cusum_changepoint, q_regress_trend_per_type,
     # q_customer_rfm, q_market_concentration_hhi,
     # q_udtf_chunk_words, q_graph_components_semantic,
-    # q_agg_percentile_disc, q_join_null_safe) ---
+    # q_agg_percentile_disc, q_join_null_safe,
+    # q_mix_temperature_weights, q_sample_balanced_labels,
+    # q_sessions_concurrency, q_supplier_pareto80,
+    # q_format_corrupt_quarantine) ---
     "q_ann_rrf_fusion",
     "q_dedup_semantic",
     "q_dedup_minhash_est_error",

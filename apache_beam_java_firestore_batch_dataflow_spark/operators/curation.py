@@ -661,3 +661,205 @@ def q_quality_topp_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pr", F.round(F.percent_rank().over(w), 6).cast("double"))
         .filter(F.col("pr") <= TOPP_FRAC)
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (multilingual sampling)
+# ---------------------------------------------------------------------------
+
+MIX_TEMP = 0.7  # temperature tau: p_i^tau, renormalized
+
+_TEMP_MIX_ORACLE = f"""
+    WITH c AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n) AS total FROM c),
+    w AS (
+      SELECT source, n,
+             CAST(n AS DOUBLE) / total AS p,
+             CAST(round(exp({MIX_TEMP} * round(ln(CAST(n AS DOUBLE) / total), 6)),
+                        6) AS DECIMAL(38,6)) AS w6
+      FROM c, tot
+    ),
+    z AS (SELECT sum(w6) AS zsum FROM w)
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(round(p, 6) AS DOUBLE) AS p,
+           CAST(round(CAST(w6 AS DOUBLE) / CAST(zsum AS DOUBLE), 6) AS DOUBLE)
+               AS q,
+           CAST(round(CAST(w6 AS DOUBLE) / CAST(zsum AS DOUBLE) / p, 4)
+                AS DOUBLE) AS boost
+    FROM w, z
+"""
+
+
+@register("q_mix_temperature_weights", oracle=_TEMP_MIX_ORACLE)
+def q_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights: sampling probability
+    qᵢ ∝ pᵢ^τ (τ={MIX_TEMP}) per source — the multilingual/multi-domain
+    rebalancing rule (low-resource sources get boosted, head sources
+    damped) that decides how many epochs of each corpus slice a
+    training run sees.  `boost` = qᵢ/pᵢ is the per-source oversampling
+    factor a mixer (`q_mix_weighted_sources`) then applies.
+
+    Float discipline: pᵢ^τ is computed exp(τ·ln₆ pᵢ) with the ln
+    quantized to 6 decimals (the bigram rule) and the exp result
+    quantized immediately; the normalizer is an exact decimal sum.
+    One combiner agg + two one-row broadcasts; O(sources) output."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    w = c.join(F.broadcast(tot)).select(
+        "source",
+        "n",
+        p.alias("p"),
+        F.round(F.exp(MIX_TEMP * F.round(F.log(p), 6)), 6)
+        .cast("decimal(38,6)")
+        .alias("w6"),
+    )
+    z = w.agg(F.sum("w6").alias("zsum"))
+    q = F.col("w6").cast("double") / F.col("zsum").cast("double")
+    return w.join(F.broadcast(z)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("p"), 6).cast("double").alias("p"),
+        F.round(q, 6).cast("double").alias("q"),
+        F.round(q / F.col("p"), 4).cast("double").alias("boost"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling (min-class quota per label)
+# ---------------------------------------------------------------------------
+
+_BALANCED_ORACLE = """
+    WITH m AS (
+      SELECT min(cnt) AS quota FROM (
+        SELECT count(*) AS cnt FROM embeddings GROUP BY label)
+    ),
+    ranked AS (
+      SELECT vec_id, label,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 AS rn
+      FROM embeddings
+    )
+    SELECT vec_id, label FROM ranked, m WHERE rn <= quota
+"""
+
+
+@register("q_sample_balanced_labels", oracle=_BALANCED_ORACLE)
+def q_sample_balanced_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every label keeps exactly
+    min-class-count rows, selected by md5 hash order — the label
+    rebalancing step before training a classifier on skewed data,
+    deterministic across runs and cluster sizes (the
+    `q_sample_stratified_quota` discipline with a data-derived quota
+    instead of a constant).
+
+    One tiny agg derives the quota (one-row broadcast); selection is a
+    per-label rank filter — `WindowGroupLimit`-shaped, shuffle keyed on
+    label.  Hash order means membership never depends on input file
+    order or partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quota = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("quota"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        emb.select("vec_id", "label")
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("vec_id", "label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session concurrency profile (interval stabbing counts)
+# ---------------------------------------------------------------------------
+
+_CONCURRENCY_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no,
+             ts
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT min(ts) AS s, max(ts) AS e
+      FROM sessions GROUP BY user_id, session_no
+    ),
+    deltas AS (
+      SELECT s AS ts, 1 AS d FROM intervals
+      UNION ALL
+      SELECT e AS ts, -1 AS d FROM intervals
+    ),
+    net AS (SELECT ts, sum(d) AS net FROM deltas GROUP BY ts),
+    prof AS (
+      SELECT ts, net,
+             sum(net) OVER (ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS concurrent
+      FROM net
+    )
+    SELECT ts, CAST(net AS BIGINT) AS net,
+           CAST(concurrent AS BIGINT) AS concurrent
+    FROM prof
+"""
+
+
+@register("q_sessions_concurrency", oracle=_CONCURRENCY_ORACLE)
+def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session profile: how many user sessions are active at
+    every boundary instant — the interval-stabbing count behind
+    capacity dashboards ("peak concurrency") and licensing audits,
+    built on the same gap-sessionization as `q_sessionize_gaps`.
+
+    Each session interval emits (+1 at start, −1 at end); per-instant
+    NET changes come from one combiner agg (which also makes the order
+    total — no tie rule needed), and the running sum over instants is
+    the concurrency curve.  The final window is a single time series —
+    at 100 TB, profile per day/shard first (the boundary agg already
+    keys naturally) and stitch with per-shard offsets; at fixture scale
+    one range partition is the honest plan.  A session's end instant
+    counts as already freed only at the NEXT boundary (net at e sums
+    its −1 with any +1 at the same instant)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
+    sessions = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_no")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    deltas = sessions.select(F.col("s").alias("ts"), F.lit(1).alias("d")).unionAll(
+        sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("ts").agg(F.sum("d").alias("net"))
+    w_run = Window.orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return net.select(
+        "ts",
+        F.col("net").cast("bigint").alias("net"),
+        F.sum("net").over(w_run).cast("bigint").alias("concurrent"),
+    )

@@ -2750,3 +2750,77 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto concentration curve (top-80% contributor flag)
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                      AS DECIMAL(30,6))) AS r
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT sum(r) AS t FROM rev),
+    ranked AS (
+      SELECT l_suppkey, r,
+             row_number() OVER (ORDER BY r DESC, l_suppkey) AS rnk,
+             sum(r) OVER (ORDER BY r DESC, l_suppkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+      FROM rev
+    )
+    SELECT l_suppkey AS suppkey,
+           CAST(rnk AS INT) AS rnk,
+           CAST(round(r, 2) AS DOUBLE) AS revenue,
+           CAST(round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS DOUBLE)
+               AS cum_share,
+           ((cum - r) * 10 < t * 8) AS in_top80
+    FROM ranked, tot
+"""
+
+
+@register("q_supplier_pareto80", oracle=_PARETO_ORACLE)
+def q_supplier_pareto80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: suppliers ranked by exact-decimal
+    revenue with cumulative share, flagging the set that delivers the
+    first 80% — the 80/20 report behind vendor consolidation and, in a
+    data pipeline, the "which sources carry this dataset" summary.
+
+    `in_top80` compares exact decimals ((cum−r)·10 < t·8 avoids any
+    float 0.8) — bit-deterministic membership, no rounding boundary.
+    The rank/cumsum window is a single total-order series over
+    O(suppliers) AGGREGATED rows (not the fact table); at 100 TB
+    suppliers are dimension-sized, so one range partition over the agg
+    output is the honest cost — the fact scan itself is one combiner
+    aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
+                "decimal(30,6)"
+            )
+        ).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w_ord = Window.orderBy(F.desc("r"), F.asc("l_suppkey"))
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        rev.join(F.broadcast(tot))
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.row_number().over(w_ord).cast("int").alias("rnk"),
+            F.round(F.col("r"), 2).cast("double").alias("revenue"),
+            F.round(
+                F.sum("r").over(w_cum).cast("double") / F.col("t").cast("double"),
+                6,
+            )
+            .cast("double")
+            .alias("cum_share"),
+            ((F.sum("r").over(w_cum) - F.col("r")) * 10 < F.col("t") * 8).alias(
+                "in_top80"
+            ),
+        )
+    )

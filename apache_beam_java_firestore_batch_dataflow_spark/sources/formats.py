@@ -277,3 +277,69 @@ def q_format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey",
         F.col("n_regionkey").isNotNull().alias("from_v2"),
     )
+
+
+CORRUPT_MOD = 17  # every doc_id % 17 == 0 line is truncated mid-JSON
+
+
+@_register(
+    "q_format_corrupt_quarantine",
+    f"""
+    WITH lines AS (
+      SELECT doc_id, n_chars,
+             '{{"doc_id":' || doc_id || ',"n_chars":' || n_chars || '}}'
+                 AS good,
+             (doc_id % {CORRUPT_MOD} = 0) AS is_bad
+      FROM documents
+    )
+    SELECT CASE WHEN is_bad THEN NULL ELSE doc_id END AS doc_id,
+           CASE WHEN is_bad THEN NULL ELSE n_chars END AS n_chars,
+           is_bad AS is_corrupt,
+           CASE WHEN is_bad
+                THEN CAST(length(good) - 1 AS BIGINT) ELSE NULL END AS raw_len
+    FROM lines
+    """,
+)
+def q_format_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record quarantine: a JSONL feed where every
+    doc_id % {CORRUPT_MOD} == 0 line is truncated mid-object is read
+    under PERMISSIVE mode with a `_corrupt_record` column — bad lines
+    surface as NULL-field rows carrying the raw text instead of
+    failing the job or silently vanishing (FAILFAST/DROPMALFORMED).
+    The ingest-robustness contract every production feed needs: count,
+    quarantine, continue.
+
+    The writer synthesizes the feed declaratively (to_json + substring
+    truncation) so the oracle can recompute exactly which rows are bad
+    and how long their raw text is; the read back is schema-explicit
+    (no inference scan — this module's standing rule).  Corrupt-row
+    detection is per-row map work in the scan stage; quarantined rows
+    cost one extra string column, never a second pass."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    line = F.to_json(F.struct("doc_id", "n_chars"))
+    out = docs.select(
+        F.when(
+            F.col("doc_id") % CORRUPT_MOD == 0,
+            F.substring(line, 1, 10_000).substr(F.lit(1), F.length(line) - 1),
+        )
+        .otherwise(line)
+        .alias("value")
+    )
+    path = _scratch_path("jsonl-corrupt", sf_dir)
+    out.coalesce(1).write.mode("overwrite").text(path)
+    read = (
+        spark.read.schema("doc_id long, n_chars long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return read.select(
+        "doc_id",
+        "n_chars",
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+        F.length("_corrupt_record").cast("bigint").alias("raw_len"),
+    )

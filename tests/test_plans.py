@@ -774,3 +774,141 @@ def test_filtered_ann_label_in_join_keys(spark, sf_dir):
     m = re.search(r"BroadcastHashJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
     assert m is not None, plan
     assert "cell" in m.group(1) and "label" in m.group(1), m.group(0)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation: plan pins for graph / warehouse / feature families
+# ---------------------------------------------------------------------------
+
+
+def test_pagerank_integer_arcs_keyed_joins(spark, sf_dir):
+    """PageRank: every join is keyed (no cartesian/nested-loop beyond
+    the one-row n_nodes broadcast), and the plan carries NO floating
+    round() — the fixed-point contract is visible as integer division
+    in the projections."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import graph
+
+    df = graph.QUERIES["q_graph_pagerank"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # rank arithmetic is integer: the div operator appears, float round never
+    assert " div " in plan
+    assert "round(" not in plan.split("Scan")[0]
+
+
+def test_triangles_no_unbounded_broadcast(spark, sf_dir):
+    """Triangle census: wedge and closing joins are equi-joins on node
+    ids; nothing corpus-sized broadcasts and no cartesian exists."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import graph
+
+    df = graph.QUERIES["q_graph_triangles"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assoc_pairs_generated_in_row(spark, sf_dir):
+    """Association rules: pairs come from an in-row explode (Generate)
+    of per-order baskets — the (order x part) stream is never
+    self-joined.  The only joins are the O(items) support lookups."""
+    df = relational.QUERIES["q_assoc_pairs_lift"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # support lookups broadcast
+
+
+def test_scd2_single_window_exchange(spark, sf_dir):
+    """SCD2: both row_numbers evaluate in window stages fed by ONE
+    exchange on o_custkey — the island derivation never re-shuffles."""
+    df = relational.QUERIES["q_scd2_priority_history"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_er_fuzzy_no_cartesian(spark, sf_dir):
+    """Entity resolution: candidates come from the blocked equi-join;
+    levenshtein runs post-join in codegen — no cartesian, no
+    nested-loop, no Python."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import dedup
+
+    df = dedup.QUERIES["q_er_fuzzy_blocked"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_gapfill_grid_generated_in_row(spark, sf_dir):
+    """Gapfill: each series' hourly grid explodes in-row from its span
+    (Generate over sequence) — no global calendar cross join."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import timeseries
+
+    df = timeseries.QUERIES["q_events_gapfill_hourly"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode(sequence" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zonemap_single_aggregation(spark, sf_dir):
+    """Zone maps: the envelope is ONE combiner aggregation over the
+    scan (plus the one-row max broadcast); output exchange keys on the
+    synthetic file id."""
+    df = relational.QUERIES["q_layout_zonemap_skipping"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_hamming_signatures_one_kernel_pass(spark, sf_dir):
+    """1-bit retrieval: signatures come from ONE Arrow kernel over the
+    scan (a single MapInPandas), the query set broadcasts, and ranking
+    is the usual window top-k — no second corpus pass."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import similarity as sim
+
+    df = sim.QUERIES["q_ann_hamming_rank"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2  # corpus sigs + query sigs (filtered view)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_moments_single_aggregation_pair(spark, sf_dir):
+    """Skew/kurtosis: all four power sums ride ONE partial+final
+    aggregation pair — one exchange, no second scan."""
+    df = relational.QUERIES["q_agg_skew_kurtosis"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_running_distinct_two_windows_one_sort_family(spark, sf_dir):
+    """Running distinct: two window stages (first-seen flag, running
+    sum), both partitioned by user — no join, no extra scan."""
+    df = relational.QUERIES["q_window_running_distinct"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+
+
+def test_holt_fold_in_row(spark, sf_dir):
+    """Holt: the level+trend fold is an in-row aggregate over the
+    collected bucket sequence — the plan has the two aggregations
+    (hourly sums, per-series collect) and NO join or Python."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import timeseries
+
+    df = timeseries.QUERIES["q_events_holt_linear"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "PythonUDF" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_rfm_cuts_broadcast_no_global_sort(spark, sf_dir):
+    """RFM: scoring joins 12 broadcast cut points onto the per-customer
+    frame — no rangepartitioning / global sort (the ntile trap)."""
+    df = relational.QUERIES["q_customer_rfm"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan

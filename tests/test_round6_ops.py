@@ -414,3 +414,86 @@ def test_null_safe_join_keeps_null_key(spark, sf_dir):
     assert None in segs  # the nullified key matched, not dropped
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert sum(r.n for r in rows) == n_cust
+
+
+def test_temperature_weights_normalize_and_boost(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        q_mix_temperature_weights,
+    )
+
+    rows = q_mix_temperature_weights(spark, sf_dir).collect()
+    assert abs(sum(r.q for r in rows) - 1.0) < 1e-4
+    small = min(rows, key=lambda r: r.n)
+    big = max(rows, key=lambda r: r.n)
+    if small.n < big.n:
+        assert small.boost > big.boost  # low-resource sources get boosted
+        assert small.boost > 1.0 > big.boost
+
+
+def test_balanced_labels_equal_quota(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        q_sample_balanced_labels,
+    )
+
+    rows = q_sample_balanced_labels(spark, sf_dir).collect()
+    counts: dict[int, int] = {}
+    for r in rows:
+        counts[r.label] = counts.get(r.label, 0) + 1
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import pyspark.sql.functions as F
+
+    truth = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    quota = min(r.n for r in truth)
+    assert set(counts) == {r.label for r in truth}
+    assert all(c == quota for c in counts.values())
+
+
+def test_concurrency_curve_closes_at_zero(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        q_sessions_concurrency,
+    )
+
+    rows = sorted(q_sessions_concurrency(spark, sf_dir).collect(),
+                  key=lambda r: r.ts)
+    assert rows[-1].concurrent == 0  # every opened session closes
+    assert max(r.concurrent for r in rows) >= 2
+    assert all(r.concurrent >= 0 for r in rows)
+    run = 0
+    for r in rows:
+        run += r.net
+        assert run == r.concurrent
+
+
+def test_pareto_cum_share_monotone_prefix(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_supplier_pareto80,
+    )
+
+    rows = sorted(q_supplier_pareto80(spark, sf_dir).collect(),
+                  key=lambda r: r.rnk)
+    assert abs(rows[-1].cum_share - 1.0) < 1e-6
+    shares = [r.cum_share for r in rows]
+    assert shares == sorted(shares)
+    flags = [r.in_top80 for r in rows]
+    assert True in flags
+    # in_top80 is a prefix: once false, never true again
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_corrupt_quarantine_counts(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.formats import (
+        CORRUPT_MOD,
+        QUERIES as FMT_QUERIES,
+    )
+
+    rows = FMT_QUERIES["q_format_corrupt_quarantine"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    exp_bad = sum(1 for d in docs if d.doc_id % CORRUPT_MOD == 0)
+    bad = [r for r in rows if r.is_corrupt]
+    good = [r for r in rows if not r.is_corrupt]
+    assert len(bad) == exp_bad
+    assert len(good) == len(docs) - exp_bad
+    assert all(r.doc_id is None and r.raw_len is not None for r in bad)
+    assert {r.doc_id for r in good} == {
+        d.doc_id for d in docs if d.doc_id % CORRUPT_MOD != 0
+    }
