@@ -140,7 +140,8 @@ _PRIORITY = [
     # q_agg_percentile_disc, q_join_null_safe,
     # q_mix_temperature_weights, q_sample_balanced_labels,
     # q_sessions_concurrency, q_supplier_pareto80,
-    # q_format_corrupt_quarantine) ---
+    # q_format_corrupt_quarantine, q_sequence_pattern_vcp,
+    # q_multimodal_keyframes) ---
     "q_ann_rrf_fusion",
     "q_dedup_semantic",
     "q_dedup_minhash_est_error",

@@ -431,6 +431,14 @@ def propagate_min_label(
     ).persist()
     labels = vertices.select("doc_id", F.col("doc_id").alias("cluster_id"))
     for _ in range(iterations):
+        # Each round consumes `labels` TWICE (the left-join keeps every
+        # vertex; neighbor_min re-derives from the same frame).  Without
+        # a persist the round-i subplan is inlined into BOTH branches of
+        # round i+1, so the final plan holds 2^k copies of the label
+        # chain — measured ~7s of redundant recompute at k=3/sf0.1.
+        # persist() is lazy (no driver action, still ONE submitted job);
+        # the cache materializes mid-job and both branches share it.
+        labels = labels.persist()
         neighbor_min = (
             both.join(labels, both["src"] == labels["doc_id"])
             .select(F.col("dst").alias("doc_id"), "cluster_id")

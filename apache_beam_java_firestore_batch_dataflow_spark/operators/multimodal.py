@@ -34,7 +34,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -1250,4 +1250,150 @@ def q_multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return ppm_table(spark, sf_dir).mapInPandas(
         run, schema="doc_id long, bucket int, n long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-shot keyframe selection (scene cuts -> one representative frame)
+# ---------------------------------------------------------------------------
+
+
+def y4m_frame_profile(payload: bytes) -> list[tuple[int, int, int | None]]:
+    """Per-frame ``(frame_idx, y_sum, y_mad_centi_vs_prev | None)`` —
+    the same strict YUV4MPEG2 walk as :func:`y4m_frame_diffs`, keeping
+    each frame's own Y sum alongside its diff to the previous frame."""
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing stream-header newline")
+    fields = payload[:nl].split(b" ")
+    if fields[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = None
+    for tag in fields[1:]:
+        if tag[:1] == b"W":
+            width = int(tag[1:])
+        elif tag[:1] == b"H":
+            height = int(tag[1:])
+    if not width or not height:
+        raise ValueError("stream header missing W/H")
+    frame_bytes = 3 * width * height
+    y_px = width * height
+    i = nl + 1
+    prev = None
+    frame_idx = 0
+    out: list[tuple[int, int, int | None]] = []
+    while i < len(payload):
+        fnl = payload.find(b"\n", i)
+        if fnl < 0:
+            raise ValueError("truncated FRAME header")
+        fheader = payload[i:fnl]
+        if fheader != b"FRAME" and not fheader.startswith(b"FRAME "):
+            raise ValueError(f"bad FRAME marker {fheader!r}")
+        y_plane = payload[fnl + 1 : fnl + 1 + y_px]
+        if len(payload[fnl + 1 : fnl + 1 + frame_bytes]) < frame_bytes:
+            raise ValueError("truncated frame")
+        mad = None
+        if prev is not None:
+            sad = sum(abs(a - b) for a, b in zip(y_plane, prev))
+            mad = sad * 100 // y_px
+        out.append((frame_idx, sum(y_plane), mad))
+        prev = y_plane
+        frame_idx += 1
+        i = fnl + 1 + frame_bytes
+    return out
+
+
+_KEYFRAME_ORACLE = f"""
+    WITH params AS (
+      SELECT doc_id, doc_id % 6 + 2 AS w, doc_id % 4 + 2 AS h,
+             doc_id % 3 + 1 AS nf
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, w, h, f,
+             sum((doc_id * 31 + f * 97 + p * 13) % 251) AS y_sum
+      FROM params,
+           LATERAL (SELECT unnest(range(0, nf)) AS f),
+           LATERAL (SELECT unnest(range(0, w * h)) AS p)
+      GROUP BY doc_id, w, h, f
+    ),
+    diffs AS (
+      SELECT doc_id, w, h, f,
+             sum(abs((doc_id * 31 + f * 97 + p * 13) % 251
+                     - (doc_id * 31 + (f - 1) * 97 + p * 13) % 251)) AS sad
+      FROM params,
+           LATERAL (SELECT unnest(range(1, nf)) AS f),
+           LATERAL (SELECT unnest(range(0, w * h)) AS p)
+      GROUP BY doc_id, w, h, f
+    ),
+    marked AS (
+      SELECT fr.doc_id, fr.f, fr.y_sum,
+             CASE WHEN d.sad IS NOT NULL
+                       AND d.sad * 100 // (fr.w * fr.h) > {SCENE_CUT_MAD_CENTI}
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM frames fr LEFT JOIN diffs d
+        ON fr.doc_id = d.doc_id AND fr.f = d.f
+    ),
+    shots AS (
+      SELECT doc_id, f, y_sum,
+             sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                               ROWS UNBOUNDED PRECEDING) AS shot_idx
+      FROM marked
+    )
+    SELECT doc_id, CAST(shot_idx AS INT) AS shot_idx,
+           CAST(min(f) AS INT) AS keyframe_idx,
+           CAST(count(*) AS INT) AS shot_frames,
+           CAST(min_by(y_sum, f) AS BIGINT) AS keyframe_y_sum
+    FROM shots GROUP BY doc_id, shot_idx
+"""
+
+
+@register("q_multimodal_keyframes", oracle=_KEYFRAME_ORACLE)
+def q_multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shot keyframe selection: scene cuts partition each stream
+    into shots, and every shot contributes its FIRST frame as the
+    representative — sample per SHOT, not per fixed stride (the
+    follow-through on `q_multimodal_scene_cuts`' docstring: a static
+    shot contributes one frame however long it is, a rapid-cut segment
+    contributes one per cut).
+
+    One `mapInPandas` kernel re-parses the stream and emits per-frame
+    (y_sum, MAD-vs-prev) rows — bytes never shuffle; shot assignment is
+    a per-doc running sum of cut flags and the keyframe a min-struct
+    combiner per (doc, shot).  Output is O(shots), the frame budget a
+    downstream vision encoder actually consumes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                for f, y_sum, mad in y4m_frame_profile(bytes(p)):
+                    rows.append((int(d), f, y_sum, mad))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "f", "y_sum", "mad"]
+            ).astype({"mad": "object"})
+
+    frames = y4m_table(spark, sf_dir).mapInPandas(
+        run, schema="doc_id long, f int, y_sum long, mad long"
+    )
+    is_cut = (
+        F.when(
+            F.col("mad").isNotNull() & (F.col("mad") > SCENE_CUT_MAD_CENTI), 1
+        ).otherwise(0)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shots = frames.select(
+        "doc_id", "f", "y_sum", F.sum(is_cut).over(w_run).alias("shot_idx")
+    )
+    return (
+        shots.groupBy("doc_id", F.col("shot_idx").cast("int").alias("shot_idx"))
+        .agg(
+            F.min("f").cast("int").alias("keyframe_idx"),
+            F.count(F.lit(1)).cast("int").alias("shot_frames"),
+            F.min_by("y_sum", "f").cast("bigint").alias("keyframe_y_sum"),
+        )
     )

@@ -1146,3 +1146,79 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("peak_cusum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-pattern matching (MATCH_RECOGNIZE-style, per user)
+# ---------------------------------------------------------------------------
+
+# view -> click -> purchase with no intervening error; events collapse
+# to one letter each, the pattern is a regex over the user's ordered
+# event string.  V[^EP]*C[^EP]*P would allow interleaved views/signups
+# between the anchor steps — the semantics MATCH_RECOGNIZE's
+# `PATTERN (V X* C Y* P)` with exclusions expresses.
+SEQ_PATTERN = "V[^EP]*C[^EP]*P"
+
+_SEQ_PATTERN_ORACLE = f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(CASE event_type
+                          WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                          WHEN 'purchase' THEN 'P' WHEN 'error' THEN 'E'
+                          ELSE 'S' END, '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(s, '{SEQ_PATTERN}')) AS BIGINT)
+               AS n_matches,
+           (len(regexp_extract_all(s, '{SEQ_PATTERN}')) > 0) AS converted
+    FROM seq
+"""
+
+
+@register("q_sequence_pattern_vcp", oracle=_SEQ_PATTERN_ORACLE)
+def q_sequence_pattern_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: per user, count
+    non-overlapping view→click→purchase journeys with no intervening
+    error or purchase between the anchor steps — row-pattern matching
+    (SQL:2016 MATCH_RECOGNIZE, Flink CEP) that Spark has no native
+    operator for, re-expressed as: collapse each event to one letter,
+    assemble the user's ordered journey string in-row, and run the
+    pattern as a REGEX over it.
+
+    Both engines's regex engines (Java, RE2) agree on this subset
+    (character classes, greedy stars, leftmost non-overlapping
+    matches).  Scale shape: ONE groupBy(user) builds the journey string
+    (per-task memory = one user's history — the sessionize bound, one
+    byte per event); the regex is per-row map work.  The funnel query
+    counts stage survivors; this one counts complete pattern INSTANCES
+    with exclusion semantics — different question, different operator."""
+    ev = load_table(spark, sf_dir, "events")
+    letter = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "error", "E")
+        .otherwise("S")
+    )
+    seq = (
+        ev.select("user_id", "ts", "event_id", letter.alias("ch"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                    lambda s: s["ch"],
+                ),
+            ).alias("s")
+        )
+    )
+    n_matches = F.size(F.expr(f"regexp_extract_all(s, '{SEQ_PATTERN}', 0)"))
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("n_events"),
+        n_matches.cast("bigint").alias("n_matches"),
+        (n_matches > 0).alias("converted"),
+    )

@@ -102,6 +102,10 @@ HEADLINE = [
     "q_events_holt_linear",
     "q_customer_rfm",
     "q_udtf_chunk_words",
+    "q_graph_components_semantic",
+    "q_sessions_concurrency",
+    "q_sequence_pattern_vcp",
+    "q_multimodal_keyframes",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

@@ -497,3 +497,47 @@ def test_corrupt_quarantine_counts(spark, sf_dir):
     assert {r.doc_id for r in good} == {
         d.doc_id for d in docs if d.doc_id % CORRUPT_MOD != 0
     }
+
+
+def test_sequence_pattern_against_python_regex(spark, sf_dir):
+    import re
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        SEQ_PATTERN,
+        q_sequence_pattern_vcp,
+    )
+
+    rows = {r.user_id: r for r in q_sequence_pattern_vcp(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    seqs: dict[int, list] = {}
+    letter = {"view": "V", "click": "C", "purchase": "P", "error": "E"}
+    for e in ev:
+        seqs.setdefault(e.user_id, []).append(
+            (e.ts, e.event_id, letter.get(e.event_type, "S"))
+        )
+    assert any(r.n_matches > 0 for r in rows.values())
+    for uid, evs in seqs.items():
+        evs.sort()
+        s = "".join(ch for _t, _i, ch in evs)
+        expect = len(re.findall(SEQ_PATTERN, s))
+        assert rows[uid].n_events == len(s)
+        assert rows[uid].n_matches == expect
+
+
+def test_keyframes_partition_frames(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        q_multimodal_keyframes,
+        y4m_params,
+    )
+
+    rows = q_multimodal_keyframes(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert any(len(v) > 1 for v in per_doc.values())  # real cuts exist
+    for doc_id, shots in per_doc.items():
+        _w, _h, nf = y4m_params(doc_id)
+        shots.sort(key=lambda r: r.shot_idx)
+        assert [s.shot_idx for s in shots] == list(range(len(shots)))
+        assert sum(s.shot_frames for s in shots) == nf  # shots tile frames
+        assert shots[0].keyframe_idx == 0  # first shot starts at frame 0

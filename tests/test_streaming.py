@@ -337,3 +337,82 @@ def test_stream_window_topk_parity(spark, sf_dir, tmp_path):
     spark.catalog.dropTempView("topk_counts")
     assert got == batch_result
     assert len(got) > 0
+
+
+def test_stream_cdc_merge_converges_to_batch(spark, sf_dir, tmp_path):
+    """Streaming CDC materialization: the changes feed arrives over 3
+    micro-batches and foreachBatch applies each with the SAME
+    merge_changes core the batch query uses, maintaining the snapshot
+    as alternating parquet generations — the transactional-format-free
+    upsert topology.  The final snapshot must equal applying the whole
+    feed at once (keys are disjoint across ops, so chunked application
+    commutes)."""
+    import pyspark.sql.functions as F
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        merge_changes,
+    )
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    updates = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("U").alias("op"), "c_name",
+        F.round(F.col("c_acctbal") + 100.0, 2).cast("double").alias("c_acctbal"),
+    )
+    deletes = c.filter(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select(
+        "c_custkey", F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("Customer#NEW"), F.col("c_custkey").cast("string")).alias(
+            "c_name"
+        ),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    expected = sorted_rows(merge_changes(base, changes, key="c_custkey"))
+
+    feed_dir = str(tmp_path / "cdc_feed")
+    for i in range(3):
+        changes.filter(F.crc32(F.col("c_custkey").cast("string")) % 3 == i) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{feed_dir}/chunk-{i:03d}")
+
+    state_dirs = [str(tmp_path / "state_a"), str(tmp_path / "state_b")]
+    base.write.mode("overwrite").parquet(state_dirs[0])
+    gen = {"i": 0}
+
+    def apply_batch(batch_df, _bid):
+        cur = state_dirs[gen["i"] % 2]
+        nxt = state_dirs[(gen["i"] + 1) % 2]
+        snapshot = spark.read.parquet(cur)
+        merge_changes(snapshot, batch_df, key="c_custkey") \
+            .write.mode("overwrite").parquet(nxt)
+        gen["i"] += 1
+
+    stream = (
+        spark.readStream.schema(
+            "c_custkey long, op string, c_name string, c_acctbal double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert gen["i"] == 3  # one merge per micro-batch
+    final = sorted_rows(spark.read.parquet(state_dirs[gen["i"] % 2]))
+    assert final == expected
