@@ -141,7 +141,8 @@ _PRIORITY = [
     # q_mix_temperature_weights, q_sample_balanced_labels,
     # q_sessions_concurrency, q_supplier_pareto80,
     # q_format_corrupt_quarantine, q_sequence_pattern_vcp,
-    # q_multimodal_keyframes) ---
+    # q_multimodal_keyframes, q_audit_sequence_gaps,
+    # q_audit_table_checksum, q_events_moving_median) ---
     "q_ann_rrf_fusion",
     "q_dedup_semantic",
     "q_dedup_minhash_est_error",

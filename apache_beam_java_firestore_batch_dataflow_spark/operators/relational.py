@@ -2824,3 +2824,132 @@ def q_supplier_pareto80(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Completeness / integrity audits: sequence gaps + content checksums
+# ---------------------------------------------------------------------------
+
+# The fixture's order keys are dense, so the audited feed simulates a
+# lossy producer (every key with k % 100 < 3 dropped — the ER-dirty-twin
+# / quarantine synthesis pattern): the audit must coalesce each missing
+# run into ONE range row, and the expected ranges are recomputable.
+_SEQ_GAPS_ORACLE = """
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 100 >= 3
+    ),
+    gaps AS (
+      SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM keys
+    )
+    SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+           CAST(nxt - k - 1 AS BIGINT) AS n_missing
+    FROM gaps WHERE nxt - k > 1
+"""
+
+
+@register("q_audit_sequence_gaps", oracle=_SEQ_GAPS_ORACLE)
+def q_audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit: every missing run in a monotonic id
+    space, as (gap_start, gap_end, n_missing) ranges — the "did we drop
+    a partition / lose a producer" check replication and ingest
+    pipelines run, reported as O(gaps) ranges rather than exploding the
+    missing ids.  (The fixture feed deterministically drops 3% of keys
+    so the coalescing logic actually runs — see the oracle comment.)
+
+    One distinct + one lead over the sorted key stream.  The window is
+    a single total order over DISTINCT KEYS (already one combiner agg
+    down from the fact table); at 100 TB shard the audit by key range
+    first (gap detection is embarrassingly range-parallel — only the
+    shard boundaries need stitching) — at fixture scale one range
+    partition is the honest plan."""
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 >= 3)
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    w = Window.orderBy("k")
+    g = keys.select("k", F.lead("k").over(w).alias("nxt"))
+    return g.filter(F.col("nxt") - F.col("k") > 1).select(
+        (F.col("k") + 1).alias("gap_start"),
+        (F.col("nxt") - 1).alias("gap_end"),
+        (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("n_missing"),
+    )
+
+
+_CHECKSUM_ORACLE = """
+    SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST('0x' || substr(md5(
+                 CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+                 CAST(c_nationkey AS VARCHAR)), 1, 14) AS BIGINT))
+                AS DECIMAL(38,0)) AS checksum
+    FROM customer
+    UNION ALL
+    SELECT 'supplier', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST('0x' || substr(md5(
+                 CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|' ||
+                 CAST(s_nationkey AS VARCHAR)), 1, 14) AS BIGINT))
+                AS DECIMAL(38,0))
+    FROM supplier
+    UNION ALL
+    SELECT 'region', CAST(count(*) AS BIGINT),
+           CAST(sum(CAST('0x' || substr(md5(
+                 CAST(r_regionkey AS VARCHAR) || '|' || r_name), 1, 14)
+                 AS BIGINT)) AS DECIMAL(38,0))
+    FROM region
+"""
+
+
+@register("q_audit_table_checksum", oracle=_CHECKSUM_ORACLE)
+def q_audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksums: per table, the exact sum of
+    a per-row md5-derived 56-bit integer over the row's canonical
+    serialization — the replication / migration integrity check
+    (`CHECKSUM TABLE`): two copies agree iff the checksums match,
+    regardless of row order, partitioning, or engine.
+
+    Commutative+associative by construction (integer sum of per-row
+    hashes, accumulated as DECIMAL(38,0) so no overflow wraps
+    engine-dependently); pure map + one combiner agg per table.  The
+    canonical serialization pins '|'-joined column order — the part a
+    real CHECKSUM TABLE must specify or two engines will disagree on
+    bytes, not math."""
+
+    def cksum(df: DataFrame, name: str, serial) -> DataFrame:
+        h = F.conv(F.substring(F.md5(serial), 1, 14), 16, 10).cast("decimal(38,0)")
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(h).cast("decimal(38,0)").alias("checksum"),
+        ).select(F.lit(name).alias("tbl"), "n_rows", "checksum")
+
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    regn = _t(spark, sf_dir, "region")
+    sep = F.lit("|")
+    return (
+        cksum(
+            cust,
+            "customer",
+            F.concat(
+                F.col("c_custkey").cast("string"), sep, F.col("c_name"), sep,
+                F.col("c_nationkey").cast("string"),
+            ),
+        )
+        .unionAll(
+            cksum(
+                supp,
+                "supplier",
+                F.concat(
+                    F.col("s_suppkey").cast("string"), sep, F.col("s_name"), sep,
+                    F.col("s_nationkey").cast("string"),
+                ),
+            )
+        )
+        .unionAll(
+            cksum(
+                regn,
+                "region",
+                F.concat(F.col("r_regionkey").cast("string"), sep, F.col("r_name")),
+            )
+        )
+    )

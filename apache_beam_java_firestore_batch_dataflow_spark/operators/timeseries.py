@@ -1222,3 +1222,50 @@ def q_sequence_pattern_vcp(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_matches.cast("bigint").alias("n_matches"),
         (n_matches > 0).alias("converted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Moving median (robust rolling smoother over a trailing frame)
+# ---------------------------------------------------------------------------
+
+MMED_FRAME = 10  # trailing rows included besides the current one
+
+_MOVING_MEDIAN_ORACLE = f"""
+    SELECT event_id, event_type, ts,
+           CAST(value AS DOUBLE) AS value,
+           CAST(round(quantile_cont(value, 0.5) OVER (
+                  PARTITION BY event_type ORDER BY ts, event_id
+                  ROWS BETWEEN {MMED_FRAME} PRECEDING AND CURRENT ROW), 6)
+                AS DOUBLE) AS moving_median
+    FROM events
+"""
+
+
+@register("q_events_moving_median", oracle=_MOVING_MEDIAN_ORACLE)
+def q_events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling median over a trailing {MMED_FRAME}+1-row frame per
+    series — the robust smoother dashboards use where a moving AVERAGE
+    would chase every spike (median ignores outliers the MAD detector
+    flags).  Exact in-frame percentile; interpolation parity between
+    Spark's `percentile` and DuckDB's `quantile_cont` is already pinned
+    by the MAD/robust-scale family.
+
+    Scale shape: one window sort per series (ties pinned on event_id);
+    the frame median re-sorts only its ≤{MMED_FRAME + 1} in-frame values
+    per row — O(frame log frame) per row, state bounded by the frame,
+    never the series."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-MMED_FRAME, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.col("value").cast("double").alias("value"),
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6)
+        .cast("double")
+        .alias("moving_median"),
+    )

@@ -130,6 +130,13 @@ SCALING_QUERIES = [
     "q_doc_similarity_tfidf",
     "q_multimodal_phash_pairs",
     "q_bloom_semi_join",
+    # round-6 graph/basket families: arcs grow ~linearly with facts
+    # (pagerank), the semantic graph is corpus-constant here but the
+    # oriented wedge bound is the claim (triangles), and basket pair
+    # fan-out is bounded by C(basket,2) per order (assoc)
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_assoc_pairs_lift",
 ]
 
 

@@ -541,3 +541,56 @@ def test_keyframes_partition_frames(spark, sf_dir):
         assert [s.shot_idx for s in shots] == list(range(len(shots)))
         assert sum(s.shot_frames for s in shots) == nf  # shots tile frames
         assert shots[0].keyframe_idx == 0  # first shot starts at frame 0
+
+
+def test_sequence_gaps_recover_dropped_runs(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_audit_sequence_gaps,
+    )
+
+    rows = q_audit_sequence_gaps(spark, sf_dir).collect()
+    assert rows
+    keys = {
+        r.o_orderkey
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+        if r.o_orderkey % 100 >= 3
+    }
+    for r in rows:
+        assert r.n_missing == r.gap_end - r.gap_start + 1
+        # every reported id is genuinely absent, and the run is maximal
+        for k in range(r.gap_start, r.gap_end + 1):
+            assert k not in keys
+        assert r.gap_start - 1 in keys and r.gap_end + 1 in keys
+
+
+def test_table_checksum_detects_single_row_change(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_audit_table_checksum,
+    )
+
+    base = {r.tbl: (r.n_rows, r.checksum)
+            for r in q_audit_table_checksum(spark, sf_dir).collect()}
+    assert set(base) == {"customer", "supplier", "region"}
+    # rerun: bit-identical (order-independent by construction)
+    again = {r.tbl: (r.n_rows, r.checksum)
+             for r in q_audit_table_checksum(spark, sf_dir).collect()}
+    assert base == again
+
+
+def test_moving_median_matches_python_frame(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        MMED_FRAME,
+        q_events_moving_median,
+    )
+
+    rows = q_events_moving_median(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    import statistics
+
+    for _etype, vs in by_type.items():
+        vs.sort(key=lambda r: (r.ts, r.event_id))
+        for i in (0, len(vs) // 2, len(vs) - 1):
+            frame = [r.value for r in vs[max(0, i - MMED_FRAME) : i + 1]]
+            assert abs(vs[i].moving_median - round(statistics.median(frame), 6)) < 1e-9
