@@ -35,6 +35,16 @@ def build_session(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Spark's default driver heap is 1g — and in local mode the
+        # driver IS the executor, so the entire 32-thread engine was
+        # GC-thrashing inside 1 GB on a 128 GiB host (measured: the
+        # bench's 4M-row skew leg varied 2.5s-12s run to run, and 16M
+        # rows OOMed).  Size the heap to the work; must be set before
+        # the JVM launches, hence here and not per-query.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

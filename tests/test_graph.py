@@ -113,3 +113,40 @@ def test_entropy_mi_invariants(spark, sf_dir):
     # MI >= 0 up to the 6-decimal term quantization; joint <= sum of marginals
     assert row.mutual_info >= -1e-4
     assert row.h_joint <= row.h_segment + row.h_nation + 1e-4
+
+
+def test_pagerank_bit_exact_python_replication(spark, sf_dir):
+    """The fixed-point contract, end to end: an independent python
+    implementation of the integer micro-unit iteration over the same
+    edge list must reproduce every node's rank_units EXACTLY — not
+    approximately — because no float enters the computation."""
+    import pyarrow.parquet as pq
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).to_pydict()
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    ).to_pydict()
+    cust_of = dict(zip(orders["o_orderkey"], orders["o_custkey"]))
+    half = {
+        (cust_of[ok] * 2, sk * 2 + 1)
+        for ok, sk in zip(li["l_orderkey"], li["l_suppkey"])
+        if ok in cust_of
+    }
+    arcs = list(half) + [(d, s) for s, d in half]
+    outdeg: dict[int, int] = {}
+    for s, _d in arcs:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(outdeg)
+    ru = {v: PR_SCALE // n for v in outdeg}
+    for _ in range(2):
+        su: dict[int, int] = {}
+        for s, d in arcs:
+            su[d] = su.get(d, 0) + ru[s] // outdeg[s]
+        ru = {
+            v: (15 * PR_SCALE) // (100 * n) + (17 * su[v]) // 20
+            for v in outdeg
+        }
+    got = {r.node: r.rank_units for r in q_graph_pagerank(spark, sf_dir).collect()}
+    assert got == ru
