@@ -290,8 +290,25 @@ def main() -> None:
     spark = build_session(app_name="bench", master=f"local[{CPUS}]")
     registry = entrymod.queries()
 
-    # JVM/codegen warmup so the first timed query doesn't absorb startup
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # JVM/codegen warmup so the first timed query doesn't absorb startup:
+    # exercise the scan/join/agg/window compile paths the headline
+    # actually uses, not just a range sum (q1 was paying ~1.5s of
+    # first-use codegen and reading as the "slowest query").
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _small = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    _warm_dir = _small if os.path.isdir(_small) else SF_DIR
+    _li = spark.read.parquet(os.path.join(_warm_dir, "lineitem.parquet"))
+    _or = spark.read.parquet(os.path.join(_warm_dir, "orders.parquet"))
+    (
+        _li.join(_or, _li.l_orderkey == _or.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(_F.sum("l_quantity").alias("s"), _F.count(_F.lit(1)).alias("n"))
+        .withColumn("r", _F.row_number().over(_W.orderBy("l_returnflag")))
+        .write.format("noop").mode("overwrite").save()
+    )
+    spark.catalog.clearCache()
 
     # Median-of-3 per query: single-run timings made round-over-round
     # comparison guesswork (VERDICT r2 flagged ~1.5x drift on untouched
