@@ -217,6 +217,11 @@ def skew_bench(spark) -> dict:
     conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
 
     def timed(df) -> float:
+        # one untimed warmup per leg: each variant compiles its own
+        # codegen (salted adds the explode+hash stages), and a long-lived
+        # bench JVM occasionally lands that compile + a GC pause inside
+        # every timed rep, flipping a 1.4s leg to ~10s medians (observed)
+        df.write.format("noop").mode("overwrite").save()
         reps = []
         for _ in range(3):
             start = time.monotonic()
