@@ -2953,3 +2953,80 @@ def q_audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate percentile with an error contract (sketch family)
+# ---------------------------------------------------------------------------
+
+APPROX_PCTL_ACC = 100  # approx_percentile accuracy knob: err <= 1/acc
+
+# The approx value itself is merge-order-dependent (Greenwald-Khanna
+# partials combine in partition order), so the REGISTERED output is the
+# exact quantile + the rank-error CONTRACT FLAG: the approx answer must
+# sit within 1/accuracy of the requested rank.  The oracle recomputes
+# the exact values and asserts the flags literally true — the same
+# weak-but-honest contract shape as the HLL accuracy query.
+_APPROX_PCTL_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(quantile_cont(value, 0.5) AS DOUBLE) AS exact_p50,
+           CAST(quantile_cont(value, 0.9) AS DOUBLE) AS exact_p90,
+           true AS p50_in_bounds,
+           true AS p90_in_bounds
+    FROM events GROUP BY event_type
+"""
+
+
+@register("q_sketch_percentile_bounds", oracle=_APPROX_PCTL_ORACLE)
+def q_sketch_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles under a verified error contract: the
+    one-pass mergeable sketch (`approx_percentile`, rank error ≤
+    1/{APPROX_PCTL_ACC}) is computed alongside the exact quantile, and
+    the OUTPUT is the exact value plus a boolean asserting the sketch
+    landed within its guaranteed rank band — quality measured per
+    group, not assumed (the q_ann_recall / HLL-contract discipline for
+    the percentile family).
+
+    The raw approx value is deliberately NOT emitted: GK partial
+    sketches merge in partition order, so the estimate may differ at
+    the last rank across cluster layouts while STAYING inside the
+    band — the band is the portable contract, the point estimate is
+    not.  At 100 TB the sketch is the only affordable option (exact
+    percentiles sort each group; the sketch is one combiner pass with
+    O(acc·log n) state).  The bound CHECK here collects each group's
+    sorted values (per-task memory = one group — the sessionize bound);
+    that cost belongs to the verification fixture, not the sketch: a
+    production run ships the sketch alone and audits a sampled slice."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"approx_percentile(value, 0.5, {APPROX_PCTL_ACC})").alias("a50"),
+        F.expr(f"approx_percentile(value, 0.9, {APPROX_PCTL_ACC})").alias("a90"),
+        F.expr("percentile(value, 0.5)").alias("e50"),
+        F.expr("percentile(value, 0.9)").alias("e90"),
+        F.sort_array(F.collect_list("value")).alias("sorted_vals"),
+    )
+    # rank band: the approx answer must lie between the exact values at
+    # ranks floor((p - eps)·n) and ceil((p + eps)·n), eps = 1/accuracy
+    eps = 1.0 / APPROX_PCTL_ACC
+
+    def in_bounds(approx, p):
+        lo_rank = F.greatest(
+            F.floor((F.lit(p) - eps) * (F.col("n") - 1)).cast("int") + 1, F.lit(1)
+        )
+        hi_rank = F.least(
+            F.ceil((F.lit(p) + eps) * (F.col("n") - 1)).cast("int") + 1, F.col("n").cast("int")
+        )
+        lo = F.element_at("sorted_vals", lo_rank)
+        hi = F.element_at("sorted_vals", hi_rank)
+        return (approx >= lo) & (approx <= hi)
+
+    return per.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("e50").cast("double").alias("exact_p50"),
+        F.col("e90").cast("double").alias("exact_p90"),
+        in_bounds(F.col("a50"), 0.5).alias("p50_in_bounds"),
+        in_bounds(F.col("a90"), 0.9).alias("p90_in_bounds"),
+    )

@@ -343,3 +343,67 @@ def q_format_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
         F.length("_corrupt_record").cast("bigint").alias("raw_len"),
     )
+
+
+@_register(
+    "q_join_dynamic_partition_pruning",
+    """
+    WITH dim AS (
+      SELECT DISTINCT o_orderpriority AS pri,
+             length(o_orderpriority) AS pri_len
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    )
+    SELECT d.pri, CAST(max(d.pri_len) AS INT) AS pri_len,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(round(o.o_totalprice, 6) AS DECIMAL(30,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.pri
+    GROUP BY d.pri
+    """,
+)
+def q_join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    hive-partitioned by priority, the filter lives on the DIMENSION
+    side only, and Catalyst injects the dim's surviving keys into the
+    fact scan AT RUNTIME — the fact never declares the filter, yet 3 of
+    its 5 partition directories are skipped (`dynamicpruning#...` in
+    the scan's PartitionFilters, pinned in tests/test_plans.py).
+
+    This is the star-schema pattern static pruning can't serve: the
+    selective predicate is on the dim ("this quarter", "these
+    segments"), the fact is partitioned by the join key, and at 100 TB
+    DPP is routinely the difference between scanning 3 days and 3
+    years.  The hive-partitioned copy is written once to scratch
+    (overwrite, reused across invocations in-process)."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch_path("orders-by-priority", sf_dir)
+    write_table(
+        orders, path, "parquet", mode="overwrite", partition_by=["o_orderpriority"]
+    )
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.length("o_orderpriority").alias("pri_len"),
+        )
+        .distinct()
+    )
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.pri)
+        .groupBy("pri")
+        .agg(
+            F.max("pri_len").cast("int").alias("pri_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice"), 6).cast("decimal(30,6)")), 2
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

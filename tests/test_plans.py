@@ -912,3 +912,14 @@ def test_rfm_cuts_broadcast_no_global_sort(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The dim-side filter must reach the partitioned fact scan as a
+    runtime dynamicpruning expression — the star-schema feature static
+    pruning can't provide (the fact declares no filter of its own)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.sources import formats
+
+    df = formats.QUERIES["q_join_dynamic_partition_pruning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan
