@@ -143,7 +143,8 @@ _PRIORITY = [
     # q_format_corrupt_quarantine, q_sequence_pattern_vcp,
     # q_multimodal_keyframes, q_audit_sequence_gaps,
     # q_audit_table_checksum, q_events_moving_median,
-    # q_join_dynamic_partition_pruning, q_sketch_percentile_bounds) ---
+    # q_join_dynamic_partition_pruning, q_sketch_percentile_bounds,
+    # q_dedup_containment_pairs) ---
     "q_ann_rrf_fusion",
     "q_dedup_semantic",
     "q_dedup_minhash_est_error",

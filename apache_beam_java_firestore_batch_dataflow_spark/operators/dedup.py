@@ -671,15 +671,11 @@ _NGRAM_ORACLE = f"""
 """
 
 
-@register("q_dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-5-gram Jaccard near-dup with rare-gram blocking.
-
-    Pairs are generated only through grams shared by 2..DF_MAX documents,
-    bounding join fan-out per gram at DF_MAX² — the standard trick that
-    keeps n-gram dedup linear-ish at corpus scale (common grams carry no
-    signal; unique grams pair nothing).
-    """
+def _ngram_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate+verify pipeline for the n-gram pair family:
+    rare-gram postings candidates, in-row array-intersect verification.
+    Returns (doc_a, doc_b, n_common, n_g_a, n_g_b) — Jaccard and
+    containment are different FILTERS over the same verified frame."""
     docs = _docs(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     d = docs.select("doc_id", norm.alias("norm"))
@@ -728,7 +724,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical (grams are distinct per doc).
     ga = gsets.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gs_a"))
     gb = gsets.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gs_b"))
-    verified = (
+    return (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
         .select(
@@ -739,11 +735,87 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("gs_b").alias("n_g_b"),
         )
     )
+
+
+@register("q_dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard near-dup with rare-gram blocking.
+
+    Pairs are generated only through grams shared by 2..DF_MAX documents,
+    bounding join fan-out per gram at DF_MAX² — the standard trick that
+    keeps n-gram dedup linear-ish at corpus scale (common grams carry no
+    signal; unique grams pair nothing).
+    """
+    verified = _ngram_verified_pairs(spark, sf_dir)
     jac = F.col("n_common") * 1.0 / (
         F.col("n_g_a") + F.col("n_g_b") - F.col("n_common")
     )
     return verified.filter(jac >= JACCARD_MIN).select(
         "doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment pairs (sub-document duplication)
+# ---------------------------------------------------------------------------
+
+CONTAIN_MIN = 0.4  # |A∩B| / min(|A|, |B|) acceptance threshold
+
+_CONTAIN_ORACLE = f"""
+    WITH grams AS ({_NGRAM_GRAMS_SQL}),
+    rare AS (
+      SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND {DF_MAX}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM grams a
+      JOIN rare r ON a.g = r.g
+      JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.doc_a
+      JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+      GROUP BY c.doc_a, c.doc_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id)
+    SELECT i.doc_a, i.doc_b,
+           CAST(round(i.n_common * 1.0 / least(za.n_g, zb.n_g), 6) AS DOUBLE)
+               AS containment,
+           CAST(round(i.n_common * 1.0 / (za.n_g + zb.n_g - i.n_common), 6)
+                AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE i.n_common * 1.0 / least(za.n_g, zb.n_g) >= {CONTAIN_MIN}
+"""
+
+
+@register("q_dedup_containment_pairs", oracle=_CONTAIN_ORACLE)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup: |A∩B| / min(|A|, |B|) ≥
+    {CONTAIN_MIN} — the sub-document duplication detector Jaccard
+    structurally misses (a short document fully quoted inside a long
+    one has high containment but LOW Jaccard, because the union is
+    dominated by the long document).  Both scores are emitted so the
+    asymmetry is visible per pair.
+
+    Same rare-gram candidate generation and in-row intersect
+    verification as the Jaccard query (`_ngram_verified_pairs` — one
+    shared pipeline, two filters), so the scale properties are
+    inherited: per-gram fan-out ≤ C(DF_MAX, 2), no pair explosion, no
+    (pair × gram) shuffle."""
+    verified = _ngram_verified_pairs(spark, sf_dir)
+    contain = F.col("n_common") * 1.0 / F.least(F.col("n_g_a"), F.col("n_g_b"))
+    jac = F.col("n_common") * 1.0 / (
+        F.col("n_g_a") + F.col("n_g_b") - F.col("n_common")
+    )
+    return verified.filter(contain >= CONTAIN_MIN).select(
+        "doc_a",
+        "doc_b",
+        F.round(contain, 6).cast("double").alias("containment"),
+        F.round(jac, 6).cast("double").alias("jaccard"),
     )
 
 
