@@ -58,99 +58,77 @@ _MODULES = [
 # `scripts/check_oracles.py` re-proves the FULL registry locally every
 # round (artifact: ORACLE_CHECK_r06.txt, 0 failures).
 #
-# Driver-row ledger going into round 6 (CORRECTNESS_r01..r05): r5 was
-# 48/50 green; the 2 errors (q_embedding_mrl_truncate,
-# q_text_winnow_fingerprints) were array-typed outputs the driver's
-# canonicalizer cannot hash — both reshaped to atomic-only columns this
-# round (see VERDICT r5 item 1) and re-proven locally.  ROUND 6 prefix
-# (exactly 50): the 2 reshaped queries first, then the 13 registered
-# during round 5 that have never seen a driver row, then the 29 rows
-# whose last green is r3 (the stalest in the registry), then the queries
-# REGISTERED THIS ROUND (never checked).  After a green r6: every query
-# registered before round 6 has a green driver row, 50 rows are r4-last
-# and rotate next.  Queries not listed here follow in
-# module-registration order.
+# Driver-row ledger going into round 7 (CORRECTNESS_r01..r06): r6 was
+# 49/50 green; the 1 red row (q_bloom_semi_join) was an ORACLE dtype
+# bug — DuckDB sum(INTEGER) emits HUGEINT, pandas converts to float64,
+# the driver hashes 1529.0 vs 1529 (values identical both engines,
+# verified by the judge).  Fixed this round with CAST(... AS BIGINT)
+# at the output boundary, plus a type-level guard
+# (tests/test_driver_contract.py::test_oracle_outputs_bind_without_hugeint
+# and scripts/check_oracles.py) that rejects ANY HUGEINT oracle output.
+# ROUND 7 prefix (exactly 50): the fixed bloom row first (VERDICT r6
+# item 1: keep it in the prefix until green), then 49 of the 52 round-6
+# registrations that have never seen a driver row, in their r6 queue
+# order.  The 3 spillovers lead the r8 prefix:
+#   q_join_dynamic_partition_pruning,
+#   q_sketch_percentile_bounds,
+#   q_dedup_containment_pairs,
+# followed by queries REGISTERED THIS ROUND (never checked), then the
+# stalest greens (the r4-last rows noted in the r6 ledger).  Queries
+# not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- r5 driver errors, reshaped to atomic outputs this round ---
-    "q_embedding_mrl_truncate",
-    "q_text_winnow_fingerprints",
-    # --- registered round 5, never driver-checked ---
-    "q_ann_pq_trained",
-    "q_ann_recall",
-    "q_dedup_canonical_keep",
-    "q_events_ewma",
-    "q_embedding_power_iteration",
-    "q_sample_weighted",
-    "q_doc_similarity_tfidf",
-    "q_multimodal_phash_pairs",
+    # --- r6 red row, oracle cast fixed this round ---
     "q_bloom_semi_join",
-    "q_events_anomaly_mad",
-    "q_text_bigram_logprob",
-    "q_sketch_countmin_words",
-    "q_format_schema_evolution",
-    # --- last driver row is round 3: the stalest greens (29 rows) ---
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_bracketed_revenue",
-    "q20_heavy_shippers",
-    "q21_last_shipper",
-    "q22_idle_customers",
-    "q_corr_manual",
-    "q_join_left",
-    "q_join_semi",
-    "q_pivot_conditional",
-    "q_rollup",
-    "q_scalar_map",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_set_ops",
-    "q_subquery_scalar",
-    "q_union_except",
-    # --- registered round 6, never driver-checked (fills to 50; the
-    # remaining r6 registrations queue for the r7 prefix:
-    # q_quality_topp_per_source, q_events_robust_scale,
-    # q_kanonymity_audit, q_embedding_spectral_scores,
-    # q_histogram_equidepth, q_events_attribution,
-    # q_stream_static_enrich, q_text_langid_confusion,
-    # q_drift_psi_events, q_sketch_kmv_join_estimate,
-    # q_ann_filtered_by_label, q_graph_pagerank, q_graph_triangles,
-    # q_scd2_priority_history, q_agg_incremental_merge,
-    # q_profile_entropy_mi, q_er_fuzzy_blocked, q_text_bpe_merge,
-    # q_events_m4_downsample, q_events_gapfill_hourly,
-    # q_assoc_pairs_lift, q_agg_mode, q_multimodal_audio_silence,
-    # q_multimodal_image_histogram, q_ann_hamming_rank,
-    # q_privacy_dp_counts, q_agg_skew_kurtosis,
-    # q_window_running_distinct, q_stream_window_topk,
-    # q_layout_zonemap_skipping, q_events_holt_linear,
-    # q_events_cusum_changepoint, q_regress_trend_per_type,
-    # q_customer_rfm, q_market_concentration_hhi,
-    # q_udtf_chunk_words, q_graph_components_semantic,
-    # q_agg_percentile_disc, q_join_null_safe,
-    # q_mix_temperature_weights, q_sample_balanced_labels,
-    # q_sessions_concurrency, q_supplier_pareto80,
-    # q_format_corrupt_quarantine, q_sequence_pattern_vcp,
-    # q_multimodal_keyframes, q_audit_sequence_gaps,
-    # q_audit_table_checksum, q_events_moving_median,
-    # q_join_dynamic_partition_pruning, q_sketch_percentile_bounds,
-    # q_dedup_containment_pairs) ---
-    "q_ann_rrf_fusion",
-    "q_dedup_semantic",
-    "q_dedup_minhash_est_error",
-    "q_text_novelty_ngrams",
-    "q_layout_zorder_buckets",
-    "q_multimodal_scene_cuts",
+    # --- registered round 6, never driver-checked (49 of 52) ---
+    "q_quality_topp_per_source",
+    "q_events_robust_scale",
+    "q_kanonymity_audit",
+    "q_embedding_spectral_scores",
+    "q_histogram_equidepth",
+    "q_events_attribution",
+    "q_stream_static_enrich",
+    "q_text_langid_confusion",
+    "q_drift_psi_events",
+    "q_sketch_kmv_join_estimate",
+    "q_ann_filtered_by_label",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_scd2_priority_history",
+    "q_agg_incremental_merge",
+    "q_profile_entropy_mi",
+    "q_er_fuzzy_blocked",
+    "q_text_bpe_merge",
+    "q_events_m4_downsample",
+    "q_events_gapfill_hourly",
+    "q_assoc_pairs_lift",
+    "q_agg_mode",
+    "q_multimodal_audio_silence",
+    "q_multimodal_image_histogram",
+    "q_ann_hamming_rank",
+    "q_privacy_dp_counts",
+    "q_agg_skew_kurtosis",
+    "q_window_running_distinct",
+    "q_stream_window_topk",
+    "q_layout_zonemap_skipping",
+    "q_events_holt_linear",
+    "q_events_cusum_changepoint",
+    "q_regress_trend_per_type",
+    "q_customer_rfm",
+    "q_market_concentration_hhi",
+    "q_udtf_chunk_words",
+    "q_graph_components_semantic",
+    "q_agg_percentile_disc",
+    "q_join_null_safe",
+    "q_mix_temperature_weights",
+    "q_sample_balanced_labels",
+    "q_sessions_concurrency",
+    "q_supplier_pareto80",
+    "q_format_corrupt_quarantine",
+    "q_sequence_pattern_vcp",
+    "q_multimodal_keyframes",
+    "q_audit_sequence_gaps",
+    "q_audit_table_checksum",
+    "q_events_moving_median",
 ]
 
 

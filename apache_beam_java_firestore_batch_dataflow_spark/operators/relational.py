@@ -1415,10 +1415,10 @@ def _bloom_oracle() -> str:
       SELECT o_custkey FROM probed, warr WHERE {member}
     )
     SELECT count(*) AS n_pass_bloom,
-           sum(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
-               AS n_true_match,
-           sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END)
-               AS n_false_positive
+           CAST(sum(CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_true_match,
+           CAST(sum(CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_positive
     FROM passed LEFT JOIN dim d ON d.c_custkey = passed.o_custkey
 """
 

@@ -106,9 +106,22 @@ def main() -> int:
             print(f"okay {name}: rows-only ({len(srows)} rows, {spark_s:.1f}s) [no oracle]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            # Driver-dtype guard (VERDICT r6): HUGEINT output columns
+            # become float64 under pandas .df(), so the driver hashes
+            # 1529.0 vs Spark's 1529 — a class fetchall() can never
+            # see.  Reject at the type level before value-comparing.
+            huge = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, map(str, rel.types))
+                if "HUGEINT" in str(t).upper()
+            ]
+            if huge:
+                failures.append(name)
+                print(f"FAIL {name}: HUGEINT oracle output {huge} — CAST to BIGINT")
+                continue
+            dcols = list(rel.columns)
+            drows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")

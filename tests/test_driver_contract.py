@@ -42,6 +42,45 @@ def test_output_schema_is_atomic(spark, sf_dir, name, fn):
     spark.catalog.clearCache()
 
 
+def test_oracle_outputs_bind_without_hugeint():
+    """Bind every oracle in DuckDB (no execution) and reject
+    HUGEINT/UHUGEINT output columns.
+
+    VERDICT r6: DuckDB ``sum(INTEGER)`` returns HUGEINT, which pandas
+    ``.df()`` converts to float64, so the driver canonicalizes
+    ``1529.0`` against Spark's ``1529`` and the value hash diverges
+    even though both engines computed the identical integer
+    (``q_bloom_semi_join``, r6's only red row).  The fetchall()-based
+    rehearsal could never see this — Python ints erase the dtype — so
+    the guard lives at the type level: every oracle's OUTPUT boundary
+    must cast wide sums down to BIGINT/DOUBLE explicitly.
+    """
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for name in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf}/{name}.parquet'")
+    offenders = {}
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        rel = con.sql(sql)  # lazy relation: binds + types, no execution
+        bad = [
+            f"{c}:{t}"
+            for c, t in zip(rel.columns, map(str, rel.types))
+            if "HUGEINT" in str(t).upper()
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"oracles emitting HUGEINT/UHUGEINT output columns {offenders}; "
+        "pandas converts these to float64 so the driver hash-compares "
+        "1529.0 vs 1529 — CAST(... AS BIGINT) at the output boundary"
+    )
+
+
 def test_every_query_has_matching_oracle_columns():
     """Names present in oracle_sql() must be a subset of queries() —
     a dangling oracle is a registration typo."""
