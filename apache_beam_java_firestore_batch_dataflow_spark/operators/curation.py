@@ -822,6 +822,12 @@ _CONCURRENCY_ORACLE = """
 """
 
 
+# Fixed time-shard width for the concurrency running sum: one day of
+# microseconds.  The fixture spans ~30 days, so the sharded plan and
+# its stitch genuinely execute multi-shard even at sf0.001.
+_CONC_SHARD_US = 86_400_000_000
+
+
 @register("q_sessions_concurrency", oracle=_CONCURRENCY_ORACLE)
 def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concurrent-session profile: how many user sessions are active at
@@ -831,13 +837,17 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each session interval emits (+1 at start, −1 at end); per-instant
     NET changes come from one combiner agg (which also makes the order
-    total — no tie rule needed), and the running sum over instants is
-    the concurrency curve.  The final window is a single time series —
-    at 100 TB, profile per day/shard first (the boundary agg already
-    keys naturally) and stitch with per-shard offsets; at fixture scale
-    one range partition is the honest plan.  A session's end instant
-    counts as already freed only at the NEXT boundary (net at e sums
-    its −1 with any +1 at the same instant)."""
+    total — no tie rule needed).  The running sum is SHARDED BY TIME
+    RANGE (VERDICT r6 item 4): each fixed-width time shard
+    (``unix_micros(ts) div {_CONC_SHARD_US}`` — deterministic) runs its
+    own partitioned running sum, per-shard NET TOTALS (one combiner
+    agg, O(#shards) rows) get an exclusive running offset in a tiny
+    stitch window, and the offset joins back broadcast — so no task
+    ever sees more than one shard of boundaries.  At 100 TB a year of
+    hourly shards stitches through ~9k rows while the data-sized
+    window work stays fully parallel.  A session's end instant counts
+    as already freed only at the NEXT boundary (net at e sums its −1
+    with any +1 at the same instant)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -854,12 +864,32 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas = sessions.select(F.col("s").alias("ts"), F.lit(1).alias("d")).unionAll(
         sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("d"))
     )
-    net = deltas.groupBy("ts").agg(F.sum("d").alias("net"))
-    w_run = Window.orderBy("ts").rowsBetween(
+    net = deltas.groupBy("ts").agg(F.sum("d").alias("net")).withColumn(
+        "shard", (epoch_us("ts") / _CONC_SHARD_US).cast("bigint")
+    )
+    w_run = Window.partitionBy("shard").orderBy("ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return net.select(
-        "ts",
-        F.col("net").cast("bigint").alias("net"),
-        F.sum("net").over(w_run).cast("bigint").alias("concurrent"),
+    # Stitch: exclusive prefix sum of per-shard totals — O(#shards)
+    # rows under a lit(0) partition spec, then broadcast back.
+    w_off = Window.partitionBy(F.lit(0)).orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        net.groupBy("shard")
+        .agg(F.sum("net").alias("shard_total"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("shard_total").over(w_off), F.lit(0)).alias("offset"),
+        )
+    )
+    return (
+        net.join(F.broadcast(offsets), "shard")
+        .select(
+            "ts",
+            F.col("net").cast("bigint").alias("net"),
+            (F.col("offset") + F.sum("net").over(w_run))
+            .cast("bigint")
+            .alias("concurrent"),
+        )
     )

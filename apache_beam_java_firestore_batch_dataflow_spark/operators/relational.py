@@ -2847,6 +2847,14 @@ _SEQ_GAPS_ORACLE = """
 """
 
 
+# Fixed key-range shard width for the sequence audit: deterministic and
+# data-independent, so the sharded plan is bit-identical to the global
+# one under any partitioning.  2^13 keeps the fixture's stitch frame
+# non-trivial (multiple shards at sf0.001 already); production would use
+# 2^20+.
+_SEQ_SHARD_W = 8192
+
+
 @register("q_audit_sequence_gaps", oracle=_SEQ_GAPS_ORACLE)
 def q_audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence-completeness audit: every missing run in a monotonic id
@@ -2856,21 +2864,43 @@ def q_audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing ids.  (The fixture feed deterministically drops 3% of keys
     so the coalescing logic actually runs — see the oracle comment.)
 
-    One distinct + one lead over the sorted key stream.  The window is
-    a single total order over DISTINCT KEYS (already one combiner agg
-    down from the fact table); at 100 TB shard the audit by key range
-    first (gap detection is embarrassingly range-parallel — only the
-    shard boundaries need stitching) — at fixture scale one range
-    partition is the honest plan."""
+    Sharded by key range (VERDICT r6 item 4): gap detection is
+    embarrassingly range-parallel, so the lead() runs per FIXED-WIDTH
+    key shard (``k div {_SEQ_SHARD_W}`` — deterministic, data-
+    independent), and only the shard BOUNDARIES are stitched by a
+    second pass over the per-shard (min, max) aggregate — O(n / W)
+    rows, a 1/W reduction of the old single-partition total order (at
+    100 TB with W = 2^20 a billion distinct keys stitch through ~1k
+    rows; recurse the same trick if even that grows).  Intra-shard
+    gaps and cross-shard gaps (which also cover entirely-missing
+    shards, since the stitch leads over NON-EMPTY shards) union to the
+    identical answer, value-checked by the same oracle."""
     keys = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 100 >= 3)
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
+        .withColumn("shard", F.expr(f"k div {_SEQ_SHARD_W}"))
     )
-    w = Window.orderBy("k")
-    g = keys.select("k", F.lead("k").over(w).alias("nxt"))
-    return g.filter(F.col("nxt") - F.col("k") > 1).select(
+    w_in = Window.partitionBy("shard").orderBy("k")
+    intra = (
+        keys.select("k", F.lead("k").over(w_in).alias("nxt"))
+        .filter(F.col("nxt") - F.col("k") > 1)
+    )
+    # Stitch pass: one row per non-empty shard.  partitionBy(lit(0))
+    # keeps a partition spec on the window (no unbounded-frame plan);
+    # the frame is O(#shards), not O(#keys).
+    bounds = keys.groupBy("shard").agg(
+        F.min("k").alias("min_k"), F.max("k").alias("max_k")
+    )
+    w_sh = Window.partitionBy(F.lit(0)).orderBy("shard")
+    cross = (
+        bounds.select("max_k", F.lead("min_k").over(w_sh).alias("nxt_min"))
+        .filter(F.col("nxt_min") - F.col("max_k") > 1)
+        .select(F.col("max_k").alias("k"), F.col("nxt_min").alias("nxt"))
+    )
+    g = intra.select("k", "nxt").unionAll(cross)
+    return g.select(
         (F.col("k") + 1).alias("gap_start"),
         (F.col("nxt") - 1).alias("gap_end"),
         (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("n_missing"),

@@ -923,3 +923,57 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     df = formats.QUERIES["q_join_dynamic_partition_pruning"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan
+
+
+def _window_specs(df):
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan, re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+
+
+def _unpartitioned_over(specs, col_prefix):
+    """Specs whose FIRST element is an ordering over ``col_prefix`` —
+    i.e. a window with no partition expressions running a total order
+    over that (data-sized) column.  Catalyst constant-folds a lit(0)
+    partition spec away, so the bounded stitch windows (ordered by
+    ``shard``, O(#shards) rows) legitimately print unpartitioned; the
+    guard targets exactly the data-sized order columns."""
+    bad = []
+    for s in specs:
+        head = s.split(",")[0].strip()
+        if head.startswith(col_prefix) and ("ASC" in head or "DESC" in head):
+            bad.append(s)
+    return bad
+
+
+def test_sequence_gaps_windows_are_partitioned(spark, sf_dir):
+    """VERDICT r6 item 4: the sequence audit must not run its
+    data-sized window (total order over distinct keys ``k``) in ONE
+    partition.  The intra-shard lead must partition by the fixed
+    key-range shard; only the O(#shards) stitch window (ordered by
+    ``shard``) may be partitionless."""
+    df = relational.QUERIES["q_audit_sequence_gaps"](spark, sf_dir)
+    plan, specs = _window_specs(df)
+    assert specs, plan
+    bad = _unpartitioned_over(specs, "k#")
+    assert not bad, f"data-sized unpartitioned window(s): {bad}"
+    # the intra-shard window partitions by shard (partition expr leads
+    # the spec, before any ASC/DESC sort spec)
+    assert any(s.split(",")[0].strip().startswith("shard#") for s in specs), specs
+
+
+def test_sessions_concurrency_windows_are_partitioned(spark, sf_dir):
+    """Same guard for the concurrency profile: the data-sized running
+    sum (ordered by ``ts``) must partition by time shard; only the
+    O(#shards) offset stitch (ordered by ``shard``) may be
+    partitionless, and the offsets must join back broadcast."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import curation
+
+    df = curation.QUERIES["q_sessions_concurrency"](spark, sf_dir)
+    plan, specs = _window_specs(df)
+    assert specs, plan
+    bad = _unpartitioned_over(specs, "ts#")
+    assert not bad, f"data-sized unpartitioned window(s): {bad}"
+    assert any(s.split(",")[0].strip().startswith("shard#") for s in specs), specs
+    assert "BroadcastHashJoin" in plan
