@@ -394,16 +394,16 @@ def _cent_hash() -> F.Column:
     return (F.col("vec_id") * F.lit(1103515245) + F.lit(12345)) % F.lit(2147483648)
 
 
-def ivf_centroids(v: DataFrame) -> DataFrame:
-    """The fixed-size centroid set: hash-order ``LIMIT IVF_C``.
+def ivf_centroids(v: DataFrame, n_cells: int = IVF_C) -> DataFrame:
+    """The fixed-size centroid set: hash-order ``LIMIT n_cells``.
 
     Plans as ``TakeOrderedAndProject`` — each partition keeps its local
-    top-IVF_C, the driver merges P·IVF_C candidate rows — so selection is
-    one corpus scan with O(IVF_C) state per task regardless of corpus
-    size."""
+    top-n_cells, the driver merges P·n_cells candidate rows — so
+    selection is one corpus scan with O(n_cells) state per task
+    regardless of corpus size."""
     return (
         v.orderBy(_cent_hash().asc(), F.asc("vec_id"))
-        .limit(IVF_C)
+        .limit(n_cells)
         .select(
             F.col("vec_id").alias("cent_id"),
             F.col("embedding").alias("c_emb"),
@@ -412,14 +412,14 @@ def ivf_centroids(v: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assignments(v: DataFrame) -> DataFrame:
+def ivf_assignments(v: DataFrame, n_cells: int = IVF_C) -> DataFrame:
     """(vec_id, embedding, vnorm, cell): nearest centroid per vector.
 
-    Assignment is a broadcast join against the constant-size centroid
-    set; at 100 TB it is one corpus scan with IVF_C dot products per row
-    and an O(IVF_C) broadcast.
+    Assignment is a broadcast join against the bounded centroid set; at
+    100 TB it is one corpus scan with n_cells dot products per row and
+    an O(n_cells) broadcast.
     """
-    cent = ivf_centroids(v)
+    cent = ivf_centroids(v, n_cells)
     sim = dot(F.col("embedding"), F.col("c_emb")) / (F.col("vnorm") * F.col("c_norm"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
     return (
@@ -2221,11 +2221,47 @@ SEM_TAU = 0.40  # within-cell cosine at/above this marks the higher id a dup
 # exercise real drops; a production corpus with true paraphrase dups would
 # run this at 0.9+)
 
+# SemDeDup's scale knob (VERDICT r6 item 6): the pair stage costs
+# Σ|cell|², so a CONSTANT cell count means mean cell size n/C — and
+# within-cell work O((n/C)²) — grows with the corpus.  The knob targets
+# CELL SIZE instead: cells(n) = 2^ceil(log2(max(n / SEM_TARGET_CELL,
+# IVF_C))), a deterministic power of two computed from count(*)
+# identically in Spark (Python math) and DuckDB (power/ceil/log2 —
+# pow-2 boundaries are IEEE-exact in both).  Mean cell size is then
+# pinned ≤ SEM_TARGET_CELL for any corpus, making Σ|cell|² ≈
+# n·SEM_TARGET_CELL — LINEAR in n — while the codebook stays O(cells)
+# driver state (2 M cells even at 100 TB / ~128 B docs: still a
+# broadcastable few-hundred-MB worst case, or shard the codebook by
+# coarse hash at that point).  At the fixtures: 500 rows → 64 cells
+# (floor engages), 2000 rows → 128 cells (the adaptive path genuinely
+# exercises at sf0.1).
+SEM_TARGET_CELL = 16
+
+
+def sem_n_cells(n_rows: int) -> int:
+    import math
+
+    return int(2 ** math.ceil(math.log2(max(n_rows / SEM_TARGET_CELL, float(IVF_C)))))
+
+
+_SEM_NC_SQL = (
+    f"CAST(power(2, ceil(log2(greatest(CAST(count(*) AS DOUBLE)"
+    f" / {SEM_TARGET_CELL}, {IVF_C})))) AS BIGINT)"
+)
+
+_SEM_CENT_SQL = f"""
+      SELECT vec_id AS cent_id, embedding AS c_emb, vnorm AS c_norm
+      FROM (SELECT vec_id, embedding, vnorm,
+                   row_number() OVER (ORDER BY {_CENT_HASH_SQL}, vec_id) AS crn
+            FROM v)
+      WHERE crn <= (SELECT ncells FROM nc)
+"""
 
 _SEMDEDUP_ORACLE = f"""
     WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
                FROM embeddings),
-    cent AS ({_CENT_SQL}),
+    nc AS (SELECT {_SEM_NC_SQL} AS ncells FROM v),
+    cent AS ({_SEM_CENT_SQL}),
     assign AS ({_ivf_sql()}),
     dups AS (
       SELECT DISTINCT b.vec_id
@@ -2251,20 +2287,23 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to one exemplar even when their text hashes differ.
 
     Scale shape: assignment is the ``ivf_assignments`` broadcast pass
-    (O(IVF_C) state, one corpus scan); pairing is an equi-join keyed on
+    (O(cells) state, one corpus scan); pairing is an equi-join keyed on
     cell, so compute is Σ|cell|² — the embedding-cosine family's
-    documented within-block quadratic, bounded by the largest cell, not
-    the corpus (raise IVF_C to shrink cells as the corpus grows; the
-    codebook stays O(1) driver state).  The >= τ filter compares raw
-    IEEE doubles both engines compute identically, the established
-    near-dup contract.
+    documented within-block quadratic.  The cell count is NOT a
+    constant: ``sem_n_cells(count)`` targets a fixed CELL SIZE
+    ({SEM_TARGET_CELL}), so cells grow with the corpus and Σ|cell|²
+    stays ~n·{SEM_TARGET_CELL} — linear — instead of O((n/C)²) (VERDICT
+    r6 item 6; both engines derive the identical power-of-two count
+    from count(*)).  The >= τ filter compares raw IEEE doubles both
+    engines compute identically, the established near-dup contract.
 
     The assignment frame persists: it feeds BOTH pair sides and the
     final ledger — without the cache the corpus x IVF_C assignment
     scan would run three times (the wvec/TF-IDF discipline; harnesses
     clearCache after each query)."""
     v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
-    assign = ivf_assignments(v).persist()
+    cells = sem_n_cells(v.count())
+    assign = ivf_assignments(v, n_cells=cells).persist()
     a = assign.select(
         F.col("cell").alias("cell_a"),
         F.col("vec_id").alias("id_a"),

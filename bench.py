@@ -338,6 +338,16 @@ def main() -> None:
         # clearing per rep regressed the medians ~30% (measured) while
         # changing the protocol, not the engine.
         spark.catalog.clearCache()
+        # Nudge a full GC between queries (VERDICT r6 item 5: the
+        # official r6 run recorded q_text_bpe_merge at 10.4s where two
+        # clean re-runs measured ~1.3s — a stop-the-world pause from the
+        # PREVIOUS query's garbage landing inside all three reps is the
+        # failure mode median-of-3 can't absorb).  System.gc() moves
+        # that pause into the untimed gap between queries.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — best-effort; timing still valid
+            pass
 
     sink = sink_ratio_bench(spark)
     scaling = scaling_bench(spark, registry)
@@ -362,7 +372,10 @@ def main() -> None:
                 # queries silently reused earlier queries' cached
                 # shingle pipelines and measured ~40-80% fast);
                 # scaling legs are fully COLD per rep.  Compare
-                # same-protocol rounds only.
+                # same-protocol rounds only.  r7: a best-effort
+                # System.gc() runs in the untimed gap between headline
+                # queries (VERDICT r6 item 5's BPE outlier); timed
+                # semantics unchanged, so the id stays isolated-v2.
                 "protocol": "isolated-v2",
             }
         )

@@ -871,3 +871,35 @@ def test_ewma_hot_user(spark):
     assert got[1][0] == n_hot
     assert abs(got[1][1] - round(acc, 6)) <= 1e-6
     assert got[2] == (3, 5.0)
+
+
+def test_semdedup_cell_size_stays_bounded_across_sf(spark):
+    """VERDICT r6 item 6: SemDeDup's cell count must scale with the
+    corpus so per-cell candidate work stays bounded.  sem_n_cells
+    targets mean cell size SEM_TARGET_CELL via a deterministic
+    power-of-two count — assert the knob engages between sf0.01 (500
+    vectors -> 64-cell floor) and sf0.1 (2000 vectors -> 128 cells),
+    and that the LARGEST cell stays under 4x the target at both sizes
+    (the Σ|cell|² bound is only linear if no cell degenerates)."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import (
+        similarity as S,
+    )
+
+    expected = {"/root/testdata/sf0.01": 64, "/root/testdata/sf0.1": 128}
+    for sf, want_cells in expected.items():
+        v = S.with_norm(S._vecs(spark, sf)).select("vec_id", "embedding", "vnorm")
+        n = v.count()
+        cells = S.sem_n_cells(n)
+        assert cells == want_cells, (sf, n, cells)
+        max_cell = (
+            S.ivf_assignments(v, n_cells=cells)
+            .groupBy("cell")
+            .count()
+            .agg(F.max("count"))
+            .first()[0]
+        )
+        assert max_cell <= 4 * S.SEM_TARGET_CELL, (sf, max_cell)
+        # mean cell size pinned at/below target by construction
+        assert n / cells <= S.SEM_TARGET_CELL + 1e-9

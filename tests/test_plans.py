@@ -977,3 +977,17 @@ def test_sessions_concurrency_windows_are_partitioned(spark, sf_dir):
     assert not bad, f"data-sized unpartitioned window(s): {bad}"
     assert any(s.split(",")[0].strip().startswith("shard#") for s in specs), specs
     assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_merge_censuses_vocab_before_pair_explode(spark, sf_dir):
+    """VERDICT r6 item 5: the pair explode must run over the DISTINCT
+    vocabulary (token census first), not the raw token stream — two
+    aggregate families (vocab census + weighted pair count) and a
+    TakeOrderedAndProject top-k, with the explode generator sitting
+    ABOVE the first aggregate in the tree."""
+    df = TEXT_QUERIES["q_text_bpe_merge"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # census agg keyed by tok, pair agg keyed by pair
+    assert plan.count("HashAggregate") >= 4  # partial+final for each of 2 aggs
+    assert "tok#" in plan and "pair#" in plan
