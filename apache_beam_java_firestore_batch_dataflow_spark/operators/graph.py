@@ -122,6 +122,60 @@ def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.localCheckpoint(eager=True)
 
 
+def pagerank(e: DataFrame, k: int, checkpoint_every: int = 4) -> DataFrame:
+    """k damped PageRank iterations over an arc table ``(src, dst)``
+    (both arcs of each undirected edge present), integer fixed-point —
+    the general loop form behind ``q_graph_pagerank``'s registered k=2
+    (VERDICT r6 item 8).
+
+    Lineage discipline: each iteration consumes the previous rank frame
+    in one join, so the unchecked plan grows linearly in k and the
+    optimizer re-analyzes the whole chain every round (and any frame
+    consumed twice would double it — the label-prop 2^k lesson).  Every
+    ``checkpoint_every`` rounds the rank frame is localCheckpoint(eager)
+    — the ``kmeans()`` discipline: plan depth stays O(checkpoint_every),
+    executor lineage is truncated so a 100-iteration run neither
+    re-plans nor re-computes from the source scan, and the materialized
+    state is O(nodes), not O(arcs).
+
+    Determinism: identical micro-unit integer arithmetic as the k=2
+    query — bit-identical ranks under any partitioning, join order, or
+    checkpoint placement (the checkpoint only cuts lineage; values are
+    exact integers).
+    """
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = deg.join(F.broadcast(n)).select(
+        "node", "outdeg", F.expr(f"{PR_SCALE} div n_nodes").alias("ru")
+    )
+    for i in range(k):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                F.col("dst").alias("cnode"),
+                F.expr("ru div outdeg").alias("term"),
+            )
+            .groupBy("cnode")
+            .agg(F.sum("term").alias("su"))
+        )
+        ranks = (
+            deg.join(contrib, deg.node == contrib.cnode)
+            .join(F.broadcast(n))
+            .select(
+                "node",
+                "outdeg",
+                F.expr(
+                    f"(15 * {PR_SCALE}) div (100 * n_nodes) + (17 * su) div 20"
+                ).alias("ru"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < k:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 @register("q_graph_pagerank", oracle=_PAGERANK_ORACLE)
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two damped PageRank iterations over the customer↔supplier graph
@@ -144,36 +198,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling is needed: the graph is stored as both arcs of each
     undirected edge, so out-degree ≥ 1 for every node present.
     """
-    e = _pr_edges(spark, sf_dir)
-    deg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
-    n = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-
-    ranks = deg.join(F.broadcast(n)).select(
-        "node", "outdeg", F.expr(f"{PR_SCALE} div n_nodes").alias("ru")
-    )
-    for _ in range(2):
-        contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .select(
-                F.col("dst").alias("cnode"),
-                F.expr("ru div outdeg").alias("term"),
-            )
-            .groupBy("cnode")
-            .agg(F.sum("term").alias("su"))
-        )
-        ranks = (
-            deg.join(contrib, deg.node == contrib.cnode)
-            .join(F.broadcast(n))
-            .select(
-                "node",
-                "outdeg",
-                F.expr(
-                    f"(15 * {PR_SCALE}) div (100 * n_nodes) + (17 * su) div 20"
-                ).alias("ru"),
-            )
-        )
+    ranks = pagerank(_pr_edges(spark, sf_dir), k=2)
     return ranks.select(
         "node",
         (F.col("node") % 2 == 1).alias("is_supplier"),
