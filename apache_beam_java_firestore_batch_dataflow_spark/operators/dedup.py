@@ -412,7 +412,10 @@ LABEL_PROP_K = 3  # fixed rounds for the bench-able bounded variant
 
 
 def propagate_min_label(
-    vertices: DataFrame, edges: DataFrame, iterations: int = LABEL_PROP_K
+    vertices: DataFrame,
+    edges: DataFrame,
+    iterations: int = LABEL_PROP_K,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Exactly ``iterations`` rounds of min-label propagation, unrolled
     into ONE declarative plan (no driver-side convergence reads).
@@ -425,12 +428,29 @@ def propagate_min_label(
     (``connected_components`` adds a scalar convergence read per round,
     which is control flow, not dataflow).  Edges are persisted once so
     the k joins don't re-derive the pair pipeline.
+
+    Cache discipline (ADVICE r6): in the lazy one-job shape every
+    generation's persist is still REFERENCED by the final plan (round
+    i+1 consumes round i twice — dropping a mid-chain cache before the
+    action re-inlines both branches and restores the 2^k blowup), so
+    generations can only be released from the OLD end: after the loop,
+    all but the newest two are unpersisted — the oldest frames are the
+    cheap early rounds (generation 0 is the bare vertex projection), so
+    the bounded re-inline costs one extra scan, not an exponential
+    chain, and cached storage is <= 2 x O(vertices) per invocation
+    instead of k+1.  For DEEP runs pass ``checkpoint_every``: the label
+    frame is localCheckpoint(eager)-ed every N rounds (the
+    ``graph.pagerank`` / ``kmeans`` discipline), which truncates
+    lineage, lets EVERY tracked persist release immediately, and trades
+    the single-job property for O(N) plan depth — the right side of the
+    trade past k ~ 8.
     """
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     labels = vertices.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(iterations):
+    cached_gens: list[DataFrame] = []
+    for i in range(iterations):
         # Each round consumes `labels` TWICE (the left-join keeps every
         # vertex; neighbor_min re-derives from the same frame).  Without
         # a persist the round-i subplan is inlined into BOTH branches of
@@ -439,6 +459,7 @@ def propagate_min_label(
         # persist() is lazy (no driver action, still ONE submitted job);
         # the cache materializes mid-job and both branches share it.
         labels = labels.persist()
+        cached_gens.append(labels)
         neighbor_min = (
             both.join(labels, both["src"] == labels["doc_id"])
             .select(F.col("dst").alias("doc_id"), "cluster_id")
@@ -452,6 +473,15 @@ def propagate_min_label(
                 F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
             ).alias("cluster_id"),
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            # Eager checkpoint: lineage is cut, so no future plan
+            # references the tracked caches — release them all now.
+            labels = labels.localCheckpoint(eager=True)
+            for g in cached_gens:
+                g.unpersist(blocking=False)
+            cached_gens.clear()
+    for g in cached_gens[:-2]:
+        g.unpersist(blocking=False)
     return labels
 
 

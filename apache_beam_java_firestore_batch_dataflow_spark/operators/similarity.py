@@ -2592,7 +2592,17 @@ def q_ann_hamming_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "sig": bits @ weights}
             )
 
-    v = _vecs(spark, sf_dir).mapInPandas(sig_kernel, schema="vec_id long, sig long")
+    # Materialize the signature frame once (ADVICE r6): the query set
+    # filters the SAME frame, so without this the full-corpus signature
+    # kernel executes twice — once for the broadcast side, once for the
+    # probe side (the q_graph_triangles localCheckpoint pattern for a
+    # multiply-consumed derived set).  Signatures are 8 bytes/vector, so
+    # the checkpointed state is ~0.2% of the corpus footprint.
+    v = (
+        _vecs(spark, sf_dir)
+        .mapInPandas(sig_kernel, schema="vec_id long, sig long")
+        .localCheckpoint(eager=True)
+    )
     q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
     )

@@ -903,3 +903,45 @@ def test_semdedup_cell_size_stays_bounded_across_sf(spark):
         assert max_cell <= 4 * S.SEM_TARGET_CELL, (sf, max_cell)
         # mean cell size pinned at/below target by construction
         assert n / cells <= S.SEM_TARGET_CELL + 1e-9
+
+
+def test_propagate_min_label_bounds_cached_generations(spark):
+    """ADVICE r6: the lazy k-round loop must not leave k+1 label
+    generations in the cache manager.  After building (and running) the
+    k=3 plan, at most 2 label generations + the edge frame may remain
+    cached; the checkpoint_every path must leave ZERO label caches and
+    still produce identical labels."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        propagate_min_label,
+    )
+
+    def n_df_caches():
+        # cached DataFrames report their plan string as the RDD name;
+        # localCheckpoint RDDs report 'MapPartitionsRDD' — only the
+        # former are CacheManager entries (the leak class under test)
+        return sum(
+            1
+            for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            if i.name() != "MapPartitionsRDD"
+        )
+
+    spark.catalog.clearCache()
+    vertices = spark.range(8).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], ["src", "dst"]
+    )
+    lazy = propagate_min_label(vertices, edges, iterations=3)
+    lazy_rows = {r.doc_id: r.cluster_id for r in lazy.collect()}
+    # storage: <= 2 label generations + 1 edge frame
+    assert n_df_caches() <= 3
+    spark.catalog.clearCache()
+    ckpt = propagate_min_label(vertices, edges, iterations=3, checkpoint_every=1)
+    ckpt_rows = {r.doc_id: r.cluster_id for r in ckpt.collect()}
+    assert ckpt_rows == lazy_rows
+    # all label persists released; only the edge frame may remain as a
+    # DataFrame cache (checkpoint RDDs are lineage state, freed by the
+    # ContextCleaner when their frames drop out of scope)
+    assert n_df_caches() <= 1
+    spark.catalog.clearCache()

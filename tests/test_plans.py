@@ -869,7 +869,12 @@ def test_hamming_signatures_one_kernel_pass(spark, sf_dir):
 
     df = sim.QUERIES["q_ann_hamming_rank"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 2  # corpus sigs + query sigs (filtered view)
+    # ADVICE r6: the signature frame is localCheckpoint-ed, so BOTH
+    # consumers (broadcast query side + probe side) scan the
+    # materialized RDD — the kernel itself ran exactly once, and the
+    # final plan contains NO MapInPandas node at all.
+    assert plan.count("MapInPandas") == 0, plan
+    assert "Scan ExistingRDD" in plan
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
 
