@@ -233,3 +233,80 @@ def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 4).cast("double").alias("noise"),
         F.round(F.col("n") + noise, 4).cast("double").alias("noisy_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Local DP: randomized response over per-event bits
+# ---------------------------------------------------------------------------
+
+RR_P = 0.75  # probability of reporting the TRUE bit (p > 0.5)
+
+_RR_ORACLE = f"""
+    WITH bits AS (
+      SELECT event_type,
+             CASE WHEN value > 0 THEN 1 ELSE 0 END AS b,
+             (CAST(CAST('0x' || substr(md5('rr:' ||
+                        CAST(event_id AS VARCHAR)), 1, 13) AS BIGINT)
+                   AS DOUBLE) + 0.5) / {_U_SPACE} AS u
+      FROM events
+    ),
+    rep AS (
+      SELECT event_type, b,
+             CASE WHEN u < {RR_P} THEN b ELSE 1 - b END AS r
+      FROM bits
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(b) AS BIGINT) AS n_true,
+           CAST(sum(r) AS BIGINT) AS n_reported,
+           CAST(round((CAST(sum(r) AS DOUBLE) / count(*) - {1.0 - RR_P})
+                      / {2.0 * RR_P - 1.0}, 6) AS DOUBLE) AS est_frac
+    FROM rep GROUP BY event_type
+"""
+
+
+@register("q_privacy_randomized_response", oracle=_RR_ORACLE)
+def q_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local differential privacy by randomized response (Warner 1965):
+    each event reports its sensitive bit (``value > 0``) truthfully
+    with probability p={RR_P}, flipped otherwise, and the aggregator
+    debiases the reported fraction by (f̂ - (1-p)) / (2p - 1) — the
+    client-side mechanism telemetry systems (RAPPOR-family) use when
+    the collector must never see a true individual bit.
+
+    The flip draw is the repo's deterministic md5-uniform (keyed by
+    event_id — a production client keys by its own secret), so the
+    release is reproducible across runs, engines, and partitionings;
+    ``n_true`` is emitted only so the oracle can check the mechanism
+    end-to-end.  Scale: per-row projection + ONE combiner aggregation;
+    the debias is arithmetic on O(event_types) rows.  The estimator's
+    variance falls as 1/n — at 100 TB the estimate is tight despite
+    per-row noise, which is the entire trade randomized response
+    makes."""
+    ev = load_table(spark, sf_dir, "events")
+    b = F.when(F.col("value") > 0, 1).otherwise(0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("rr:"), F.col("event_id").cast("string"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(_U_SPACE)
+    rep = ev.select(
+        "event_type",
+        b.alias("b"),
+        F.when(u < RR_P, b).otherwise(1 - b).alias("r"),
+    )
+    return rep.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("b").cast("bigint").alias("n_true"),
+        F.sum("r").cast("bigint").alias("n_reported"),
+        F.round(
+            (F.sum("r").cast("double") / F.count(F.lit(1)) - (1.0 - RR_P))
+            / (2.0 * RR_P - 1.0),
+            6,
+        )
+        .cast("double")
+        .alias("est_frac"),
+    )

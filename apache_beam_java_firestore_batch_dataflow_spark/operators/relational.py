@@ -3060,3 +3060,267 @@ def q_sketch_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         in_bounds(F.col("a50"), 0.5).alias("p50_in_bounds"),
         in_bounds(F.col("a90"), 0.9).alias("p90_in_bounds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Window distribution functions: ntile / cume_dist / percent_rank
+# ---------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ntile(10) OVER w AS INT) AS decile,
+           CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cume,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+"""
+
+
+@register("q_window_ntile_deciles", oracle=_NTILE_ORACLE)
+def q_window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window DISTRIBUTION functions in one sweep: per market
+    segment, each customer's account-balance decile (``ntile(10)``),
+    cumulative distribution, and percent rank — the "where does this
+    row sit in its cohort" battery scoring and quota systems run.
+
+    Determinism: ntile/cume_dist/percent_rank depend only on the ORDER,
+    so the sort key appends c_custkey to break balance ties — without
+    it two engines could legally emit different deciles for tied rows.
+    One partitioned window per segment (bounded partitions at any
+    scale; segments are a dimension), no global sort."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(10).over(w).cast("int").alias("decile"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cume"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median via range-sharded prefix sums (the stitch pattern)
+# ---------------------------------------------------------------------------
+
+# Fixed price-range shard width for the weighted-median cumulative scan:
+# like _SEQ_SHARD_W, deterministic and data-independent, so the sharded
+# prefix sum is bit-identical to a global one.
+_WMED_SHARD = 1000
+
+_WMED_ORACLE = """
+    WITH pw AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             sum(l_quantity) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, price, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY price
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS total
+      FROM pw
+    )
+    SELECT flag,
+           CAST(min(price) AS DOUBLE) AS weighted_median,
+           CAST(CAST(max(total) AS DOUBLE) AS DOUBLE) AS w_total
+    FROM cum WHERE 2 * cw >= total
+    GROUP BY flag
+"""
+
+
+@register("q_agg_weighted_median", oracle=_WMED_ORACLE)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (price weighted by quantity) per return flag —
+    the order statistic mixing/pricing pipelines need when every row
+    carries a weight, defined exactly: the smallest price whose
+    cumulative weight reaches half the total (2·cw >= W in exact
+    decimals — no float boundary).
+
+    Scale shape: the cumulative scan is the r7 SHARD-AND-STITCH
+    pattern, not a per-flag total order (3 flags would mean 3
+    data-sized window partitions): distinct (flag, price) weights come
+    from ONE combiner agg; each fixed price-range shard
+    (``price div {_WMED_SHARD}``) runs a partitioned running sum;
+    per-shard totals take an exclusive prefix in an O(#shards) stitch
+    window; offsets broadcast back.  The median pick is then a filter +
+    one tiny agg.  Bit-identical to the oracle's global window because
+    every sum is exact decimal."""
+    pw = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(F.sum("l_quantity").alias("w"))
+        .withColumn("shard", F.expr(f"CAST(price AS BIGINT) div {_WMED_SHARD}"))
+    )
+    w_in = Window.partitionBy("flag", "shard").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_off = Window.partitionBy("flag").orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        pw.groupBy("flag", "shard")
+        .agg(F.sum("w").alias("sw"))
+        .select(
+            "flag",
+            "shard",
+            F.coalesce(F.sum("sw").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    totals = pw.groupBy("flag").agg(F.sum("w").alias("total"))
+    cum = (
+        pw.join(F.broadcast(offsets), ["flag", "shard"])
+        .withColumn("cw", F.col("off") + F.sum("w").over(w_in))
+        .join(F.broadcast(totals), "flag")
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").cast("double").alias("weighted_median"),
+            F.max("total").cast("double").alias("w_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compaction planner over the zone-map file inventory
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET = 4000  # rows per compaction output group (fixture-scaled)
+
+_COMPACT_ORACLE = f"""
+    WITH mk AS (SELECT max(l_orderkey) + 1 AS mk FROM lineitem),
+    files AS (
+      SELECT CAST((l_orderkey * {ZM_FILES}) // mk AS INT) AS file_id,
+             count(*) AS n_rows
+      FROM lineitem, mk GROUP BY 1
+    ),
+    pre AS (
+      SELECT file_id, n_rows,
+             coalesce(sum(n_rows) OVER (ORDER BY file_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM files
+    )
+    SELECT file_id, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(before AS BIGINT) AS rows_before,
+           CAST(before // {COMPACT_TARGET} AS BIGINT) AS compaction_group
+    FROM pre
+"""
+
+
+@register("q_layout_compaction_plan", oracle=_COMPACT_ORACLE)
+def q_layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: pack the table's files (the
+    zone-map inventory of ``q_layout_zonemap_skipping``) into
+    ~{COMPACT_TARGET}-row output groups by exclusive-prefix-sum binning
+    — the OPTIMIZE/rewrite planner every lakehouse table service runs,
+    expressed as a deterministic assignment every engine reproduces
+    (group = rows_before // target keeps adjacent files together and
+    never splits a file).
+
+    Scale: the inventory is O(files) METADATA rows (the zone-map
+    discipline — one combiner agg over the scan builds it), so the
+    prefix-sum window runs on file counts, not data; at 100 TB with
+    ~1M files this is still a single-task-friendly frame, and the
+    same shard-and-stitch as `q_agg_weighted_median` applies beyond
+    that."""
+    li = _t(spark, sf_dir, "lineitem")
+    mk = li.agg((F.max("l_orderkey") + 1).alias("mk"))
+    files = (
+        li.join(F.broadcast(mk))
+        .groupBy(
+            F.expr(f"(l_orderkey * {ZM_FILES}) div mk").cast("int").alias("file_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("file_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return files.select(
+        "file_id",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("rows_before"),
+        F.expr(
+            f"coalesce(sum(n_rows) OVER (PARTITION BY 0 ORDER BY file_id "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            f"div {COMPACT_TARGET}"
+        )
+        .cast("bigint")
+        .alias("compaction_group"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) of suppliers on exact aggregates
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+    WITH s AS (
+      SELECT l_suppkey AS suppkey,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue,
+             sum(l_discount) AS disc_given
+      FROM lineitem GROUP BY 1
+    )
+    SELECT suppkey,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(disc_given AS DOUBLE) AS disc_given
+    FROM s a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s b
+      WHERE (b.revenue > a.revenue AND b.disc_given <= a.disc_given)
+         OR (b.revenue >= a.revenue AND b.disc_given < a.disc_given)
+    )
+    """
+
+
+@register("q_skyline_suppliers", oracle=_SKYLINE_ORACLE)
+def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: the suppliers not dominated on
+    (revenue ↑, discount-given ↓) — "best trade-offs" analytics
+    (maximize one measure while minimizing another) without collapsing
+    to a single weighted score.
+
+    Plan (not the oracle's O(S²) NOT-EXISTS): per-supplier aggregates
+    are ONE combiner agg; then the frontier falls out of sorted prefix
+    minima — a supplier is dominated iff some strictly-higher-revenue
+    supplier has disc <= its disc (captured by the strict-prefix min
+    over distinct revenues, an O(distinct revenues) stitch frame) or a
+    same-revenue supplier has strictly lower disc (the per-revenue
+    group min).  All comparisons are exact decimal sums, so frontier
+    membership is partitioning-invariant.  The window frames run on
+    AGGREGATED supplier rows (dimension-sized), never the fact
+    table."""
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.sum("l_discount").alias("disc_given"),
+        )
+    )
+    grp = s.groupBy("revenue").agg(F.min("disc_given").alias("g_min"))
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("revenue")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    strict = grp.select(
+        "revenue", "g_min", F.min("g_min").over(w).alias("m_strict")
+    )
+    return (
+        s.join(F.broadcast(strict), "revenue")
+        .filter(
+            (F.col("m_strict").isNull() | (F.col("disc_given") < F.col("m_strict")))
+            & (F.col("disc_given") == F.col("g_min"))
+        )
+        .select(
+            "suppkey",
+            F.col("revenue").cast("double").alias("revenue"),
+            F.col("disc_given").cast("double").alias("disc_given"),
+        )
+    )

@@ -2546,6 +2546,21 @@ _HAMMING_ORACLE = f"""
 """
 
 
+def _hamming_sig_frame(spark: SparkSession, sf_dir: str, sig_kernel) -> DataFrame:
+    """Materialized (vec_id, sig) signature frame.
+
+    localCheckpoint(eager) because every consumer filters or joins the
+    SAME frame (ADVICE r6): without it the full-corpus signature kernel
+    executes once per plan branch (the q_graph_triangles pattern for a
+    multiply-consumed derived set).  Signatures are 8 bytes/vector, so
+    the checkpointed state is ~0.2% of the corpus footprint."""
+    return (
+        _vecs(spark, sf_dir)
+        .mapInPandas(sig_kernel, schema="vec_id long, sig long")
+        .localCheckpoint(eager=True)
+    )
+
+
 @register("q_ann_hamming_rank", oracle=_HAMMING_ORACLE)
 def q_ann_hamming_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-bit quantization retrieval: each vector compresses to a
@@ -2562,6 +2577,21 @@ def q_ann_hamming_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer distances make ties exact; (ham, neighbor_id) ordering
     pins them.  Recall quality is measured, not assumed — the same
     discipline as q_ann_recall (see test_llm_ops floors)."""
+    pairs = _hamming_pairs(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HAM_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("ham").cast("int").alias("hamming"),
+        )
+    )
+
+
+def _ham_sig_kernel():
     import numpy as np
     import pandas as pd
 
@@ -2592,33 +2622,123 @@ def q_ann_hamming_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "sig": bits @ weights}
             )
 
-    # Materialize the signature frame once (ADVICE r6): the query set
-    # filters the SAME frame, so without this the full-corpus signature
-    # kernel executes twice — once for the broadcast side, once for the
-    # probe side (the q_graph_triangles localCheckpoint pattern for a
-    # multiply-consumed derived set).  Signatures are 8 bytes/vector, so
-    # the checkpointed state is ~0.2% of the corpus footprint.
-    v = (
-        _vecs(spark, sf_dir)
-        .mapInPandas(sig_kernel, schema="vec_id long, sig long")
-        .localCheckpoint(eager=True)
-    )
+    return sig_kernel
+
+
+def _hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, neighbor_id, ham) over the broadcast query signature
+    set — the shared candidate stage of the 1-bit family."""
+    v = _hamming_sig_frame(spark, sf_dir, _ham_sig_kernel())
     q = v.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
     )
-    pairs = v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+    return v.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.expr("bit_count(sig ^ qsig)").alias("ham"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("ham"), F.asc("neighbor_id"))
+
+
+# ---------------------------------------------------------------------------
+# Two-stage retrieval: 1-bit Hamming shortlist -> exact cosine rerank
+# ---------------------------------------------------------------------------
+
+HAM_SHORTLIST = 20  # stage-1 candidates per query before exact rerank
+
+_HAM_RERANK_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, CAST({_ham_sig_sql()} AS BIGINT) AS sig
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0),
+    pairs AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             bit_count(xor(q.sig, v.sig)) AS ham
+      FROM q JOIN v ON q.vec_id <> v.vec_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id, ham FROM (
+        SELECT query_id, neighbor_id, ham,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY ham, neighbor_id) AS srank
+        FROM pairs
+      ) WHERE srank <= {HAM_SHORTLIST}
+    ),
+    e AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+          FROM embeddings),
+    scored AS (
+      SELECT s.query_id, s.neighbor_id, s.ham,
+             {dot_sql('qe.embedding', 'ne.embedding')}
+                 / (qe.vnorm * ne.vnorm) AS sim
+      FROM short s
+      JOIN e qe ON qe.vec_id = s.query_id
+      JOIN e ne ON ne.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+           CAST(round(sim, 9) AS DOUBLE) AS cosine,
+           CAST(ham AS INT) AS hamming
+    FROM (
+      SELECT query_id, neighbor_id, ham, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {HAM_K}
+"""
+
+
+@register("q_ann_hamming_rerank", oracle=_HAM_RERANK_ORACLE)
+def q_ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production binary-retrieval pipeline end to end: stage 1
+    shortlists {HAM_SHORTLIST} candidates per query by Hamming distance
+    over {HAM_PLANES}-bit signatures (XOR+popcount — the cheap filter),
+    stage 2 reranks ONLY the shortlist with exact float cosine and
+    keeps the top {HAM_K} — the retrieve-then-rerank shape every
+    binary-embedding system (and the PQ twin `q_ann_pq_rerank`) runs,
+    completing the quality ladder: hamming-only ranks cheap but
+    coarse; the rerank buys back exactness for {HAM_SHORTLIST} float
+    dot products per query instead of a full corpus scan.
+
+    Scale shape: the signature kernel runs ONCE (checkpointed, shared
+    with `q_ann_hamming_rank`); stage-1 pairs are a broadcast of the
+    bounded query signature set; stage 2 touches O(queries x
+    {HAM_SHORTLIST}) rows — the shortlist broadcasts into ONE keyed
+    pass over the embedding scan for neighbor vectors, and query
+    vectors (bounded) broadcast.  Exact integer distances and
+    (sim desc, neighbor_id) ordering pin every tie."""
+    short_w = Window.partitionBy("query_id").orderBy(
+        F.asc("ham"), F.asc("neighbor_id")
+    )
+    short = (
+        _hamming_pairs(spark, sf_dir)
+        .withColumn("srank", F.row_number().over(short_w))
+        .filter(F.col("srank") <= HAM_SHORTLIST)
+        .select("query_id", "neighbor_id", "ham")
+    )
+    e = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    qe = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("vnorm").alias("q_norm"),
+    )
+    scored = (
+        e.join(F.broadcast(short), e.vec_id == short.neighbor_id)
+        .join(F.broadcast(qe), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "ham",
+            (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("vnorm"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= HAM_K)
         .select(
             "query_id",
             "neighbor_id",
             F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 9).cast("double").alias("cosine"),
             F.col("ham").cast("int").alias("hamming"),
         )
     )

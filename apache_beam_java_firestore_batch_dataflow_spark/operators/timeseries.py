@@ -1269,3 +1269,167 @@ def q_events_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("moving_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal profile (weekday cells) with residual outlier counts
+# ---------------------------------------------------------------------------
+
+# Values quantize to integer micro-units before any aggregation, so the
+# per-cell sums are EXACT (int64 for sums, decimal(38,0) for sums of
+# squares) and the derived mean/stddev — and therefore the outlier
+# boundary — are partitioning-invariant: the double arithmetic happens
+# once per CELL on exact inputs, never as an order-dependent running
+# float sum.  dow is pure epoch arithmetic (0 = Thursday, the epoch
+# day) — no calendar-function parity risk between engines.
+_VAL_Q = 1_000_000
+
+_SEASONAL_ORACLE = f"""
+    WITH q AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000) % 7 AS dow,
+             CAST(floor(value * {_VAL_Q} + 0.5) AS BIGINT) AS vq
+      FROM events
+    ),
+    cell AS (
+      SELECT event_type, dow, count(*) AS n,
+             CAST(sum(vq) AS BIGINT) AS s,
+             CAST(sum(CAST(vq AS DECIMAL(38,0)) * vq) AS DECIMAL(38,0)) AS ss
+      FROM q GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, dow, n, s,
+             CAST(s AS DOUBLE) / n AS mean_q,
+             CASE WHEN n > 1 THEN
+               sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))
+             ELSE 0.0 END AS sd_q
+      FROM cell
+    )
+    SELECT st.event_type, CAST(st.dow AS INT) AS dow,
+           CAST(st.n AS BIGINT) AS n,
+           CAST(round(st.mean_q / {_VAL_Q}, 6) AS DOUBLE) AS mean_value,
+           CAST(round(st.sd_q / {_VAL_Q}, 6) AS DOUBLE) AS sd_value,
+           CAST(sum(CASE WHEN q.vq > st.mean_q + 2 * st.sd_q
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q JOIN stats st ON st.event_type = q.event_type AND st.dow = q.dow
+    GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@register("q_events_seasonal_profile", oracle=_SEASONAL_ORACLE)
+def q_events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality profile with residual outliers: per
+    (event_type, day-of-week) cell, the mean/stddev of the metric and
+    how many events sit above mean + 2σ of their OWN cell — the
+    seasonal-baseline anomaly screen ("is this Tuesday spike abnormal
+    for Tuesdays?") that complements the trend (OLS) and level (EWMA,
+    Holt) detectors.
+
+    Two combiner aggregations with a BROADCAST of the O(types × 7)
+    cell-stats frame between them — never a data-sized window: pass 1
+    computes exact integer sufficient statistics per cell, pass 2
+    counts threshold crossings per row against the broadcast boundary.
+    At 100 TB both passes are map-side-combined scans."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        ((epoch_us("ts") / 86_400_000_000).cast("bigint") % 7).alias("dow"),
+        F.floor(F.col("value") * _VAL_Q + 0.5).cast("bigint").alias("vq"),
+    )
+    cell = q.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vq").cast("bigint").alias("s"),
+        F.sum(F.col("vq").cast("decimal(38,0)") * F.col("vq"))
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    stats = cell.select(
+        "event_type",
+        "dow",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean_q"),
+        F.when(
+            F.col("n") > 1,
+            F.sqrt(
+                (
+                    F.col("ss").cast("double")
+                    - F.col("s").cast("double") * F.col("s") / F.col("n")
+                )
+                / (F.col("n") - 1)
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("sd_q"),
+    )
+    return (
+        q.join(F.broadcast(stats), ["event_type", "dow"])
+        .groupBy(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("mean_q") / _VAL_Q, 6).cast("double").alias("mean_value"),
+            F.round(F.col("sd_q") / _VAL_Q, 6).cast("double").alias("sd_value"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vq") > F.col("mean_q") + 2 * F.col("sd_q"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival gap statistics per event type
+# ---------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(round(CAST(sum(gap_us) AS DOUBLE)
+                      / count(gap_us) / 1000000.0, 6) AS DOUBLE) AS mean_gap_s,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+"""
+
+
+@register("q_events_interarrival", oracle=_INTERARRIVAL_ORACLE)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival statistics: per event type, the gaps between a
+    user's consecutive events of that type — the traffic-model /
+    rate-limiter input (mean arrival rate, burst floor, idle ceiling)
+    and the feed for hazard-style retention modeling.
+
+    The lag window partitions by (user_id, event_type) — millions of
+    small partitions at scale, the shape Spark's window operator
+    parallelizes perfectly (this is the sessionize key, NOT a global
+    order).  Gap arithmetic is exact integer microseconds; the one
+    division per GROUP happens on exact sums and rounds to 6 dp."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (epoch_us("ts") - epoch_us(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("gap_us") / 1_000_000.0, 6
+        )
+        .cast("double")
+        .alias("mean_gap_s"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
