@@ -3324,3 +3324,84 @@ def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("disc_given").cast("double").alias("disc_given"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: added / removed / changed / unchanged between versions
+# ---------------------------------------------------------------------------
+
+_SNAPDIFF_ORACLE = """
+    WITH mk AS (SELECT max(o_orderkey) AS mk FROM orders),
+    v1 AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+    v2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.00
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 101 <> 0
+      UNION ALL
+      SELECT o_orderkey + mk AS k, o_totalprice AS price
+      FROM orders, mk WHERE o_orderkey % 103 = 0
+    ),
+    d AS (
+      SELECT CASE WHEN v1.k IS NULL THEN 'added'
+                  WHEN v2.k IS NULL THEN 'removed'
+                  WHEN v1.price <> v2.price THEN 'changed'
+                  ELSE 'unchanged' END AS status,
+             coalesce(abs(v2.price - v1.price), 0) AS drift
+      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(drift) AS DOUBLE) AS price_drift
+    FROM d GROUP BY status
+"""
+
+
+@register("q_audit_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def q_audit_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff: classify every key across two snapshots as
+    added / removed / changed / unchanged and total the value drift —
+    the reconciliation report a lakehouse emits after every ingest
+    (and the check a migration runs before cutover; complements
+    `q_audit_table_checksum`, which says WHETHER two copies differ,
+    with WHAT differs).  The v2 snapshot is simulated deterministically
+    from v1 (keys %101 deleted, %97 repriced +1.00, %103 re-inserted
+    under shifted keys) so the operator exercises all four statuses.
+
+    ONE full-outer equi-join on the key plus a 4-group combiner agg; at
+    100 TB both sides bucket/sort-merge on the key and the comparison
+    is per-row map work — the canonical diff shape.  Price drift sums
+    exact decimals."""
+    o = _t(spark, sf_dir, "orders")
+    mk = o.agg(F.max("o_orderkey").alias("mk"))
+    v1 = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p1"))
+    v2 = (
+        o.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.00
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("p2"),
+        )
+        .unionAll(
+            o.filter(F.col("o_orderkey") % 103 == 0)
+            .join(F.broadcast(mk))
+            .select(
+                (F.col("o_orderkey") + F.col("mk")).alias("k"),
+                F.col("o_totalprice").alias("p2"),
+            )
+        )
+    )
+    d = v1.join(v2, "k", "full_outer").select(
+        F.when(F.col("p1").isNull(), "added")
+        .when(F.col("p2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.abs(F.col("p2") - F.col("p1")), F.lit(0)).alias("drift"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("drift").cast("double").alias("price_drift"),
+    )

@@ -1633,3 +1633,80 @@ def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair",
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKETS_ORACLE = r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                 t -> length(t) > 0)) AS tok
+      FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    vocab AS (SELECT tok, sum(c) AS tc FROM doc_tok GROUP BY tok),
+    total AS (SELECT sum(tc) AS n FROM vocab),
+    lp AS (
+      SELECT tok,
+             CAST(round(ln(CAST(tc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                  AS DECIMAL(38,6)) AS lp6
+      FROM vocab, total
+    ),
+    scores AS (
+      SELECT d.doc_id,
+             CAST(round(CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) AS DOUBLE)
+                        / sum(d.c), 6) AS DOUBLE) AS avg_logprob
+      FROM doc_tok d JOIN lp USING (tok)
+      GROUP BY d.doc_id
+    ),
+    th AS (
+      SELECT quantile_cont(avg_logprob, 0.3333333333333333) AS t1,
+             quantile_cont(avg_logprob, 0.6666666666666666) AS t2
+      FROM scores
+    )
+    SELECT s.doc_id, s.avg_logprob,
+           CASE WHEN s.avg_logprob < th.t1 THEN 'tail'
+                WHEN s.avg_logprob < th.t2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM scores s, th
+"""
+
+
+@register("q_quality_perplexity_buckets", oracle=_PPL_BUCKETS_ORACLE)
+def q_quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet recipe's quality split (Wenzek et al. 2020): score
+    every document with the LM quality proxy (here the corpus unigram
+    mean log-probability of `q_text_unigram_logprob`; CCNet uses a
+    KenLM perplexity — same shape, external model), then cut the
+    corpus into HEAD / MIDDLE / TAIL at the exact terciles — the
+    standard curriculum for choosing which web text trains first and
+    which gets dropped or down-weighted.
+
+    Scale shape: scoring is the unigram pipeline (combiner aggs + one
+    keyed join; the per-doc sum is an exact decimal dot product, so no
+    order-dependent float sum exists); the two tercile thresholds are
+    ONE exact-percentile aggregate broadcast back — never a global
+    sort or ntile over the corpus (an ntile(3) would need a total
+    order; the threshold form is the 100 TB way).  The scores frame
+    persists because both the threshold agg and the final projection
+    consume it."""
+    scores = q_text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", "avg_logprob"
+    ).persist()
+    th = scores.agg(
+        F.expr("percentile(avg_logprob, 0.3333333333333333)").alias("t1"),
+        F.expr("percentile(avg_logprob, 0.6666666666666666)").alias("t2"),
+    )
+    return scores.join(F.broadcast(th)).select(
+        "doc_id",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") < F.col("t1"), "tail")
+        .when(F.col("avg_logprob") < F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
