@@ -872,9 +872,12 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Stitch: exclusive prefix sum of per-shard totals — O(#shards)
     # rows under a lit(0) partition spec, then broadcast back.
-    w_off = Window.partitionBy(F.lit(0)).orderBy("shard").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    # pmod(shard, 1): constant partition spec that survives constant
+    # folding (lit(0) folds away, leaving an unpartitioned window and
+    # Spark's single-partition warning for this O(#shards) frame)
+    w_off = Window.partitionBy(F.pmod(F.col("shard"), F.lit(1))).orderBy(
+        "shard"
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = (
         net.groupBy("shard")
         .agg(F.sum("net").alias("shard_total"))
