@@ -73,9 +73,15 @@ _MODULES = [
 #   q_join_dynamic_partition_pruning,
 #   q_sketch_percentile_bounds,
 #   q_dedup_containment_pairs,
-# followed by queries REGISTERED THIS ROUND (never checked), then the
-# stalest greens (the r4-last rows noted in the r6 ledger).  Queries
-# not listed here follow in module-registration order.
+# followed by the queries REGISTERED IN ROUND 7 (never checked):
+#   q_window_ntile_deciles, q_agg_weighted_median,
+#   q_layout_compaction_plan, q_skyline_suppliers,
+#   q_events_seasonal_profile, q_events_interarrival,
+#   q_privacy_randomized_response, q_ann_hamming_rerank,
+#   q_quality_perplexity_buckets, q_audit_snapshot_diff,
+#   q_multimodal_resize_grid, q_text_bpe_apply_step,
+# then the stalest greens (the r4-last rows noted in the r6 ledger).
+# Queries not listed here follow in module-registration order.
 _PRIORITY = [
     # --- r6 red row, oracle cast fixed this round ---
     "q_bloom_semi_join",

@@ -106,6 +106,13 @@ HEADLINE = [
     "q_sessions_concurrency",
     "q_sequence_pattern_vcp",
     "q_multimodal_keyframes",
+    # round 7: one representative per new family — the shard-and-stitch
+    # weighted median, CCNet perplexity split, binary retrieve-then-
+    # rerank, and the snapshot diff
+    "q_agg_weighted_median",
+    "q_quality_perplexity_buckets",
+    "q_ann_hamming_rerank",
+    "q_audit_snapshot_diff",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -137,6 +144,10 @@ SCALING_QUERIES = [
     "q_graph_pagerank",
     "q_graph_triangles",
     "q_assoc_pairs_lift",
+    # round-7 additions: the shard-and-stitch prefix sum (weighted
+    # median) and the two-pass seasonal profile claim linear curves
+    "q_agg_weighted_median",
+    "q_events_seasonal_profile",
 ]
 
 
