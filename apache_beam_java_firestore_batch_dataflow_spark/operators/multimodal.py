@@ -1397,3 +1397,86 @@ def q_multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("y_sum", "f").cast("bigint").alias("keyframe_y_sum"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize / average-pool to a fixed grid (the ViT-preprocessing shape)
+# ---------------------------------------------------------------------------
+
+RESIZE_GRID = 2  # G x G output cells per image
+
+_RESIZE_ORACLE = f"""
+    WITH params AS (
+      SELECT doc_id, text,
+             doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h,
+             length(text) AS tl
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (p - 1) // 3 AS pix,
+             ascii(substr(text, CAST((p - 1) % tl AS INT) + 1, 1)) AS b
+      FROM params, LATERAL (SELECT unnest(range(1, 3 * w * h + 1)) AS p)
+    )
+    SELECT doc_id,
+           CAST(((pix // w) * {RESIZE_GRID}) // h AS INT) AS gy,
+           CAST(((pix % w) * {RESIZE_GRID}) // w AS INT) AS gx,
+           CAST(count(*) // 3 AS BIGINT) AS n_px,
+           CAST(round(CAST(sum(b) AS DOUBLE) / count(*), 6) AS DOUBLE)
+               AS mean_byte
+    FROM px GROUP BY 1, 2, 3
+"""
+
+
+@register("q_multimodal_resize_grid", oracle=_RESIZE_ORACLE)
+def q_multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE as average pooling to a fixed {RESIZE_GRID}x
+    {RESIZE_GRID} grid — the downsample/patchify step a vision encoder's
+    preprocessing runs (ViT patch embedding averages pixel blocks the
+    same way), completing the multimodal verb set (decode, hash,
+    histogram, frame-sample, RESIZE) with a real kernel over real PPM
+    bytes.
+
+    The Arrow kernel parses each P6 container, reshapes the raster, and
+    integer-pools per grid cell (cell boundaries by integer division, so
+    uneven dimensions split deterministically); output is O(G² ) rows
+    per image — bytes never shuffle, features leave the scan stage (the
+    dHash/keyframe discipline).  The oracle replays every raster byte
+    positionally from the synthesis formula and must agree on every
+    cell sum — parser, kernel, and oracle are independent paths."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        G = RESIZE_GRID
+        for pdf in batches:
+            out = {"doc_id": [], "gy": [], "gx": [], "n_px": [], "mean_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                # header: P6\n<w> <h>\n255\n — synthesized by ppm_table
+                nl2 = data.index(b"\n", data.index(b"\n") + 1)
+                w_s, h_s = data[3:nl2].split()
+                w, h = int(w_s), int(h_s)
+                start = data.index(b"\n", nl2 + 1) + 1
+                raster = np.frombuffer(
+                    data, dtype=np.uint8, count=3 * w * h, offset=start
+                ).astype(np.int64)
+                px = raster.reshape(h, w, 3).sum(axis=2)  # per-pixel byte sum
+                ys = (np.arange(h) * G) // h
+                xs = (np.arange(w) * G) // w
+                for gy in range(G):
+                    rows = px[ys == gy]
+                    for gx in range(G):
+                        cell = rows[:, xs == gx]
+                        out["doc_id"].append(int(doc_id))
+                        out["gy"].append(gy)
+                        out["gx"].append(gx)
+                        out["n_px"].append(int(cell.size))
+                        out["mean_byte"].append(
+                            round(float(cell.sum()) / (cell.size * 3), 6)
+                        )
+            yield pd.DataFrame(out)
+
+    return ppm_table(spark, sf_dir).mapInPandas(
+        kernel,
+        schema="doc_id long, gy int, gx int, n_px long, mean_byte double",
+    )

@@ -1710,3 +1710,102 @@ def q_quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("head")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE: apply the top merge and re-census (the trainer's second round)
+# ---------------------------------------------------------------------------
+
+_BPE_APPLY_ORACLE = r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^\p{L}]+'),
+                 t -> length(t) > 1)) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    pairs0 AS (
+      SELECT substr(tok, i, 2) AS pair, sum(cnt) AS n
+      FROM vocab, LATERAL (SELECT unnest(range(1, length(tok))) AS i)
+      GROUP BY 1
+    ),
+    top1 AS (SELECT pair FROM pairs0 ORDER BY n DESC, pair LIMIT 1),
+    vocab2 AS (
+      SELECT replace(tok, (SELECT pair FROM top1), '0') AS tok, cnt
+      FROM vocab
+    ),
+    pairs1 AS (
+      SELECT substr(tok, i, 2) AS pair, sum(cnt) AS n
+      FROM vocab2, LATERAL (SELECT unnest(range(1, length(tok))) AS i)
+      WHERE length(tok) > 1
+      GROUP BY 1
+    ),
+    top AS (SELECT pair, n FROM pairs1 ORDER BY n DESC, pair LIMIT 32)
+    SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS merge_rank,
+           pair, CAST(n AS BIGINT) AS n
+    FROM top
+"""
+
+
+@register("q_text_bpe_apply_step", oracle=_BPE_APPLY_ORACLE)
+def q_text_bpe_apply_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training ROUND TWO: apply the census's top merge to the
+    vocabulary (the merged pair becomes one symbol — '0', a character
+    the letters-only tokenizer can never emit) and re-census the pair
+    table — the iteration `q_text_bpe_merge` trains one step of,
+    demonstrating the trainer's loop shape end to end (Sennrich et al.
+    2016 iterate exactly this: vocab-with-counts -> best pair -> merge
+    -> recount).
+
+    `replace()` substitutes non-overlapping occurrences left-to-right
+    in BOTH engines — the same greedy-leftmost convention real BPE
+    uses, so 'aaa' under merge 'aa' becomes ('aa')'a' in all three code
+    paths.  Scale: the census operates on the DISTINCT vocabulary (the
+    r7 Zipf cut), the winning pair is a one-row broadcast (never
+    collected), and each round is two combiner aggs — k merge rounds =
+    the `kmeans()` checkpoint loop."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), TOKENIZER_PATTERN),
+                    lambda t: F.length(t) > 1,
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def pair_census(v: DataFrame) -> DataFrame:
+        return (
+            v.filter(F.length("tok") > 1)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("tok") - 1),
+                        lambda i: F.substr(F.col("tok"), i, F.lit(2)),
+                    )
+                ).alias("pair"),
+                "cnt",
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+        )
+
+    top1 = pair_census(vocab).orderBy(F.desc("n"), F.asc("pair")).limit(1).select(
+        F.col("pair").alias("mpair")
+    )
+    vocab2 = vocab.join(F.broadcast(top1)).select(
+        F.expr("replace(tok, mpair, '0')").alias("tok"), "cnt"
+    )
+    top = pair_census(vocab2).orderBy(F.desc("n"), F.asc("pair")).limit(BPE_TOP)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return top.select(
+        F.row_number().over(w).cast("int").alias("merge_rank"),
+        "pair",
+        F.col("n").cast("bigint").alias("n"),
+    )
