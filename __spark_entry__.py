@@ -58,83 +58,87 @@ _MODULES = [
 # `scripts/check_oracles.py` re-proves the FULL registry locally every
 # round (artifact: ORACLE_CHECK_r06.txt, 0 failures).
 #
-# Driver-row ledger going into round 7 (CORRECTNESS_r01..r06): r6 was
-# 49/50 green; the 1 red row (q_bloom_semi_join) was an ORACLE dtype
-# bug — DuckDB sum(INTEGER) emits HUGEINT, pandas converts to float64,
-# the driver hashes 1529.0 vs 1529 (values identical both engines,
-# verified by the judge).  Fixed this round with CAST(... AS BIGINT)
-# at the output boundary, plus a type-level guard
-# (tests/test_driver_contract.py::test_oracle_outputs_bind_without_hugeint
-# and scripts/check_oracles.py) that rejects ANY HUGEINT oracle output.
-# ROUND 7 prefix (exactly 50): the fixed bloom row first (VERDICT r6
-# item 1: keep it in the prefix until green), then 49 of the 52 round-6
-# registrations that have never seen a driver row, in their r6 queue
-# order.  The 3 spillovers lead the r8 prefix:
-#   q_join_dynamic_partition_pruning,
-#   q_sketch_percentile_bounds,
-#   q_dedup_containment_pairs,
-# followed by the queries REGISTERED IN ROUND 7 (never checked):
-#   q_window_ntile_deciles, q_agg_weighted_median,
-#   q_layout_compaction_plan, q_skyline_suppliers,
-#   q_events_seasonal_profile, q_events_interarrival,
-#   q_privacy_randomized_response, q_ann_hamming_rerank,
-#   q_quality_perplexity_buckets, q_audit_snapshot_diff,
-#   q_multimodal_resize_grid, q_text_bpe_apply_step,
-# then the stalest greens (the r4-last rows noted in the r6 ledger).
+# Driver-row ledger going into round 8 (CORRECTNESS_r01..r07): r7 was
+# 49/50 green; the 1 red row (q_audit_table_checksum) was the r6
+# HUGEINT class one type over — the oracle emitted DECIMAL(38,0) sums
+# ~5.4e19 > 2^53, which pandas .df() coerces to lossy float64 while
+# fetchall()-based rehearsal sees exact Decimals (judge-root-caused,
+# VERDICT r7 item 1).  Fixed this round by making the checksum 64-bit
+# BY CONSTRUCTION: bit_xor of the 56-bit per-row hashes on both sides
+# (stays BIGINT at any table size).  The type guard is widened to the
+# whole exceeds-float64-exact class — HUGEINT/UHUGEINT/UBIGINT and
+# DECIMAL(p>18) on the oracle side, DecimalType(p>18) on the Spark
+# side (tests/test_driver_contract.py::test_oracle_outputs_fit_float64_exact
+# + ::test_output_schema_is_atomic, mirrored in scripts/check_oracles.py).
+# ROUND 8 prefix (exactly 50): the fixed checksum row first (kept in
+# the prefix until green, same policy as r7's bloom), then the 3 r6
+# spillovers, then the 12 round-7 registrations (never checked), then
+# the 34 stalest greens (driver rows last seen in r4).  Still queued
+# for the ROUND 9 prefix: the remaining 16 r4-stale rows —
+#   q_stream_dedup_replayed, q_stream_interval_join, q_stream_sliding,
+#   q_stream_tumbling, q_subquery_in, q_text_bigrams_top,
+#   q_text_fingerprint, q_text_quality, q_text_repetition,
+#   q_text_tfidf_top_terms, q_text_unigram_logprob, q_time_rollup,
+#   q_token_count_bpe, q_udf_grouped_agg_pandas,
+#   q_udf_grouped_map_zscore, q_udf_scalar_pandas,
+# followed by any queries REGISTERED IN ROUND 8 (see the r8 section of
+# COVERAGE.md), then the r5-stale greens.
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- r6 red row, oracle cast fixed this round ---
-    "q_bloom_semi_join",
-    # --- registered round 6, never driver-checked (49 of 52) ---
-    "q_quality_topp_per_source",
-    "q_events_robust_scale",
-    "q_kanonymity_audit",
-    "q_embedding_spectral_scores",
-    "q_histogram_equidepth",
-    "q_events_attribution",
-    "q_stream_static_enrich",
-    "q_text_langid_confusion",
-    "q_drift_psi_events",
-    "q_sketch_kmv_join_estimate",
-    "q_ann_filtered_by_label",
-    "q_graph_pagerank",
-    "q_graph_triangles",
-    "q_scd2_priority_history",
-    "q_agg_incremental_merge",
-    "q_profile_entropy_mi",
-    "q_er_fuzzy_blocked",
-    "q_text_bpe_merge",
-    "q_events_m4_downsample",
-    "q_events_gapfill_hourly",
-    "q_assoc_pairs_lift",
-    "q_agg_mode",
-    "q_multimodal_audio_silence",
-    "q_multimodal_image_histogram",
-    "q_ann_hamming_rank",
-    "q_privacy_dp_counts",
-    "q_agg_skew_kurtosis",
-    "q_window_running_distinct",
-    "q_stream_window_topk",
-    "q_layout_zonemap_skipping",
-    "q_events_holt_linear",
-    "q_events_cusum_changepoint",
-    "q_regress_trend_per_type",
-    "q_customer_rfm",
-    "q_market_concentration_hhi",
-    "q_udtf_chunk_words",
-    "q_graph_components_semantic",
-    "q_agg_percentile_disc",
-    "q_join_null_safe",
-    "q_mix_temperature_weights",
-    "q_sample_balanced_labels",
-    "q_sessions_concurrency",
-    "q_supplier_pareto80",
-    "q_format_corrupt_quarantine",
-    "q_sequence_pattern_vcp",
-    "q_multimodal_keyframes",
-    "q_audit_sequence_gaps",
+    # --- r7 red row, 64-bit bit_xor checksum fixed this round ---
     "q_audit_table_checksum",
-    "q_events_moving_median",
+    # --- r6 spillovers, never driver-checked ---
+    "q_join_dynamic_partition_pruning",
+    "q_sketch_percentile_bounds",
+    "q_dedup_containment_pairs",
+    # --- registered round 7, never driver-checked (12) ---
+    "q_window_ntile_deciles",
+    "q_agg_weighted_median",
+    "q_layout_compaction_plan",
+    "q_skyline_suppliers",
+    "q_events_seasonal_profile",
+    "q_events_interarrival",
+    "q_privacy_randomized_response",
+    "q_ann_hamming_rerank",
+    "q_quality_perplexity_buckets",
+    "q_audit_snapshot_diff",
+    "q_multimodal_resize_grid",
+    "q_text_bpe_apply_step",
+    # --- stalest greens: driver rows last seen in r4 (34 of 50) ---
+    "q1_pricing_summary",
+    "q11_important_values",
+    "q13_customer_distribution",
+    "q_ann_ivf",
+    "q_ann_lsh",
+    "q_asof_join",
+    "q_chunk_documents",
+    "q_decontaminate_overlap",
+    "q_dedup_clusters",
+    "q_dedup_embedding_cosine",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_embedding_centroids",
+    "q_embedding_outliers",
+    "q_embedding_quantize_int8",
+    "q_format_roundtrip_csv",
+    "q_format_roundtrip_orc",
+    "q_join_broadcast_dim",
+    "q_kmeans_one_step",
+    "q_knn_bruteforce",
+    "q_mix_weighted_sources",
+    "q_multimodal_decode_stats",
+    "q_multimodal_frame_sample",
+    "q_multimodal_manifest",
+    "q_pack_char_budget",
+    "q_pii_redact",
+    "q_quantiles_doc_length",
+    "q_range_join_bucketed",
+    "q_salted_join_skew",
+    "q_sample_hash_deterministic",
+    "q_sample_stratified_quota",
+    "q_sessionize_gaps",
+    "q_wordcount_documents",
 ]
 
 

@@ -2912,47 +2912,52 @@ def q_audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHECKSUM_ORACLE = """
     SELECT 'customer' AS tbl, CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CAST('0x' || substr(md5(
+           CAST(bit_xor(CAST('0x' || substr(md5(
                  CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
                  CAST(c_nationkey AS VARCHAR)), 1, 14) AS BIGINT))
-                AS DECIMAL(38,0)) AS checksum
+                AS BIGINT) AS checksum
     FROM customer
     UNION ALL
     SELECT 'supplier', CAST(count(*) AS BIGINT),
-           CAST(sum(CAST('0x' || substr(md5(
+           CAST(bit_xor(CAST('0x' || substr(md5(
                  CAST(s_suppkey AS VARCHAR) || '|' || s_name || '|' ||
                  CAST(s_nationkey AS VARCHAR)), 1, 14) AS BIGINT))
-                AS DECIMAL(38,0))
+                AS BIGINT)
     FROM supplier
     UNION ALL
     SELECT 'region', CAST(count(*) AS BIGINT),
-           CAST(sum(CAST('0x' || substr(md5(
+           CAST(bit_xor(CAST('0x' || substr(md5(
                  CAST(r_regionkey AS VARCHAR) || '|' || r_name), 1, 14)
-                 AS BIGINT)) AS DECIMAL(38,0))
+                 AS BIGINT)) AS BIGINT)
     FROM region
 """
 
 
 @register("q_audit_table_checksum", oracle=_CHECKSUM_ORACLE)
 def q_audit_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-independent content checksums: per table, the exact sum of
-    a per-row md5-derived 56-bit integer over the row's canonical
+    """Order-independent content checksums: per table, the XOR of a
+    per-row md5-derived 56-bit integer over the row's canonical
     serialization — the replication / migration integrity check
     (`CHECKSUM TABLE`): two copies agree iff the checksums match,
     regardless of row order, partitioning, or engine.
 
-    Commutative+associative by construction (integer sum of per-row
-    hashes, accumulated as DECIMAL(38,0) so no overflow wraps
-    engine-dependently); pure map + one combiner agg per table.  The
-    canonical serialization pins '|'-joined column order — the part a
-    real CHECKSUM TABLE must specify or two engines will disagree on
-    bytes, not math."""
+    Commutative+associative by construction (bitwise XOR of per-row
+    hashes), and — unlike a wide integer SUM — the accumulator stays
+    BIGINT at any table size, so the value survives every downstream
+    representation (pandas float64 holds only 53 exact bits; a
+    DECIMAL(38,0) sum of 56-bit hashes exceeds that by sf0.01 already
+    — r7's one red driver row).  XOR's known blind spot (a row
+    appearing an even number of times cancels out) is disambiguated by
+    emitting n_rows alongside.  Pure map + one combiner agg per
+    table.  The canonical serialization pins '|'-joined column order —
+    the part a real CHECKSUM TABLE must specify or two engines will
+    disagree on bytes, not math."""
 
     def cksum(df: DataFrame, name: str, serial) -> DataFrame:
-        h = F.conv(F.substring(F.md5(serial), 1, 14), 16, 10).cast("decimal(38,0)")
+        h = F.conv(F.substring(F.md5(serial), 1, 14), 16, 10).cast("bigint")
         return df.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum(h).cast("decimal(38,0)").alias("checksum"),
+            F.bit_xor(h).cast("bigint").alias("checksum"),
         ).select(F.lit(name).alias("tbl"), "n_rows", "checksum")
 
     cust = _t(spark, sf_dir, "customer")

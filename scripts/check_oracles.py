@@ -38,6 +38,20 @@ def rowset(rows):
     return sorted(tuple(norm(v) for v in row) for row in rows)
 
 
+def _exceeds_float64_exact(type_str: str) -> bool:
+    """True when a DuckDB output type can hold integers beyond 2^53 —
+    the class the driver's pandas .df() path renders lossy (VERDICT r6:
+    HUGEINT; r7: DECIMAL(38,0)).  Mirrors
+    tests/test_driver_contract.py::_exceeds_float64_exact."""
+    import re
+
+    t = type_str.upper()
+    if "HUGEINT" in t or "UBIGINT" in t:
+        return True
+    m = re.match(r"DECIMAL\((\d+)", t)
+    return bool(m) and int(m.group(1)) > 18
+
+
 def _head_stamp() -> str:
     """Tie the artifact to the exact tree it proves (ADVICE r3: the
     committed ORACLE_CHECK must be reproducibly linked to HEAD)."""
@@ -107,18 +121,23 @@ def main() -> int:
             continue
         try:
             rel = con.sql(oracles[name])
-            # Driver-dtype guard (VERDICT r6): HUGEINT output columns
-            # become float64 under pandas .df(), so the driver hashes
-            # 1529.0 vs Spark's 1529 — a class fetchall() can never
-            # see.  Reject at the type level before value-comparing.
-            huge = [
+            # Driver-dtype guard (VERDICT r6+r7): output types that can
+            # hold integers beyond 2^53 — HUGEINT/UHUGEINT/UBIGINT and
+            # DECIMAL(p>18) — become lossy float64 under pandas .df(),
+            # so the driver hashes rounded values while fetchall() (and
+            # this rehearsal) sees exact ones.  Reject at the type
+            # level before value-comparing.
+            wide = [
                 f"{c}:{t}"
                 for c, t in zip(rel.columns, map(str, rel.types))
-                if "HUGEINT" in str(t).upper()
+                if _exceeds_float64_exact(str(t))
             ]
-            if huge:
+            if wide:
                 failures.append(name)
-                print(f"FAIL {name}: HUGEINT oracle output {huge} — CAST to BIGINT")
+                print(
+                    f"FAIL {name}: oracle output wider than float64-exact "
+                    f"{wide} — CAST to BIGINT / VARCHAR or use bit_xor"
+                )
                 continue
             dcols = list(rel.columns)
             drows = rel.fetchall()

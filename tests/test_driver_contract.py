@@ -39,21 +39,56 @@ def test_output_schema_is_atomic(spark, sf_dir, name, fn):
         "the driver's pandas canonicalizer cannot sort/hash these — "
         "explode to one row per element or emit a scalar digest instead"
     )
+    # VERDICT r7: any numeric wider than float64's 53 exact bits is
+    # lossy under the driver's pandas path even when BOTH engines
+    # compute identical values (q_audit_table_checksum emitted
+    # DECIMAL(38,0) sums ~5.4e19).  Reject Decimal(p>18) outputs here,
+    # mirroring the oracle-side guard below.
+    from pyspark.sql.types import DecimalType
+
+    wide = [
+        f"{f.name}:{f.dataType}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, DecimalType) and f.dataType.precision > 18
+    ]
+    assert not wide, (
+        f"{name} emits Decimal(p>18) column(s) {wide}; values beyond "
+        "2^53 round under the driver's pandas canonicalizer — keep "
+        "output integers within BIGINT (e.g. bit_xor instead of a wide "
+        "sum) or emit VARCHAR"
+    )
     spark.catalog.clearCache()
 
 
-def test_oracle_outputs_bind_without_hugeint():
-    """Bind every oracle in DuckDB (no execution) and reject
-    HUGEINT/UHUGEINT output columns.
+def _exceeds_float64_exact(type_str: str) -> bool:
+    """True when a DuckDB output type can hold integers beyond 2^53 —
+    the whole class the driver's pandas ``.df()`` path renders lossy:
+    HUGEINT/UHUGEINT (r6, ``q_bloom_semi_join``), UBIGINT, and any
+    DECIMAL with precision > 18 (r7, ``q_audit_table_checksum``:
+    DECIMAL(38,0) sums ~5.4e19 coerced to float64)."""
+    import re
+
+    t = type_str.upper()
+    if "HUGEINT" in t or "UBIGINT" in t:
+        return True
+    m = re.match(r"DECIMAL\((\d+)", t)
+    return bool(m) and int(m.group(1)) > 18
+
+
+def test_oracle_outputs_fit_float64_exact():
+    """Bind every oracle in DuckDB (no execution) and reject output
+    columns whose type exceeds float64's exact integer range.
 
     VERDICT r6: DuckDB ``sum(INTEGER)`` returns HUGEINT, which pandas
     ``.df()`` converts to float64, so the driver canonicalizes
     ``1529.0`` against Spark's ``1529`` and the value hash diverges
     even though both engines computed the identical integer
-    (``q_bloom_semi_join``, r6's only red row).  The fetchall()-based
-    rehearsal could never see this — Python ints erase the dtype — so
-    the guard lives at the type level: every oracle's OUTPUT boundary
-    must cast wide sums down to BIGINT/DOUBLE explicitly.
+    (``q_bloom_semi_join``, r6's only red row).  VERDICT r7: the same
+    class one type over — DECIMAL(38,0) checksum sums ~5.4e19 > 2^53
+    coerced just as lossily.  The fetchall()-based rehearsal can never
+    see either — Python ints/Decimals erase the dtype — so the guard
+    lives at the type level: every oracle's OUTPUT boundary must stay
+    within BIGINT/DOUBLE/DECIMAL(<=18).
     """
     import duckdb
 
@@ -70,14 +105,15 @@ def test_oracle_outputs_bind_without_hugeint():
         bad = [
             f"{c}:{t}"
             for c, t in zip(rel.columns, map(str, rel.types))
-            if "HUGEINT" in str(t).upper()
+            if _exceeds_float64_exact(str(t))
         ]
         if bad:
             offenders[name] = bad
     assert not offenders, (
-        f"oracles emitting HUGEINT/UHUGEINT output columns {offenders}; "
-        "pandas converts these to float64 so the driver hash-compares "
-        "1529.0 vs 1529 — CAST(... AS BIGINT) at the output boundary"
+        f"oracles emitting wider-than-float64-exact output columns "
+        f"{offenders}; pandas converts these to lossy float64 so the "
+        "driver hash-compares rounded values — CAST to BIGINT, emit "
+        "VARCHAR, or use an accumulator that stays 64-bit (bit_xor)"
     )
 
 
