@@ -840,14 +840,17 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — no tie rule needed).  The running sum is SHARDED BY TIME
     RANGE (VERDICT r6 item 4): each fixed-width time shard
     (``unix_micros(ts) div {_CONC_SHARD_US}`` — deterministic) runs its
-    own partitioned running sum, per-shard NET TOTALS (one combiner
-    agg, O(#shards) rows) get an exclusive running offset in a tiny
-    stitch window, and the offset joins back broadcast — so no task
-    ever sees more than one shard of boundaries.  At 100 TB a year of
-    hourly shards stitches through ~9k rows while the data-sized
-    window work stays fully parallel.  A session's end instant counts
-    as already freed only at the NEXT boundary (net at e sums its −1
-    with any +1 at the same instant)."""
+    own partitioned running sum, and the per-shard NET TOTAL comes out
+    of the SAME shard-partitioned exchange as a full-frame window sum
+    (VERDICT r7 item 4 — no second groupBy round-trip over the
+    boundaries).  One row per shard (row_number()==1, again the same
+    exchange) feeds the tiny exclusive-prefix stitch window, whose
+    offsets join back broadcast — so no task ever sees more than one
+    shard of boundaries.  At 100 TB a year of hourly shards stitches
+    through ~9k rows while the data-sized window work stays fully
+    parallel.  A session's end instant counts as already freed only at
+    the NEXT boundary (net at e sums its −1 with any +1 at the same
+    instant)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -867,32 +870,35 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = deltas.groupBy("ts").agg(F.sum("d").alias("net")).withColumn(
         "shard", (epoch_us("ts") / _CONC_SHARD_US).cast("bigint")
     )
-    w_run = Window.partitionBy("shard").orderBy("ts").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_ord = Window.partitionBy("shard").orderBy("ts")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Full-frame shard total: same partition spec as w_run, so it is
+    # computed inside the same exchange — no groupBy("shard") pass.
+    w_all = Window.partitionBy("shard")
+    ranked = net.select(
+        "ts",
+        "shard",
+        "net",
+        F.sum("net").over(w_run).alias("running"),
+        F.sum("net").over(w_all).alias("shard_total"),
+        F.row_number().over(w_ord).alias("rn"),
     )
-    # Stitch: exclusive prefix sum of per-shard totals — O(#shards)
-    # rows under a lit(0) partition spec, then broadcast back.
-    # pmod(shard, 1): constant partition spec that survives constant
-    # folding (lit(0) folds away, leaving an unpartitioned window and
-    # Spark's single-partition warning for this O(#shards) frame)
-    w_off = Window.partitionBy(F.pmod(F.col("shard"), F.lit(1))).orderBy(
-        "shard"
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        net.groupBy("shard")
-        .agg(F.sum("net").alias("shard_total"))
-        .select(
-            "shard",
-            F.coalesce(F.sum("shard_total").over(w_off), F.lit(0)).alias("offset"),
-        )
+    # Stitch: exclusive prefix sum over one row per shard.  This window
+    # is deliberately unpartitioned — its frame is O(#shards), bounded
+    # by data width / _CONC_SHARD_US, never by row count (plan guard:
+    # tests/test_plans.py::test_sessions_concurrency_windows_are_partitioned
+    # whitelists shard-ordered windows and bans unpartitioned ts-ordered
+    # ones).
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ranked.filter(F.col("rn") == 1).select(
+        "shard",
+        F.coalesce(F.sum("shard_total").over(w_off), F.lit(0)).alias("offset"),
     )
     return (
-        net.join(F.broadcast(offsets), "shard")
+        ranked.join(F.broadcast(offsets), "shard")
         .select(
             "ts",
             F.col("net").cast("bigint").alias("net"),
-            (F.col("offset") + F.sum("net").over(w_run))
-            .cast("bigint")
-            .alias("concurrent"),
+            (F.col("offset") + F.col("running")).cast("bigint").alias("concurrent"),
         )
     )

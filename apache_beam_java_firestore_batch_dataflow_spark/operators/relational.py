@@ -2893,10 +2893,13 @@ def q_audit_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = keys.groupBy("shard").agg(
         F.min("k").alias("min_k"), F.max("k").alias("max_k")
     )
-    # pmod(shard, 1) is constantly 0 but survives constant folding, so
-    # the O(#shards) stitch window keeps an explicit partition spec
-    # (lit(0) folds away and Spark then warns "No Partition Defined")
-    w_sh = Window.partitionBy(F.pmod(F.col("shard"), F.lit(1))).orderBy("shard")
+    # Deliberately unpartitioned: the stitch frame is O(#shards) —
+    # bounded by key-range / shard width, never by row count — so the
+    # single-partition execution is the design, not an accident
+    # (tests/test_plans.py::test_sequence_gaps_windows_are_partitioned
+    # whitelists shard-ordered windows and bans unpartitioned k-ordered
+    # ones).
+    w_sh = Window.orderBy("shard")
     cross = (
         bounds.select("max_k", F.lead("min_k").over(w_sh).alias("nxt_min"))
         .filter(F.col("nxt_min") - F.col("max_k") > 1)
@@ -3244,12 +3247,12 @@ def q_layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
-    # pmod(file_id, 1): constant partition spec that survives folding —
-    # the frame is O(files) metadata rows, but an explicit spec keeps
-    # the single-partition warning (and the judge's grep) away.
-    w = Window.partitionBy(F.pmod(F.col("file_id"), F.lit(1))).orderBy(
-        "file_id"
-    ).rowsBetween(Window.unboundedPreceding, -1)
+    # Deliberately unpartitioned: the prefix sum runs over O(#files)
+    # METADATA rows (one per planned output file), not data rows — at
+    # 100 TB that is ~#partitions, so single-partition execution is the
+    # design.  Spark's "No Partition Defined" warning is accurate and
+    # accepted here.
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
     return (
         files.withColumn(
             "rows_before",
@@ -3317,12 +3320,15 @@ def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     grp = s.groupBy("revenue").agg(F.min("disc_given").alias("g_min"))
-    # constant-but-unfoldable partition spec (see q_layout_compaction_plan);
-    # the bigint cast matters — pmod on the raw DECIMAL would partition by
-    # its fractional part
-    w = Window.partitionBy(
-        F.pmod(F.col("revenue").cast("bigint"), F.lit(1))
-    ).orderBy(F.desc("revenue")).rowsBetween(Window.unboundedPreceding, -1)
+    # Deliberately unpartitioned: the strict-frontier scan runs over
+    # O(#distinct revenue values) — already reduced by the combiner agg
+    # above, orders below the supplier row count — so single-partition
+    # execution of THIS frame is the accepted trade vs the oracle's
+    # O(S²) NOT-EXISTS; if the distinct-value count ever approached
+    # data size, the sequence-gaps shard+stitch pattern applies as-is.
+    w = Window.orderBy(F.desc("revenue")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     strict = grp.select(
         "revenue", "g_min", F.min("g_min").over(w).alias("m_strict")
     )
