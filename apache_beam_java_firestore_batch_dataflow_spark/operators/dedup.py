@@ -434,17 +434,24 @@ def propagate_min_label(
     i+1 consumes round i twice — dropping a mid-chain cache before the
     action re-inlines both branches and restores the 2^k blowup), so
     generations can only be released from the OLD end: after the loop,
-    all but the newest two are unpersisted — the oldest frames are the
-    cheap early rounds (generation 0 is the bare vertex projection), so
-    the bounded re-inline costs one extra scan, not an exponential
-    chain, and cached storage is <= 2 x O(vertices) per invocation
-    instead of k+1.  For DEEP runs pass ``checkpoint_every``: the label
-    frame is localCheckpoint(eager)-ed every N rounds (the
-    ``graph.pagerank`` / ``kmeans`` discipline), which truncates
-    lineage, lets EVERY tracked persist release immediately, and trades
-    the single-job property for O(N) plan depth — the right side of the
-    trade past k ~ 8.
+    all but the newest two are unpersisted — at the default ``k == 3``
+    that drops only generation 0 (the bare vertex projection), so the
+    bounded re-inline costs one extra scan and cached storage is
+    <= 2 x O(vertices) per invocation instead of k+1.  That one-extra-
+    scan bound holds ONLY for k <= 3: each dropped generation is
+    consumed twice by its successor, so a chain of d dropped
+    generations re-inlines ~2^d times (ADVICE r7).  Deeper runs
+    therefore AUTO-ENABLE ``checkpoint_every``: the label frame is
+    localCheckpoint(eager)-ed every N rounds (the ``graph.pagerank`` /
+    ``kmeans`` discipline), which truncates lineage, lets EVERY tracked
+    persist release immediately, and bounds the dropped-chain depth at
+    N <= 3 where the re-inline is one extra scan again.
     """
+    if checkpoint_every is None and iterations > LABEL_PROP_K:
+        # ADVICE r7: without a checkpoint, iterations > 3 leave a
+        # dropped-cache chain whose re-inline grows ~2^(k-2); the
+        # eager-checkpoint regime is strictly better past k=3.
+        checkpoint_every = LABEL_PROP_K
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()

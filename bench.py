@@ -151,6 +151,25 @@ SCALING_QUERIES = [
 ]
 
 
+# Headline queries whose DataFrame CONSTRUCTION executes real Spark
+# jobs before the timed noop write (ADVICE r7): iterative
+# localCheckpoint loops (pagerank, triangles' oriented-edge frame, the
+# semantic components' per-round convergence reads), eager signature-
+# kernel checkpoints (the 1-bit Hamming family), and the SemDeDup
+# codebook-sizing count.  Their "queries" timing covers the action
+# only; the JSON's eager_build_sec records the construction median so
+# consumers see the full cost and the boundary.  Audit source: grep
+# for localCheckpoint(eager=True) / .count() in operators/*.py.
+EAGER_BUILD_QUERIES = {
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_graph_components_semantic",
+    "q_dedup_semantic",
+    "q_ann_hamming_rank",
+    "q_ann_hamming_rerank",
+}
+
+
 def scaling_bench(spark, registry) -> dict:
     small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if os.environ.get("SPARK_GRAFT_SCALING", "1") == "0":
@@ -326,21 +345,45 @@ def main() -> None:
     )
     spark.catalog.clearCache()
 
+    # Scaling curves run BEFORE the headline loop (VERDICT r7 item 5):
+    # their protocol is fully cold anyway, and running them after 60+
+    # headline queries put late-run JVM memory pressure inside the
+    # medians (bloom's large leg measured 8.6s in-context vs 3.4s
+    # isolated) — curves were measuring run context, not plans.
+    scaling = scaling_bench(spark, registry)
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
     # Median-of-3 per query: single-run timings made round-over-round
     # comparison guesswork (VERDICT r2 flagged ~1.5x drift on untouched
     # queries).  Three timed executions per query, median reported; the
     # plan is rebuilt each run so no Spark-side caching hides work.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    eager_build: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name]
         samples: list[float] = []
+        builds: list[float] = []
         for _ in range(runs):
+            b0 = time.monotonic()
             df = fn(spark, SF_DIR)
+            builds.append(time.monotonic() - b0)
             start = time.monotonic()
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.monotonic() - start)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # ADVICE r7: queries that do EAGER work at DataFrame-construction
+        # time (iterative localCheckpoint loops, codebook-sizing counts)
+        # execute real Spark jobs before the timed noop write.  Surface
+        # that boundary in the JSON so per-query numbers are read
+        # against it — timings[name] alone understates those queries'
+        # cost.
+        if name in EAGER_BUILD_QUERIES:
+            eager_build[name] = round(sorted(builds)[len(builds) // 2], 3)
         # Drop cached frames BETWEEN queries (ADVICE r5: persist()-using
         # queries would otherwise accumulate executor storage across the
         # sweep).  Deliberately NOT per-rep: the CacheManager matches
@@ -361,7 +404,6 @@ def main() -> None:
             pass
 
     sink = sink_ratio_bench(spark)
-    scaling = scaling_bench(spark, registry)
     skew = skew_bench(spark)
 
     total = round(sum(timings.values()), 3)
@@ -377,6 +419,11 @@ def main() -> None:
                 "sink": sink,
                 "scaling": scaling,
                 "skew": skew,
+                # Median DataFrame-CONSTRUCTION seconds for queries with
+                # eager build-time work (iterative checkpoint loops,
+                # codebook-sizing counts); their "queries" entry times
+                # only the post-construction action (ADVICE r7).
+                "eager_build_sec": eager_build,
                 # r6 protocol bump (ADVICE r5 cache-leak fix): headline
                 # queries now run cache-ISOLATED (clearCache between
                 # queries — r1-r5 never cleared, so later dedup-family
@@ -387,6 +434,10 @@ def main() -> None:
                 # System.gc() runs in the untimed gap between headline
                 # queries (VERDICT r6 item 5's BPE outlier); timed
                 # semantics unchanged, so the id stays isolated-v2.
+                # r8: scaling legs moved BEFORE the headline loop
+                # (VERDICT r7 item 5 — late-run memory pressure was
+                # inflating the large-leg medians) and eager_build_sec
+                # added; per-query timed semantics still unchanged.
                 "protocol": "isolated-v2",
             }
         )

@@ -945,3 +945,19 @@ def test_propagate_min_label_bounds_cached_generations(spark):
     # ContextCleaner when their frames drop out of scope)
     assert n_df_caches() <= 1
     spark.catalog.clearCache()
+    # ADVICE r7: iterations > 3 without checkpoint_every would leave a
+    # dropped-cache chain that re-inlines ~2^(k-2) times — deep runs
+    # must auto-enable the checkpoint regime (labels identical, zero
+    # label caches left, and 5 hops genuinely reached: label 0 crosses
+    # the 5-edge path below only at k>=5)
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"]
+    )
+    deep = propagate_min_label(vertices, chain, iterations=5)
+    deep_rows = {r.doc_id: r.cluster_id for r in deep.collect()}
+    assert deep_rows[5] == 0  # 5 hops propagated
+    assert deep_rows[7] == 7  # isolated vertex keeps its own label
+    # the auto-checkpoint released every pre-checkpoint generation; at
+    # most the <=2 post-checkpoint gens + the edge frame remain
+    assert n_df_caches() <= 3
+    spark.catalog.clearCache()
