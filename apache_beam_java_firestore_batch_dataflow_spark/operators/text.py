@@ -1809,3 +1809,176 @@ def q_text_bpe_apply_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair",
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE: the full training loop — k rounds of census -> best merge -> apply
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_K = 4  # rounds for the registered/tested variant
+
+# Merge placeholders: round i's winning pair collapses to one private-use
+# codepoint (U+E000+i).  The letters-only tokenizer can never emit these,
+# so the replace map is INJECTIVE (a merged token uniquely inverts by
+# substituting the pair back) — no re-aggregation of the vocabulary is
+# needed after a merge, and later rounds can legitimately learn pairs
+# that CONTAIN earlier merge symbols (how BPE grows multi-char units).
+BPE_SYM_BASE = 0xE000
+
+
+def _bpe_pair_census(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the DISTINCT vocabulary (the
+    r7 Zipf cut: explode distinct tokens, weight by corpus frequency —
+    never the raw token stream)."""
+    return (
+        vocab.filter(F.length("tok") > 1)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.substr(F.col("tok"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+    )
+
+
+def bpe_train(
+    vocab: DataFrame, k: int = BPE_TRAIN_K, checkpoint_every: int | None = None
+) -> DataFrame:
+    """Train ``k`` BPE merges over a ``(tok, cnt)`` vocabulary frame and
+    return the learned merge table ``(round, pair, n)`` — Sennrich et
+    al. 2016's loop (census pairs -> take the most frequent -> merge it
+    everywhere -> recount), the step `q_text_bpe_merge` and
+    `q_text_bpe_apply_step` each demonstrate once, iterated to a
+    training run (VERDICT r7 item 6).
+
+    Loop discipline (the ``pagerank(k)`` / ``kmeans()`` shape): each
+    round's winning pair is a ONE-ROW frame, eagerly localCheckpoint-ed
+    — that action is what materializes the round (and the vocabulary
+    cache feeding it), and checkpointing it cuts the census subtree out
+    of every later round's lineage.  Each vocabulary generation is
+    persisted (the census and the merge join both consume it); because
+    rounds materialize eagerly, generations older than the previous one
+    are fully consumed and released IN the loop — cached storage stays
+    <= 2 x O(vocab) however deep the run.  ``checkpoint_every`` (deep
+    runs) additionally checkpoints the vocabulary itself every N rounds,
+    truncating plan depth the same way pagerank does.  Ties break on
+    (count desc, pair asc) — byte order agrees between Spark and DuckDB
+    (both compare binary UTF-8) — so the merge table is deterministic.
+
+    Scale shape: every round is two combiner aggs over O(vocab) rows +
+    a one-row broadcast join; nothing corpus-sized crosses a round
+    boundary, and the driver never sees a pair string."""
+    merges: DataFrame | None = None
+    cached: list[DataFrame] = []
+    for i in range(k):
+        vocab = vocab.persist()
+        cached.append(vocab)
+        best = (
+            _bpe_pair_census(vocab)
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .select(
+                F.lit(i + 1).cast("int").alias("round"),
+                "pair",
+                F.col("n").cast("bigint").alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        merges = best if merges is None else merges.unionAll(best)
+        vocab = vocab.join(
+            F.broadcast(best.select(F.col("pair").alias("mpair")))
+        ).select(
+            F.replace(
+                F.col("tok"), F.col("mpair"), F.lit(chr(BPE_SYM_BASE + i))
+            ).alias("tok"),
+            "cnt",
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+            for g in cached:
+                g.unpersist(blocking=False)
+            cached.clear()
+        elif len(cached) > 2:
+            # best's eager action consumed generation i fully, so the
+            # i-2 generation has no remaining lazy consumer — release.
+            cached.pop(0).unpersist(blocking=False)
+    for g in cached[:-2]:
+        g.unpersist(blocking=False)
+    return merges
+
+
+_BPE_TRAIN_ORACLE = rf"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+                 regexp_split_to_array(lower(text), '[^\p{{L}}]+'),
+                 t -> length(t) > 1)) AS tok
+      FROM documents
+    ),
+    v0 AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    c1 AS (
+      SELECT substr(tok, i, 2) AS pair, sum(cnt) AS n
+      FROM v0, LATERAL (SELECT unnest(range(1, length(tok))) AS i)
+      GROUP BY 1
+    ),
+    b1 AS (SELECT pair, n FROM c1 ORDER BY n DESC, pair LIMIT 1),
+    v1 AS (SELECT replace(tok, (SELECT pair FROM b1), chr({BPE_SYM_BASE})) AS tok,
+                  cnt FROM v0),
+    c2 AS (
+      SELECT substr(tok, i, 2) AS pair, sum(cnt) AS n
+      FROM v1, LATERAL (SELECT unnest(range(1, length(tok))) AS i)
+      GROUP BY 1
+    ),
+    b2 AS (SELECT pair, n FROM c2 ORDER BY n DESC, pair LIMIT 1),
+    v2 AS (SELECT replace(tok, (SELECT pair FROM b2), chr({BPE_SYM_BASE + 1})) AS tok,
+                  cnt FROM v1),
+    c3 AS (
+      SELECT substr(tok, i, 2) AS pair, sum(cnt) AS n
+      FROM v2, LATERAL (SELECT unnest(range(1, length(tok))) AS i)
+      GROUP BY 1
+    ),
+    b3 AS (SELECT pair, n FROM c3 ORDER BY n DESC, pair LIMIT 1),
+    v3 AS (SELECT replace(tok, (SELECT pair FROM b3), chr({BPE_SYM_BASE + 2})) AS tok,
+                  cnt FROM v2),
+    c4 AS (
+      SELECT substr(tok, i, 2) AS pair, sum(cnt) AS n
+      FROM v3, LATERAL (SELECT unnest(range(1, length(tok))) AS i)
+      GROUP BY 1
+    ),
+    b4 AS (SELECT pair, n FROM c4 ORDER BY n DESC, pair LIMIT 1)
+    SELECT CAST(1 AS INT) AS round, pair, CAST(n AS BIGINT) AS n FROM b1
+    UNION ALL SELECT 2, pair, CAST(n AS BIGINT) FROM b2
+    UNION ALL SELECT 3, pair, CAST(n AS BIGINT) FROM b3
+    UNION ALL SELECT 4, pair, CAST(n AS BIGINT) FROM b4
+"""
+
+
+@register("q_text_bpe_train_k4", oracle=_BPE_TRAIN_ORACLE)
+def q_text_bpe_train_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four full BPE training rounds over the corpus vocabulary: the
+    merge table ``(round, pair, n)`` a tokenizer trainer would persist
+    — each row is the pair that won round i and its weighted frequency
+    AT MERGE TIME.  The oracle unrolls the identical four rounds as
+    chained CTEs (recursive CTEs cannot aggregate over the recursive
+    table, so the fixed-k loop is the SQL-expressible form).
+
+    See `bpe_train` for the loop and cache discipline; this entry runs
+    it at k={BPE_TRAIN_K} on the `q_text_bpe_merge` vocabulary census."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), TOKENIZER_PATTERN),
+                    lambda t: F.length(t) > 1,
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return bpe_train(vocab, k=BPE_TRAIN_K)
