@@ -414,3 +414,98 @@ def q_graph_components_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").alias("component_id"),
         F.col("component_size").cast("bigint").alias("component_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (bounded rounds)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 2
+
+
+def kcore_peel(
+    arcs: DataFrame,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """``rounds`` synchronized peels toward the k-core: each round drops
+    every node whose CURRENT degree is below ``k`` (and all its arcs),
+    returning the surviving ``(node, residual_degree)`` frame.  The
+    full k-core is this loop run to fixpoint; the bounded unrolled form
+    is the benchmarkable single-plan shape (the ``pagerank(k)`` /
+    ``LABEL_PROP_K`` convention — each registered graph loop exposes
+    its iteration count in the name).
+
+    Expects BOTH arcs of each undirected edge, so out-degree == degree
+    and one ``groupBy(src)`` per round is the whole degree pass.  Each
+    round consumes its arc frame three times (degree + both semi-join
+    sides), so every generation persists (the label-prop 3-branch
+    lesson); generations release from the old end after the action,
+    and ``checkpoint_every`` switches deep runs to the eager
+    truncated-lineage regime."""
+    cached: list[DataFrame] = []
+    for i in range(rounds):
+        arcs = arcs.persist()
+        cached.append(arcs)
+        keep = (
+            arcs.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        arcs = arcs.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        ).select("src", "dst")
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            arcs = arcs.localCheckpoint(eager=True)
+            for g in cached:
+                g.unpersist(blocking=False)
+            cached.clear()
+    for g in cached[:-2]:
+        g.unpersist(blocking=False)
+    return arcs.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("residual_degree")
+    ).select(F.col("src").alias("node"), "residual_degree")
+
+
+_KCORE_ORACLE = f"""
+    WITH half AS ({_PR_EDGES_SQL}),
+    arcs0 AS (SELECT src, dst FROM half
+              UNION ALL SELECT dst, src FROM half),
+    k1 AS (SELECT src FROM arcs0 GROUP BY src
+           HAVING count(*) >= {KCORE_K}),
+    arcs1 AS (SELECT a.src, a.dst FROM arcs0 a
+              JOIN k1 ks ON a.src = ks.src
+              JOIN k1 kd ON a.dst = kd.src),
+    k2 AS (SELECT src FROM arcs1 GROUP BY src
+           HAVING count(*) >= {KCORE_K}),
+    arcs2 AS (SELECT a.src, a.dst FROM arcs1 a
+              JOIN k2 ks ON a.src = ks.src
+              JOIN k2 kd ON a.dst = kd.src)
+    SELECT src AS node,
+           (src % 2 = 1) AS is_supplier,
+           CAST(count(*) AS BIGINT) AS residual_degree
+    FROM arcs2 GROUP BY src
+"""
+
+
+@register("q_graph_kcore2", oracle=_KCORE_ORACLE)
+def q_graph_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two peeling rounds toward the {KCORE_K}-core of the
+    customer–supplier graph: who remains after twice removing every
+    weakly-connected participant — the community-density screen (spam
+    rings and one-off buyers fall out; the stable trading core stays)
+    that complements triangles (local density) and components (reach).
+
+    Scale shape: each round is one combiner degree agg + two shuffled
+    semi-joins over the arc table — all keyed, no windows, no
+    collects; state never exceeds O(arcs).  See `kcore_peel` for the
+    cache discipline."""
+    peeled = kcore_peel(_pr_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
+    return peeled.select(
+        "node",
+        (F.col("node") % 2 == 1).alias("is_supplier"),
+        "residual_degree",
+    )

@@ -2756,3 +2756,98 @@ def q_ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ham").cast("int").alias("hamming"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation quality: energy captured by embedding prefixes
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32)  # prefix lengths audited (full DIM = 64)
+
+_MRL_ORACLE = f"""
+    WITH d AS (SELECT unnest([{", ".join(str(d) for d in MRL_DIMS)}]) AS trunc_dim),
+    r AS (
+      SELECT d.trunc_dim,
+             CAST(floor(
+               {dot_sql('(embedding[1:d.trunc_dim])', '(embedding[1:d.trunc_dim])')}
+               / {dot_sql('embedding', 'embedding')} * 1000000 + 0.5)
+             AS BIGINT) AS units
+      FROM embeddings, d
+      WHERE {dot_sql('embedding', 'embedding')} > 0
+    )
+    SELECT CAST(trunc_dim AS INT) AS trunc_dim,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(round(CAST(sum(units) AS DOUBLE) / count(*) / 1000000, 6)
+                AS DOUBLE) AS mean_energy,
+           CAST(quantile_cont(units, 0.5) * 2 AS BIGINT)
+               AS median_energy_half_units,
+           CAST(round(CAST(min(units) AS DOUBLE) / 1000000, 6) AS DOUBLE)
+               AS min_energy
+    FROM r GROUP BY trunc_dim
+"""
+
+
+@register("q_embedding_matryoshka_quality", oracle=_MRL_ORACLE)
+def q_embedding_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation audit: for each prefix length d in
+    {MRL_DIMS}, how much of each vector's energy the first d dimensions
+    capture (``|v[:d]|² / |v|²``) — the go/no-go table for serving
+    truncated embeddings (Kusupati et al. 2022's adaptive-retrieval
+    premise: an MRL-trained model front-loads information, so prefix
+    energy ~1 means d dims retrieve nearly as well as all {DIM}).
+
+    Exactness: the per-vector ratio is ONE double division of two
+    sequential-fold dot products (engine-identical), quantized to 1e-6
+    units BEFORE aggregation — sums are exact int64, the mean divides
+    once, and the median interpolates over integers (quantile_cont ==
+    percentile parity) and is emitted in exact HALF-UNITS (the
+    midpoint doubles to an integer; rounding the .5e-6 midpoint itself
+    hits a 1-ulp engine boundary) — the repo's quantize-sum-divide-once
+    discipline for float statistics.
+
+    Scale shape: one corpus scan, {len(MRL_DIMS)}× row expansion of
+    scalar (dim, units) pairs — never the vectors — then a combiner agg
+    to {len(MRL_DIMS)} rows.  No shuffle carries an embedding."""
+    v = _vecs(spark, sf_dir)
+    full = dot(F.col("embedding"), F.col("embedding"))
+    rows = (
+        v.select("embedding", full.alias("e_full"))
+        .filter(F.col("e_full") > 0)
+        .select(
+            F.explode(F.array(*[F.lit(d) for d in MRL_DIMS])).alias("trunc_dim"),
+            "embedding",
+            "e_full",
+        )
+        .select(
+            "trunc_dim",
+            F.floor(
+                dot(
+                    F.slice(F.col("embedding"), F.lit(1), F.col("trunc_dim")),
+                    F.slice(F.col("embedding"), F.lit(1), F.col("trunc_dim")),
+                )
+                / F.col("e_full")
+                * 1_000_000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("units"),
+        )
+    )
+    return rows.groupBy("trunc_dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.sum("units").cast("double") / F.count(F.lit(1)) / 1e6, 6)
+        .cast("double")
+        .alias("mean_energy"),
+        (F.expr("percentile(units, 0.5)") * 2)
+        .cast("bigint")
+        .alias("median_energy_half_units"),
+        F.round(F.min("units").cast("double") / 1e6, 6)
+        .cast("double")
+        .alias("min_energy"),
+    ).select(
+        F.col("trunc_dim").cast("int").alias("trunc_dim"),
+        "n_vecs",
+        "mean_energy",
+        "median_energy_half_units",
+        "min_energy",
+    )

@@ -1982,3 +1982,70 @@ def q_text_bpe_train_k4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return bpe_train(vocab, k=BPE_TRAIN_K)
+
+
+# ---------------------------------------------------------------------------
+# Charset / script profile: per-document character-class composition
+# ---------------------------------------------------------------------------
+
+_CHARSET_ORACLE = r"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+             length(text) - length(regexp_replace(text, '\p{L}', '', 'g'))
+                 AS n_letter,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS n_digit,
+             length(text) - length(regexp_replace(text, '\s', '', 'g'))
+                 AS n_space
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CAST(round(CAST(n_letter AS DOUBLE) / n, 6) AS DOUBLE)
+               AS letter_ratio,
+           CAST(round(CAST(n_digit AS DOUBLE) / n, 6) AS DOUBLE)
+               AS digit_ratio,
+           CAST(round(CAST(n_space AS DOUBLE) / n, 6) AS DOUBLE)
+               AS space_ratio,
+           CAST(round(CAST(n - n_letter - n_digit - n_space AS DOUBLE) / n, 6)
+                AS DOUBLE) AS other_ratio
+    FROM c
+"""
+
+
+@register("q_text_charset_profile", oracle=_CHARSET_ORACLE)
+def q_text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per document — the charset screen a
+    crawl-cleaning pipeline runs before language ID: letter / digit /
+    whitespace / other ratios expose binary-junk pastes (high other),
+    table dumps (high digit), and whitespace bombs, each a standard
+    drop rule alongside the Gopher battery.
+
+    Class counts come from global ``regexp_replace`` deletion (both
+    engines delete ALL matches; Java and RE2 agree on ``\\p{L}`` and
+    ``\\s``), so each ratio is one exact-integer division rounded once
+    — no float accumulation anywhere.  Pure per-row projection: zero
+    shuffles at any scale."""
+    docs = _docs(spark, sf_dir)
+    n = F.length("text")
+    n_letter = n - F.length(F.regexp_replace("text", r"\p{L}", ""))
+    n_digit = n - F.length(F.regexp_replace("text", "[0-9]", ""))
+    n_space = n - F.length(F.regexp_replace("text", r"\s", ""))
+    return (
+        docs.filter(n > 0)
+        .select(
+            "doc_id",
+            n.cast("bigint").alias("n_chars"),
+            F.round(n_letter.cast("double") / n, 6)
+            .cast("double")
+            .alias("letter_ratio"),
+            F.round(n_digit.cast("double") / n, 6)
+            .cast("double")
+            .alias("digit_ratio"),
+            F.round(n_space.cast("double") / n, 6)
+            .cast("double")
+            .alias("space_ratio"),
+            F.round((n - n_letter - n_digit - n_space).cast("double") / n, 6)
+            .cast("double")
+            .alias("other_ratio"),
+        )
+    )

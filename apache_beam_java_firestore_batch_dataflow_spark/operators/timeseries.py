@@ -1433,3 +1433,110 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").cast("bigint").alias("min_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function over the hourly event-count series
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = 6  # lags reported (hours)
+
+_ACF_ORACLE = f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, k.k,
+             CAST(a.c AS BIGINT) AS x, CAST(b.c AS BIGINT) AS y
+      FROM hourly a
+      JOIN (SELECT unnest(range(1, {ACF_LAGS + 1})) AS k) k ON true
+      JOIN hourly b
+        ON b.event_type = a.event_type AND b.h = a.h - k.k
+    ),
+    s AS (
+      SELECT event_type, k, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, CAST(k AS INT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN CAST(round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                     AS DOUBLE)
+                ELSE NULL END AS acf
+    FROM s
+"""
+
+
+@register("q_events_autocorrelation", oracle=_ACF_ORACLE)
+def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's hourly volume at
+    lags 1..{ACF_LAGS} — the seasonality detector feeding forecast
+    model choice (a daily cycle shows as a lag-24 peak; short-memory
+    traffic decays geometrically) and the standard diagnostic next to
+    the trend (OLS), level (EWMA/Holt) and weekday-profile screens.
+
+    Gap-robust by construction: aligned pairs come from a self-JOIN on
+    ``(type, hour - k)`` — a lag window over existing rows would
+    silently treat missing hours as adjacent.  Pearson r per (type,
+    lag) is computed from exact integer sufficient statistics (counts
+    are integers, so Σx, Σxy, Σx² are exact in both engines — the
+    repo's quantize-sum-divide-once discipline) with ONE double
+    division + round(6) at the end; zero-variance series yield NULL,
+    identically CASE-guarded in both engines.
+
+    Scale shape: the hourly rollup is a map-side-combined agg that
+    crushes the corpus to O(types x hours) rows; the lag join and the
+    final agg run on that reduced frame — at 100 TB the series frame
+    for a year is ~9k rows per type, broadcastable."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (epoch_us("ts") / 3_600_000_000).cast("bigint").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in range(1, ACF_LAGS + 1)]))
+    shifted = hourly.select(
+        F.col("event_type").alias("e2"),
+        ks.alias("k"),
+        "h",
+        F.col("c").alias("y"),
+    ).select("e2", "k", (F.col("h") + F.col("k")).alias("h2"), "y")
+    pairs = hourly.join(
+        shifted,
+        (F.col("event_type") == F.col("e2")) & (F.col("h") == F.col("h2")),
+    ).select("event_type", "k", F.col("c").alias("x"), "y")
+    s = pairs.groupBy("event_type", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "event_type",
+        F.col("k").cast("int").alias("lag"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.when(
+            den > 0,
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(den),
+                6,
+            ).cast("double"),
+        ).alias("acf"),
+    )

@@ -370,3 +370,90 @@ def q_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     unified API + per-micro-batch rank in foreachBatch (see
     `window_topk` docstring and the parity test)."""
     return window_topk(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit: what a given delay WOULD drop, measured
+# ---------------------------------------------------------------------------
+
+WATERMARK_DELAY_S = 900  # the delay under audit (matches SESSION_GAP)
+_LATE_SHARD_IDS = 8192  # fixed event_id width per prefix-max shard
+
+_LATENESS_ORACLE = f"""
+    WITH seq AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             max(epoch_us(ts)) OVER (ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM events
+    ),
+    scored AS (
+      SELECT event_type,
+             CASE WHEN pmax IS NOT NULL
+                       AND t < pmax - {WATERMARK_DELAY_S} * 1000000
+                  THEN pmax - {WATERMARK_DELAY_S} * 1000000 - t
+                  ELSE NULL END AS late_us
+      FROM seq
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(late_us) AS BIGINT) AS n_late,
+           CAST(coalesce(max(late_us), 0) AS BIGINT) AS max_lateness_us
+    FROM scored GROUP BY event_type
+"""
+
+
+@register("q_stream_lateness_audit", oracle=_LATENESS_ORACLE)
+def q_stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark what-if: replay the stream in arrival order (event_id
+    is the fixture's ingestion sequence) and count, per event type, the
+    rows a ``withWatermark(ts, {WATERMARK_DELAY_S}s)`` pipeline would
+    DROP — i.e. rows whose event time is older than the running
+    max-event-time-so-far minus the delay — plus the worst observed
+    lateness.  This is the audit teams run BEFORE picking a watermark
+    delay: the (delay → loss) curve's single point, computed exactly.
+
+    The running maximum is a prefix scan in arrival order — the same
+    total-order problem as `q_sessions_concurrency`'s running sum, and
+    it gets the same 100×-safe plan: fixed-width event_id shards
+    ({_LATE_SHARD_IDS} ids) each run a partitioned exclusive running
+    max; per-shard maxima come out of the SAME exchange (full-frame
+    window max + row_number()==1), stitch through an O(#shards)
+    exclusive prefix-max window, and broadcast back.  All lateness
+    arithmetic is exact integer microseconds."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        (F.col("event_id") / _LATE_SHARD_IDS).cast("bigint").alias("shard"),
+    )
+    w_ord = Window.partitionBy("shard").orderBy("event_id")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy("shard")
+    ranked = ev.select(
+        "event_type",
+        "shard",
+        "t",
+        F.max("t").over(w_run).alias("intra_max"),
+        F.max("t").over(w_all).alias("shard_max"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    # O(#shards) stitch: exclusive prefix max of shard maxima.
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ranked.filter(F.col("rn") == 1).select(
+        "shard", F.max("shard_max").over(w_off).alias("prev_max")
+    )
+    horizon = F.greatest(
+        F.coalesce(F.col("intra_max"), F.lit(None).cast("bigint")),
+        F.col("prev_max"),
+    ) - F.lit(WATERMARK_DELAY_S * 1_000_000)
+    scored = ranked.join(F.broadcast(offsets), "shard").select(
+        "event_type",
+        F.when(F.col("t") < horizon, horizon - F.col("t")).alias("late_us"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("late_us").cast("bigint").alias("n_late"),
+        F.coalesce(F.max("late_us"), F.lit(0)).cast("bigint").alias("max_lateness_us"),
+    )
