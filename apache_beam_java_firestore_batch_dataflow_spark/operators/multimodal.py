@@ -1480,3 +1480,88 @@ def q_multimodal_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema="doc_id long, gy int, gx int, n_px long, mean_byte double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio decimation resample (integer frame drop)
+# ---------------------------------------------------------------------------
+
+AUDIO_DECIMATE = 4  # keep every 4th frame
+
+DECIMATE_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, factor int, "
+    "n_frames_out int, peak_out int, abs_sum_out long, sum_sq_out long"
+)
+
+
+@register(
+    "q_multimodal_audio_decimate",
+    # Replays the generating formula, keeping frames where
+    # (k // channels) % AUDIO_DECIMATE == 0 — the decimated stream.
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             doc_id % 50 + 20 AS n_frames,
+             doc_id % 2 + 1  AS channels,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+                 AS sample_rate
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, sample_rate, channels,
+             (doc_id * 7919 + k * 104729) % 65521 - 32760 AS s
+      FROM params, LATERAL (SELECT unnest(range(0, n_frames * channels)) AS k)
+      WHERE (k // channels) % {AUDIO_DECIMATE} = 0
+    )
+    SELECT doc_id,
+           CAST(sample_rate AS INT) AS sample_rate,
+           CAST(channels AS INT) AS channels,
+           CAST({AUDIO_DECIMATE} AS INT) AS factor,
+           CAST(count(*) // channels AS INT) AS n_frames_out,
+           CAST(max(abs(s)) AS INT) AS peak_out,
+           CAST(sum(abs(s)) AS BIGINT) AS abs_sum_out,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq_out
+    FROM kept
+    GROUP BY doc_id, sample_rate, channels
+    """,
+)
+def q_multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio downsample by integer frame decimation: keep every
+    {AUDIO_DECIMATE}th frame (all channels of the kept frame) and emit
+    the decimated stream's integer features — the resampling PLUMBING a
+    training pipeline needs (decode → frame-select → feature), with the
+    anti-alias filter as the documented stub boundary: decimation
+    without low-pass is the honest in-sandbox maximum (a real pipeline
+    inserts a FIR before the drop; the Spark-side shape — decode kernel,
+    batch schema, partitioning — is identical).
+
+    Frame selection happens INSIDE the decode kernel, so raster bytes
+    never shuffle and the output is ~1/{AUDIO_DECIMATE} of the sample
+    volume; all features are exact integers replayable from the
+    generating formula by the oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in (
+            "doc_id", "sample_rate", "channels", "factor",
+            "n_frames_out", "peak_out", "abs_sum_out", "sum_sq_out",
+        )}
+        for pdf in batches:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, channels, _, _, _, _ = decode_wav(bytes(payload))
+                samples = decode_wav_samples(bytes(payload))
+                kept = [
+                    s
+                    for k, s in enumerate(samples)
+                    if (k // channels) % AUDIO_DECIMATE == 0
+                ]
+                rows["doc_id"].append(int(did))
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(channels)
+                rows["factor"].append(AUDIO_DECIMATE)
+                rows["n_frames_out"].append(len(kept) // channels)
+                rows["peak_out"].append(max((abs(s) for s in kept), default=0))
+                rows["abs_sum_out"].append(sum(abs(s) for s in kept))
+                rows["sum_sq_out"].append(sum(s * s for s in kept))
+        yield pd.DataFrame(rows)
+
+    return wav_table(spark, sf_dir).mapInPandas(run, schema=DECIMATE_SCHEMA)

@@ -3425,3 +3425,100 @@ def q_audit_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.sum("drift").cast("double").alias("price_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient over customer revenue (value-sharded global ranks)
+# ---------------------------------------------------------------------------
+
+# Fixed value-shard width for the global rank scan: 2^24 cents (~$168k)
+# per shard.  Shard count is bounded by the VALUE DOMAIN (max customer
+# total / width), never by row count — the same constant-width idea as
+# the time shards in q_sessions_concurrency.
+GINI_SHARD_CENTS = 1 << 24
+
+_GINI_ORACLE = """
+    WITH t AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i
+      FROM t
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(cents) AS DOUBLE) AS sx,
+             CAST(sum(i * cents) AS DOUBLE) AS six
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(round((2 * six) / (n * sx) - (n + 1.0) / n, 6) AS DOUBLE)
+               AS gini
+    FROM s
+"""
+
+
+@register("q_agg_gini_customer_revenue", oracle=_GINI_ORACLE)
+def q_agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — THE inequality statistic
+    next to the existing concentration screens (HHI measures seller
+    concentration, pareto80 the top-heavy cut; Gini summarizes the
+    whole Lorenz curve in one number).
+
+    The sorted-rank formula ``G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n``
+    needs a GLOBAL ascending rank — computed 100×-safe with the
+    fixed-width VALUE-shard pattern: each cents-range shard ranks its
+    own rows (partitioned window), per-shard (count, Σx, Σ local_i·x)
+    come out of the same exchange, an O(#shards) stitch gives each
+    shard its rank offset, and ``Σ i·x = Σ_s (offset_s·Σx_s +
+    Σ local_i·x_s)`` — algebra instead of a single-partition sort.
+    Ranks within ties are interchangeable (equal x ⇒ i·x invariant), so
+    the tiebreak only pins determinism.  Sums accumulate exactly
+    (bigint/decimal); ONE double expression at the end, mirrored
+    token-for-token in the oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    t = orders.groupBy("o_custkey").agg(
+        F.sum((F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    t = t.withColumn(
+        "shard", (F.col("cents") / GINI_SHARD_CENTS).cast("bigint")
+    )
+    w_ord = Window.partitionBy("shard").orderBy("cents", "o_custkey")
+    ranked = t.select(
+        "shard", "cents", F.row_number().over(w_ord).alias("li")
+    )
+    per_shard = ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("cents").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.col("li").cast("decimal(38,0)") * F.col("cents")).alias("lix"),
+    )
+    # O(#shards) stitch: exclusive prefix count = each shard's rank offset.
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    stitched = per_shard.select(
+        "c",
+        "sx",
+        "lix",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("cnt_off"),
+    )
+    agg = stitched.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum("sx").cast("double").alias("sx"),
+        F.sum(F.col("cnt_off") * F.col("sx") + F.col("lix"))
+        .cast("double")
+        .alias("six"),
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.round(
+            (F.lit(2) * F.col("six")) / (F.col("n") * F.col("sx"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        )
+        .cast("double")
+        .alias("gini"),
+    )

@@ -996,3 +996,31 @@ def test_bpe_merge_censuses_vocab_before_pair_explode(spark, sf_dir):
     # census agg keyed by tok, pair agg keyed by pair
     assert plan.count("HashAggregate") >= 4  # partial+final for each of 2 aggs
     assert "tok#" in plan and "pair#" in plan
+
+
+def test_lateness_audit_windows_are_partitioned(spark, sf_dir):
+    """The running event-time max (ordered by event_id, data-sized) must
+    partition by the fixed-width event_id shard; only the O(#shards)
+    prefix-max stitch (ordered by ``shard``) may be partitionless, and
+    the offsets must join back broadcast."""
+    from apache_beam_java_firestore_batch_dataflow_spark.streaming import windows as sw
+
+    df = sw.QUERIES["q_stream_lateness_audit"](spark, sf_dir)
+    plan, specs = _window_specs(df)
+    assert specs, plan
+    bad = _unpartitioned_over(specs, "event_id#")
+    assert not bad, f"data-sized unpartitioned window(s): {bad}"
+    assert any(s.split(",")[0].strip().startswith("shard#") for s in specs), specs
+    assert "BroadcastHashJoin" in plan
+
+
+def test_gini_windows_are_partitioned(spark, sf_dir):
+    """The global rank scan (ordered by cents, data-sized) must
+    partition by the fixed-width value shard; only the O(#shards)
+    offset stitch may be partitionless."""
+    df = relational.QUERIES["q_agg_gini_customer_revenue"](spark, sf_dir)
+    plan, specs = _window_specs(df)
+    assert specs, plan
+    bad = _unpartitioned_over(specs, "cents#")
+    assert not bad, f"data-sized unpartitioned window(s): {bad}"
+    assert any(s.split(",")[0].strip().startswith("shard#") for s in specs), specs

@@ -92,3 +92,138 @@ def test_bpe_train_learns_compound_merges(spark, sf_dir):
     sym2 = chr(BPE_SYM_BASE + 1)
     assert merges[3] == (sym2 + "d", 100)
     spark.catalog.clearCache()
+
+
+def test_kcore_peel_removes_weak_nodes_keeps_core(spark):
+    """Triangle + pendant chain: one peel at k=2 drops the chain tail,
+    two peels drop the whole chain; the triangle survives with residual
+    degree exactly 2 forever (it IS the 2-core)."""
+    from pyspark.sql import functions as F
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import kcore_peel
+
+    half = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]  # triangle 1-2-3, chain 3-4-5
+    arcs = spark.createDataFrame(
+        half + [(b, a) for a, b in half], ["src", "dst"]
+    )
+    one = {r.node: r.residual_degree for r in kcore_peel(arcs, k=2, rounds=1).collect()}
+    # node 5 (degree 1) gone; 4 survives round 1 (degree was 2 pre-peel)
+    assert 5 not in one and one[4] == 1
+    two = {r.node: r.residual_degree for r in kcore_peel(arcs, k=2, rounds=2).collect()}
+    assert set(two) == {1, 2, 3} and set(two.values()) == {2}
+    # fixpoint: further rounds change nothing
+    three = {r.node: r.residual_degree for r in kcore_peel(arcs, k=2, rounds=3).collect()}
+    assert three == two
+    spark.catalog.clearCache()
+
+
+def test_lateness_audit_matches_bruteforce(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.streaming.windows import (
+        WATERMARK_DELAY_S,
+        q_stream_lateness_audit,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+    rows = sorted(
+        zip(
+            tbl["event_id"].to_pylist(),
+            tbl["event_type"].to_pylist(),
+            [t.timestamp() * 1_000_000 for t in tbl["ts"].to_pylist()],
+        )
+    )
+    delay_us = WATERMARK_DELAY_S * 1_000_000
+    pmax = None
+    expect: dict[str, list] = {}
+    for _, etype, t in rows:
+        n, nl, mx = expect.get(etype, (0, 0, 0))
+        late = (
+            pmax - delay_us - t if pmax is not None and t < pmax - delay_us else None
+        )
+        expect[etype] = (
+            n + 1,
+            nl + (1 if late is not None else 0),
+            max(mx, late or 0),
+        )
+        pmax = t if pmax is None else max(pmax, t)
+    got = {
+        r.event_type: (r.n_events, r.n_late, r.max_lateness_us)
+        for r in q_stream_lateness_audit(spark, sf_dir).collect()
+    }
+    assert got == {k: (int(a), int(b), int(round(c))) for k, (a, b, c) in expect.items()}
+    spark.catalog.clearCache()
+
+
+def test_gini_matches_direct_formula(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_agg_gini_customer_revenue,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    totals: dict[int, int] = {}
+    for ck, tp in zip(tbl["o_custkey"].to_pylist(), tbl["o_totalprice"].to_pylist()):
+        totals[ck] = totals.get(ck, 0) + int(round(float(tp) * 100))
+    xs = sorted(totals.values())
+    n, sx = len(xs), sum(xs)
+    six = sum((i + 1) * x for i, x in enumerate(xs))
+    expected = round(2 * six / (n * sx) - (n + 1.0) / n, 6)
+    row = q_agg_gini_customer_revenue(spark, sf_dir).collect()[0]
+    assert row.n_customers == n
+    assert abs(row.gini - expected) < 2e-6
+    assert 0.0 <= row.gini < 1.0
+    spark.catalog.clearCache()
+
+
+def test_acf_lag0_identity_and_numpy_parity(spark, sf_dir):
+    """ACF at each lag must match numpy's Pearson r on the same aligned
+    hourly pairs (tolerance: the engines' exact-int formula vs numpy's
+    float path), and every value must lie in [-1, 1]."""
+    import numpy as np
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_autocorrelation,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    series: dict[str, dict[int, int]] = {}
+    for etype, ts in zip(tbl["event_type"].to_pylist(), tbl["ts"].to_pylist()):
+        h = int(ts.timestamp() * 1_000_000) // 3_600_000_000
+        series.setdefault(etype, {})
+        series[etype][h] = series[etype].get(h, 0) + 1
+    rows = q_events_autocorrelation(spark, sf_dir).collect()
+    assert rows, "no ACF rows"
+    for r in rows:
+        assert r.acf is None or -1.0 <= r.acf <= 1.0
+        s = series[r.event_type]
+        pairs = [(c, s[h - r.lag]) for h, c in s.items() if h - r.lag in s]
+        assert r.n_pairs == len(pairs)
+        if r.acf is not None and len(pairs) > 2:
+            x = np.array([p[0] for p in pairs], dtype=float)
+            y = np.array([p[1] for p in pairs], dtype=float)
+            ref = np.corrcoef(x, y)[0, 1]
+            assert abs(r.acf - ref) < 1e-6, (r.event_type, r.lag)
+    spark.catalog.clearCache()
+
+
+def test_matryoshka_energy_monotone_in_dim(spark, sf_dir):
+    """Prefix energy is monotonically non-decreasing in the truncation
+    dim (it's a partial sum of squares), and bounded by (0, 1]."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        q_embedding_matryoshka_quality,
+    )
+
+    rows = {
+        r.trunc_dim: r for r in q_embedding_matryoshka_quality(spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [8, 16, 32]
+    last = 0.0
+    for d in (8, 16, 32):
+        r = rows[d]
+        assert 0.0 < r.min_energy <= r.mean_energy <= 1.0 + 1e-9
+        assert r.mean_energy >= last - 1e-9
+        last = r.mean_energy
+        assert r.n_vecs == rows[8].n_vecs  # same corpus at every dim
+    spark.catalog.clearCache()
