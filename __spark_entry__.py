@@ -81,8 +81,12 @@ _MODULES = [
 #   q_text_tfidf_top_terms, q_text_unigram_logprob, q_time_rollup,
 #   q_token_count_bpe, q_udf_grouped_agg_pandas,
 #   q_udf_grouped_map_zscore, q_udf_scalar_pandas,
-# followed by any queries REGISTERED IN ROUND 8 (see the r8 section of
-# COVERAGE.md), then the r5-stale greens.
+# followed by the queries REGISTERED IN ROUND 8 (never checked):
+#   q_text_bpe_train_k4, q_events_autocorrelation,
+#   q_embedding_matryoshka_quality, q_text_charset_profile,
+#   q_stream_lateness_audit, q_graph_kcore2,
+#   q_multimodal_audio_decimate, q_agg_gini_customer_revenue,
+# then the r5-stale greens.
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
     # --- r7 red row, 64-bit bit_xor checksum fixed this round ---

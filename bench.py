@@ -113,6 +113,13 @@ HEADLINE = [
     "q_quality_perplexity_buckets",
     "q_ann_hamming_rerank",
     "q_audit_snapshot_diff",
+    # round 8: one representative per new family — the BPE training
+    # loop, the value-sharded Gini rank scan, the prefix-max lateness
+    # audit, and the reduced-series ACF
+    "q_text_bpe_train_k4",
+    "q_agg_gini_customer_revenue",
+    "q_stream_lateness_audit",
+    "q_events_autocorrelation",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -148,6 +155,10 @@ SCALING_QUERIES = [
     # median) and the two-pass seasonal profile claim linear curves
     "q_agg_weighted_median",
     "q_events_seasonal_profile",
+    # round-8 additions: per-round keyed peeling claims ~linear in arcs
+    # (kcore), the sharded prefix-max claims linear (lateness)
+    "q_graph_kcore2",
+    "q_stream_lateness_audit",
 ]
 
 
@@ -167,6 +178,9 @@ EAGER_BUILD_QUERIES = {
     "q_dedup_semantic",
     "q_ann_hamming_rank",
     "q_ann_hamming_rerank",
+    # bpe_train: each round's one-row winner checkpoints eagerly, so the
+    # k census jobs run at construction time
+    "q_text_bpe_train_k4",
 }
 
 

@@ -227,3 +227,21 @@ def test_matryoshka_energy_monotone_in_dim(spark, sf_dir):
         last = r.mean_energy
         assert r.n_vecs == rows[8].n_vecs  # same corpus at every dim
     spark.catalog.clearCache()
+
+
+def test_float64_exact_guard_covers_the_whole_class():
+    """VERDICT r7 item 2: the guard must reject every type that can
+    carry integers beyond 2^53 (HUGEINT r6, DECIMAL(38,0) r7, plus
+    UHUGEINT/UBIGINT), while passing the types the driver round-trips
+    exactly."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_driver_contract import _exceeds_float64_exact
+
+    for bad in ("HUGEINT", "UHUGEINT", "UBIGINT", "DECIMAL(38,0)",
+                "DECIMAL(19,4)", "decimal(38,6)"):
+        assert _exceeds_float64_exact(bad), bad
+    for ok in ("BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
+               "DECIMAL(18,2)", "DECIMAL(12,2)", "DATE", "TIMESTAMP"):
+        assert not _exceeds_float64_exact(ok), ok
