@@ -902,3 +902,214 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("running")).cast("bigint").alias("concurrent"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture budget solver: the largest corpus a target mix can serve
+# ---------------------------------------------------------------------------
+
+# Target mixture in integer UNITS (exact arithmetic end-to-end): the
+# head sources get explicit boosts, every other source weight 1.  The
+# normalizer is the unit sum over sources PRESENT in the corpus.
+MIX_BUDGET_UNITS = {"src0": 8, "src1": 4, "src2": 2, "src3": 2}
+MIX_BUDGET_DEFAULT_UNITS = 1
+
+
+def _mix_units_sql() -> str:
+    arms = " ".join(
+        f"WHEN source = '{s}' THEN {u}" for s, u in MIX_BUDGET_UNITS.items()
+    )
+    return f"CASE {arms} ELSE {MIX_BUDGET_DEFAULT_UNITS} END"
+
+
+_MIX_BUDGET_ORACLE = f"""
+    WITH avail AS (
+      SELECT source, CAST({_mix_units_sql()} AS BIGINT) AS u,
+             CAST(sum(n_chars) AS BIGINT) AS avail_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(u) AS BIGINT) AS units FROM avail),
+    cap AS (
+      SELECT min(avail_chars * t.units // u) AS t_star
+      FROM avail, tot t
+    )
+    SELECT a.source, CAST(a.u AS BIGINT) AS units,
+           a.avail_chars,
+           CAST(a.u * c.t_star // t.units AS BIGINT) AS used_chars,
+           CAST(round(CAST(a.u * c.t_star // t.units AS DOUBLE)
+                      / a.avail_chars, 6) AS DOUBLE) AS utilization,
+           (a.avail_chars * t.units // a.u = c.t_star) AS is_bottleneck
+    FROM avail a, tot t, cap c
+"""
+
+
+@register("q_mix_budget_solver", oracle=_MIX_BUDGET_ORACLE)
+def q_mix_budget_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture budget solver: given a target source mixture (integer
+    unit weights) and each source's available characters, the LARGEST
+    single-epoch training corpus the mix can serve is
+    ``T* = min_s floor(avail_s · U / u_s)`` — the bottleneck-source
+    computation every data-mixing plan starts from (the complement of
+    `q_mix_temperature_weights`, which picks the weights; this prices
+    them).  Emits per source the allocated characters, utilization,
+    and whether it is the binding constraint.
+
+    All arithmetic is exact integer (unit weights, char sums, floor
+    divisions — `div` on both engines); the single utilization double
+    divides exact integers once.  Plan: ONE combiner agg to O(sources)
+    rows, two one-row broadcast aggregates (unit sum, capacity min),
+    and a projection — nothing data-sized past the first agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    units = F.lit(MIX_BUDGET_DEFAULT_UNITS)
+    for s, u in reversed(MIX_BUDGET_UNITS.items()):
+        units = F.when(F.col("source") == s, F.lit(u)).otherwise(units)
+    avail = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("avail_chars")
+    ).select("source", units.cast("bigint").alias("u"), "avail_chars")
+    tot = avail.agg(F.sum("u").cast("bigint").alias("units_total"))
+    joined = avail.join(F.broadcast(tot))
+    cap = joined.agg(
+        F.min(
+            F.expr("avail_chars * units_total div u")
+        ).alias("t_star")
+    )
+    out = joined.join(F.broadcast(cap))
+    used = F.expr("u * t_star div units_total")
+    return out.select(
+        "source",
+        F.col("u").alias("units"),
+        "avail_chars",
+        used.cast("bigint").alias("used_chars"),
+        F.round(used.cast("double") / F.col("avail_chars"), 6)
+        .cast("double")
+        .alias("utilization"),
+        (F.expr("avail_chars * units_total div u") == F.col("t_star")).alias(
+            "is_bottleneck"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap counts: how many sessions each session coexists with
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no,
+             ts
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, session_no,
+             epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT i.user_id, CAST(i.session_no AS BIGINT) AS session_no,
+           CAST(count(*) - 1 AS BIGINT) AS n_overlaps
+    FROM intervals i JOIN intervals j ON j.s <= i.e AND j.e >= i.s
+    GROUP BY i.user_id, i.session_no
+"""
+
+
+@register("q_sessions_overlap_counts", oracle=_OVERLAP_ORACLE)
+def q_sessions_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every user session, how many OTHER sessions' intervals it
+    overlaps (endpoints inclusive) — the interval-overlap join behind
+    contention analysis ("how many concurrent sessions did this one
+    compete with end to end?"), the per-interval companion of the
+    instant-level `q_sessions_concurrency` profile.
+
+    The oracle states it as the quadratic inequality join (DuckDB's
+    IEJoin); the Spark plan computes the identical counts in
+    O(n log n) by ALGEBRA: two intervals are disjoint iff one starts
+    after the other ends, so ``overlaps(i) = #(s' <= e_i) −
+    #(e' < s_i) − 1``.  Both counts are prefix sums over ONE merged
+    boundary timeline — each interval emits its start row (k=0, also
+    the ends-<-s query point) and end row (k=1, also the starts-<=-e
+    query point); ordering by (t, k) makes the tie semantics exact
+    (an end AT s does not count as before; a start AT e does count as
+    <=).  The timeline runs the fixed-width time-shard + O(#shards)
+    stitch (the `q_sessions_concurrency` pattern, carrying TWO running
+    sums through one exchange), and one conditional agg per interval
+    recombines the two query points — no pair is ever materialized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
+    intervals = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn("session_no", F.sum("is_new").over(run))
+        .groupBy("user_id", "session_no")
+        .agg(
+            epoch_us(F.min("ts")).alias("s"),
+            epoch_us(F.max("ts")).alias("e"),
+        )
+    )
+    pts = intervals.select(
+        "user_id",
+        "session_no",
+        F.col("s").alias("t"),
+        F.lit(0).alias("k"),
+        F.lit(1).alias("is_start"),
+        F.lit(0).alias("is_end"),
+    ).unionAll(
+        intervals.select(
+            "user_id",
+            "session_no",
+            F.col("e").alias("t"),
+            F.lit(1).alias("k"),
+            F.lit(0).alias("is_start"),
+            F.lit(1).alias("is_end"),
+        )
+    ).withColumn("shard", (F.col("t") / _CONC_SHARD_US).cast("bigint"))
+    w_ord = Window.partitionBy("shard").orderBy("t", "k", "user_id", "session_no")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy("shard")
+    ranked = pts.select(
+        "user_id",
+        "session_no",
+        "shard",
+        "k",
+        F.coalesce(F.sum("is_end").over(w_run), F.lit(0)).alias("run_e"),
+        F.coalesce(F.sum("is_start").over(w_run), F.lit(0)).alias("run_s"),
+        F.sum("is_end").over(w_all).alias("tot_e"),
+        F.sum("is_start").over(w_all).alias("tot_s"),
+        F.row_number().over(w_ord).alias("rn"),
+    )
+    # O(#shards) stitch: exclusive prefix of BOTH per-shard totals.
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ranked.filter(F.col("rn") == 1).select(
+        "shard",
+        F.coalesce(F.sum("tot_e").over(w_off), F.lit(0)).alias("off_e"),
+        F.coalesce(F.sum("tot_s").over(w_off), F.lit(0)).alias("off_s"),
+    )
+    scored = ranked.join(F.broadcast(offsets), "shard").select(
+        "user_id",
+        "session_no",
+        F.when(F.col("k") == 0, F.col("off_e") + F.col("run_e")).alias(
+            "ends_before"
+        ),
+        F.when(F.col("k") == 1, F.col("off_s") + F.col("run_s")).alias(
+            "starts_upto"
+        ),
+    )
+    return scored.groupBy(
+        "user_id", F.col("session_no").cast("bigint").alias("session_no")
+    ).agg(
+        (F.max("starts_upto") - F.max("ends_before") - 1)
+        .cast("bigint")
+        .alias("n_overlaps")
+    )

@@ -3522,3 +3522,82 @@ def q_agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitters column profile (top-k values per column with shares)
+# ---------------------------------------------------------------------------
+
+HH_TOP = 5
+
+_HH_ORACLE = f"""
+    WITH unpiv AS (
+      SELECT 'event_type' AS col_name, event_type AS val FROM events
+      UNION ALL
+      SELECT 'user_bucket', CAST(user_id % 100 AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'hour_of_day',
+             CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR) FROM events
+    ),
+    counts AS (
+      SELECT col_name, val, count(*) AS cnt FROM unpiv GROUP BY 1, 2
+    ),
+    tot AS (SELECT col_name, sum(cnt) AS n FROM counts GROUP BY 1),
+    ranked AS (
+      SELECT c.col_name, c.val, c.cnt, t.n,
+             row_number() OVER (PARTITION BY c.col_name
+                                ORDER BY c.cnt DESC, c.val) AS rk
+      FROM counts c JOIN tot t USING (col_name)
+    )
+    SELECT col_name, CAST(rk AS INT) AS rk, val,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(round(CAST(cnt AS DOUBLE) / n, 6) AS DOUBLE) AS share
+    FROM ranked WHERE rk <= {HH_TOP}
+"""
+
+
+@register("q_profile_heavy_hitters", oracle=_HH_ORACLE)
+def q_profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters profile: the top-{HH_TOP} values of several event
+    columns with exact counts and corpus shares — the skew advisory a
+    warehouse profiler emits before anyone joins or partitions on a
+    column (the 90%-hot key that motivates `q_salted_join_skew` is
+    exactly what this surfaces), next to the existing per-column stats
+    and entropy screens.
+
+    Scale shape: one unpivot projection (stack — row expansion of
+    SCALAR pairs only) → ONE combiner count agg keyed (col, val) → the
+    top-{HH_TOP} filter plans as `WindowGroupLimit`, so each task keeps
+    a {HH_TOP}-row heap per column BELOW the exchange and only
+    O(partitions × k) candidate rows shuffle — never the distinct-value
+    table through one partition.  Shares divide exact integers once,
+    rounded to 6 dp."""
+    ev = _t(spark, sf_dir, "events")
+    unpiv = ev.select(
+        F.expr(
+            "stack(3, "
+            "'event_type', event_type, "
+            "'user_bucket', CAST(user_id % 100 AS STRING), "
+            "'hour_of_day', CAST((unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000) % 24 AS STRING)"
+            ") AS (col_name, val)"
+        )
+    )
+    counts = unpiv.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = counts.groupBy("col_name").agg(F.sum("cnt").alias("n"))
+    w = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("val"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HH_TOP)
+        .join(F.broadcast(tot), "col_name")
+        .select(
+            "col_name",
+            F.col("rk").cast("int").alias("rk"),
+            "val",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6)
+            .cast("double")
+            .alias("share"),
+        )
+    )

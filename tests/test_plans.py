@@ -1024,3 +1024,28 @@ def test_gini_windows_are_partitioned(spark, sf_dir):
     bad = _unpartitioned_over(specs, "cents#")
     assert not bad, f"data-sized unpartitioned window(s): {bad}"
     assert any(s.split(",")[0].strip().startswith("shard#") for s in specs), specs
+
+
+def test_overlap_counts_windows_are_partitioned(spark, sf_dir):
+    """The merged boundary timeline (ordered by t, data-sized) must
+    partition by the time shard; only the O(#shards) two-sum stitch may
+    be partitionless, and the offsets must join back broadcast."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import curation
+
+    df = curation.QUERIES["q_sessions_overlap_counts"](spark, sf_dir)
+    plan, specs = _window_specs(df)
+    assert specs, plan
+    bad = _unpartitioned_over(specs, "t#")
+    assert not bad, f"data-sized unpartitioned window(s): {bad}"
+    assert any(s.split(",")[0].strip().startswith("shard#") for s in specs), specs
+    assert "BroadcastHashJoin" in plan
+
+
+def test_heavy_hitters_uses_window_group_limit(spark, sf_dir):
+    """The per-column top-5 must plan as WindowGroupLimit (per-partition
+    heaps below the exchange), never a full sort of the distinct-value
+    table through one partition."""
+    df = relational.QUERIES["q_profile_heavy_hitters"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan

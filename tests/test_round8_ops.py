@@ -245,3 +245,76 @@ def test_float64_exact_guard_covers_the_whole_class():
     for ok in ("BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "BOOLEAN",
                "DECIMAL(18,2)", "DECIMAL(12,2)", "DATE", "TIMESTAMP"):
         assert not _exceeds_float64_exact(ok), ok
+
+
+def test_overlap_counts_match_quadratic_python(spark, sf_dir):
+    """The sharded prefix-sum plan must equal an independent python
+    implementation (re-sessionize from parquet, count via sorted
+    bisection).  The genuinely quadratic check is the DuckDB IEJoin
+    oracle; this test isolates the Spark pipeline end to end."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        q_sessions_overlap_counts,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    rows = sorted(
+        zip(
+            tbl["user_id"].to_pylist(),
+            [int(t.timestamp() * 1_000_000) for t in tbl["ts"].to_pylist()],
+            tbl["event_id"].to_pylist(),
+        ),
+        key=lambda r: (r[0], r[1], r[2]),
+    )
+    intervals = {}
+    prev_user, prev_t, sno = None, None, 0
+    for u, t, _ in rows:
+        if u != prev_user:
+            prev_user, sno = u, 1
+        elif t - prev_t > 1_800_000_000:
+            sno += 1
+        prev_t = t
+        s, e = intervals.get((u, sno), (t, t))
+        intervals[(u, sno)] = (min(s, t), max(e, t))
+    ivs = list(intervals.items())
+    expect = {}
+    starts = sorted(s for _, (s, _) in ivs)
+    ends = sorted(e for _, (_, e) in ivs)
+    import bisect
+
+    n = len(ivs)
+    for key, (s, e) in ivs:
+        starts_upto = bisect.bisect_right(starts, e)
+        ends_before = bisect.bisect_left(ends, s)
+        expect[key] = starts_upto - ends_before - 1
+    got = {
+        (r.user_id, r.session_no): r.n_overlaps
+        for r in q_sessions_overlap_counts(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) == n
+    spark.catalog.clearCache()
+
+
+def test_mix_budget_solver_invariants(spark, sf_dir):
+    """Bottleneck source must be ~fully utilized; every allocation must
+    respect both the availability cap and the exact target share."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        q_mix_budget_solver,
+    )
+
+    rows = q_mix_budget_solver(spark, sf_dir).collect()
+    assert rows
+    units_total = sum(r.units for r in rows)
+    t_star = min(r.avail_chars * units_total // r.units for r in rows)
+    for r in rows:
+        assert r.used_chars <= r.avail_chars
+        assert r.used_chars == r.units * t_star // units_total
+        assert r.is_bottleneck == (
+            r.avail_chars * units_total // r.units == t_star
+        )
+    assert any(r.is_bottleneck for r in rows)
+    # the bottleneck's head-room is less than one unit-share of T*
+    bn = next(r for r in rows if r.is_bottleneck)
+    assert bn.avail_chars - bn.used_chars < units_total
+    spark.catalog.clearCache()
