@@ -310,3 +310,79 @@ def q_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("est_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DP heavy hitters: noisy counts + stability-threshold release
+# ---------------------------------------------------------------------------
+
+# Release threshold tau ~ 1 + 2 ln(1/(2 delta)) / epsilon for
+# delta = 1e-6 at epsilon = DP_EPSILON — groups whose noisy count falls
+# below it are suppressed entirely (the (eps, delta) stability rule for
+# releasing counts over a bounded key domain).
+DP_HH_TAU = 27.0
+
+
+_DP_HH_ORACLE = f"""
+    WITH c AS (
+      SELECT event_type, user_id % 50 AS bucket, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT event_type, bucket, n,
+             (CAST(CAST('0x' || substr(md5('dphh:' || event_type
+                        || '|' || CAST(bucket AS VARCHAR)), 1, 13) AS BIGINT)
+                   AS DOUBLE) + 0.5) / {_U_SPACE} AS u
+      FROM c
+    ),
+    noisy AS (
+      SELECT event_type, bucket, n,
+             round(n + CASE WHEN u < 0.5
+                   THEN round(ln(2.0 * u), 6) / {DP_EPSILON}
+                   ELSE -round(ln(2.0 - 2.0 * u), 6) / {DP_EPSILON} END, 4)
+                 AS noisy_n
+      FROM u
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+           CAST(n AS BIGINT) AS n,
+           CAST(noisy_n AS DOUBLE) AS noisy_n
+    FROM noisy WHERE noisy_n >= {DP_HH_TAU}
+"""
+
+
+@register("q_privacy_dp_heavy_hitters", oracle=_DP_HH_ORACLE)
+def q_privacy_dp_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP heavy hitters over a bounded key domain: per (event_type,
+    user-bucket) counts get Laplace(1/ε) noise (the `q_privacy_dp_counts`
+    mechanism — md5-derived inverse-CDF draw, ln quantized to 6 dp),
+    and only groups whose NOISY count clears the stability threshold
+    τ={DP_HH_TAU} are released at all — the (ε, δ) thresholding rule
+    that keeps rare keys (potential individual identifiers) out of the
+    release entirely, the mechanism behind every private "top domains /
+    top queries" report.  True ``n`` is emitted solely so the oracle
+    can check the arithmetic end to end; a production release drops it.
+
+    Scale: one combiner aggregation to the bounded key domain, then a
+    per-group projection + filter — the threshold is data-independent,
+    so the plan is a pure map over O(domain) rows."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", (F.col("user_id") % 50).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    key = F.concat(
+        F.lit("dphh:"), F.col("event_type"),
+        F.lit("|"), F.col("bucket").cast("string"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 0.5
+    ) / F.lit(_U_SPACE)
+    noise = F.when(
+        u < 0.5, F.round(F.log(2.0 * u), 6) / DP_EPSILON
+    ).otherwise(-F.round(F.log(2.0 - 2.0 * u), 6) / DP_EPSILON)
+    noisy = c.select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") + noise, 4).cast("double").alias("noisy_n"),
+    )
+    return noisy.filter(F.col("noisy_n") >= DP_HH_TAU)

@@ -318,3 +318,44 @@ def test_mix_budget_solver_invariants(spark, sf_dir):
     bn = next(r for r in rows if r.is_bottleneck)
     assert bn.avail_chars - bn.used_chars < units_total
     spark.catalog.clearCache()
+
+
+def test_dp_heavy_hitters_threshold_and_mechanism(spark, sf_dir):
+    """Every released row must clear tau; the noise must be exactly the
+    md5-keyed Laplace draw (reproducible mechanism); suppressed groups
+    must be exactly the complement."""
+    import hashlib
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.privacy import (
+        DP_EPSILON,
+        DP_HH_TAU,
+        _U_SPACE,
+        q_privacy_dp_heavy_hitters,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    counts: dict = {}
+    for et, uid in zip(tbl["event_type"].to_pylist(), tbl["user_id"].to_pylist()):
+        k = (et, uid % 50)
+        counts[k] = counts.get(k, 0) + 1
+
+    def noisy(et, b, n):
+        h = hashlib.md5(f"dphh:{et}|{b}".encode()).hexdigest()[:13]
+        u = (int(h, 16) + 0.5) / _U_SPACE
+        ln6 = round(math.log(2 * u), 6) if u < 0.5 else -round(math.log(2 - 2 * u), 6)
+        return round(n + ln6 / DP_EPSILON, 4)
+
+    expect = {
+        k: (n, noisy(k[0], k[1], n))
+        for k, n in counts.items()
+        if noisy(k[0], k[1], n) >= DP_HH_TAU
+    }
+    got = {
+        (r.event_type, r.bucket): (r.n, r.noisy_n)
+        for r in q_privacy_dp_heavy_hitters(spark, sf_dir).collect()
+    }
+    assert got == expect
+    for (_, _), (n, nn) in got.items():
+        assert nn >= DP_HH_TAU
+    spark.catalog.clearCache()
