@@ -115,11 +115,13 @@ HEADLINE = [
     "q_audit_snapshot_diff",
     # round 8: one representative per new family — the BPE training
     # loop, the value-sharded Gini rank scan, the prefix-max lateness
-    # audit, and the reduced-series ACF
+    # audit, the reduced-series ACF, and the algebraic interval-overlap
+    # counts (the IEJoin replacement)
     "q_text_bpe_train_k4",
     "q_agg_gini_customer_revenue",
     "q_stream_lateness_audit",
     "q_events_autocorrelation",
+    "q_sessions_overlap_counts",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
