@@ -411,6 +411,12 @@ def q_stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-event-time-so-far minus the delay — plus the worst observed
     lateness.  This is the audit teams run BEFORE picking a watermark
     delay: the (delay → loss) curve's single point, computed exactly.
+    It is the IDEAL (per-row) watermark, an upper bound on what the
+    engine actually drops — the real operator is batch-quantized,
+    filters with the batch-START watermark, and keeps any row whose
+    window is still open; the subset relation is pinned against a live
+    `numRowsDroppedByWatermark` run in
+    tests/test_streaming.py::test_lateness_audit_bounds_streaming_watermark_drops.
 
     The running maximum is a prefix scan in arrival order — the same
     total-order problem as `q_sessions_concurrency`'s running sum, and

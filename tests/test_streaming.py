@@ -416,3 +416,76 @@ def test_stream_cdc_merge_converges_to_batch(spark, sf_dir, tmp_path):
     assert gen["i"] == 3  # one merge per micro-batch
     final = sorted_rows(spark.read.parquet(state_dirs[gen["i"] % 2]))
     assert final == expected
+
+
+def test_lateness_audit_bounds_streaming_watermark_drops(spark, tmp_path):
+    """Bridge between the batch what-if (`q_stream_lateness_audit`: late
+    iff ts < per-ROW prefix-max − delay) and a REAL streaming run.  The
+    engine is strictly more lenient on three axes — the watermark is
+    BATCH-quantized, the drop filter uses the watermark in effect at
+    batch START (one batch behind the newest data), and a row survives
+    as long as its whole WINDOW is still open — so the rows streaming
+    actually drops (numRowsDroppedByWatermark) must be a SUBSET of the
+    audit's ideal-late set.  Crafted arrival order pins each divergence
+    and the subset relation."""
+    import datetime
+
+    src = str(tmp_path / "lsrc")
+
+    # arrival order; 15-minute watermark, 10-minute tumbling windows
+    batches = [
+        [("2024-01-01 10:00:00", 1), ("2024-01-01 10:20:00", 2)],
+        # 10:03 is ideal-late (prefix max 10:20 − 15m = 10:05) but its
+        # window [10:00,10:10) is still open → streaming absorbs it
+        [("2024-01-01 10:50:00", 3), ("2024-01-01 10:03:00", 4)],
+        # 10:31 is ideal-late (< 10:35) but its window [10:30,10:40)
+        # outlives the watermark → kept; this batch's END advances the
+        # filter watermark to 10:35 and evicts the 10:0x/10:1x windows
+        [("2024-01-01 10:31:00", 5)],
+        # 10:01's window expired a batch ago → genuinely dropped
+        [("2024-01-01 10:01:00", 6)],
+    ]
+    import time as _time
+
+    for rows in batches:
+        _write_events(spark, src, rows)
+        _time.sleep(1.1)  # distinct mtimes keep the file-source batch order
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    counts = (
+        stream.withWatermark("ts", "15 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", str(tmp_path / "lckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    assert dropped == 1  # exactly the 10:01 row
+
+    # the ideal per-row audit marks 10:03, 10:31, 10:01 → 3;
+    # streaming's lenient drops are a strict subset
+    delay = 15 * 60
+    pmax = None
+    ideal_late = 0
+    for rows in batches:
+        for ts_s, _ in rows:
+            t = datetime.datetime.fromisoformat(ts_s).timestamp()
+            if pmax is not None and t < pmax - delay:
+                ideal_late += 1
+            pmax = t if pmax is None else max(pmax, t)
+    assert ideal_late == 3
+    assert dropped <= ideal_late
