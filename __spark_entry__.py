@@ -88,6 +88,7 @@ _MODULES = [
 #   q_multimodal_audio_decimate, q_agg_gini_customer_revenue,
 #   q_profile_heavy_hitters, q_mix_budget_solver,
 #   q_sessions_overlap_counts, q_privacy_dp_heavy_hitters,
+#   q_sketch_hll_partitioned_union, q_events_token_bucket,
 # then the r5-stale greens.
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [

@@ -3601,3 +3601,67 @@ def q_profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable HLL sketches: per-day partials re-merged per type
+# ---------------------------------------------------------------------------
+
+HLL_UNION_TOL = 0.05  # lgConfigK=12 -> rsd ~1.6%; 5% ~ 3 sigma
+
+
+_HLL_UNION_ORACLE = """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+           CAST(count(DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT))
+                AS BIGINT) AS n_days,
+           TRUE AS sketch_ok
+    FROM events GROUP BY event_type
+"""
+
+
+@register("q_sketch_hll_partitioned_union", oracle=_HLL_UNION_ORACLE)
+def q_sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse sketch-rollup pattern end to end: build a REAL
+    Apache DataSketches HLL sketch of distinct users per (event_type,
+    day) — the granularity a nightly job would PERSIST — then answer
+    the per-type distinct-users question by UNION-MERGING the daily
+    sketches (``hll_union_agg``), never rescanning raw data.  This is
+    the capability `q_approx_distinct_sketch` (one-shot HLL++) cannot
+    give: stored mergeable state lets any date-range distinct query
+    cost O(days-in-range) sketch merges instead of a corpus scan — at
+    100 TB the difference between a dashboard query and a batch job.
+
+    The sketch estimate is implementation-defined, so (established
+    convention) the oracled output is the EXACT count, the partial
+    count (n_days — proves the two-level shape ran), and the accuracy
+    contract: the merged estimate must land within {HLL_UNION_TOL:.0%}
+    of exact, or the flag flips and the hash check fails."""
+    from ..functions.timeutil import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.select(
+        "event_type",
+        (epoch_us("ts") / 86_400_000_000).cast("bigint").alias("day"),
+        "user_id",
+    ).groupBy("event_type", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("nd_exact_day"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    ok = (
+        F.abs(F.col("n_est") - F.col("n_exact"))
+        <= F.lit(HLL_UNION_TOL) * F.col("n_exact")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        ok.alias("sketch_ok"),
+    )

@@ -1540,3 +1540,100 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
         ).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-bucket rate limiter replay (clamped recursion)
+# ---------------------------------------------------------------------------
+
+# Integer micro-token units end to end: capacity 1 token (the
+# minimum-interval limiter — the fixture's traffic never drains a
+# burstier bucket, so this config exercises BOTH the allow and reject
+# paths at every sf), cost 1 token per event, refill 1 token / 60 s =>
+# gap_us // 60 micro-tokens — every step is exact int64 arithmetic, so
+# the full trajectory is bit-identical across engines and partitionings.
+TB_CAP_UT = 1_000_000
+TB_COST_UT = 1_000_000
+
+_TOKEN_BUCKET_ORACLE = f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    tb AS (
+      SELECT user_id, event_id, rn, t,
+             TRUE AS allowed,
+             CAST({TB_CAP_UT - TB_COST_UT} AS BIGINT) AS tokens_after
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.event_id, s.rn, s.t,
+             least({TB_CAP_UT}, tb.tokens_after + (s.t - tb.t) // 60)
+                 >= {TB_COST_UT} AS allowed,
+             least({TB_CAP_UT}, tb.tokens_after + (s.t - tb.t) // 60)
+               - CASE WHEN least({TB_CAP_UT},
+                             tb.tokens_after + (s.t - tb.t) // 60)
+                           >= {TB_COST_UT}
+                      THEN {TB_COST_UT} ELSE 0 END AS tokens_after
+      FROM tb JOIN seq s ON s.user_id = tb.user_id AND s.rn = tb.rn + 1
+    )
+    SELECT user_id, event_id, allowed,
+           CAST(tokens_after AS BIGINT) AS tokens_after_ut
+    FROM tb
+"""
+
+
+@register("q_events_token_bucket", oracle=_TOKEN_BUCKET_ORACLE)
+def q_events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay: per user, walk the event
+    stream and decide allow/reject under capacity {TB_CAP_UT // 1_000_000}
+    token, cost 1/event, refill 1 token/min (a fractional-credit
+    minimum-interval limiter) — the admission-control
+    simulation capacity teams run against historical traffic before
+    setting production limits ("how many requests WOULD this policy
+    have rejected?").
+
+    The clamp (``min(cap, ...)``) makes each step a NON-LINEAR function
+    of the previous state — not expressible as any window/prefix
+    aggregate (the EWMA linear-fold trick does not apply), so this is
+    the honest `applyInPandas` case: one shuffle on user_id, a
+    per-group sequential kernel whose state is two integers, group
+    size bounded by one user's history (the sessionize bound).  The
+    DuckDB oracle replays the identical recursion as a recursive CTE
+    (the engine-parity rule for coupled folds); all arithmetic is
+    integer micro-tokens, so the 10k-step trajectory is bit-exact."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("t")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"])
+        tokens = TB_CAP_UT
+        allowed = []
+        after = []
+        prev_t = None
+        for t in pdf["t"]:
+            if prev_t is not None:
+                tokens = min(TB_CAP_UT, tokens + (t - prev_t) // 60)
+            ok = tokens >= TB_COST_UT
+            if ok:
+                tokens -= TB_COST_UT
+            allowed.append(ok)
+            after.append(tokens)
+            prev_t = t
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "allowed": allowed,
+                "tokens_after_ut": after,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        kernel,
+        schema="user_id long, event_id long, allowed boolean, tokens_after_ut long",
+    )

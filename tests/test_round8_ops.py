@@ -359,3 +359,45 @@ def test_dp_heavy_hitters_threshold_and_mechanism(spark, sf_dir):
     for (_, _), (n, nn) in got.items():
         assert nn >= DP_HH_TAU
     spark.catalog.clearCache()
+
+
+def test_token_bucket_invariants(spark, sf_dir):
+    """State bounds and decision consistency: tokens stay in
+    [0, CAP−COST] after an allowed event, rejections happen exactly
+    when the pre-refill+clamp balance is short, and a user's first
+    event is always allowed (bucket starts full)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        TB_CAP_UT,
+        TB_COST_UT,
+        q_events_token_bucket,
+    )
+
+    rows = q_events_token_bucket(spark, sf_dir).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_rejected = 0
+    for _, evs in by_user.items():
+        evs.sort(key=lambda r: r.event_id)
+        assert evs[0].allowed  # bucket starts full
+        for r in evs:
+            assert 0 <= r.tokens_after_ut <= TB_CAP_UT
+            if r.allowed:
+                assert r.tokens_after_ut <= TB_CAP_UT - 0  # spent then clamped history
+            else:
+                n_rejected += 1
+                assert r.tokens_after_ut < TB_COST_UT  # short balance unchanged
+    assert n_rejected > 0  # the fixture's bursts actually trip the limiter
+    spark.catalog.clearCache()
+
+
+def test_hll_union_matches_exact_within_contract(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_sketch_hll_partitioned_union,
+    )
+
+    rows = q_sketch_hll_partitioned_union(spark, sf_dir).collect()
+    assert rows and all(r.sketch_ok for r in rows)
+    assert all(r.n_days > 1 for r in rows)  # the two-level merge really ran
+    spark.catalog.clearCache()
