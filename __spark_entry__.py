@@ -89,6 +89,7 @@ _MODULES = [
 #   q_profile_heavy_hitters, q_mix_budget_solver,
 #   q_sessions_overlap_counts, q_privacy_dp_heavy_hitters,
 #   q_sketch_hll_partitioned_union, q_events_token_bucket,
+#   q_graph_lpa_communities,
 # then the r5-stale greens.
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [

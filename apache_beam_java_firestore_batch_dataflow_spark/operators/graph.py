@@ -509,3 +509,99 @@ def q_graph_kcore2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") % 2 == 1).alias("is_supplier"),
         "residual_degree",
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (majority label, bounded rounds)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2
+
+
+def lpa_communities(arcs: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """``rounds`` synchronous majority-label LPA steps: every node
+    adopts the label most frequent among its NEIGHBORS (ties -> the
+    smallest label), starting from label == node id — community
+    detection (dense neighborhoods converge onto one label), as opposed
+    to `connected_components`' min-label flood fill which only finds
+    reachability.  Bounded unrolled rounds are the registered shape
+    (the `pagerank(k)` convention).
+
+    Per round: one keyed join (arcs x labels on src) + one combiner
+    count agg + an arg-min-struct combiner agg — the argmax over
+    (count desc, label asc) is ``min(struct(-cnt, label))``, a pure
+    aggregation, so NO window and no per-node sort anywhere.  Each
+    label generation feeds exactly one consumer, so lineage stays
+    linear in rounds without caching."""
+    labels = arcs.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        nbr = (
+            arcs.join(labels, arcs["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            nbr.groupBy("node")
+            .agg(F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("label").alias("l"))).alias("top"))
+            .select("node", F.col("top.l").alias("label"))
+        )
+    return labels
+
+
+_LPA_ORACLE = f"""
+    WITH half AS ({_PR_EDGES_SQL}),
+    arcs AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM arcs),
+    n1 AS (
+      SELECT a.dst AS node, l.label, count(*) AS cnt
+      FROM arcs a JOIN l0 l ON a.src = l.node GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rk
+        FROM n1
+      ) WHERE rk = 1
+    ),
+    n2 AS (
+      SELECT a.dst AS node, l.label, count(*) AS cnt
+      FROM arcs a JOIN l1 l ON a.src = l.node GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY cnt DESC, label) AS rk
+        FROM n2
+      ) WHERE rk = 1
+    )
+    SELECT l2.node, CAST(l2.label AS BIGINT) AS community,
+           CAST(s.n AS BIGINT) AS community_size
+    FROM l2 JOIN (SELECT label, count(*) AS n FROM l2 GROUP BY label) s
+      ON s.label = l2.label
+"""
+
+
+@register("q_graph_lpa_communities", oracle=_LPA_ORACLE)
+def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{LPA_ROUNDS} rounds of majority-label propagation over the
+    customer–supplier graph, with each node's final community and its
+    size — the community-detection counterpart of the reachability
+    tools (components finds WHO connects; LPA finds who clusters
+    DENSELY), completing the graph battery next to pagerank /
+    triangles / k-core.
+
+    See `lpa_communities` for the no-window plan shape; the size join
+    re-consumes the final label frame, which persists for exactly that
+    reason."""
+    labels = lpa_communities(_pr_edges(spark, sf_dir), rounds=LPA_ROUNDS).persist()
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return labels.join(sizes, "label").select(
+        "node",
+        F.col("label").cast("bigint").alias("community"),
+        F.col("n").cast("bigint").alias("community_size"),
+    )

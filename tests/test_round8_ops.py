@@ -401,3 +401,26 @@ def test_hll_union_matches_exact_within_contract(spark, sf_dir):
     assert rows and all(r.sketch_ok for r in rows)
     assert all(r.n_days > 1 for r in rows)  # the two-level merge really ran
     spark.catalog.clearCache()
+
+
+def test_lpa_finds_dense_communities(spark):
+    """Two triangles joined by one bridge edge: after 3 synchronous LPA
+    rounds each triangle is internally uniform and the two differ —
+    communities, where min-label components would merge everything into
+    one.  (Synchronous majority LPA takes an extra round to settle
+    across the bridge; labels converge to SOME member id per dense
+    cluster, not necessarily the minimum.)"""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        lpa_communities,
+    )
+
+    half = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    arcs = spark.createDataFrame(
+        half + [(b, a) for a, b in half], ["src", "dst"]
+    )
+    lab = {r.node: r.label for r in lpa_communities(arcs, rounds=3).collect()}
+    # triangle {1,2,3} all share one label; triangle {4,5,6} another
+    assert len({lab[1], lab[2], lab[3]}) == 1
+    assert len({lab[4], lab[5], lab[6]}) == 1
+    assert lab[1] != lab[4]
+    spark.catalog.clearCache()
