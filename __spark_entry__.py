@@ -89,7 +89,9 @@ _MODULES = [
 #   q_profile_heavy_hitters, q_mix_budget_solver,
 #   q_sessions_overlap_counts, q_privacy_dp_heavy_hitters,
 #   q_sketch_hll_partitioned_union, q_events_token_bucket,
-#   q_graph_lpa_communities,
+#   q_graph_lpa_communities, q_unpivot_lineitem_metrics,
+#   q_multimodal_image_grayscale, q_text_pmi_collocations,
+#   q_stream_interval_join_outer,
 # then the r5-stale greens.
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [

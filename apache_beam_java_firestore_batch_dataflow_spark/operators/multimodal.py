@@ -1565,3 +1565,82 @@ def q_multimodal_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield pd.DataFrame(rows)
 
     return wav_table(spark, sf_dir).mapInPandas(run, schema=DECIMATE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Grayscale conversion: integer BT.601 luma inside the decode kernel
+# ---------------------------------------------------------------------------
+
+GRAY_DARK = 64  # luma threshold for the dark-pixel count
+
+_GRAY_ORACLE = f"""
+    WITH params AS (
+      SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h, text
+      FROM documents
+    ),
+    rast AS (
+      SELECT doc_id, w, h,
+             substring(repeat(text,
+                              CAST(ceil((3*w*h) / length(text)) AS INT)),
+                       1, 3*w*h) AS raster
+      FROM params
+    ),
+    px AS (
+      SELECT doc_id, w, h,
+             (299 * ord(substr(raster, 3*p + 1, 1))
+              + 587 * ord(substr(raster, 3*p + 2, 1))
+              + 114 * ord(substr(raster, 3*p + 3, 1))) // 1000 AS y
+      FROM rast, LATERAL (SELECT unnest(range(0, w*h)) AS p)
+    )
+    SELECT doc_id, CAST(w AS INT) AS w, CAST(h AS INT) AS h,
+           CAST(sum(y) AS BIGINT) AS luma_sum,
+           CAST(min(y) AS INT) AS luma_min,
+           CAST(max(y) AS INT) AS luma_max,
+           CAST(sum(CASE WHEN y < {GRAY_DARK} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dark
+    FROM px GROUP BY 1, 2, 3
+"""
+
+
+@register("q_multimodal_image_grayscale", oracle=_GRAY_ORACLE)
+def q_multimodal_image_grayscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grayscale conversion over the REAL decoded raster: per image,
+    BT.601 integer luma ``(299R + 587G + 114B) // 1000`` for every
+    pixel, reduced to exposure features (sum/min/max luma, dark-pixel
+    count) — the color→gray projection every vision preprocessing
+    stack runs before hashing/thresholding (`dhash_ppm` does the same
+    inside its hash; this exposes it as a feature column).
+
+    All integer arithmetic — floor-divided luma is engine-exact and
+    the oracle replays every raster byte positionally from the
+    declarative synthesis.  Conversion + reduction happen inside the
+    decode kernel: raster bytes never shuffle, O(1) feature rows leave
+    the scan per image."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in (
+            "doc_id", "w", "h", "luma_sum", "luma_min", "luma_max", "n_dark",
+        )}
+        for pdf in batches:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = decode_ppm_raster(bytes(payload))
+                a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                a = a.reshape(h * w, 3)
+                y = (299 * a[:, 0] + 587 * a[:, 1] + 114 * a[:, 2]) // 1000
+                rows["doc_id"].append(int(did))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["luma_sum"].append(int(y.sum()))
+                rows["luma_min"].append(int(y.min()))
+                rows["luma_max"].append(int(y.max()))
+                rows["n_dark"].append(int((y < GRAY_DARK).sum()))
+        yield pd.DataFrame(rows)
+
+    return ppm_table(spark, sf_dir).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, w int, h int, luma_sum long, "
+            "luma_min int, luma_max int, n_dark long"
+        ),
+    )

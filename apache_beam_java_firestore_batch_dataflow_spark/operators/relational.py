@@ -3665,3 +3665,61 @@ def q_sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("n_days").cast("bigint").alias("n_days"),
         ok.alias("sketch_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (wide -> long) via the native relational operator
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_ORACLE = """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS DOUBLE) AS quantity,
+             CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+             CAST(l_discount AS DOUBLE) AS discount,
+             CAST(l_tax AS DOUBLE) AS tax
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    SELECT l_orderkey, l_linenumber, metric, val FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             quantity AS val FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', discount FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'tax', tax FROM base
+    )
+"""
+
+
+@register("q_unpivot_lineitem_metrics", oracle=_UNPIVOT_ORACLE)
+def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with the NATIVE relational ``unpivot``/MELT
+    operator (the inverse of `q_pivot_conditional`): each lineitem row
+    becomes four (metric, value) rows — the normalization every
+    metrics-warehouse ingestion runs so downstream aggregates can key
+    on the metric name.  SQL equivalent is the UNION-ALL expansion the
+    oracle states; Spark's operator plans it as ONE `Expand` node —
+    one scan, each row emitted k times with per-copy projections, no
+    union of k scans.
+
+    Pure row expansion of scalar tuples inside the scan stage: zero
+    shuffles at any size; the %100 key filter is pushed to parquet.
+    Values cast to DOUBLE before unpivot (the operator requires one
+    common value type; decimal cents would also work)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "val",
+    )

@@ -2049,3 +2049,126 @@ def q_text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("other_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: association strength over adjacent token pairs
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+_PMI_ORACLE = f"""
+    WITH tl AS (SELECT doc_id, {TOKENS_SQL} AS ts FROM documents),
+    uni AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(ts) AS tok FROM tl) GROUP BY tok
+    ),
+    nu AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT ts[i] AS w1, ts[i + 1] AS w2, count(*) AS c
+      FROM tl, LATERAL (SELECT unnest(range(1, len(ts))) AS i)
+      GROUP BY 1, 2
+    ),
+    nb AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM bi),
+    scored AS (
+      SELECT w1, w2, bi.c,
+             CAST(round(ln(CAST(bi.c AS DOUBLE)), 6) AS DECIMAL(38,6))
+             - CAST(round(ln(CAST(u1.c AS DOUBLE)), 6) AS DECIMAL(38,6))
+             - CAST(round(ln(CAST(u2.c AS DOUBLE)), 6) AS DECIMAL(38,6))
+             + 2 * CAST(round(ln(CAST(nu.n AS DOUBLE)), 6) AS DECIMAL(38,6))
+             - CAST(round(ln(CAST(nb.n AS DOUBLE)), 6) AS DECIMAL(38,6))
+                 AS pmi6
+      FROM bi
+      JOIN uni u1 ON u1.tok = bi.w1
+      JOIN uni u2 ON u2.tok = bi.w2, nu, nb
+      WHERE bi.c >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(c AS BIGINT) AS n_pair,
+           CAST(pmi6 AS DOUBLE) AS pmi
+    FROM scored
+    ORDER BY pmi6 DESC, w1, w2 LIMIT {PMI_TOP}
+"""
+
+
+@register("q_text_pmi_collocations", oracle=_PMI_ORACLE)
+def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the top-{PMI_TOP} adjacent token pairs by
+    pointwise mutual information ``ln(p(ab)/(p(a)p(b)))`` with a
+    min-count floor of {PMI_MIN_COUNT} — the association score that
+    separates true collocations from merely-frequent pairs (raw bigram
+    counts, `q_text_bigrams_top`, rank "the the"-style pairs first;
+    PMI surfaces pairs that co-occur MORE than their parts predict),
+    the standard phrase-extraction signal.
+
+    Float discipline: each ln() is of an exact INTEGER count and is
+    quantized to 6 decimals immediately (the bigram-LM rule); the five
+    quantized terms then combine EXACTLY in DECIMAL(38,6), so the
+    score — and therefore the top-{PMI_TOP} cut — is deterministic
+    across engines and partitionings.  Ties pin on the pair text.
+
+    Scale shape: two combiner aggs (unigram, bigram census — both
+    vocabulary-sized), two keyed joins of the bigram table against the
+    unigram counts, two one-row broadcasts (the totals), and a global
+    `TakeOrderedAndProject` top-{PMI_TOP}.  Nothing corpus-sized past
+    the censuses."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(tokens_col(F.col("text")).alias("toks"))
+    uni = d.select(F.explode("toks").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bigrams = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = (
+        d.select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .filter(F.col("cb") >= PMI_MIN_COUNT)
+    )
+    nu = uni.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    nb_full = (
+        d.select(
+            F.when(F.size("toks") >= 2, F.size("toks") - 1)
+            .otherwise(0)
+            .alias("k")
+        )
+        .agg(F.sum("k").cast("bigint").alias("n_bi"))
+    )
+    ln6 = lambda c: F.round(F.log(c.cast("double")), 6).cast("decimal(38,6)")
+    scored = (
+        bi.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c2")), "w2")
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb_full))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            (
+                ln6(F.col("cb"))
+                - ln6(F.col("c1"))
+                - ln6(F.col("c2"))
+                + F.lit(2) * ln6(F.col("n_uni"))
+                - ln6(F.col("n_bi"))
+            ).alias("pmi6"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi6"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP)
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("bigint").alias("n_pair"),
+            F.col("pmi6").cast("double").alias("pmi"),
+        )
+    )

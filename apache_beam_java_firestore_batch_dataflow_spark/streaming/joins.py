@@ -134,3 +134,69 @@ def q_stream_dedup_replayed(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated back to exactly-once by event_id."""
     events = load_table(spark, sf_dir, "events")
     return dedup_replayed(events.unionAll(events))
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER interval join: unmatched clicks surface with NULLs
+# ---------------------------------------------------------------------------
+
+_INTERVAL_OUTER_ORACLE = f"""
+    SELECT c.user_id,
+           c.event_id AS click_id, c.ts AS click_ts,
+           e.event_id AS error_id,
+           CASE WHEN e.event_id IS NULL THEN NULL
+                ELSE epoch_us(e.ts) - epoch_us(c.ts) END AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON c.user_id = e.user_id
+     AND e.ts >= c.ts AND e.ts < c.ts + INTERVAL {JOIN_BOUND_S} SECOND
+"""
+
+
+@register("q_stream_interval_join_outer", oracle=_INTERVAL_OUTER_ORACLE)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click appears —
+    paired with each same-user error in the next {JOIN_BOUND_S // 3600}
+    hours, or ONCE with NULLs if no error followed.  The outer side is
+    the operationally important one ("which clicks had NO error?"), and
+    it is the semantics Structured Streaming can only provide WITH
+    watermarks on both inputs: a click emits its NULL row only once the
+    right-side watermark passes click_ts + bound and Spark can prove no
+    match is still coming.  Batch (this registered form) states the
+    same plan as a plain LEFT JOIN; the streaming twin is exercised in
+    tests/test_streaming_joins.py with the late-null-emission check.
+
+    Scale shape identical to the inner join: equi-key shuffle on
+    user_id carries everything; the interval predicate bounds streaming
+    state at O(rate × bound)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("error_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    joined = c.join(
+        e,
+        (F.col("c_user") == F.col("e_user"))
+        & (F.col("error_ts") >= F.col("click_ts"))
+        & (
+            F.col("error_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {JOIN_BOUND_S} SECONDS")
+        ),
+        "left",
+    )
+    return joined.select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "click_ts",
+        "error_id",
+        F.when(
+            F.col("error_id").isNotNull(),
+            epoch_us("error_ts") - epoch_us("click_ts"),
+        ).alias("lag_us"),
+    )
