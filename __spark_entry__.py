@@ -91,7 +91,8 @@ _MODULES = [
 #   q_sketch_hll_partitioned_union, q_events_token_bucket,
 #   q_graph_lpa_communities, q_unpivot_lineitem_metrics,
 #   q_multimodal_image_grayscale, q_text_pmi_collocations,
-#   q_stream_interval_join_outer,
+#   q_stream_interval_join_outer, q_events_user_streaks,
+#   q_dedup_keep_longest,
 # then the r5-stale greens.
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [

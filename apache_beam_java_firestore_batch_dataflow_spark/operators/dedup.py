@@ -1464,3 +1464,77 @@ def q_er_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dirty_id") == F.col("c_custkey")).alias("is_true_match"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection by QUALITY: keep the longest document per cluster
+# ---------------------------------------------------------------------------
+
+_KEEP_LONGEST_ORACLE = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    clusters AS (
+      SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc
+    ),
+    scored AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    best AS (
+      SELECT cluster_id, doc_id AS kept_doc FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT s.doc_id, CAST(s.cluster_id AS BIGINT) AS cluster_id,
+           CAST(b.kept_doc AS BIGINT) AS kept_doc,
+           (s.doc_id = b.kept_doc) AS is_kept
+    FROM scored s JOIN best b ON b.cluster_id = s.cluster_id
+"""
+
+
+@register("q_dedup_keep_longest", oracle=_KEEP_LONGEST_ORACLE)
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection by QUALITY, not by id: within each near-dup
+    cluster keep the LONGEST document (ties → smallest doc_id) — the
+    longest-version-wins rule crawl pipelines apply when re-crawls and
+    truncated mirrors share a cluster, where `q_dedup_clusters`' plain
+    min-id pick could keep a truncated copy and drop the full page.
+
+    The argmax is a ``min(struct(-n_chars, doc_id))`` combiner
+    aggregation per cluster (no window over the corpus), broadcast
+    back onto the membership frame — one keyed join + one agg on top
+    of the clustering, which itself is the bounded label-propagation
+    plan.  Emits the full keep/drop ledger so downstream filters are
+    one semi-join."""
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    scored = clusters.join(docs, "doc_id")
+    best = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("d")
+                )
+            ).alias("top")
+        )
+        .select("cluster_id", F.col("top.d").alias("kept_doc"))
+    )
+    return scored.join(best, "cluster_id").select(
+        "doc_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.col("kept_doc").cast("bigint").alias("kept_doc"),
+        (F.col("doc_id") == F.col("kept_doc")).alias("is_kept"),
+    )

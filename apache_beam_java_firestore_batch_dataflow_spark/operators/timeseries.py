@@ -1637,3 +1637,74 @@ def q_events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema="user_id long, event_id long, allowed boolean, tokens_after_ut long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, day,
+             day - dense_rank() OVER (PARTITION BY user_id ORDER BY day)
+                 AS island
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, island, count(*) AS len,
+             min(day) AS start_day
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak_days,
+           CAST(min(CASE WHEN len = ml THEN start_day END) AS BIGINT)
+               AS streak_start_day,
+           CAST(count(*) AS BIGINT) AS n_streaks
+    FROM (SELECT *, max(len) OVER (PARTITION BY user_id) AS ml FROM streaks)
+    GROUP BY user_id
+"""
+
+
+@register("q_events_user_streaks", oracle=_STREAK_ORACLE)
+def q_events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (plus its start
+    day and the total number of streaks) — the gaps-and-islands
+    pattern over calendar DAYS, the engagement metric behind every
+    "7-day streak" product feature, distinct from `q_sessionize_gaps`
+    (intra-day time gaps) and `q_audit_sequence_gaps` (global key
+    space).
+
+    The island id is the classic ``day − dense_rank(day)`` trick:
+    consecutive days share a constant difference, so one per-user
+    window + two combiner aggs find every streak — no self-join, no
+    per-day explode.  Ties on the longest streak resolve to the
+    EARLIEST start day (deterministic).  Per-user windows are the
+    sessionize scale shape: millions of small partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", (epoch_us("ts") / 86_400_000_000).cast("bigint").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id", "day", (F.col("day") - F.dense_rank().over(w)).alias("island")
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    wm = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("ml", F.max("len").over(wm))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak_days"),
+            F.min(F.when(F.col("len") == F.col("ml"), F.col("start_day")))
+            .cast("bigint")
+            .alias("streak_start_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        )
+    )

@@ -424,3 +424,65 @@ def test_lpa_finds_dense_communities(spark):
     assert len({lab[4], lab[5], lab[6]}) == 1
     assert lab[1] != lab[4]
     spark.catalog.clearCache()
+
+
+def test_user_streaks_matches_python(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_user_streaks,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    days: dict = {}
+    for u, ts in zip(tbl["user_id"].to_pylist(), tbl["ts"].to_pylist()):
+        days.setdefault(u, set()).add(int(ts.timestamp() * 1_000_000) // 86_400_000_000)
+    expect = {}
+    for u, ds in days.items():
+        ds = sorted(ds)
+        streaks = []
+        start = prev = ds[0]
+        for d in ds[1:]:
+            if d == prev + 1:
+                prev = d
+            else:
+                streaks.append((prev - start + 1, start))
+                start = prev = d
+        streaks.append((prev - start + 1, start))
+        longest = max(s[0] for s in streaks)
+        expect[u] = (
+            longest,
+            min(s[1] for s in streaks if s[0] == longest),
+            len(streaks),
+        )
+    got = {
+        r.user_id: (r.longest_streak_days, r.streak_start_day, r.n_streaks)
+        for r in q_events_user_streaks(spark, sf_dir).collect()
+    }
+    assert got == expect
+    spark.catalog.clearCache()
+
+
+def test_keep_longest_prefers_length_over_id(spark, sf_dir):
+    """Within every cluster the kept doc must have the maximal n_chars
+    (ties to the smallest id), and exactly one doc per cluster is
+    kept."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        q_dedup_keep_longest,
+    )
+
+    rows = q_dedup_keep_longest(spark, sf_dir).collect()
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+        ).to_pylist()
+    }
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [r for r in members if r.is_kept]
+        assert len(kept) == 1
+        k = kept[0]
+        best = min(members, key=lambda r: (-chars[r.doc_id], r.doc_id))
+        assert k.doc_id == best.doc_id == k.kept_doc
+    spark.catalog.clearCache()
