@@ -1644,3 +1644,75 @@ def q_multimodal_image_grayscale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "luma_min int, luma_max int, n_dark long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio zero-crossing rate (per clip, exact integer counting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_audio_zcr",
+    # Replays the generating formula: a crossing at interleaved index k
+    # (within one channel: k and k+channels) where signs strictly
+    # oppose; zeros break runs (sign(s)=0 counts as no crossing).
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             doc_id % 50 + 20 AS n_frames,
+             doc_id % 2 + 1  AS channels
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, channels,
+             k % channels AS ch, k // channels AS frame,
+             sign((doc_id * 7919 + k * 104729) % 65521 - 32760) AS sg
+      FROM params, LATERAL (SELECT unnest(range(0, n_frames * channels)) AS k)
+    ),
+    crossings AS (
+      SELECT doc_id, channels, ch,
+             CASE WHEN sg * lag(sg) OVER (PARTITION BY doc_id, ch
+                                          ORDER BY frame) = -1
+                  THEN 1 ELSE 0 END AS x
+      FROM samples
+    )
+    SELECT doc_id, CAST(channels AS INT) AS channels,
+           CAST(sum(x) AS BIGINT) AS n_crossings
+    FROM crossings GROUP BY doc_id, channels
+    """,
+)
+def q_multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-crossing count per decoded audio clip (per channel summed)
+    — THE cheap spectral proxy (high ZCR ≈ high-frequency content /
+    noise; low ≈ tonal), the voiced/unvoiced discriminator classic
+    speech pipelines run before anything heavier, over the REAL
+    RIFF/WAVE parse.
+
+    A crossing is a strict sign opposition between a channel's
+    consecutive samples (``sign(a)·sign(b) == −1``; exact zeros break
+    runs) — pure integer logic, bit-exact against the oracle's
+    formula replay.  Counting happens inside the decode kernel: bytes
+    never shuffle, one row leaves the scan per clip."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = {"doc_id": [], "channels": [], "n_crossings": []}
+        for pdf in batches:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, channels, _, _, _, _ = decode_wav(bytes(payload))
+                samples = np.asarray(
+                    decode_wav_samples(bytes(payload)), dtype=np.int64
+                )
+                n = 0
+                for ch in range(channels):
+                    s = np.sign(samples[ch::channels])
+                    n += int((s[1:] * s[:-1] == -1).sum())
+                rows["doc_id"].append(int(did))
+                rows["channels"].append(channels)
+                rows["n_crossings"].append(n)
+        yield pd.DataFrame(rows)
+
+    return wav_table(spark, sf_dir).mapInPandas(
+        run, schema="doc_id long, channels int, n_crossings long"
+    )

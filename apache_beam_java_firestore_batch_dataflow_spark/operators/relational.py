@@ -3440,7 +3440,8 @@ GINI_SHARD_CENTS = 1 << 24
 _GINI_ORACLE = """
     WITH t AS (
       SELECT o_custkey,
-             CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS cents
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
       FROM orders GROUP BY o_custkey
     ),
     r AS (
@@ -3481,7 +3482,7 @@ def q_agg_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-for-token in the oracle."""
     orders = _t(spark, sf_dir, "orders")
     t = orders.groupBy("o_custkey").agg(
-        F.sum((F.col("o_totalprice") * 100).cast("bigint"))
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
         .cast("bigint")
         .alias("cents")
     )
@@ -3722,4 +3723,130 @@ def q_unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["quantity", "extendedprice", "discount", "tax"],
         "metric",
         "val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-feature OLS via normal equations on exact sufficient statistics
+# ---------------------------------------------------------------------------
+
+_OLS2_ORACLE = """
+    WITH q AS (
+      SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS sx1,
+             CAST(sum(x2) AS DOUBLE) AS sx2,
+             CAST(sum(x1 * x1) AS DOUBLE) AS s11,
+             CAST(sum(x1 * x2) AS DOUBLE) AS s12,
+             CAST(sum(x2 * x2) AS DOUBLE) AS s22,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * y) AS DOUBLE) AS s1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS s2y,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM q
+    ),
+    d AS (
+      SELECT *,
+             n * (s11 * s22 - s12 * s12)
+             - sx1 * (sx1 * s22 - s12 * sx2)
+             + sx2 * (sx1 * s12 - s11 * sx2) AS det,
+             sy * (s11 * s22 - s12 * s12)
+             - sx1 * (s1y * s22 - s12 * s2y)
+             + sx2 * (s1y * s12 - s11 * s2y) AS det0,
+             n * (s1y * s22 - s12 * s2y)
+             - sy * (sx1 * s22 - s12 * sx2)
+             + sx2 * (sx1 * s2y - s1y * sx2) AS det1,
+             n * (s11 * s2y - s1y * s12)
+             - sx1 * (sx1 * s2y - s1y * sx2)
+             + sy * (sx1 * s12 - s11 * sx2) AS det2
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(round(det0 / det, 6) AS DOUBLE) AS b0_cents,
+           CAST(round(det1 / det, 6) AS DOUBLE) AS b1,
+           CAST(round(det2 / det, 6) AS DOUBLE) AS b2,
+           CAST(round(1 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                           - (det2 / det) * s2y)
+                      / (syy - sy * sy / n), 6) AS DOUBLE) AS r2
+    FROM d
+"""
+
+
+@register("q_regress_two_features", oracle=_OLS2_ORACLE)
+def q_regress_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression, closed form: fit
+    ``extendedprice ~ b0 + b1·quantity + b2·discount`` (cent units) by
+    solving the 3×3 normal equations with Cramer's rule over EXACT
+    integer sufficient statistics — the multi-feature extension of the
+    single-feature OLS trend (`q_regress_trend_per_type`) and exact
+    Pearson corr, i.e. the "ML-lite" fit a warehouse computes without
+    an iterative solver.
+
+    Determinism: every Σ is an exact int64 of cent-quantized inputs;
+    the four 3×3 determinants and the division happen ONCE in doubles
+    with the expression mirrored token-for-token in the oracle, so
+    coefficients and R² round(6) identically.  Scale: ONE combiner agg
+    over the corpus (10 running sums), then O(1) driver-free algebra
+    in the projection — the classic sufficient-statistics shape that
+    never rescans."""
+    li = _t(spark, sf_dir, "lineitem")
+    # floor(x*100 + 0.5) on BOTH engines: the fixture stores money as
+    # DOUBLE, and bare casts diverge (DuckDB rounds, Spark truncates —
+    # the engine-parity gotcha); explicit half-up rounding is identical.
+    q = li.select(
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint").alias("x1"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("x2"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    c = F.col
+    det = (
+        c("n") * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - c("sx1") * (c("sx1") * c("s22") - c("s12") * c("sx2"))
+        + c("sx2") * (c("sx1") * c("s12") - c("s11") * c("sx2"))
+    )
+    det0 = (
+        c("sy") * (c("s11") * c("s22") - c("s12") * c("s12"))
+        - c("sx1") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        + c("sx2") * (c("s1y") * c("s12") - c("s11") * c("s2y"))
+    )
+    det1 = (
+        c("n") * (c("s1y") * c("s22") - c("s12") * c("s2y"))
+        - c("sy") * (c("sx1") * c("s22") - c("s12") * c("sx2"))
+        + c("sx2") * (c("sx1") * c("s2y") - c("s1y") * c("sx2"))
+    )
+    det2 = (
+        c("n") * (c("s11") * c("s2y") - c("s1y") * c("s12"))
+        - c("sx1") * (c("sx1") * c("s2y") - c("s1y") * c("sx2"))
+        + c("sy") * (c("sx1") * c("s12") - c("s11") * c("sx2"))
+    )
+    sse = (
+        c("syy")
+        - (det0 / det) * c("sy")
+        - (det1 / det) * c("s1y")
+        - (det2 / det) * c("s2y")
+    )
+    sst = c("syy") - c("sy") * c("sy") / c("n")
+    return s.select(
+        c("n").cast("bigint").alias("n_rows"),
+        F.round(det0 / det, 6).cast("double").alias("b0_cents"),
+        F.round(det1 / det, 6).cast("double").alias("b1"),
+        F.round(det2 / det, 6).cast("double").alias("b2"),
+        F.round(F.lit(1) - sse / sst, 6).cast("double").alias("r2"),
     )
