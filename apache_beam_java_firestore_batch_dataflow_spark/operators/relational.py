@@ -3647,7 +3647,6 @@ def q_sketch_hll_partitioned_union(spark: SparkSession, sf_dir: str) -> DataFram
         "user_id",
     ).groupBy("event_type", "day").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct("user_id").alias("nd_exact_day"),
     )
     merged = daily.groupBy("event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_est"),

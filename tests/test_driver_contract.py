@@ -143,3 +143,11 @@ def test_coverage_doc_names_match_registry():
         q for q in registry if q.startswith("q_") and q not in mentioned
     }
     assert not undocumented, f"registry queries missing from COVERAGE.md: {sorted(undocumented)}"
+    # The headline "NNN registered queries" line must equal the actual
+    # registry size — it drifted silently to 212-vs-235 once (ADVICE r8).
+    m = re.search(r"(\d+) registered queries", doc)
+    assert m, "COVERAGE.md lost its 'NNN registered queries' summary line"
+    assert int(m.group(1)) == len(registry), (
+        f"COVERAGE.md claims {m.group(1)} registered queries; "
+        f"registry has {len(registry)}"
+    )
