@@ -58,98 +58,79 @@ _MODULES = [
 # `scripts/check_oracles.py` re-proves the FULL registry locally every
 # round (artifact: ORACLE_CHECK_r06.txt, 0 failures).
 #
-# Driver-row ledger going into round 8 (CORRECTNESS_r01..r07): r7 was
-# 49/50 green; the 1 red row (q_audit_table_checksum) was the r6
-# HUGEINT class one type over — the oracle emitted DECIMAL(38,0) sums
-# ~5.4e19 > 2^53, which pandas .df() coerces to lossy float64 while
-# fetchall()-based rehearsal sees exact Decimals (judge-root-caused,
-# VERDICT r7 item 1).  Fixed this round by making the checksum 64-bit
-# BY CONSTRUCTION: bit_xor of the 56-bit per-row hashes on both sides
-# (stays BIGINT at any table size).  The type guard is widened to the
-# whole exceeds-float64-exact class — HUGEINT/UHUGEINT/UBIGINT and
-# DECIMAL(p>18) on the oracle side, DecimalType(p>18) on the Spark
-# side (tests/test_driver_contract.py::test_oracle_outputs_fit_float64_exact
-# + ::test_output_schema_is_atomic, mirrored in scripts/check_oracles.py).
-# ROUND 8 prefix (exactly 50): the fixed checksum row first (kept in
-# the prefix until green, same policy as r7's bloom), then the 3 r6
-# spillovers, then the 12 round-7 registrations (never checked), then
-# the 34 stalest greens (driver rows last seen in r4).  Still queued
-# for the ROUND 9 prefix: the remaining 16 r4-stale rows —
-#   q_stream_dedup_replayed, q_stream_interval_join, q_stream_sliding,
-#   q_stream_tumbling, q_subquery_in, q_text_bigrams_top,
-#   q_text_fingerprint, q_text_quality, q_text_repetition,
-#   q_text_tfidf_top_terms, q_text_unigram_logprob, q_time_rollup,
-#   q_token_count_bpe, q_udf_grouped_agg_pandas,
-#   q_udf_grouped_map_zscore, q_udf_scalar_pandas,
-# followed by the queries REGISTERED IN ROUND 8 (never checked):
-#   q_text_bpe_train_k4, q_events_autocorrelation,
-#   q_embedding_matryoshka_quality, q_text_charset_profile,
-#   q_stream_lateness_audit, q_graph_kcore2,
-#   q_multimodal_audio_decimate, q_agg_gini_customer_revenue,
-#   q_profile_heavy_hitters, q_mix_budget_solver,
-#   q_sessions_overlap_counts, q_privacy_dp_heavy_hitters,
-#   q_sketch_hll_partitioned_union, q_events_token_bucket,
-#   q_graph_lpa_communities, q_unpivot_lineitem_metrics,
-#   q_multimodal_image_grayscale, q_text_pmi_collocations,
-#   q_stream_interval_join_outer, q_events_user_streaks,
-#   q_dedup_keep_longest,
-# then the r5-stale greens.
+# Driver-row ledger going into round 9 (CORRECTNESS_r01..r08): r8 was
+# the first fully green driver round, 50/50 (the bit_xor checksum fix
+# held).  Cumulative coverage after r8: 212 of the 235 registered
+# queries have a driver row, every last-seen row green; 23 have NEVER
+# been driver-checked (the 21 late-r8 registrations plus
+# q_events_user_streaks / q_dedup_keep_longest from the final r8
+# snapshot).  ROUND 9 prefix (exactly 50, per VERDICT r8 item 2):
+# the 23 never-checked first — green rows here retire the rotation
+# debt entirely — then any round-9 registrations (never-checked by
+# construction; they take driver rows the same round they land), then
+# the stalest greens (16 r4-stale re-checks, then r5-stale
+# alphabetically) to fill 50.  Still queued for the ROUND 10 prefix:
+# whatever r5-stale greens the round-9 registrations displace from
+# the tail below, then the remaining r5 greens in alphabetical order
+# (q_dedup_incremental_ingest, q_dedup_minhash_lsh,
+# q_dedup_winnow_pairs, q_doc_length_histogram,
+# q_embedding_gram_matrix, q_events_funnel, q_events_json, ...).
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- r7 red row, 64-bit bit_xor checksum fixed this round ---
-    "q_audit_table_checksum",
-    # --- r6 spillovers, never driver-checked ---
-    "q_join_dynamic_partition_pruning",
-    "q_sketch_percentile_bounds",
-    "q_dedup_containment_pairs",
-    # --- registered round 7, never driver-checked (12) ---
-    "q_window_ntile_deciles",
-    "q_agg_weighted_median",
-    "q_layout_compaction_plan",
-    "q_skyline_suppliers",
-    "q_events_seasonal_profile",
-    "q_events_interarrival",
-    "q_privacy_randomized_response",
-    "q_ann_hamming_rerank",
-    "q_quality_perplexity_buckets",
-    "q_audit_snapshot_diff",
-    "q_multimodal_resize_grid",
-    "q_text_bpe_apply_step",
-    # --- stalest greens: driver rows last seen in r4 (34 of 50) ---
-    "q1_pricing_summary",
-    "q11_important_values",
-    "q13_customer_distribution",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_asof_join",
-    "q_chunk_documents",
-    "q_decontaminate_overlap",
-    "q_dedup_clusters",
-    "q_dedup_embedding_cosine",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_embedding_centroids",
-    "q_embedding_outliers",
-    "q_embedding_quantize_int8",
-    "q_format_roundtrip_csv",
-    "q_format_roundtrip_orc",
-    "q_join_broadcast_dim",
-    "q_kmeans_one_step",
-    "q_knn_bruteforce",
-    "q_mix_weighted_sources",
-    "q_multimodal_decode_stats",
-    "q_multimodal_frame_sample",
-    "q_multimodal_manifest",
-    "q_pack_char_budget",
-    "q_pii_redact",
-    "q_quantiles_doc_length",
-    "q_range_join_bucketed",
-    "q_salted_join_skew",
-    "q_sample_hash_deterministic",
-    "q_sample_stratified_quota",
-    "q_sessionize_gaps",
-    "q_wordcount_documents",
+    # --- never driver-checked: late-r8 registrations (23) ---
+    "q_text_bpe_train_k4",
+    "q_events_autocorrelation",
+    "q_embedding_matryoshka_quality",
+    "q_text_charset_profile",
+    "q_stream_lateness_audit",
+    "q_graph_kcore2",
+    "q_multimodal_audio_decimate",
+    "q_agg_gini_customer_revenue",
+    "q_profile_heavy_hitters",
+    "q_mix_budget_solver",
+    "q_sessions_overlap_counts",
+    "q_privacy_dp_heavy_hitters",
+    "q_sketch_hll_partitioned_union",
+    "q_events_token_bucket",
+    "q_graph_lpa_communities",
+    "q_unpivot_lineitem_metrics",
+    "q_multimodal_image_grayscale",
+    "q_text_pmi_collocations",
+    "q_stream_interval_join_outer",
+    "q_events_user_streaks",
+    "q_dedup_keep_longest",
+    "q_multimodal_audio_zcr",
+    "q_regress_two_features",
+    # --- round-9 registrations slot in HERE as they land ---
+    # --- stalest greens: driver rows last seen in r4 (16) ---
+    "q_stream_dedup_replayed",
+    "q_stream_interval_join",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_subquery_in",
+    "q_text_bigrams_top",
+    "q_text_fingerprint",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_tfidf_top_terms",
+    "q_text_unigram_logprob",
+    "q_time_rollup",
+    "q_token_count_bpe",
+    "q_udf_grouped_agg_pandas",
+    "q_udf_grouped_map_zscore",
+    "q_udf_scalar_pandas",
+    # --- next-stalest greens: last seen in r5, alphabetical (11) ---
+    "q12_priority_lines",
+    "q_agg_distinct",
+    "q_ann_pq",
+    "q_ann_pq_rerank",
+    "q_approx_distinct_sketch",
+    "q_audit_referential_orphans",
+    "q_bucketed_join_copartitioned",
+    "q_cdc_merge_upsert",
+    "q_correlated_exists",
+    "q_cube",
+    "q_dedup_boilerplate_chunks",
 ]
 
 

@@ -151,3 +151,32 @@ def test_coverage_doc_names_match_registry():
         f"COVERAGE.md claims {m.group(1)} registered queries; "
         f"registry has {len(registry)}"
     )
+
+
+def test_every_registered_query_has_committed_proof_row():
+    """Freeze guard (VERDICT r8 item 3): every registered query must
+    have a committed PASS/okay row in some ORACLE_CHECK_r*.txt.  The r8
+    failure mode was registering queries AFTER the final oracle proof —
+    doc-complete but proof-less at HEAD.  This test makes that a red
+    suite: a registration commit must carry its proof row (run
+    `python scripts/check_oracles.py /root/testdata/sf0.01 <name> ...`
+    and append/commit the output into the current round's
+    ORACLE_CHECK_rNN.txt in the SAME commit)."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    proven = set()
+    for path in glob.glob(os.path.join(root, "ORACLE_CHECK_r*.txt")):
+        for line in open(path, encoding="utf-8", errors="replace"):
+            m = re.match(r"(?:PASS|okay)\s+(\S+)", line)
+            if m:
+                proven.add(m.group(1))
+    registry = set(entrymod.queries())
+    unproven = sorted(registry - proven)
+    assert not unproven, (
+        f"registered queries with NO committed oracle-proof row anywhere: "
+        f"{unproven} — run scripts/check_oracles.py on them and commit the "
+        f"rows before (or with) the registration"
+    )
