@@ -7,6 +7,14 @@ JSON line::
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
+The driver records only the LAST 2000 stdout characters, so the final
+line is a COMPACT (<=1500 char) summary — totals, per-family subtotals,
+the worst-5 queries, sink/skew/scaling digests (VERDICT r8 item 4;
+``BENCH_r08.json`` came back ``"parsed": null`` because the full
+per-query dict overflowed the tail).  The complete per-query JSON is
+written to ``$SPARK_GRAFT_BENCH_OUT`` (default ``BENCH_LOCAL_r09.json``,
+committed in-repo each round).
+
 Each query is forced end-to-end with a ``noop``-format write — full
 computation on the executors, zero driver-side collect — which is how a
 cluster job would be measured.
@@ -423,41 +431,84 @@ def main() -> None:
     skew = skew_bench(spark)
 
     total = round(sum(timings.values()), 3)
+    # VERDICT r8 item 6: one number nobody has to do arithmetic for —
+    # the timed headline PLUS every eager construction-time second.
+    true_total = round(total + sum(eager_build.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).removeprefix("sf")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else SF_DIR,
-                "sink": sink,
-                "scaling": scaling,
-                "skew": skew,
-                # Median DataFrame-CONSTRUCTION seconds for queries with
-                # eager build-time work (iterative checkpoint loops,
-                # codebook-sizing counts); their "queries" entry times
-                # only the post-construction action (ADVICE r7).
-                "eager_build_sec": eager_build,
-                # r6 protocol bump (ADVICE r5 cache-leak fix): headline
-                # queries now run cache-ISOLATED (clearCache between
-                # queries — r1-r5 never cleared, so later dedup-family
-                # queries silently reused earlier queries' cached
-                # shingle pipelines and measured ~40-80% fast);
-                # scaling legs are fully COLD per rep.  Compare
-                # same-protocol rounds only.  r7: a best-effort
-                # System.gc() runs in the untimed gap between headline
-                # queries (VERDICT r6 item 5's BPE outlier); timed
-                # semantics unchanged, so the id stays isolated-v2.
-                # r8: scaling legs moved BEFORE the headline loop
-                # (VERDICT r7 item 5 — late-run memory pressure was
-                # inflating the large-leg medians) and eager_build_sec
-                # added; per-query timed semantics still unchanged.
-                "protocol": "isolated-v2",
-            }
-        )
-    )
+    full = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else SF_DIR,
+        "sink": sink,
+        "scaling": scaling,
+        "skew": skew,
+        # Median DataFrame-CONSTRUCTION seconds for queries with
+        # eager build-time work (iterative checkpoint loops,
+        # codebook-sizing counts); their "queries" entry times
+        # only the post-construction action (ADVICE r7).
+        "eager_build_sec": eager_build,
+        "true_total": true_total,
+        # r6 protocol bump (ADVICE r5 cache-leak fix): headline
+        # queries now run cache-ISOLATED (clearCache between
+        # queries — r1-r5 never cleared, so later dedup-family
+        # queries silently reused earlier queries' cached
+        # shingle pipelines and measured ~40-80% fast);
+        # scaling legs are fully COLD per rep.  Compare
+        # same-protocol rounds only.  r7: a best-effort
+        # System.gc() runs in the untimed gap between headline
+        # queries (VERDICT r6 item 5's BPE outlier); timed
+        # semantics unchanged, so the id stays isolated-v2.
+        # r8: scaling legs moved BEFORE the headline loop
+        # (VERDICT r7 item 5 — late-run memory pressure was
+        # inflating the large-leg medians) and eager_build_sec
+        # added; per-query timed semantics still unchanged.
+        # r9: full detail moved to the BENCH_LOCAL file; stdout's
+        # final line became the compact summary.  Timed semantics
+        # still unchanged — the id stays isolated-v2.
+        "protocol": "isolated-v2",
+    }
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r09.json")
+    with open(out_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+        fh.write("\n")
+
+    # Per-family subtotals: family = the token after "q_" ("tpch" for
+    # the numbered TPC-H queries) — compact, derivable, no curated list.
+    fams: dict[str, float] = {}
+    for name, sec in timings.items():
+        fam = "tpch" if name[1].isdigit() else name.split("_")[1]
+        fams[fam] = round(fams.get(fam, 0.0) + sec, 2)
+    worst5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    worst_ratios = {
+        n: v["ratio"]
+        for n, v in sorted(scaling.items(), key=lambda kv: -kv[1]["ratio"])[:3]
+    }
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf else SF_DIR,
+        "n_queries": len(timings),
+        "true_total": true_total,
+        "eager_build_total": round(sum(eager_build.values()), 3),
+        "families": fams,
+        "queries": worst5,  # worst-5 only; full dict in queries_full
+        "scaling_worst": worst_ratios,
+        "sink": sink,
+        "skew": skew,
+        "protocol": "isolated-v2",
+        "queries_full": out_path,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # keep the driver's 2000-char tail parseable
+        for k in ("skew", "scaling_worst", "families"):
+            compact.pop(k, None)
+            line = json.dumps(compact)
+            if len(line) <= 1500:
+                break
+    print(line)
     spark.stop()
 
 
