@@ -70,8 +70,9 @@ _MODULES = [
 # construction; they take driver rows the same round they land), then
 # the stalest greens (16 r4-stale re-checks, then r5-stale
 # alphabetically) to fill 50.  Still queued for the ROUND 10 prefix:
-# whatever r5-stale greens the round-9 registrations displace from
-# the tail below, then the remaining r5 greens in alphabetical order
+# the 3 r5-stale greens the round-9 registrations displaced from the
+# tail (q_correlated_exists, q_cube, q_dedup_boilerplate_chunks),
+# then the remaining r5 greens in alphabetical order
 # (q_dedup_incremental_ingest, q_dedup_minhash_lsh,
 # q_dedup_winnow_pairs, q_doc_length_histogram,
 # q_embedding_gram_matrix, q_events_funnel, q_events_json, ...).
@@ -101,7 +102,11 @@ _PRIORITY = [
     "q_dedup_keep_longest",
     "q_multimodal_audio_zcr",
     "q_regress_two_features",
-    # --- round-9 registrations slot in HERE as they land ---
+    # --- round-9 registrations (never checked; each displaces one
+    #     r5-stale green from the tail below into the r10 queue) ---
+    "q_sample_weighted_stratified",
+    "q_text_rerank_edit",
+    "q_multimodal_audio_flatness",
     # --- stalest greens: driver rows last seen in r4 (16) ---
     "q_stream_dedup_replayed",
     "q_stream_interval_join",
@@ -128,9 +133,6 @@ _PRIORITY = [
     "q_audit_referential_orphans",
     "q_bucketed_join_copartitioned",
     "q_cdc_merge_upsert",
-    "q_correlated_exists",
-    "q_cube",
-    "q_dedup_boilerplate_chunks",
 ]
 
 

@@ -616,6 +616,65 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-stratum weighted sampling without replacement (A-ES within groups)
+# ---------------------------------------------------------------------------
+
+WEIGHTED_STRATUM_K = 40  # per-language quota
+
+
+def _weighted_stratified_oracle() -> str:
+    from ..functions.hashing import h56_sql
+
+    h = h56_sql("CAST(doc_id AS VARCHAR)", salt="wss:")
+    return f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY ln((({h}) + 1) / {_U_DENOM!r}) / n_chars DESC, doc_id
+             ) AS rn
+      FROM documents WHERE n_chars > 0
+    )
+    WHERE rn <= {WEIGHTED_STRATUM_K}
+"""
+
+
+@register("q_sample_weighted_stratified", oracle=_weighted_stratified_oracle())
+def q_sample_weighted_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling WITHOUT replacement — the weighted
+    twin of ``q_sample_stratified_quota`` (VERDICT r8 item 7): within
+    each language, min(|stratum|, {WEIGHTED_STRATUM_K}) docs drawn with
+    probability proportional to length via the Efraimidis-Spirakis
+    exponential key ln(u)/w, u the salted content-derived md5 uniform.
+    This is how a mixture recipe takes "N docs per language, favoring
+    longer documents" reproducibly.
+
+    Determinism: u is the same 56-bit md5 uniform on both engines and
+    the key is ONE double division of identical operands — IEEE gives
+    bit-identical doubles, so the per-stratum order (and therefore the
+    selected set) cannot diverge; ties break on doc_id.  Scale shape:
+    a per-stratum window top-k plans as ``WindowGroupLimit`` — each
+    task keeps a {WEIGHTED_STRATUM_K}-row heap per language below the
+    exchange, so the shuffle carries O(k x langs x partitions), never
+    the corpus."""
+    from ..functions.hashing import h56
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        h56(F.col("doc_id").cast("string"), salt="wss:") + 1
+    ).cast("double") / F.lit(_U_DENOM)
+    key = F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WEIGHTED_STRATUM_K)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-source quality gate: keep the top-p quantile within each stratum
 # ---------------------------------------------------------------------------
 

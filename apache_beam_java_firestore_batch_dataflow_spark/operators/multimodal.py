@@ -1716,3 +1716,122 @@ def q_multimodal_audio_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_table(spark, sf_dir).mapInPandas(
         run, schema="doc_id long, channels int, n_crossings long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio energy-flatness (spectral-flatness proxy, exact integer micro-units)
+# ---------------------------------------------------------------------------
+
+FLATNESS_BLOCK = 8  # within-channel samples per energy block
+
+
+@register(
+    "q_multimodal_audio_flatness",
+    # Replays the generating formula: within-channel sample j of channel
+    # ch is interleaved index k = j*channels + ch; blocks are 8
+    # consecutive within-channel samples (trailing partial block kept).
+    # e1 = 1 + sum(s^2) keeps ln defined on silent blocks.  All
+    # accumulations are exact ints; the two ln() calls are quantized to
+    # micro-units with floor(x*1e6 + 0.5) (the repo's ln6 discipline),
+    # and the output flatness is an INTEGER micro-unit value.
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             doc_id % 50 + 20 AS n_frames,
+             doc_id % 2 + 1  AS channels
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id, channels,
+             k % channels AS ch,
+             (k // channels) // {FLATNESS_BLOCK} AS blk,
+             (doc_id * 7919 + k * 104729) % 65521 - 32760 AS s
+      FROM params, LATERAL (SELECT unnest(range(0, n_frames * channels)) AS k)
+    ),
+    blocks AS (
+      SELECT doc_id, channels, ch, blk,
+             1 + sum(s * s) AS e1
+      FROM samples GROUP BY doc_id, channels, ch, blk
+    ),
+    clip AS (
+      SELECT doc_id, channels,
+             count(*) AS n_blocks,
+             CAST(sum(e1) AS BIGINT) AS sum_e1,
+             CAST(sum(CAST(floor(ln(CAST(e1 AS DOUBLE)) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sum_ln6
+      FROM blocks GROUP BY doc_id, channels
+    )
+    SELECT doc_id, CAST(channels AS INT) AS channels,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           sum_e1,
+           CAST(floor(
+             CAST(sum_ln6 AS DOUBLE) / n_blocks
+             - floor(ln(CAST(sum_e1 AS DOUBLE) / n_blocks) * 1000000 + 0.5)
+             + 0.5) AS BIGINT) AS flat_mu
+    FROM clip
+    """,
+)
+def q_multimodal_audio_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-flatness per decoded audio clip — the cheap spectral-
+    flatness proxy and ZCR's missing sibling (VERDICT r8 item 7): the
+    (log-domain) ratio of the geometric to the arithmetic mean of
+    short-block energies.  Near 0 micro-units = flat/noise-like energy
+    envelope; strongly negative = peaky/tonal — the classic
+    voiced/music/noise discriminator that needs no FFT (the true
+    Wiener entropy over FFT bins is the documented stub boundary, same
+    class as the decimation FIR).
+
+    Block energies are exact ints over the REAL RIFF/WAVE parse
+    ({FLATNESS_BLOCK} within-channel samples per block, trailing
+    partial block kept, +1 so silence stays in ln's domain); each ln is
+    quantized to integer micro-units via floor(x*1e6 + 0.5) and summed
+    exactly, so the output is an INTEGER — bit-exact at any
+    partitioning.  Computation lives inside the decode kernel: bytes
+    never shuffle, one row leaves the scan per clip."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = {
+            "doc_id": [], "channels": [], "n_blocks": [],
+            "sum_e1": [], "flat_mu": [],
+        }
+        for pdf in batches:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, channels, _, _, _, _ = decode_wav(bytes(payload))
+                samples = np.asarray(
+                    decode_wav_samples(bytes(payload)), dtype=np.int64
+                )
+                n_blocks = 0
+                sum_e1 = 0
+                sum_ln6 = 0
+                for ch in range(channels):
+                    x = samples[ch::channels]
+                    e = np.add.reduceat(x * x, range(0, len(x), FLATNESS_BLOCK))
+                    e1 = e + 1
+                    lnq = np.floor(np.log(e1.astype(np.float64)) * 1e6 + 0.5)
+                    n_blocks += len(e1)
+                    sum_e1 += int(e1.sum())
+                    sum_ln6 += int(lnq.sum())
+                flat_mu = int(
+                    math.floor(
+                        sum_ln6 / n_blocks
+                        - math.floor(math.log(sum_e1 / n_blocks) * 1e6 + 0.5)
+                        + 0.5
+                    )
+                )
+                rows["doc_id"].append(int(did))
+                rows["channels"].append(channels)
+                rows["n_blocks"].append(n_blocks)
+                rows["sum_e1"].append(sum_e1)
+                rows["flat_mu"].append(flat_mu)
+        yield pd.DataFrame(rows)
+
+    return wav_table(spark, sf_dir).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, channels int, n_blocks long, "
+            "sum_e1 long, flat_mu long"
+        ),
+    )

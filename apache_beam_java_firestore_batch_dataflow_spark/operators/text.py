@@ -1176,6 +1176,125 @@ def q_doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Lexical retrieve-then-rerank: TF-IDF shortlist -> edit-distance rerank
+# ---------------------------------------------------------------------------
+
+RERANK_SHORTLIST_K = 5   # candidates per query surviving the cheap stage
+RERANK_TOP_K = 3         # candidates per query after the expensive rerank
+RERANK_PREFIX = 120      # chars of normalized text the reranker compares
+
+# Levenshtein parity gotcha: DuckDB's levenshtein() counts BYTES
+# (levenshtein('café','cafe') = 2) while Spark's counts characters (1),
+# so the rerank text is reduced to [a-z ] first — byte == char there.
+_RERANK_NORM_SQL = (
+    r"substr(regexp_replace(regexp_replace(lower(trim(text)),"
+    r" '[^a-z ]+', '', 'g'), ' +', ' ', 'g'), 1, " + str(RERANK_PREFIX) + ")"
+)
+
+_RERANK_ORACLE = f"""
+    WITH sim AS ({_TFIDF_SIM_ORACLE}),
+    norm AS (SELECT doc_id, {_RERANK_NORM_SQL} AS p FROM documents),
+    shortlist AS (
+      SELECT doc_id, cand_id FROM (
+        SELECT doc_id, cand_id,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cosine DESC, cand_id) AS rn
+        FROM (
+          SELECT doc_a AS doc_id, doc_b AS cand_id, cosine FROM sim
+          UNION ALL
+          SELECT doc_b AS doc_id, doc_a AS cand_id, cosine FROM sim
+        )
+      ) WHERE rn <= {RERANK_SHORTLIST_K}
+    ),
+    reranked AS (
+      SELECT s.doc_id, s.cand_id,
+             levenshtein(nq.p, nc.p) AS edit_dist
+      FROM shortlist s
+      JOIN norm nq ON nq.doc_id = s.doc_id
+      JOIN norm nc ON nc.doc_id = s.cand_id
+    )
+    SELECT doc_id, cand_id, CAST(edit_dist AS BIGINT) AS edit_dist,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT doc_id, cand_id, edit_dist,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY edit_dist, cand_id) AS rank
+      FROM reranked
+    ) WHERE rank <= {RERANK_TOP_K}
+"""
+
+
+@register("q_text_rerank_edit", oracle=_RERANK_ORACLE)
+def q_text_rerank_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieve-then-rerank — the text twin of
+    ``q_ann_pq_rerank`` (VERDICT r8 item 7): the cheap stage shortlists
+    up to {RERANK_SHORTLIST_K} candidates per document from the TF-IDF
+    sparse-cosine pairs, then the expensive stage reranks ONLY those by
+    exact Levenshtein distance over {RERANK_PREFIX}-char normalized
+    prefixes and keeps the top {RERANK_TOP_K}.  This is the
+    cross-encoder pattern with a classical scorer: quadratic-cost exact
+    comparison confined to a candidate set the linear-cost retriever
+    bounded first.
+
+    Scale shape: the O(n²)-ish work (edit distance is O(len²) per
+    pair) touches <= {RERANK_SHORTLIST_K} pairs per doc, never the pair
+    space; both top-k windows plan as ``WindowGroupLimit`` per-partition
+    heaps.  The rerank text drops non-[a-z ] characters so DuckDB's
+    byte-counting levenshtein() and Spark's character-counting one
+    agree by construction."""
+    sim = q_doc_similarity_tfidf(spark, sf_dir)
+    both = sim.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("cand_id"), "cosine"
+    ).unionAll(
+        sim.select(
+            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("cand_id"), "cosine"
+        )
+    )
+    w_short = Window.partitionBy("doc_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    shortlist = (
+        both.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= RERANK_SHORTLIST_K)
+        .select("doc_id", "cand_id")
+    )
+    prefix = F.substring(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z ]+", ""),
+            " +",
+            " ",
+        ),
+        1,
+        RERANK_PREFIX,
+    )
+    norm = _docs(spark, sf_dir).select("doc_id", prefix.alias("p"))
+    nq = norm.select(F.col("doc_id"), F.col("p").alias("pq"))
+    nc = norm.select(F.col("doc_id").alias("cand_id"), F.col("p").alias("pc"))
+    reranked = (
+        shortlist.join(nq, "doc_id")
+        .join(nc, "cand_id")
+        .select(
+            "doc_id",
+            "cand_id",
+            F.levenshtein("pq", "pc").alias("edit_dist"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.asc("edit_dist"), F.asc("cand_id")
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= RERANK_TOP_K)
+        .select(
+            "doc_id",
+            "cand_id",
+            F.col("edit_dist").cast("bigint").alias("edit_dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Count-Min sketch: bounded-memory frequency estimation
 # ---------------------------------------------------------------------------
 
