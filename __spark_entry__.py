@@ -70,8 +70,13 @@ _MODULES = [
 # construction; they take driver rows the same round they land), then
 # the stalest greens (16 r4-stale re-checks, then r5-stale
 # alphabetically) to fill 50.  Still queued for the ROUND 10 prefix:
-# the 3 r5-stale greens the round-9 registrations displaced from the
-# tail (q_correlated_exists, q_cube, q_dedup_boilerplate_chunks),
+# FIRST the round-9 registrations that did not fit this prefix (all
+# with committed ORACLE_CHECK_r09 proof rows): q_events_cohort_retention,
+# q_events_theil_sen, q_graph_hits, q_mix_kl_divergence,
+# q_multimodal_image_edges, q_privacy_dp_median — plus any later r9
+# additions; then the 3 r5-stale greens the round-9 registrations
+# displaced from the tail
+# (q_correlated_exists, q_cube, q_dedup_boilerplate_chunks),
 # then the remaining r5 greens in alphabetical order
 # (q_dedup_incremental_ingest, q_dedup_minhash_lsh,
 # q_dedup_winnow_pairs, q_doc_length_histogram,

@@ -1172,3 +1172,91 @@ def q_sessions_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_overlaps")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture drift monitor: KL(actual langs || target mixture), ln6 discipline
+# ---------------------------------------------------------------------------
+
+# Target language mixture in integer percent (sums to 100) — the recipe
+# the corpus is SUPPOSED to follow; the query measures how far it is.
+TARGET_LANG_PCT = {"en": 50, "de": 15, "es": 15, "fr": 10, "zh": 10}
+
+
+def _kl_case_sql() -> str:
+    arms = "\n".join(
+        f"WHEN lang = '{lang}' THEN {w}" for lang, w in TARGET_LANG_PCT.items()
+    )
+    return f"CASE {arms} ELSE 1 END"
+
+
+@register(
+    "q_mix_kl_divergence",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT sum(n) AS nn FROM counts),
+    terms AS (
+      SELECT lang, n, {_kl_case_sql()} AS w_pct,
+             CAST(floor(ln(CAST(n * 100 AS DOUBLE)
+                           / (nn * ({_kl_case_sql()}))) * 1000000 + 0.5)
+                  AS BIGINT) AS log_ratio_mu
+      FROM counts, tot
+    ),
+    kl AS (SELECT CAST(sum(n * log_ratio_mu) // max(nn) AS BIGINT)
+                      AS kl_mu
+           FROM terms, tot)
+    SELECT t.lang, CAST(t.n AS BIGINT) AS n_docs,
+           CAST(t.w_pct AS INT) AS target_pct,
+           t.log_ratio_mu,
+           CAST(t.n * t.log_ratio_mu AS BIGINT) AS contrib,
+           k.kl_mu
+    FROM terms t, kl k
+    """,
+)
+def q_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture drift monitor: KL(actual ‖ target) of the corpus
+    language distribution against the recipe's target mixture — the
+    number a data-pipeline dashboard alarms on when ingestion skews the
+    blend (0 = on-recipe; each row also shows its signed contribution,
+    so the drifting stratum is identifiable at a glance).
+
+    Determinism (the ln6 discipline): each per-stratum log-ratio
+    ln(p/q) = ln(n·100 / (N·w)) is ONE ln of one double division of
+    exact ints, floor-quantized to integer micro-units; contributions
+    multiply and sum exactly in int64, and the final KL divides once
+    (all-positive ints, so ``div`` == ``//``).  Scale shape: one
+    combiner agg to O(langs) rows, a one-row total broadcast, pure
+    projection after — the corpus is touched once."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("nn"))
+    w_pct = F.lit(1)
+    for lang, wt in reversed(TARGET_LANG_PCT.items()):
+        w_pct = F.when(F.col("lang") == lang, F.lit(wt)).otherwise(w_pct)
+    terms = counts.join(F.broadcast(tot)).select(
+        "lang",
+        "n",
+        w_pct.alias("w_pct"),
+        F.floor(
+            F.log(
+                (F.col("n") * 100).cast("double")
+                / (F.col("nn") * w_pct)
+            )
+            * 1_000_000
+            + 0.5
+        ).cast("bigint").alias("log_ratio_mu"),
+        "nn",
+    )
+    kl = terms.agg(
+        F.expr("sum(n * log_ratio_mu) div max(nn)").cast("bigint").alias("kl_mu")
+    )
+    return terms.join(F.broadcast(kl)).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("w_pct").cast("int").alias("target_pct"),
+        "log_ratio_mu",
+        (F.col("n") * F.col("log_ratio_mu")).cast("bigint").alias("contrib"),
+        "kl_mu",
+    )

@@ -605,3 +605,114 @@ def q_graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("community"),
         F.col("n").cast("bigint").alias("community_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (L1-normalized integer fixed-point, k rounds)
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 10**9  # score units; raw sums stay <= SCALE so units*SCALE < 2^63
+HITS_ROUNDS = 2
+
+_HITS_ORACLE = f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    custs AS (SELECT DISTINCT src AS node FROM e),
+    nc AS (SELECT count(*) AS n FROM custs),
+    h0 AS (SELECT node, {HITS_SCALE} // n AS hu FROM custs, nc),
+    -- round 1
+    a1r AS (SELECT e.dst AS node, sum(h0.hu) AS raw
+            FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+    a1s AS (SELECT sum(raw) AS s FROM a1r),
+    a1 AS (SELECT node, (raw * {HITS_SCALE}) // s AS au FROM a1r, a1s),
+    h1r AS (SELECT e.src AS node, sum(a1.au) AS raw
+            FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+    h1s AS (SELECT sum(raw) AS s FROM h1r),
+    h1 AS (SELECT node, (raw * {HITS_SCALE}) // s AS hu FROM h1r, h1s),
+    -- round 2
+    a2r AS (SELECT e.dst AS node, sum(h1.hu) AS raw
+            FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+    a2s AS (SELECT sum(raw) AS s FROM a2r),
+    a2 AS (SELECT node, (raw * {HITS_SCALE}) // s AS au FROM a2r, a2s),
+    h2r AS (SELECT e.src AS node, sum(a2.au) AS raw
+            FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+    h2s AS (SELECT sum(raw) AS s FROM h2r),
+    h2 AS (SELECT node, (raw * {HITS_SCALE}) // s AS hu FROM h2r, h2s)
+    SELECT node, FALSE AS is_supplier, CAST(hu AS BIGINT) AS score_units
+    FROM h2
+    UNION ALL
+    SELECT node, TRUE AS is_supplier, CAST(au AS BIGINT) AS score_units
+    FROM a2
+"""
+
+
+@register("q_graph_hits", oracle=_HITS_ORACLE)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the directed customer→supplier
+    purchase graph ({HITS_ROUNDS} mutual-reinforcement rounds): a
+    customer is a good HUB when it buys from good suppliers; a supplier
+    is a good AUTHORITY when good hubs buy from it — PageRank's
+    bipartite sibling, completing the centrality pair (Kleinberg's
+    algorithm, run exactly like `pagerank()` but with the two scores
+    alternating).
+
+    Determinism: L1 normalization replaces the classical L2 (no sqrt
+    exists in integer arithmetic): after each half-round the raw sums
+    are rescaled to ``(raw * SCALE) div Σraw`` — all operands positive
+    exact ints, so Spark's ``div`` and DuckDB's ``//`` agree, and the
+    fixed point is bit-identical under any partitioning or join order.
+    Raw sums are bounded by SCALE (each side's scores L1-sum to ≤
+    SCALE), so ``raw * SCALE`` stays < 2^63 by construction.
+
+    Scale shape: per half-round ONE arc join + one combiner agg keyed
+    on the receiving side (the `pagerank()` cost envelope) plus a
+    one-row broadcast for the normalizer — never a collected scalar;
+    score frames are O(nodes).  k rounds = 2k keyed shuffles; for
+    large k apply the checkpoint_every discipline (the loop here is
+    {HITS_ROUNDS} rounds, under the >3 auto-checkpoint bound)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds 2 plan branches per round
+    )
+    custs = e.select(F.col("src").alias("node")).distinct()
+    nc = custs.agg(F.count(F.lit(1)).alias("n"))
+    hub = custs.join(F.broadcast(nc)).select(
+        "node", F.expr(f"{HITS_SCALE} div n").alias("hu")
+    )
+
+    def half_round(scores: DataFrame, col: str, join_on: str, out: str):
+        """One HITS half-round: push `col` along arcs joined on
+        `join_on` (src for hub→authority, dst for authority→hub),
+        sum per receiver, L1-renormalize via a one-row broadcast."""
+        recv = "dst" if join_on == "src" else "src"
+        raw = (
+            e.join(scores, F.col(join_on) == scores.node)
+            .groupBy(F.col(recv).alias("node"))
+            .agg(F.sum(col).alias("raw"))
+        )
+        s = raw.agg(F.sum("raw").alias("s"))
+        return raw.join(F.broadcast(s)).select(
+            "node", F.expr(f"(raw * {HITS_SCALE}) div s").alias(out)
+        )
+
+    for _ in range(HITS_ROUNDS):
+        auth = half_round(hub, "hu", "src", "au")
+        hub = half_round(auth, "au", "dst", "hu")
+    return hub.select(
+        "node", F.lit(False).alias("is_supplier"),
+        F.col("hu").cast("bigint").alias("score_units"),
+    ).unionAll(
+        auth.select(
+            "node", F.lit(True).alias("is_supplier"),
+            F.col("au").cast("bigint").alias("score_units"),
+        )
+    )

@@ -1835,3 +1835,95 @@ def q_multimodal_audio_flatness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_e1 long, flat_mu long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image edge energy (integer first-difference gradients over the raster)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_image_edges",
+    # Replays the raster positionally (the grayscale oracle's px CTE,
+    # with the pixel index kept), then takes first differences along
+    # rows (neighbors p, p+1 within a scanline) and columns (p, p+w).
+    oracle="""
+    WITH params AS (
+      SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h, text
+      FROM documents
+    ),
+    rast AS (
+      SELECT doc_id, w, h,
+             substring(repeat(text,
+                              CAST(ceil((3*w*h) / length(text)) AS INT)),
+                       1, 3*w*h) AS raster
+      FROM params
+    ),
+    px AS (
+      SELECT doc_id, w, h, p,
+             (299 * ord(substr(raster, 3*p + 1, 1))
+              + 587 * ord(substr(raster, 3*p + 2, 1))
+              + 114 * ord(substr(raster, 3*p + 3, 1))) // 1000 AS y
+      FROM rast, LATERAL (SELECT unnest(range(0, w*h)) AS p)
+    ),
+    gx AS (
+      SELECT a.doc_id, sum(abs(b.y - a.y)) AS s
+      FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+      WHERE a.p % a.w != a.w - 1
+      GROUP BY a.doc_id
+    ),
+    gy AS (
+      SELECT a.doc_id, sum(abs(b.y - a.y)) AS s
+      FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.p = a.p + a.w
+      GROUP BY a.doc_id
+    )
+    SELECT p.doc_id, CAST(min(p.w) AS INT) AS w, CAST(min(p.h) AS INT) AS h,
+           CAST(min(gx.s) AS BIGINT) AS gx_sum,
+           CAST(min(gy.s) AS BIGINT) AS gy_sum,
+           CAST(min(gx.s) + min(gy.s) AS BIGINT) AS edge_energy
+    FROM px p JOIN gx ON gx.doc_id = p.doc_id
+              JOIN gy ON gy.doc_id = p.doc_id
+    GROUP BY p.doc_id
+    """,
+)
+def q_multimodal_image_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge energy per image over the REAL decoded raster: sum of
+    absolute first differences of BT.601 integer luma along rows (gx)
+    and columns (gy) — the gradient-magnitude proxy (L1 Sobel without
+    the smoothing taps) vision pipelines use for blur/blank detection
+    and texture scoring before anything learned runs.
+
+    All integer arithmetic over the positional byte replay, so the
+    oracle reproduces every pixel and every difference exactly.  The
+    gradient is computed inside the decode kernel (numpy diff on the
+    (h, w) luma grid): raster bytes never shuffle, one 6-int row
+    leaves the scan per image — same 100 TB shape as grayscale/phash."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in ("doc_id", "w", "h", "gx_sum", "gy_sum",
+                                "edge_energy")}
+        for pdf in batches:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = decode_ppm_raster(bytes(payload))
+                a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                y = (
+                    (299 * a[0::3] + 587 * a[1::3] + 114 * a[2::3]) // 1000
+                ).reshape(h, w)
+                gx = int(np.abs(np.diff(y, axis=1)).sum())
+                gy = int(np.abs(np.diff(y, axis=0)).sum())
+                rows["doc_id"].append(int(did))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["gx_sum"].append(gx)
+                rows["gy_sum"].append(gy)
+                rows["edge_energy"].append(gx + gy)
+        yield pd.DataFrame(rows)
+
+    return ppm_table(spark, sf_dir).mapInPandas(
+        run,
+        schema=(
+            "doc_id long, w int, h int, gx_sum long, gy_sum long, "
+            "edge_energy long"
+        ),
+    )

@@ -386,3 +386,102 @@ def q_privacy_dp_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + noise, 4).cast("double").alias("noisy_n"),
     )
     return noisy.filter(F.col("noisy_n") >= DP_HH_TAU)
+
+
+# ---------------------------------------------------------------------------
+# DP median via the exponential mechanism (Gumbel-max, seeded + exact)
+# ---------------------------------------------------------------------------
+
+DPM_BUCKET = 10_000.0  # o_totalprice bucket width -> bounded candidate domain
+DPM_EPSILON = 1.0
+
+_DPM_ORACLE = f"""
+    WITH v AS (
+      SELECT CAST(floor(o_totalprice / {DPM_BUCKET}) AS BIGINT) AS b
+      FROM orders
+    ),
+    counts AS (SELECT b, count(*) AS c FROM v GROUP BY b),
+    n AS (SELECT count(*) AS n FROM v),
+    below AS (
+      SELECT a.b, coalesce(sum(x.c), 0) AS nb
+      FROM counts a LEFT JOIN counts x ON x.b < a.b
+      GROUP BY a.b
+    ),
+    scored AS (
+      SELECT below.b, below.nb,
+             abs(2 * below.nb - n.n) AS err2,
+             -abs(2 * below.nb - n.n) * {DPM_EPSILON} / 4.0
+             - round(ln(-round(ln(
+                 (CAST(CAST('0x' || substr(md5('dpm:' ||
+                      CAST(below.b AS VARCHAR)), 1, 13) AS BIGINT) AS DOUBLE)
+                  + 0.5) / {_U_SPACE}), 6)), 6) AS key
+      FROM below, n
+    )
+    SELECT s.b AS bucket, CAST(s.err2 AS BIGINT) AS err2,
+           CAST(n.n AS BIGINT) AS n,
+           CAST((SELECT count(*) FROM counts) AS BIGINT) AS n_candidates
+    FROM scored s, n
+    ORDER BY s.key DESC, s.b ASC LIMIT 1
+"""
+
+
+@register("q_privacy_dp_median", oracle=_DPM_ORACLE)
+def q_privacy_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private MEDIAN via the exponential mechanism —
+    the companion to the Laplace count release for the statistic
+    Laplace noise handles badly (rank statistics have unbounded value
+    sensitivity but rank utility sensitivity 1): candidates are the
+    bounded price buckets, utility is -|rank error|, and the winner is
+    drawn with the Gumbel-max trick, which IS exponential-mechanism
+    sampling (argmax of score + Gumbel noise).
+
+    Determinism: utility is exact integer rank error over exact bucket
+    counts; the Gumbel draw is the repo's md5-uniform with BOTH ln()
+    calls quantized to 6dp (the double-ln twin of the Laplace
+    inverse-CDF discipline), so the released bucket is reproducible
+    across engines, runs, and partitionings.  err2/n are emitted
+    alongside solely so the oracle checks the mechanism end-to-end; a
+    production release emits the bucket only.
+
+    Scale shape: one combiner agg to the O(domain) candidate table, a
+    domain² (~50²) broadcastable rank join — never a window over data
+    — a one-row total broadcast, and a global top-1
+    (TakeOrderedAndProject) over O(domain) rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.floor(F.col("o_totalprice") / DPM_BUCKET).cast("bigint").alias("b")
+    )
+    counts = v.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    n = v.agg(F.count(F.lit(1)).alias("n"))
+    a = counts.alias("a")
+    x = counts.alias("x")
+    below = (
+        a.join(x, F.col("x.b") < F.col("a.b"), "left")
+        .groupBy(F.col("a.b").alias("b"))
+        .agg(F.coalesce(F.sum("x.c"), F.lit(0)).alias("nb"))
+    )
+    n_cand = counts.agg(F.count(F.lit(1)).alias("n_candidates"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dpm:"),
+                                          F.col("b").cast("string"))), 1, 13),
+               16, 10).cast("double") + 0.5
+    ) / F.lit(_U_SPACE)
+    gumbel = -F.round(F.log(-F.round(F.log(u), 6)), 6)
+    err2 = F.abs(2 * F.col("nb") - F.col("n"))
+    scored = below.join(F.broadcast(n)).select(
+        "b",
+        err2.alias("err2"),
+        "n",
+        (-err2 * DPM_EPSILON / 4.0 + gumbel).alias("key"),
+    )
+    return (
+        scored.join(F.broadcast(n_cand))
+        .orderBy(F.desc("key"), F.asc("b"))
+        .limit(1)
+        .select(
+            F.col("b").alias("bucket"),
+            F.col("err2").cast("bigint").alias("err2"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        )
+    )

@@ -1708,3 +1708,196 @@ def q_events_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix (weekly signup cohorts x weeks-since activity)
+# ---------------------------------------------------------------------------
+
+COHORT_DAY_US = 86_400_000_000  # microseconds per day
+
+
+@register(
+    "q_events_cohort_retention",
+    oracle=f"""
+    WITH days AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // {COHORT_DAY_US} AS day
+      FROM events
+    ),
+    first AS (
+      SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT cohort_day, count(*) AS n_cohort FROM first GROUP BY cohort_day
+    ),
+    activity AS (
+      SELECT f.cohort_day, d.day - f.cohort_day AS day_k,
+             count(*) AS n_active
+      FROM days d JOIN first f ON f.user_id = d.user_id
+      GROUP BY 1, 2
+    )
+    SELECT a.cohort_day, a.day_k,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           CAST(c.n_cohort AS BIGINT) AS n_cohort,
+           CAST(round(CAST(a.n_active AS DOUBLE) / c.n_cohort, 6) AS DOUBLE)
+               AS retention
+    FROM activity a JOIN cohorts c ON c.cohort_day = a.cohort_day
+    """,
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort retention matrix — the product-analytics table every
+    warehouse computes: users are grouped into daily cohorts by FIRST
+    activity, and each (cohort, days-since) cell reports how many of
+    the cohort were active that day.  day_k = 0 is 100% by
+    construction; the decay down each row is the retention curve.
+    (Cohort granularity is a constant; the fixture spans 30 days, so
+    daily cohorts exercise a real triangular matrix where weekly ones
+    collapse to a single cohort.)
+
+    Determinism: day indexes are exact integer floor-divisions of
+    epoch microseconds (positive, so Spark's truncating ``div`` and
+    DuckDB's flooring ``//`` agree); the one ratio divides two exact
+    ints, rounded 6dp identically.  Scale shape: dedup to (user, day)
+    first — the matrix never sees raw events — then one per-user min
+    (combiner agg), one (cohort, k) count (combiner agg), and a
+    broadcast-sized cohort-size join: 3 keyed shuffles total, each on
+    reduced data, no window anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        epoch_us("ts").cast("bigint").alias("us"),
+    ).select("user_id", F.expr(f"us div {COHORT_DAY_US}").alias("day")).distinct()
+    first = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cohorts = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    activity = (
+        days.join(first, "user_id")
+        .select("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_k"))
+        .groupBy("cohort_day", "day_k")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return activity.join(F.broadcast(cohorts), "cohort_day").select(
+        "cohort_day",
+        "day_k",
+        F.col("n_active").cast("bigint").alias("n_active"),
+        F.col("n_cohort").cast("bigint").alias("n_cohort"),
+        F.round(
+            F.col("n_active").cast("double") / F.col("n_cohort"), 6
+        ).cast("double").alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes over the reduced series)
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "q_events_theil_sen",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // {HOUR_US} AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(floor((b.c - a.c) * 1000000.0 / (b.h - a.h) + 0.5)
+                  AS BIGINT) AS slope_mu
+      FROM hourly a JOIN hourly b
+        ON b.event_type = a.event_type AND b.h > a.h
+    ),
+    ranked AS (
+      SELECT event_type, slope_mu,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY slope_mu) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n_pairs
+      FROM slopes
+    ),
+    med AS (
+      SELECT event_type, max(n_pairs) AS n_pairs,
+             sum(CASE WHEN rn = (n_pairs + 1) // 2
+                        OR rn = (n_pairs + 2) // 2
+                      THEN slope_mu * (CASE WHEN (n_pairs + 1) // 2
+                                                 = (n_pairs + 2) // 2
+                                            THEN 2 ELSE 1 END)
+                      ELSE 0 END) AS med_x2
+      FROM ranked GROUP BY event_type
+    ),
+    pts AS (SELECT event_type, count(*) AS n_points FROM hourly GROUP BY 1)
+    SELECT m.event_type,
+           CAST(p.n_points AS BIGINT) AS n_points,
+           CAST(m.n_pairs AS BIGINT) AS n_pairs,
+           CAST(m.med_x2 AS BIGINT) AS slope_mu_x2
+    FROM med m JOIN pts p ON p.event_type = m.event_type
+    """,
+)
+def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes of the hourly-volume series — the estimator that
+    shrugs off the outlier bursts that wreck the OLS trend
+    (`q_regress_trend_per_type`); up to ~29% contamination moves it
+    not at all.
+
+    Determinism: slopes are floor-quantized integer micro-units (one
+    double division of exact ints, identical both engines); the median
+    is a positional ORDER STATISTIC (k-th value, well-defined under
+    ties), emitted in exact half-units (lower+upper) so no float
+    midpoint exists.  Scale shape: the quadratic pair space is over
+    the REDUCED series — O(hours²) per type, corpus-size INDEPENDENT
+    (10x the events is the same 720-hour series, just bigger counts) —
+    the same reduced-series discipline as `q_events_autocorrelation`;
+    the per-type rank window is bounded by that constant, never by
+    data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type", epoch_us("ts").cast("bigint").alias("us")
+        )
+        .select("event_type", F.expr(f"us div {HOUR_US}").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.h") > F.col("a.h")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.floor(
+            (F.col("b.c") - F.col("a.c")) * 1_000_000.0
+            / (F.col("b.h") - F.col("a.h"))
+            + 0.5
+        ).cast("bigint").alias("slope_mu"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope_mu")
+    w_all = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope_mu",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+    )
+    lo = F.expr("(n_pairs + 1) div 2")
+    hi = F.expr("(n_pairs + 2) div 2")
+    med = ranked.groupBy("event_type").agg(
+        F.max("n_pairs").alias("n_pairs"),
+        F.sum(
+            F.when(
+                (F.col("rn") == lo) | (F.col("rn") == hi),
+                F.col("slope_mu")
+                * F.when(lo == hi, F.lit(2)).otherwise(F.lit(1)),
+            ).otherwise(F.lit(0))
+        ).alias("med_x2"),
+    )
+    pts = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_points"))
+    return med.join(pts, "event_type").select(
+        "event_type",
+        F.col("n_points").cast("bigint").alias("n_points"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("med_x2").cast("bigint").alias("slope_mu_x2"),
+    )

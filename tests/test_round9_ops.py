@@ -279,3 +279,232 @@ def test_audio_flatness_matches_formula_replay(spark, sf_dir):
     }
     assert got == expected
     spark.catalog.clearCache()
+
+
+def test_cohort_retention_matches_python_replay(spark, sf_dir):
+    """Full independent replay of the daily cohort matrix from the raw
+    parquet (datetime arithmetic in Python, no SQL engine involved)."""
+    from collections import Counter, defaultdict
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        COHORT_DAY_US,
+        q_events_cohort_retention,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    user_days = defaultdict(set)
+    for uid, ts in zip(t["user_id"].to_pylist(), t["ts"].to_pylist()):
+        us = int(ts.timestamp() * 1_000_000)
+        # timestamp() floats can wobble a microsecond; recompute exactly
+        import calendar
+        us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        user_days[uid].add(us // COHORT_DAY_US)
+    first = {u: min(ds) for u, ds in user_days.items()}
+    cohort_sizes = Counter(first.values())
+    cells = Counter()
+    for u, ds in user_days.items():
+        for d in ds:
+            cells[(first[u], d - first[u])] += 1
+    expected = {
+        (cd, k): (
+            n,
+            cohort_sizes[cd],
+            round(n / cohort_sizes[cd], 6),
+        )
+        for (cd, k), n in cells.items()
+    }
+    got = {
+        (r.cohort_day, r.day_k): (r.n_active, r.n_cohort, r.retention)
+        for r in q_events_cohort_retention(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # day 0 of every cohort is total by construction
+    for (cd, k), (n, size, ret) in got.items():
+        if k == 0:
+            assert n == size and ret == 1.0
+    spark.catalog.clearCache()
+
+
+def test_theil_sen_matches_python_replay(spark, sf_dir):
+    """Exact replay: hourly counts -> all pairwise quantized slopes ->
+    positional median in half-units, computed in pure Python."""
+    import calendar
+    from collections import Counter, defaultdict
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        HOUR_US,
+        q_events_theil_sen,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    hourly = Counter()
+    for et, ts in zip(t["event_type"].to_pylist(), t["ts"].to_pylist()):
+        us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        hourly[(et, us // HOUR_US)] += 1
+    series = defaultdict(list)
+    for (et, h), c in hourly.items():
+        series[et].append((h, c))
+    expected = {}
+    for et, pts in series.items():
+        pts.sort()
+        slopes = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                (hi, ci), (hj, cj) = pts[i], pts[j]
+                slopes.append(math.floor((cj - ci) * 1e6 / (hj - hi) + 0.5))
+        slopes.sort()
+        npairs = len(slopes)
+        lo, hi_ = (npairs + 1) // 2, (npairs + 2) // 2
+        med_x2 = slopes[lo - 1] + slopes[hi_ - 1]
+        expected[et] = (len(pts), npairs, med_x2)
+    got = {
+        r.event_type: (r.n_points, r.n_pairs, r.slope_mu_x2)
+        for r in q_events_theil_sen(spark, sf_dir).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
+
+
+def test_hits_matches_python_replay(spark, sf_dir):
+    """Bit-exact pure-Python replay of the 2-round L1-normalized
+    integer HITS fixed point over the distinct purchase edges."""
+    from collections import defaultdict
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        HITS_ROUNDS,
+        HITS_SCALE,
+        q_graph_hits,
+    )
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    cust_of = dict(
+        zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist())
+    )
+    edges = set()
+    for ok, sk in zip(li["l_orderkey"].to_pylist(), li["l_suppkey"].to_pylist()):
+        edges.add((cust_of[ok] * 2, sk * 2 + 1))
+    custs = sorted({s for s, _ in edges})
+    hub = {c: HITS_SCALE // len(custs) for c in custs}
+    auth = {}
+    for _ in range(HITS_ROUNDS):
+        raw = defaultdict(int)
+        for c, s in edges:
+            raw[s] += hub[c]
+        tot = sum(raw.values())
+        auth = {s: (r * HITS_SCALE) // tot for s, r in raw.items()}
+        raw = defaultdict(int)
+        for c, s in edges:
+            raw[c] += auth[s]
+        tot = sum(raw.values())
+        hub = {c: (r * HITS_SCALE) // tot for c, r in raw.items()}
+    expected = {(c, False): u for c, u in hub.items()} | {
+        (s, True): u for s, u in auth.items()
+    }
+    got = {
+        (r.node, r.is_supplier): r.score_units
+        for r in q_graph_hits(spark, sf_dir).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
+
+
+def test_kl_divergence_zero_iff_on_recipe(spark, sf_dir):
+    """KL sanity: recompute from the parquet lang counts and assert the
+    engine's integer micro-unit pipeline; also check sign structure —
+    over-represented strata contribute positively."""
+    from collections import Counter
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        TARGET_LANG_PCT,
+        q_mix_kl_divergence,
+    )
+
+    langs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["lang"])[
+        "lang"
+    ].to_pylist()
+    counts = Counter(langs)
+    nn = len(langs)
+    rows = q_mix_kl_divergence(spark, sf_dir).collect()
+    contrib_total = 0
+    for r in rows:
+        w = TARGET_LANG_PCT.get(r.lang, 1)
+        assert r.n_docs == counts[r.lang]
+        assert r.target_pct == w
+        lr = math.floor(math.log(r.n_docs * 100 / (nn * w)) * 1e6 + 0.5)
+        assert r.log_ratio_mu == lr
+        assert r.contrib == r.n_docs * lr
+        contrib_total += r.contrib
+        # over-represented (p > q) => positive log ratio
+        assert (r.log_ratio_mu > 0) == (r.n_docs * 100 > nn * w) or r.log_ratio_mu == 0
+    assert rows[0].kl_mu == contrib_total // nn
+    # KL of a distribution against a non-equal target is positive
+    assert rows[0].kl_mu > 0
+    spark.catalog.clearCache()
+
+
+def test_image_edges_matches_raster_replay(spark, sf_dir):
+    """Replay the PPM synthesis (text bytes tiled over the raster) in
+    Python and check every image's gradient sums exactly."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        q_multimodal_image_edges,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    expected = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w, h = did % 13 + 4, did % 7 + 4
+        need = 3 * w * h
+        raster = (text * -(-need // len(text)))[:need].encode("latin-1")
+        a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+        y = ((299 * a[0::3] + 587 * a[1::3] + 114 * a[2::3]) // 1000).reshape(h, w)
+        gx = int(np.abs(np.diff(y, axis=1)).sum())
+        gy = int(np.abs(np.diff(y, axis=0)).sum())
+        expected[did] = (w, h, gx, gy, gx + gy)
+    got = {
+        r.doc_id: (r.w, r.h, r.gx_sum, r.gy_sum, r.edge_energy)
+        for r in q_multimodal_image_edges(spark, sf_dir).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
+
+
+def test_dp_median_mechanism_replay(spark, sf_dir):
+    """Replay the exponential mechanism in Python: bucket counts, rank
+    errors, seeded Gumbel keys — the argmax must match; the winner's
+    audit columns must be internally consistent."""
+    import hashlib
+    from collections import Counter
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.privacy import (
+        DPM_BUCKET,
+        DPM_EPSILON,
+        _U_SPACE,
+        q_privacy_dp_median,
+    )
+
+    prices = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )["o_totalprice"].to_pylist()
+    buckets = Counter(int(math.floor(p / DPM_BUCKET)) for p in prices)
+    n = len(prices)
+    best = None
+    for b in sorted(buckets):
+        nb = sum(c for bb, c in buckets.items() if bb < b)
+        err2 = abs(2 * nb - n)
+        hv = int(hashlib.md5(f"dpm:{b}".encode()).hexdigest()[:13], 16)
+        u = (hv + 0.5) / _U_SPACE
+        gumbel = -round(math.log(-round(math.log(u), 6)), 6)
+        key = -err2 * DPM_EPSILON / 4.0 + gumbel
+        if best is None or (key, -b) > (best[0], -best[1]):
+            best = (key, b, err2)
+    row = q_privacy_dp_median(spark, sf_dir).collect()[0]
+    assert row.bucket == best[1]
+    assert row.err2 == best[2]
+    assert row.n == n
+    assert row.n_candidates == len(buckets)
+    spark.catalog.clearCache()
