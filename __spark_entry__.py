@@ -73,8 +73,9 @@ _MODULES = [
 # FIRST the round-9 registrations that did not fit this prefix (all
 # with committed ORACLE_CHECK_r09 proof rows): q_events_cohort_retention,
 # q_events_theil_sen, q_graph_hits, q_mix_kl_divergence,
-# q_multimodal_image_edges, q_privacy_dp_median — plus any later r9
-# additions; then the 3 r5-stale greens the round-9 registrations
+# q_multimodal_image_edges, q_privacy_dp_median, q_embedding_dim_stats,
+# q_text_zipf_fit, q_window_ratio_to_report, q_text_readability — plus
+# any later r9 additions; then the 3 r5-stale greens the round-9 registrations
 # displaced from the tail
 # (q_correlated_exists, q_cube, q_dedup_boilerplate_chunks),
 # then the remaining r5 greens in alphabetical order

@@ -3849,3 +3849,73 @@ def q_regress_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(det2 / det, 6).cast("double").alias("b2"),
         F.round(F.lit(1) - sse / sst, 6).cast("double").alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: each supplier's revenue share within its nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_window_ratio_to_report",
+    # Revenue in exact (cent x percent) integer units: per line
+    # floor(price*100+0.5) * (100 - floor(disc*100+0.5)); sums exact,
+    # the one share division mirrored and rounded 6dp.
+    oracle="""
+    WITH rev AS (
+      SELECT s_nationkey, l_suppkey AS suppkey,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                 AS rev_cp
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT s_nationkey, suppkey,
+           CAST(rev_cp AS BIGINT) AS rev_cp,
+           CAST(round(CAST(rev_cp AS DOUBLE)
+                      / sum(rev_cp) OVER (PARTITION BY s_nationkey), 6)
+                AS DOUBLE) AS share6,
+           CAST(row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY rev_cp DESC, suppkey)
+                AS INT) AS rnk
+    FROM rev
+    """,
+)
+def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report — the classic warehouse window pattern (Oracle's
+    ``RATIO_TO_REPORT``, SQL's ``x / sum(x) OVER (...)``): each
+    supplier's share of its NATION's revenue, plus the in-nation rank.
+    The concentration/market-share readout `q_agg_hhi_concentration`
+    aggregates; this exposes per-member.
+
+    Determinism: revenue accumulates in exact (cent x percent) integer
+    units (the money-sum discipline), so the window total is exact and
+    the single share division is a mirrored double round(6).  Scale
+    shape: one combiner agg to O(suppliers) rows, then ONE keyed window
+    exchange on nation computing both the partition total and the rank
+    — group sizes are bounded by suppliers-per-nation, never by fact
+    rows (which were reduced before the window)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    line_cp = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+        * (100 - F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint"))
+    )
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", F.col("l_suppkey").alias("suppkey"))
+        .agg(F.sum(line_cp).alias("rev_cp"))
+    )
+    w_tot = Window.partitionBy("s_nationkey")
+    w_rank = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("rev_cp"), F.asc("suppkey")
+    )
+    return rev.select(
+        "s_nationkey",
+        "suppkey",
+        F.col("rev_cp").cast("bigint").alias("rev_cp"),
+        F.round(
+            F.col("rev_cp").cast("double") / F.sum("rev_cp").over(w_tot), 6
+        ).cast("double").alias("share6"),
+        F.row_number().over(w_rank).cast("int").alias("rnk"),
+    )

@@ -2851,3 +2851,87 @@ def q_embedding_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFram
         "median_energy_half_units",
         "min_energy",
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension distribution stats (whitening / feature-scaling prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_dim_stats",
+    # Components quantized to integer micro-units FIRST (floor(x*1e6+.5)),
+    # then every sum is exact (int64 / DECIMAL(38,0) for squares) and the
+    # mean/variance divide once per dimension with the expression
+    # mirrored token-for-token — the repo's standard exact-stats recipe.
+    oracle="""
+    WITH comp AS (
+      SELECT i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS xq
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ),
+    agg AS (
+      SELECT pos, count(*) AS n,
+             CAST(sum(xq) AS BIGINT) AS s,
+             sum(CAST(xq AS DECIMAL(38,0)) * xq) AS sq,
+             min(xq) AS mn, max(xq) AS mx
+      FROM comp GROUP BY pos
+    )
+    SELECT CAST(pos AS INT) AS pos, CAST(n AS BIGINT) AS n,
+           CAST(round(CAST(s AS DOUBLE) / n / 1000000, 6) AS DOUBLE) AS mean6,
+           CAST(round((CAST(sq AS DOUBLE) / n
+                       - pow(CAST(s AS DOUBLE) / n, 2)) / 1000000000000, 6)
+                AS DOUBLE) AS var6,
+           CAST(mn AS BIGINT) AS min_mu, CAST(mx AS BIGINT) AS max_mu
+    FROM agg
+    """,
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance/range of the embedding corpus — the
+    statistics a whitening or standardization step (and any drift
+    monitor on a re-embedded corpus) consumes; the per-DIMENSION
+    complement to the per-vector int8 quantizer.
+
+    Determinism: components are floor-quantized to integer micro-units
+    at the scan, so every accumulation is exact (int64 sums, DECIMAL
+    squares — a single xq² is ~1e12 and corpus sums can pass 2^63) and
+    mean/variance divide once per dimension with both engines running
+    the identical double expression.  Scale shape: posexplode widens
+    to (pos, component) and ONE combiner aggregation reduces to
+    |dims| rows — map-side partials make the shuffle O(dims·tasks),
+    independent of corpus size; no window, no second pass."""
+    v = _vecs(spark, sf_dir)
+    comp = v.select(F.posexplode("embedding").alias("pos", "x")).select(
+        "pos",
+        F.floor(F.col("x").cast("double") * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("xq"),
+    )
+    agg = comp.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xq").cast("bigint").alias("s"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq")).alias("sq"),
+        F.min("xq").alias("mn"),
+        F.max("xq").alias("mx"),
+    )
+    return agg.select(
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s").cast("double") / F.col("n") / 1_000_000, 6)
+        .cast("double")
+        .alias("mean6"),
+        F.round(
+            (
+                F.col("sq").cast("double") / F.col("n")
+                - F.pow(F.col("s").cast("double") / F.col("n"), 2)
+            )
+            / 1_000_000_000_000,
+            6,
+        )
+        .cast("double")
+        .alias("var6"),
+        F.col("mn").cast("bigint").alias("min_mu"),
+        F.col("mx").cast("bigint").alias("max_mu"),
+    )

@@ -2291,3 +2291,185 @@ def q_text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pmi6").cast("double").alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit (vocabulary power-law diagnostic)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP = 200  # head of the rank-frequency curve the line is fit to
+
+
+@register(
+    "q_text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^\\p{{L}}]+'),
+               t -> length(t) > 0)) AS tok
+      FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    vocab AS (SELECT count(*) AS n_types FROM counts),
+    top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+      FROM counts ORDER BY c DESC, tok LIMIT {ZIPF_TOP}
+    ),
+    pts AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                 AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                 AS y
+      FROM top
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts
+    )
+    SELECT CAST(v.n_types AS BIGINT) AS n_types,
+           CAST(s.n AS BIGINT) AS n_fit,
+           CAST(round(CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+                      / (s.n * s.sxx - s.sx * s.sx), 6) AS DOUBLE) AS slope6,
+           CAST(round((s.sy - (CAST(s.n * s.sxy - s.sx * s.sy AS DOUBLE)
+                               / (s.n * s.sxx - s.sx * s.sx)) * s.sx)
+                      / s.n / 1000000, 6) AS DOUBLE) AS intercept6
+    FROM s, vocab v
+    """,
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: fit ln(freq) ~ slope·ln(rank) + b over the
+    top-{ZIPF_TOP} vocabulary head — natural corpora sit near slope -1,
+    and the deviation is the classic tell for synthetic, boilerplate-
+    heavy, or template text (a quality gate input next to perplexity
+    and repetition).
+
+    Determinism: both lns are floor-quantized to integer micro-units,
+    every OLS sufficient statistic is an exact int64 sum over the
+    {ZIPF_TOP}-row head (bounds keep n·Σxy < 2^63), and the one
+    slope/intercept division is a mirrored double expression.  Scale
+    shape: one combiner token census, a global top-{ZIPF_TOP}
+    (TakeOrderedAndProject per-partition heaps), then ranking + OLS
+    over a CONSTANT {ZIPF_TOP}-row frame — the unpartitioned window is
+    bounded by the limit, never by the vocabulary."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = counts.agg(F.count(F.lit(1)).alias("n_types"))
+    top = counts.orderBy(F.desc("c"), F.asc("tok")).limit(ZIPF_TOP)
+    w = Window.orderBy(F.desc("c"), F.asc("tok"))
+    pts = top.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1_000_000 + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.join(F.broadcast(vocab)).select(
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("n").cast("bigint").alias("n_fit"),
+        F.round(slope, 6).cast("double").alias("slope6"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n") / 1_000_000, 6
+        ).cast("double").alias("intercept6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring (Flesch reading-ease with a vowel-group syllable proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syll AS BIGINT) AS n_syll,
+           CAST(round(206.835
+                      - 1.015 * CAST(n_words AS DOUBLE)
+                              / n_sentences
+                      - 84.6 * CAST(n_syll AS DOUBLE)
+                             / greatest(n_words, 1), 4) AS DOUBLE) AS flesch4,
+           CASE WHEN round(206.835
+                      - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+                      - 84.6 * CAST(n_syll AS DOUBLE)
+                             / greatest(n_words, 1), 4) >= 90 THEN 'very_easy'
+                WHEN round(206.835
+                      - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+                      - 84.6 * CAST(n_syll AS DOUBLE)
+                             / greatest(n_words, 1), 4) >= 60 THEN 'standard'
+                WHEN round(206.835
+                      - 1.015 * CAST(n_words AS DOUBLE) / n_sentences
+                      - 84.6 * CAST(n_syll AS DOUBLE)
+                             / greatest(n_words, 1), 4) >= 30 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM feats
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with the classic cheap syllable
+    proxy (vowel-group runs) — the readability gate curation stacks run
+    next to length/stopword quality rules: 206.835 − 1.015·(words/
+    sentence) − 84.6·(syllables/word), banded for filtering.
+
+    Determinism: all three counts are exact integer regex censuses
+    (identical RE2-class patterns both engines); the score is ONE
+    mirrored double expression over exact ints, rounded 4dp, and the
+    band thresholds compare the ROUNDED value.  Scale shape: pure
+    per-row projection fused into the scan — zero shuffles, zero UDFs,
+    embarrassingly parallel at any corpus size."""
+    docs = _docs(spark, sf_dir)
+    n_words = F.size(F.expr("regexp_extract_all(lower(text), '([a-z]+)', 1)"))
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '([.!?]+)', 1)")), F.lit(1)
+    )
+    n_syll = F.size(F.expr("regexp_extract_all(lower(text), '([aeiouy]+)', 1)"))
+    feats = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syll"),
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * F.col("n_words").cast("double") / F.col("n_sentences")
+        - 84.6
+        * F.col("n_syll").cast("double")
+        / F.greatest(F.col("n_words"), F.lit(1)),
+        4,
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        F.col("n_syll").cast("bigint").alias("n_syll"),
+        flesch.cast("double").alias("flesch4"),
+        F.when(flesch >= 90, "very_easy")
+        .when(flesch >= 60, "standard")
+        .when(flesch >= 30, "difficult")
+        .otherwise("very_difficult")
+        .alias("band"),
+    )

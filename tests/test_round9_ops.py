@@ -508,3 +508,160 @@ def test_dp_median_mechanism_replay(spark, sf_dir):
     assert row.n == n
     assert row.n_candidates == len(buckets)
     spark.catalog.clearCache()
+
+
+def test_embedding_dim_stats_matches_numpy(spark, sf_dir):
+    """Quantize-then-sum replay in numpy: mean/var/min/max per
+    dimension must match exactly (including the 6dp roundings)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        q_embedding_dim_stats,
+    )
+
+    vecs = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[
+        "embedding"
+    ].to_pylist()
+    m = np.floor(
+        np.array(vecs, dtype=np.float64) * 1_000_000 + 0.5
+    ).astype(np.int64)
+    got = {
+        r.pos: (r.n, r.mean6, r.var6, r.min_mu, r.max_mu)
+        for r in q_embedding_dim_stats(spark, sf_dir).collect()
+    }
+    assert set(got) == set(range(m.shape[1]))
+    for pos in range(m.shape[1]):
+        col = m[:, pos]
+        n = len(col)
+        s, sq = int(col.sum()), int((col.astype(object) ** 2).sum())
+        assert got[pos] == (
+            n,
+            round(s / n / 1e6, 6),
+            round((sq / n - (s / n) ** 2) / 1e12, 6),
+            int(col.min()),
+            int(col.max()),
+        )
+    spark.catalog.clearCache()
+
+
+def test_zipf_fit_matches_python_replay(spark, sf_dir):
+    """Replay the head fit in Python: token census, (freq desc, tok)
+    head, ln6 quantization, exact OLS — and sanity: natural-ish corpora
+    fit a negative slope."""
+    import re as _re
+    from collections import Counter
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        ZIPF_TOP,
+        q_text_zipf_fit,
+    )
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    counts = Counter()
+    for t in texts:
+        for tok in _re.findall(r"[^\W\d_]+", t.lower(), _re.UNICODE):
+            counts[tok] += 1
+    head = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:ZIPF_TOP]
+    pts = [
+        (
+            math.floor(math.log(r) * 1e6 + 0.5),
+            math.floor(math.log(c) * 1e6 + 0.5),
+        )
+        for r, (tok, c) in enumerate(head, 1)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = q_text_zipf_fit(spark, sf_dir).collect()[0]
+    assert row.n_types == len(counts)
+    assert row.n_fit == n
+    assert row.slope6 == round(slope, 6)
+    assert row.intercept6 == round((sy - slope * sx) / n / 1e6, 6)
+    assert row.slope6 < 0
+    spark.catalog.clearCache()
+
+
+def test_ratio_to_report_shares_sum_to_one(spark, sf_dir):
+    """Python replay of per-nation shares from exact integer revenue;
+    within each nation the shares must (a) match and (b) sum to ~1."""
+    from collections import defaultdict
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_window_ratio_to_report,
+    )
+
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation_of = dict(
+        zip(supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())
+    )
+    rev = defaultdict(int)
+    for sk, p, d in zip(
+        li["l_suppkey"].to_pylist(),
+        li["l_extendedprice"].to_pylist(),
+        li["l_discount"].to_pylist(),
+    ):
+        rev[(nation_of[sk], sk)] += int(math.floor(p * 100 + 0.5)) * (
+            100 - int(math.floor(d * 100 + 0.5))
+        )
+    nat_tot = defaultdict(int)
+    for (nk, sk), r in rev.items():
+        nat_tot[nk] += r
+    rows = q_window_ratio_to_report(spark, sf_dir).collect()
+    assert len(rows) == len(rev)
+    share_sum = defaultdict(float)
+    for r in rows:
+        assert r.rev_cp == rev[(r.s_nationkey, r.suppkey)]
+        assert r.share6 == round(
+            rev[(r.s_nationkey, r.suppkey)] / nat_tot[r.s_nationkey], 6
+        )
+        share_sum[r.s_nationkey] += r.share6
+    for nk, s in share_sum.items():
+        assert abs(s - 1.0) < 1e-4
+    # ranks dense per nation
+    from collections import Counter as _C
+
+    per_nation = _C(r.s_nationkey for r in rows)
+    got_ranks = defaultdict(set)
+    for r in rows:
+        got_ranks[r.s_nationkey].add(r.rnk)
+    for nk, cnt in per_nation.items():
+        assert got_ranks[nk] == set(range(1, cnt + 1))
+    spark.catalog.clearCache()
+
+
+def test_readability_matches_python_replay(spark, sf_dir):
+    """Regex-census replay: counts, 4dp Flesch, and band cuts."""
+    import re as _re
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        q_text_readability,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    expected = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w = len(_re.findall(r"[a-z]+", text.lower()))
+        s = max(len(_re.findall(r"[.!?]+", text)), 1)
+        y = len(_re.findall(r"[aeiouy]+", text.lower()))
+        f4 = round(206.835 - 1.015 * w / s - 84.6 * y / max(w, 1), 4)
+        band = (
+            "very_easy" if f4 >= 90 else
+            "standard" if f4 >= 60 else
+            "difficult" if f4 >= 30 else "very_difficult"
+        )
+        expected[did] = (w, s, y, f4, band)
+    got = {
+        r.doc_id: (r.n_words, r.n_sentences, r.n_syll, r.flesch4, r.band)
+        for r in q_text_readability(spark, sf_dir).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
