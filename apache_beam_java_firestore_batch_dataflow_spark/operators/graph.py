@@ -683,23 +683,39 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)  # feeds 2 plan branches per round
     )
-    custs = e.select(F.col("src").alias("node")).distinct()
-    nc = custs.agg(F.count(F.lit(1)).alias("n"))
-    hub = custs.join(F.broadcast(nc)).select(
+    deg = {
+        "src": e.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        ),
+        "dst": e.groupBy(F.col("dst").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        ),
+    }
+    nc = deg["src"].agg(F.count(F.lit(1)).alias("n"))
+    hub = deg["src"].join(F.broadcast(nc)).select(
         "node", F.expr(f"{HITS_SCALE} div n").alias("hu")
     )
 
     def half_round(scores: DataFrame, col: str, join_on: str, out: str):
         """One HITS half-round: push `col` along arcs joined on
         `join_on` (src for hub→authority, dst for authority→hub),
-        sum per receiver, L1-renormalize via a one-row broadcast."""
+        sum per receiver, L1-renormalize via a one-row broadcast.
+
+        The normalizer is NOT a second pass over `raw` (that would
+        re-run the arc join — the consumed-twice lineage gotcha):
+        Σ_recv raw = Σ_arcs score(sender) = Σ_nodes score·outdeg,
+        an exact-integer identity, so the total comes from the
+        O(nodes) score frame joined to the degree table instead."""
         recv = "dst" if join_on == "src" else "src"
         raw = (
             e.join(scores, F.col(join_on) == scores.node)
             .groupBy(F.col(recv).alias("node"))
             .agg(F.sum(col).alias("raw"))
         )
-        s = raw.agg(F.sum("raw").alias("s"))
+        s = (
+            scores.join(deg[join_on], "node")
+            .agg(F.sum(F.col(col) * F.col("deg")).alias("s"))
+        )
         return raw.join(F.broadcast(s)).select(
             "node", F.expr(f"(raw * {HITS_SCALE}) div s").alias(out)
         )
@@ -716,3 +732,120 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("au").cast("bigint").alias("score_units"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: neighbor-overlap Jaccard between supplier pairs
+# ---------------------------------------------------------------------------
+
+JACC_DF_MAX = 40   # blocking: customers with <= this many suppliers generate
+JACC_MIN = 0.24    # emit pairs at or above this 6dp-rounded Jaccard
+
+_JACC_ORACLE = f"""
+    WITH adj AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    nbrs AS (
+      SELECT s, list_sort(list(c)) AS cs, count(*) AS deg
+      FROM adj GROUP BY s
+    ),
+    rare AS (
+      SELECT c FROM adj GROUP BY c HAVING count(*) <= {JACC_DF_MAX}
+    ),
+    cand AS (
+      SELECT DISTINCT a.s AS s_a, b.s AS s_b
+      FROM adj a JOIN rare r ON r.c = a.c
+      JOIN adj b ON b.c = a.c AND a.s < b.s
+    ),
+    scored AS (
+      SELECT c.s_a, c.s_b,
+             len(list_intersect(na.cs, nb.cs)) AS inter,
+             na.deg AS deg_a, nb.deg AS deg_b
+      FROM cand c
+      JOIN nbrs na ON na.s = c.s_a
+      JOIN nbrs nb ON nb.s = c.s_b
+    )
+    SELECT s_a, s_b, CAST(inter AS BIGINT) AS n_shared,
+           CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
+           CAST(round(inter * 1.0 / (deg_a + deg_b - inter), 6) AS DOUBLE)
+               AS jaccard6
+    FROM scored
+    WHERE round(inter * 1.0 / (deg_a + deg_b - inter), 6) >= {JACC_MIN}
+"""
+
+
+@register("q_graph_jaccard_neighbors", oracle=_JACC_ORACLE)
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor overlap: supplier pairs whose
+    customer sets have Jaccard >= {JACC_MIN} — the classic
+    common-neighbors heuristic ("suppliers serving the same buyers are
+    substitutes/likely future co-suppliers"), the graph sibling of the
+    dedup pair families.
+
+    Scale shape — the winnow/rare-gram discipline applied to a graph:
+    candidate pairs come ONLY from customers with <= {JACC_DF_MAX}
+    suppliers (per-customer fan-out bounded by C({JACC_DF_MAX},2); hub
+    customers cannot explode the pair space — the documented blocking
+    contract), while VERIFICATION uses each supplier's FULL sorted
+    customer array (one row per supplier) joined to the pair, so the
+    emitted Jaccard is exact, not blocked.  No (pair x customer)
+    exploded shuffle exists anywhere."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    nbrs = adj.groupBy("s").agg(
+        F.array_sort(F.collect_list("c")).alias("cs"),
+        F.count(F.lit(1)).alias("deg"),
+    )
+    rare = adj.groupBy("c").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= JACC_DF_MAX
+    ).select("c")
+    rare_adj = adj.join(rare, "c")
+    a = rare_adj.alias("a")
+    b = rare_adj.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .distinct()
+    )
+    na = nbrs.select(
+        F.col("s").alias("s_a"), F.col("cs").alias("cs_a"),
+        F.col("deg").alias("deg_a"),
+    )
+    nb = nbrs.select(
+        F.col("s").alias("s_b"), F.col("cs").alias("cs_b"),
+        F.col("deg").alias("deg_b"),
+    )
+    scored = (
+        cand.join(na, "s_a")
+        .join(nb, "s_b")
+        .select(
+            "s_a",
+            "s_b",
+            F.size(F.array_intersect("cs_a", "cs_b")).alias("inter"),
+            "deg_a",
+            "deg_b",
+        )
+    )
+    jacc = F.round(
+        F.col("inter") * 1.0
+        / (F.col("deg_a") + F.col("deg_b") - F.col("inter")),
+        6,
+    )
+    return scored.select(
+        "s_a",
+        "s_b",
+        F.col("inter").cast("bigint").alias("n_shared"),
+        F.col("deg_a").cast("bigint").alias("deg_a"),
+        F.col("deg_b").cast("bigint").alias("deg_b"),
+        jacc.cast("double").alias("jaccard6"),
+    ).filter(F.col("jaccard6") >= JACC_MIN)

@@ -3919,3 +3919,171 @@ def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double").alias("share6"),
         F.row_number().over(w_rank).cast("int").alias("rnk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean (percentile-bounded robust average per group)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_trimmed_mean",
+    # Cents are exact ints; the P10/P90 bounds come from the proven
+    # percentile parity (Spark percentile == DuckDB quantile_cont at
+    # rank (n-1)q); kept-value sums are exact and the mean divides once.
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    bounds AS (
+      SELECT o_orderpriority,
+             quantile_cont(cents, 0.1) AS p10,
+             quantile_cont(cents, 0.9) AS p90,
+             count(*) AS n_total
+      FROM c GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority,
+           CAST(max(b.n_total) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(round(sum(c.cents) * 1.0 / count(*), 4) AS DOUBLE)
+               AS trimmed_mean_cents
+    FROM c JOIN bounds b ON b.o_orderpriority = c.o_orderpriority
+    WHERE c.cents >= b.p10 AND c.cents <= b.p90
+    GROUP BY c.o_orderpriority
+    """,
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean of order value per priority class —
+    the robust average that survives fat tails and data glitches where
+    the plain mean moves (the aggregate twin of
+    `q_events_robust_scale`'s median/IQR normalization).
+
+    Determinism: money quantizes to exact cents at the scan; the trim
+    bounds use the PROVEN percentile parity (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, both interpolating at rank (n-1)·q); the
+    kept-set sum is an exact int64 and the mean divides once, mirrored.
+    Scale shape: one combiner agg computes both bounds and the group
+    count; bounds (O(groups) rows) broadcast back over the scan; the
+    kept-set reduction is a second combiner agg — two passes, zero
+    windows, no sort of the data."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    bounds = c.groupBy("o_orderpriority").agg(
+        F.percentile("cents", F.lit(0.1)).alias("p10"),
+        F.percentile("cents", F.lit(0.9)).alias("p90"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    kept = c.join(F.broadcast(bounds), "o_orderpriority").filter(
+        (F.col("cents") >= F.col("p10")) & (F.col("cents") <= F.col("p90"))
+    )
+    return kept.groupBy("o_orderpriority").agg(
+        F.max("n_total").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.round(F.sum("cents") * 1.0 / F.count(F.lit(1)), 4)
+        .cast("double")
+        .alias("trimmed_mean_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix (pairwise Pearson over the numeric fact columns)
+# ---------------------------------------------------------------------------
+
+_CORRM_COLS = ["quantity", "extendedprice", "discount", "tax"]
+
+
+def _corrm_oracle() -> str:
+    pair_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+        f" CAST(round((n * s_{a}{b} - s_{a} * s_{b})"
+        f" / sqrt((n * s_{a}{a} - s_{a} * s_{a})"
+        f" * (n * s_{b}{b} - s_{b} * s_{b})), 6) AS DOUBLE) AS corr6 FROM s"
+        for i, a in enumerate(_CORRM_COLS)
+        for b in _CORRM_COLS[i + 1:]
+    )
+    sums = []
+    for i, a in enumerate(_CORRM_COLS):
+        sums.append(f"CAST(sum(q_{a}) AS DOUBLE) AS s_{a}")
+        for b in _CORRM_COLS[i:]:
+            sums.append(
+                f"CAST(sum(CAST(q_{a} AS DECIMAL(38,0)) * q_{b}) AS DOUBLE)"
+                f" AS s_{a}{b}"
+            )
+    quant = ",\n             ".join(
+        f"CAST(floor(l_{c} * 100 + 0.5) AS BIGINT) AS q_{c}"
+        for c in _CORRM_COLS
+    )
+    return f"""
+    WITH q AS (
+      SELECT {quant}
+      FROM lineitem
+    ),
+    s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             {",             ".join(sums)}
+      FROM q
+    )
+    {pair_selects}
+    """
+
+
+@register("q_stats_correlation_matrix", oracle=_corrm_oracle())
+def q_stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem numeric
+    columns (quantity, extendedprice, discount, tax) — the profiling
+    step feature stores and data-quality monitors run to catch
+    redundant or drifting columns; the matrix generalization of the
+    exact single-pair `q_corr_quantity_price`.
+
+    Determinism: values quantize to exact cent units at the scan; all
+    sufficient statistics (4 sums + 10 cross-products) accumulate in
+    ONE combiner aggregation with DECIMAL product sums (a single
+    price² is ~1e14, corpus sums pass 2^63), and each correlation is
+    one mirrored double expression.  Scale shape: a single pass, a
+    single one-row frame, then a constant 6-row projection — the
+    sufficient-statistics discipline of `q_regress_two_features`
+    extended to the full matrix."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = li.select(
+        *[
+            F.floor(F.col(f"l_{c}") * 100 + 0.5).cast("bigint").alias(f"q_{c}")
+            for c in _CORRM_COLS
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, a in enumerate(_CORRM_COLS):
+        aggs.append(F.sum(f"q_{a}").cast("double").alias(f"s_{a}"))
+        for b in _CORRM_COLS[i:]:
+            aggs.append(
+                F.sum(F.col(f"q_{a}").cast("decimal(38,0)") * F.col(f"q_{b}"))
+                .cast("double")
+                .alias(f"s_{a}{b}")
+            )
+    s = q.agg(*aggs)
+    stack_args = []
+    for i, a in enumerate(_CORRM_COLS):
+        for b in _CORRM_COLS[i + 1:]:
+            stack_args.append(
+                f"'{a}', '{b}', n * s_{a}{b} - s_{a} * s_{b},"
+                f" n * s_{a}{a} - s_{a} * s_{a},"
+                f" n * s_{b}{b} - s_{b} * s_{b}"
+            )
+    n_pairs = len(stack_args)
+    pairs = s.select(
+        F.expr(
+            f"stack({n_pairs}, {', '.join(stack_args)})"
+            " as (col_a, col_b, cov_n, var_a, var_b)"
+        )
+    )
+    return pairs.select(
+        "col_a",
+        "col_b",
+        F.round(
+            F.col("cov_n") / F.sqrt(F.col("var_a") * F.col("var_b")), 6
+        ).cast("double").alias("corr6"),
+    )

@@ -1901,3 +1901,70 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         F.col("med_x2").cast("bigint").alias("slope_mu_x2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT from_type, sum(n) AS tot FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n,
+           CAST(round(CAST(t.n AS DOUBLE) / x.tot, 6) AS DOUBLE) AS p6
+    FROM trans t JOIN totals x ON x.from_type = t.from_type
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of event types, how often does one immediately follow
+    the other within a user's stream — the model behind next-action
+    prediction, funnel leak analysis, and bot detection (uniform rows
+    are a bot tell; the sequence-mining complement to
+    `q_events_funnel`'s fixed path).
+
+    Determinism: the per-user order is total (ts, event_id tiebreak —
+    the `q_sessionize_gaps` discipline), transition counts are exact,
+    and each row probability is one mirrored round(6) division.  Scale
+    shape: ONE keyed shuffle on user_id for the lag window (group size
+    = one user's history), then a combiner agg to the O(types²)
+    matrix and a broadcast row-total join — the corpus crosses the
+    wire once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 6)
+        .cast("double")
+        .alias("p6"),
+    )

