@@ -74,8 +74,10 @@ _MODULES = [
 # with committed ORACLE_CHECK_r09 proof rows): q_events_cohort_retention,
 # q_events_theil_sen, q_graph_hits, q_mix_kl_divergence,
 # q_multimodal_image_edges, q_privacy_dp_median, q_embedding_dim_stats,
-# q_text_zipf_fit, q_window_ratio_to_report, q_text_readability — plus
-# any later r9 additions; then the 3 r5-stale greens the round-9 registrations
+# q_text_zipf_fit, q_window_ratio_to_report, q_text_readability,
+# q_agg_trimmed_mean, q_stats_correlation_matrix,
+# q_events_markov_transitions, q_graph_jaccard_neighbors,
+# q_format_schema_evolution, q_ann_mmr_diversify; then the 3 r5-stale greens the round-9 registrations
 # displaced from the tail
 # (q_correlated_exists, q_cube, q_dedup_boilerplate_chunks),
 # then the remaining r5 greens in alphabetical order

@@ -2935,3 +2935,210 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn").cast("bigint").alias("min_mu"),
         F.col("mx").cast("bigint").alias("max_mu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversification (retrieve -> greedy diverse re-selection, unrolled)
+# ---------------------------------------------------------------------------
+
+MMR_N_QUERIES = 50
+MMR_CAND = 8       # shortlist size per query (the retrieve stage)
+MMR_K = 3          # diverse results kept (the unrolled greedy rounds)
+# lambda = 0.7 as the exact rational 7/10: score = (7*rel - 3*maxsim)/10,
+# computed on the raw doubles both engines share.
+
+
+def _mmr_oracle() -> str:
+    sim_qc = f"{dot_sql('q.embedding', 'v.embedding')} / (q.vnorm * v.vnorm)"
+    sim_cc = f"{dot_sql('a.emb', 'b.emb')} / (a.cnorm * b.cnorm)"
+    return f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {MMR_N_QUERIES}),
+    rel AS (
+      SELECT q.vec_id AS qid, v.vec_id AS cid, v.embedding AS emb,
+             v.vnorm AS cnorm, {sim_qc} AS rel
+      FROM q JOIN v ON q.vec_id <> v.vec_id
+    ),
+    cand AS (
+      SELECT * FROM (
+        SELECT qid, cid, emb, cnorm, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, cid) AS rn
+        FROM rel
+      ) WHERE rn <= {MMR_CAND}
+    ),
+    s1 AS (
+      SELECT qid, cid AS s1_id, emb AS s1_emb, cnorm AS s1_norm, rel AS s1_rel
+      FROM cand WHERE rn = 1
+    ),
+    r2 AS (
+      SELECT a.qid, a.cid, a.emb, a.cnorm, a.rel,
+             (7 * a.rel - 3 * ({dot_sql('a.emb', 's.s1_emb')}
+                               / (a.cnorm * s.s1_norm))) / 10 AS score
+      FROM cand a JOIN s1 s ON s.qid = a.qid
+      WHERE a.cid <> s.s1_id
+    ),
+    s2 AS (
+      SELECT * FROM (
+        SELECT qid, cid AS s2_id, emb AS s2_emb, cnorm AS s2_norm,
+               score AS s2_score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, cid) AS rn
+        FROM r2
+      ) WHERE rn = 1
+    ),
+    r3 AS (
+      SELECT a.qid, a.cid, a.rel,
+             (7 * a.rel - 3 * greatest(
+                 {dot_sql('a.emb', 's.s1_emb')} / (a.cnorm * s.s1_norm),
+                 {dot_sql('a.emb', 't.s2_emb')} / (a.cnorm * t.s2_norm))) / 10
+                 AS score
+      FROM cand a
+      JOIN s1 s ON s.qid = a.qid
+      JOIN s2 t ON t.qid = a.qid
+      WHERE a.cid <> s.s1_id AND a.cid <> t.s2_id
+    ),
+    s3 AS (
+      SELECT * FROM (
+        SELECT qid, cid AS s3_id, score AS s3_score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, cid) AS rn
+        FROM r3
+      ) WHERE rn = 1
+    )
+    SELECT qid AS query_id, 1 AS rank, s1_id AS selected_id,
+           CAST(round(s1_rel, 6) AS DOUBLE) AS score6 FROM s1
+    UNION ALL
+    SELECT qid, 2, s2_id, CAST(round(s2_score, 6) AS DOUBLE) FROM s2
+    UNION ALL
+    SELECT qid, 3, s3_id, CAST(round(s3_score, 6) AS DOUBLE) FROM s3
+    """
+
+
+@register("q_ann_mmr_diversify", oracle=_mmr_oracle())
+def q_ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance — the retrieve-then-DIVERSIFY stage
+    every RAG/search pipeline runs after similarity search: from each
+    query's top-{MMR_CAND} cosine shortlist, greedily select {MMR_K}
+    results maximizing ``λ·relevance − (1−λ)·max-similarity-to-already-
+    selected`` (λ=7/10), so near-duplicate hits don't crowd the result
+    list.  Completes the retrieval family next to `q_ann_rrf_fusion`
+    (fuse) and `q_ann_pq_rerank` / `q_text_rerank_edit` (rerank).
+
+    Determinism: relevance and candidate-candidate similarities are the
+    same sequential-fold doubles on both engines; the MMR score is the
+    exact linear form (7·rel − 3·sim)/10 of those doubles, and every
+    argmax breaks ties on (score desc, cid).  Scale shape: ONE
+    corpus-scan broadcast join builds the shortlist (`q_knn_bruteforce`
+    envelope, WindowGroupLimit top-{MMR_CAND}); the {MMR_K}-round
+    greedy then touches only O(queries × {MMR_CAND}) rows — each round
+    one keyed join + one per-query top-1 — never the corpus again."""
+    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    q = (
+        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(MMR_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.col("vnorm").alias("q_norm"),
+        )
+    )
+    rel = (
+        v.join(F.broadcast(q), F.col("qid") != F.col("vec_id"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("emb"),
+            F.col("vnorm").alias("cnorm"),
+            (dot(F.col("q_emb"), F.col("embedding"))
+             / (F.col("q_norm") * F.col("vnorm"))).alias("rel"),
+        )
+    )
+    w_cand = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("cid"))
+    cand = (
+        rel.withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= MMR_CAND)
+        .persist()  # three greedy rounds + the final union read this frame
+    )
+    s1 = cand.filter(F.col("rn") == 1).select(
+        "qid",
+        F.col("cid").alias("s1_id"),
+        F.col("emb").alias("s1_emb"),
+        F.col("cnorm").alias("s1_norm"),
+        F.col("rel").alias("s1_rel"),
+    )
+
+    def top1(scored: DataFrame, id_out: str, score_out: str) -> DataFrame:
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+        return (
+            scored.withColumn("rn1", F.row_number().over(w))
+            .filter(F.col("rn1") == 1)
+            .select(
+                "qid",
+                F.col("cid").alias(id_out),
+                F.col("emb").alias(f"{id_out}_emb"),
+                F.col("cnorm").alias(f"{id_out}_norm"),
+                F.col("score").alias(score_out),
+            )
+        )
+
+    sim_s1 = dot(F.col("emb"), F.col("s1_emb")) / (
+        F.col("cnorm") * F.col("s1_norm")
+    )
+    r2 = (
+        cand.join(s1, "qid")
+        .filter(F.col("cid") != F.col("s1_id"))
+        .select(
+            "qid", "cid", "emb", "cnorm",
+            ((7 * F.col("rel") - 3 * sim_s1) / 10).alias("score"),
+        )
+    )
+    s2 = top1(r2, "s2_id", "s2_score")
+    sim_s2 = dot(F.col("emb"), F.col("s2_id_emb")) / (
+        F.col("cnorm") * F.col("s2_id_norm")
+    )
+    r3 = (
+        cand.join(s1, "qid")
+        .join(s2, "qid")
+        .filter((F.col("cid") != F.col("s1_id")) & (F.col("cid") != F.col("s2_id")))
+        .select(
+            "qid", "cid",
+            ((7 * F.col("rel") - 3 * F.greatest(sim_s1, sim_s2)) / 10)
+            .alias("score"),
+        )
+    )
+    w3 = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("cid"))
+    s3 = (
+        r3.withColumn("rn1", F.row_number().over(w3))
+        .filter(F.col("rn1") == 1)
+        .select("qid", F.col("cid").alias("s3_id"), F.col("score").alias("s3_score"))
+    )
+    out = (
+        s1.select(
+            F.col("qid").alias("query_id"),
+            F.lit(1).alias("rank"),
+            F.col("s1_id").alias("selected_id"),
+            F.round("s1_rel", 6).cast("double").alias("score6"),
+        )
+        .unionAll(
+            s2.select(
+                F.col("qid"), F.lit(2), F.col("s2_id"),
+                F.round("s2_score", 6).cast("double"),
+            )
+        )
+        .unionAll(
+            s3.select(
+                F.col("qid"), F.lit(3), F.col("s3_id"),
+                F.round("s3_score", 6).cast("double"),
+            )
+        )
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "selected_id",
+        "score6",
+    )

@@ -407,3 +407,50 @@ def q_join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("revenue"),
         )
     )
+
+
+@_register(
+    "q_format_schema_evolution",
+    # The oracle reconstructs the merged view from the ORIGINAL table:
+    # old-schema rows surface with NULL in the added column.
+    """
+    SELECT s_suppkey, s_name, s_nationkey, CAST(NULL AS DOUBLE) AS s_acctbal
+    FROM supplier WHERE s_suppkey % 2 = 0
+    UNION ALL
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier WHERE s_suppkey % 2 = 1
+    """,
+)
+def q_format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read — the lakehouse capability every long-lived
+    table needs: a batch written under an OLD schema (3 columns) and a
+    batch written after a column was added (4 columns) are read together
+    with ``mergeSchema``, and the old rows surface with NULL in the new
+    column instead of failing the read.
+
+    The engine really writes two parquet generations and really merges
+    their footers; the oracle rebuilds the expected union from the
+    original table, so the value-hash proves both the union schema and
+    the NULL back-fill.  Scale shape: schema merging is a FOOTER
+    operation (O(files) metadata, not data); the scan itself remains
+    one pass with pushdown intact."""
+    from pyspark.sql import functions as F
+
+    from .tables import load_table
+
+    supp = load_table(spark, sf_dir, "supplier")
+    old = supp.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    new = supp.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    p_old = _scratch_path("evo-v1", sf_dir)
+    p_new = _scratch_path("evo-v2", sf_dir)
+    old.write.mode("overwrite").parquet(p_old)
+    new.write.mode("overwrite").parquet(p_new)
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(p_old, p_new)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    )

@@ -828,3 +828,92 @@ def test_jaccard_neighbors_matches_python_replay(spark, sf_dir):
     }
     assert got == expected
     spark.catalog.clearCache()
+
+
+def test_schema_evolution_nulls_exactly_on_old_rows(spark, sf_dir):
+    """The merged read must carry the union schema, preserve every row,
+    and back-fill NULL exactly on the old-generation (even-key) rows."""
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.formats import (
+        q_format_schema_evolution,
+    )
+
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    )
+    truth = dict(
+        zip(supp["s_suppkey"].to_pylist(), supp["s_acctbal"].to_pylist())
+    )
+    rows = q_format_schema_evolution(spark, sf_dir).collect()
+    assert len(rows) == len(truth)
+    assert set(rows[0].asDict()) == {
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    }
+    for r in rows:
+        if r.s_suppkey % 2 == 0:
+            assert r.s_acctbal is None
+        else:
+            assert r.s_acctbal == truth[r.s_suppkey]
+    spark.catalog.clearCache()
+
+
+def test_mmr_diversify_matches_greedy_replay(spark, sf_dir):
+    """Replay the full greedy MMR in Python using SEQUENTIAL-fold dot
+    products (the exact double order both engines use) — selections,
+    ranks, and 6dp scores must match; and the diversity property holds:
+    a selected item is never the argmax-similar twin of an earlier
+    selection when a comparably-relevant alternative exists."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        MMR_CAND,
+        MMR_K,
+        MMR_N_QUERIES,
+        QUERY_MOD,
+        q_ann_mmr_diversify,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_pylist()
+    embs = {i: [float(x) for x in v] for i, v in zip(ids, t["embedding"].to_pylist())}
+
+    def dot_seq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    norms = {i: math.sqrt(dot_seq(v, v)) for i, v in embs.items()}
+    qids = sorted(i for i in ids if i % QUERY_MOD == 0)[:MMR_N_QUERIES]
+    expected = {}
+    for qid in qids:
+        rels = [
+            (dot_seq(embs[qid], embs[c]) / (norms[qid] * norms[c]), c)
+            for c in ids
+            if c != qid
+        ]
+        rels.sort(key=lambda rc: (-rc[0], rc[1]))
+        cand = rels[:MMR_CAND]
+        sel = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for rel, c in cand:
+                if any(c == s for _, s in sel):
+                    continue
+                if rank == 1:
+                    score = rel
+                else:
+                    maxsim = max(
+                        dot_seq(embs[c], embs[s]) / (norms[c] * norms[s])
+                        for _, s in sel
+                    )
+                    score = (7 * rel - 3 * maxsim) / 10
+                if best is None or (score, -c) > (best[0], -best[1]):
+                    best = (score, c)
+            sel.append(best)
+            expected[(qid, rank)] = (best[1], round(best[0], 6))
+    got = {
+        (r.query_id, r.rank): (r.selected_id, r.score6)
+        for r in q_ann_mmr_diversify(spark, sf_dir).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
