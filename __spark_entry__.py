@@ -58,89 +58,83 @@ _MODULES = [
 # `scripts/check_oracles.py` re-proves the FULL registry locally every
 # round (artifact: ORACLE_CHECK_r06.txt, 0 failures).
 #
-# Driver-row ledger going into round 9 (CORRECTNESS_r01..r08): r8 was
-# the first fully green driver round, 50/50 (the bit_xor checksum fix
-# held).  Cumulative coverage after r8: 212 of the 235 registered
-# queries have a driver row, every last-seen row green; 23 have NEVER
-# been driver-checked (the 21 late-r8 registrations plus
-# q_events_user_streaks / q_dedup_keep_longest from the final r8
-# snapshot).  ROUND 9 prefix (exactly 50, per VERDICT r8 item 2):
-# the 23 never-checked first — green rows here retire the rotation
-# debt entirely — then any round-9 registrations (never-checked by
-# construction; they take driver rows the same round they land), then
-# the stalest greens (16 r4-stale re-checks, then r5-stale
-# alphabetically) to fill 50.  Still queued for the ROUND 10 prefix:
-# FIRST the round-9 registrations that did not fit this prefix (all
-# with committed ORACLE_CHECK_r09 proof rows): q_events_cohort_retention,
-# q_events_theil_sen, q_graph_hits, q_mix_kl_divergence,
-# q_multimodal_image_edges, q_privacy_dp_median, q_embedding_dim_stats,
-# q_text_zipf_fit, q_window_ratio_to_report, q_text_readability,
-# q_agg_trimmed_mean, q_stats_correlation_matrix,
-# q_events_markov_transitions, q_graph_jaccard_neighbors,
-# q_format_schema_evolution, q_ann_mmr_diversify; then the 3 r5-stale greens the round-9 registrations
-# displaced from the tail
-# (q_correlated_exists, q_cube, q_dedup_boilerplate_chunks),
-# then the remaining r5 greens in alphabetical order
-# (q_dedup_incremental_ingest, q_dedup_minhash_lsh,
-# q_dedup_winnow_pairs, q_doc_length_histogram,
-# q_embedding_gram_matrix, q_events_funnel, q_events_json, ...).
+# Driver-row ledger going into round 10 (CORRECTNESS_r01..r09): r9 was
+# fully green, 50/50 — the 23 never-checked late-r8 registrations all
+# retired, plus 3 early-r9 registrations and 24 stale re-checks.
+# Cumulative coverage after r9: 238 of the 253 registered queries have
+# a driver row, every last-seen row green.  15 have NEVER been
+# driver-checked (all round-9 registrations, all with committed
+# ORACLE_CHECK_r09 proof rows), and q_format_schema_evolution's r6
+# green row belongs to the round-5 implementation that round 9
+# replaced — it needs a fresh row for the surviving supplier-based
+# definition.  ROUND 10 prefix (exactly 50, per VERDICT r9 item 1):
+# those 16 first, then any round-10 registrations (never-checked by
+# construction; rows land the same round), then the stalest greens —
+# driver rows last seen in r5, alphabetical — to fill 50.  Queued for
+# the ROUND 11 prefix: whatever r5-stale greens the round-10
+# registrations displace from the tail below, then the remaining
+# r5-stale greens alphabetically (q_text_zipf_slope,
+# q_window_analytics, q_window_range_frame, q_window_rank,
+# q_window_running, q_window_topk_per_group), then r6-stale greens.
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- never driver-checked: late-r8 registrations (23) ---
-    "q_text_bpe_train_k4",
-    "q_events_autocorrelation",
-    "q_embedding_matryoshka_quality",
-    "q_text_charset_profile",
-    "q_stream_lateness_audit",
-    "q_graph_kcore2",
-    "q_multimodal_audio_decimate",
-    "q_agg_gini_customer_revenue",
-    "q_profile_heavy_hitters",
-    "q_mix_budget_solver",
-    "q_sessions_overlap_counts",
-    "q_privacy_dp_heavy_hitters",
-    "q_sketch_hll_partitioned_union",
-    "q_events_token_bucket",
-    "q_graph_lpa_communities",
-    "q_unpivot_lineitem_metrics",
-    "q_multimodal_image_grayscale",
-    "q_text_pmi_collocations",
-    "q_stream_interval_join_outer",
-    "q_events_user_streaks",
-    "q_dedup_keep_longest",
-    "q_multimodal_audio_zcr",
-    "q_regress_two_features",
-    # --- round-9 registrations (never checked; each displaces one
-    #     r5-stale green from the tail below into the r10 queue) ---
-    "q_sample_weighted_stratified",
-    "q_text_rerank_edit",
-    "q_multimodal_audio_flatness",
-    # --- stalest greens: driver rows last seen in r4 (16) ---
-    "q_stream_dedup_replayed",
-    "q_stream_interval_join",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_subquery_in",
-    "q_text_bigrams_top",
-    "q_text_fingerprint",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_tfidf_top_terms",
-    "q_text_unigram_logprob",
-    "q_time_rollup",
-    "q_token_count_bpe",
-    "q_udf_grouped_agg_pandas",
-    "q_udf_grouped_map_zscore",
-    "q_udf_scalar_pandas",
-    # --- next-stalest greens: last seen in r5, alphabetical (11) ---
-    "q12_priority_lines",
-    "q_agg_distinct",
-    "q_ann_pq",
-    "q_ann_pq_rerank",
-    "q_approx_distinct_sketch",
-    "q_audit_referential_orphans",
-    "q_bucketed_join_copartitioned",
-    "q_cdc_merge_upsert",
+    # --- round-9 registrations without a driver row (15 never-checked
+    #     + q_format_schema_evolution, whose r6 row predates the r9
+    #     re-implementation) (16) ---
+    "q_events_cohort_retention",
+    "q_events_theil_sen",
+    "q_graph_hits",
+    "q_mix_kl_divergence",
+    "q_multimodal_image_edges",
+    "q_privacy_dp_median",
+    "q_embedding_dim_stats",
+    "q_text_zipf_fit",
+    "q_window_ratio_to_report",
+    "q_text_readability",
+    "q_agg_trimmed_mean",
+    "q_stats_correlation_matrix",
+    "q_events_markov_transitions",
+    "q_graph_jaccard_neighbors",
+    "q_format_schema_evolution",
+    "q_ann_mmr_diversify",
+    # --- round-10 registrations (never checked; each displaces one
+    #     r5-stale green from the tail below into the r11 queue) ---
+    # (inserted as they land this round)
+    # --- stalest greens: driver rows last seen in r5, alphabetical (34) ---
+    "q_correlated_exists",
+    "q_cube",
+    "q_dedup_boilerplate_chunks",
+    "q_dedup_clusters_k3",
+    "q_dedup_incremental_ingest",
+    "q_dedup_minhash_lsh",
+    "q_dedup_winnow_pairs",
+    "q_doc_length_histogram",
+    "q_embedding_gram_matrix",
+    "q_events_funnel",
+    "q_events_json",
+    "q_events_retention",
+    "q_events_transitions",
+    "q_format_roundtrip_json",
+    "q_grouping_sets",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_knn_bruteforce_cogrouped",
+    "q_knn_bruteforce_numpy",
+    "q_multimodal_audio_stats",
+    "q_multimodal_video_stats",
+    "q_orderby_limit",
+    "q_partitioned_write_prune",
+    "q_profile_table_stats",
+    "q_scalar_array",
+    "q_scalar_date",
+    "q_scalar_levenshtein",
+    "q_split_train_val_test",
+    "q_stream_session",
+    "q_string_agg_ordered",
+    "q_text_gopher_rules",
+    "q_text_lang_id",
+    "q_text_normalize",
+    "q_text_token_stats",
 ]
 
 
@@ -155,15 +149,29 @@ def _ordered(mapping: dict) -> dict:
     return out
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+def _merge(attr: str) -> dict:
+    """Merge the per-module registries, refusing cross-module shadowing.
+
+    Each module's ``register()`` already raises on a duplicate WITHIN the
+    module (``registry.add``); the size assertion here catches the
+    remaining case — the same name registered in two different modules —
+    which ``dict.update`` would otherwise resolve silently by
+    last-module-wins (the round-9 ``q_format_schema_evolution`` hazard).
+    """
+    out: dict = {}
     for mod in _MODULES:
-        out.update(mod.QUERIES)
+        out.update(getattr(mod, attr))
+    expected = sum(len(getattr(mod, attr)) for mod in _MODULES)
+    assert len(out) == expected, (
+        f"cross-module duplicate query name: merged {attr} has "
+        f"{len(out)} entries but modules register {expected}"
+    )
     return _ordered(out)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _merge("QUERIES")
 
 
 def oracle_sql() -> dict[str, str]:
-    out: dict[str, str] = {}
-    for mod in _MODULES:
-        out.update(mod.ORACLES)
-    return _ordered(out)
+    return _merge("ORACLES")

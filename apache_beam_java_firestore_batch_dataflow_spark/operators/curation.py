@@ -32,15 +32,15 @@ from ..functions.timeutil import epoch_us
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+from ..registry import add as _registry_add
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
+        _registry_add(QUERIES, ORACLES, name, fn, oracle)
         return fn
 
     return deco
@@ -1204,7 +1204,7 @@ def _kl_case_sql() -> str:
                   AS BIGINT) AS log_ratio_mu
       FROM counts, tot
     ),
-    kl AS (SELECT CAST(sum(n * log_ratio_mu) // max(nn) AS BIGINT)
+    kl AS (SELECT CAST(greatest(sum(n * log_ratio_mu), 0) // max(nn) AS BIGINT)
                       AS kl_mu
            FROM terms, tot)
     SELECT t.lang, CAST(t.n AS BIGINT) AS n_docs,
@@ -1225,8 +1225,14 @@ def q_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism (the ln6 discipline): each per-stratum log-ratio
     ln(p/q) = ln(n·100 / (N·w)) is ONE ln of one double division of
     exact ints, floor-quantized to integer micro-units; contributions
-    multiply and sum exactly in int64, and the final KL divides once
-    (all-positive ints, so ``div`` == ``//``).  Scale shape: one
+    multiply and sum exactly in int64, and the final KL divides once.
+    The summed numerator is clamped at 0 on BOTH engines
+    (``greatest(·, 0)``): true KL is >= 0, but per-term quantization
+    error can push the micro-unit sum slightly negative when the corpus
+    matches the target closely, and there Spark ``div`` (truncates
+    toward zero) and DuckDB ``//`` (floors) would differ by 1 (ADVICE
+    r9).  With a non-negative numerator the two operators agree
+    exactly.  Scale shape: one
     combiner agg to O(langs) rows, a one-row total broadcast, pure
     projection after — the corpus is touched once."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1250,7 +1256,9 @@ def q_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nn",
     )
     kl = terms.agg(
-        F.expr("sum(n * log_ratio_mu) div max(nn)").cast("bigint").alias("kl_mu")
+        F.expr("greatest(sum(n * log_ratio_mu), 0L) div max(nn)")
+        .cast("bigint")
+        .alias("kl_mu")
     )
     return terms.join(F.broadcast(kl)).select(
         "lang",

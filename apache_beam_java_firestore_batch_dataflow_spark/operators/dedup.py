@@ -37,6 +37,8 @@ from ..sources.tables import load_table
 from .text import TOKENS_SQL, tokens_col
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+from ..registry import add as _registry_add
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
@@ -52,9 +54,7 @@ JACCARD_MIN = 0.10
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
+        _registry_add(QUERIES, ORACLES, name, fn, oracle)
         return fn
 
     return deco

@@ -37,15 +37,15 @@ from ..sources.tables import load_table
 from .similarity import cosine_threshold_pairs
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+from ..registry import add as _registry_add
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
+        _registry_add(QUERIES, ORACLES, name, fn, oracle)
         return fn
 
     return deco
@@ -790,7 +790,14 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract), while VERIFICATION uses each supplier's FULL sorted
     customer array (one row per supplier) joined to the pair, so the
     emitted Jaccard is exact, not blocked.  No (pair x customer)
-    exploded shuffle exists anywhere."""
+    exploded shuffle exists anywhere.
+
+    Cache lifetime (ADVICE r9): ``adj`` persists across its three
+    consumers (neighbor arrays, DF census, candidate pairs) and is NOT
+    unpersisted here — the cache materializes at the caller's action,
+    so releasing it at plan-build time would triple the orders⋈lineitem
+    join.  Repeated same-session invocations rely on the caller's
+    ``spark.catalog.clearCache()`` (bench and pytest both do)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     adj = (

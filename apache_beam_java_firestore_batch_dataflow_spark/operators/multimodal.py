@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+from ..registry import add as _registry_add
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
@@ -48,9 +50,7 @@ MODALITIES = ("image", "audio", "video")
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
+        _registry_add(QUERIES, ORACLES, name, fn, oracle)
         return fn
 
     return deco

@@ -31,6 +31,8 @@ from ..functions.vectors import dot, dot_sql, hyperplane_signs, norm, norm_sql
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
+from ..registry import add as _registry_add
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
@@ -63,9 +65,7 @@ _UNIT_MARGIN = 2
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        QUERIES[name] = fn
-        if oracle is not None:
-            ORACLES[name] = oracle
+        _registry_add(QUERIES, ORACLES, name, fn, oracle)
         return fn
 
     return deco
@@ -3034,7 +3034,14 @@ def q_ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-scan broadcast join builds the shortlist (`q_knn_bruteforce`
     envelope, WindowGroupLimit top-{MMR_CAND}); the {MMR_K}-round
     greedy then touches only O(queries × {MMR_CAND}) rows — each round
-    one keyed join + one per-query top-1 — never the corpus again."""
+    one keyed join + one per-query top-1 — never the corpus again.
+
+    Cache lifetime (ADVICE r9): the shortlist ``cand`` persists and is
+    NOT unpersisted here — the cache is consumed lazily at the caller's
+    action, so releasing it at plan-build time would re-inline the
+    corpus scan into all three greedy rounds.  Callers that invoke this
+    repeatedly in one session must clear caches between calls (bench
+    and the pytest atomic-schema sweep both ``spark.catalog.clearCache()``)."""
     v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     q = (
         v.filter(F.col("vec_id") % QUERY_MOD == 0)

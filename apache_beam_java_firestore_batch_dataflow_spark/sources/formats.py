@@ -84,6 +84,8 @@ import os
 import tempfile
 from collections.abc import Callable
 
+from ..registry import add as _registry_add
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
@@ -108,8 +110,7 @@ def _scratch_path(tag: str, sf_dir: str) -> str:
 
 def _register(name: str, oracle: str):
     def deco(fn):
-        QUERIES[name] = fn
-        ORACLES[name] = oracle
+        _registry_add(QUERIES, ORACLES, name, fn, oracle)
         return fn
 
     return deco
@@ -235,47 +236,6 @@ def q_bucketed_join_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame
     return joined.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("l_quantity").cast("double").alias("total_qty"),
-    )
-
-
-_EVOLUTION_ORACLE = """
-    SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_regionkey,
-           false AS from_v2
-    FROM nation
-    UNION ALL
-    SELECT n_nationkey, n_name, n_regionkey, true AS from_v2 FROM nation
-"""
-
-
-@_register("q_format_schema_evolution", _EVOLUTION_ORACLE)
-def q_format_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema drift handled at the scan: a table written first WITHOUT
-    ``n_regionkey`` (v1) and then appended WITH it (v2) reads back as
-    one relation under ``mergeSchema`` — old files surface NULL for the
-    new column, the production contract for additive column evolution
-    on long-lived datasets (100 TB tables are never rewritten to add a
-    column).
-
-    The scan stays a plain parquet read: merging happens at footer
-    level (schemas union across files), not by rewriting data, and
-    column pruning/pushdown still apply per file.
-    """
-    from pyspark.sql import functions as F
-
-    from .tables import load_table
-
-    nation = load_table(spark, sf_dir, "nation")
-    path = _scratch_path("evolve-nation", sf_dir)
-    nation.select("n_nationkey", "n_name").write.mode("overwrite").parquet(path)
-    nation.select("n_nationkey", "n_name", "n_regionkey").write.mode(
-        "append"
-    ).parquet(path)
-    merged = spark.read.option("mergeSchema", "true").parquet(path)
-    return merged.select(
-        "n_nationkey",
-        "n_name",
-        "n_regionkey",
-        F.col("n_regionkey").isNotNull().alias("from_v2"),
     )
 
 

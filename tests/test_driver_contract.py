@@ -180,3 +180,41 @@ def test_every_registered_query_has_committed_proof_row():
         f"{unproven} — run scripts/check_oracles.py on them and commit the "
         f"rows before (or with) the registration"
     )
+
+
+def test_register_raises_on_duplicate_name():
+    """Every module's register() must refuse an already-registered name.
+
+    Round 9 silently shadowed q_format_schema_evolution because no
+    register() guarded duplicates; registry.add now raises, and
+    __spark_entry__._merge asserts the merged size equals the sum of
+    module registry sizes (cross-module shadowing)."""
+    import pytest as _pytest
+
+    import __spark_entry__ as E
+
+    from apache_beam_java_firestore_batch_dataflow_spark.sources import formats
+
+    for mod in E._MODULES:
+        reg = getattr(mod, "register", None) or mod._register
+        some_name = next(iter(mod.QUERIES))
+        with _pytest.raises(ValueError, match="duplicate query registration"):
+            reg(some_name, "SELECT 1")(lambda spark, sf_dir: None)
+    # formats.py uses a private _register with the same guard
+
+    with _pytest.raises(ValueError, match="duplicate query registration"):
+        formats._register("q_format_schema_evolution", "SELECT 1")(
+            lambda spark, sf_dir: None
+        )
+    # the dead round-5 definition stays deleted: exactly one def in the file
+    import inspect
+
+    src = inspect.getsource(formats)
+    assert src.count("def q_format_schema_evolution") == 1
+
+
+def test_merged_registry_size_matches_module_sum():
+    import __spark_entry__ as E
+
+    total = sum(len(mod.QUERIES) for mod in E._MODULES)
+    assert len(E.queries()) == total
