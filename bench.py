@@ -12,7 +12,7 @@ line is a COMPACT (<=1500 char) summary — totals, per-family subtotals,
 the worst-5 queries, sink/skew/scaling digests (VERDICT r8 item 4;
 ``BENCH_r08.json`` came back ``"parsed": null`` because the full
 per-query dict overflowed the tail).  The complete per-query JSON is
-written to ``$SPARK_GRAFT_BENCH_OUT`` (default ``BENCH_LOCAL_r09.json``,
+written to ``$SPARK_GRAFT_BENCH_OUT`` (default ``BENCH_LOCAL_r10.json``,
 committed in-repo each round).
 
 Each query is forced end-to-end with a ``noop``-format write — full
@@ -216,23 +216,42 @@ EAGER_BUILD_QUERIES = {
 }
 
 
+def _session_floor_sec(spark) -> float:
+    """Per-action overhead of this local session: min over reps of a
+    trivial noop write of a 100-row range.  The small scaling leg (~0.3-
+    0.5 s at sf0.01) sits partly ON this floor, so raw large/small
+    ratios diverge run-to-run purely from session overhead (VERDICT r9
+    item 4: kcore2 read 2.66x driver vs 4.68x judge, large legs
+    agreeing).  Ratios below subtract this floor from both legs."""
+    reps = []
+    for _ in range(3):
+        start = time.monotonic()
+        spark.range(100).write.format("noop").mode("overwrite").save()
+        reps.append(time.monotonic() - start)
+    return min(reps)
+
+
 def scaling_bench(spark, registry) -> dict:
     small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if os.environ.get("SPARK_GRAFT_SCALING", "1") == "0":
         return {}
     if not os.path.isdir(small_dir) or os.path.samefile(small_dir, SF_DIR):
         return {}
-    out: dict[str, dict] = {}
+    floor = _session_floor_sec(spark)
+    out: dict[str, dict] = {"_floor_sec": round(floor, 3)}
     for name in SCALING_QUERIES:
         fn = registry[name]
         times: dict[str, float] = {}
-        for key, sf_dir in (("small_sec", small_dir), ("large_sec", SF_DIR)):
-            # median-of-3, same methodology as the headline loop: the
-            # small-SF leg is ~0.1 s, where single-shot timings are
-            # jitter-dominated and inflate the ratio (observed 1.2 vs
-            # 2.6 for the same plan across two runs).
+        # (reps, reducer): small leg min-of-4 — it is jitter-dominated
+        # near the session floor, and min is the right cold estimator
+        # there (cache cleared per rep keeps every rep cold); large leg
+        # median-of-3 as before.
+        for key, sf_dir, n_reps, red in (
+            ("small_sec", small_dir, 4, min),
+            ("large_sec", SF_DIR, 3, lambda r: sorted(r)[len(r) // 2]),
+        ):
             reps = []
-            for _ in range(3):
+            for _ in range(n_reps):
                 df = fn(spark, sf_dir)
                 start = time.monotonic()
                 df.write.format("noop").mode("overwrite").save()
@@ -243,8 +262,16 @@ def scaling_bench(spark, registry) -> dict:
                 # and make ratios meaningless (r6 measured 0.36-0.79
                 # "ratios" for persist()-using queries under warm reps).
                 spark.catalog.clearCache()
-            times[key] = round(sorted(reps)[1], 3)
-        times["ratio"] = round(times["large_sec"] / max(times["small_sec"], 1e-9), 2)
+            times[key] = round(red(reps), 3)
+        # Floor-corrected ratio: engine work scales with data; session
+        # overhead does not.  Clamp both adjusted legs at 20 ms so a
+        # genuinely floor-bound query reads ~1x instead of exploding.
+        adj_small = max(times["small_sec"] - floor, 0.02)
+        adj_large = max(times["large_sec"] - floor, 0.02)
+        times["ratio"] = round(adj_large / adj_small, 2)
+        times["ratio_raw"] = round(
+            times["large_sec"] / max(times["small_sec"], 1e-9), 2
+        )
         out[name] = times
     return out
 
@@ -491,7 +518,7 @@ def main() -> None:
         # still unchanged — the id stays isolated-v2.
         "protocol": "isolated-v2",
     }
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r09.json")
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL_r10.json")
     with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1)
         fh.write("\n")
@@ -503,9 +530,10 @@ def main() -> None:
         fam = "tpch" if name[1].isdigit() else name.split("_")[1]
         fams[fam] = round(fams.get(fam, 0.0) + sec, 2)
     worst5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    _scaling_rows = {n: v for n, v in scaling.items() if isinstance(v, dict)}
     worst_ratios = {
         n: v["ratio"]
-        for n, v in sorted(scaling.items(), key=lambda kv: -kv[1]["ratio"])[:3]
+        for n, v in sorted(_scaling_rows.items(), key=lambda kv: -kv[1]["ratio"])[:3]
     }
     compact = {
         "metric": "headline_total",
