@@ -71,8 +71,9 @@ _MODULES = [
 # those 16 first, then any round-10 registrations (never-checked by
 # construction; rows land the same round), then the stalest greens —
 # driver rows last seen in r5, alphabetical — to fill 50.  Queued for
-# the ROUND 11 prefix: whatever r5-stale greens the round-10
-# registrations displace from the tail below, then the remaining
+# the ROUND 11 prefix: the r5-stale greens the 3 round-10
+# registrations displaced from the tail below (q_text_lang_id,
+# q_text_normalize, q_text_token_stats), then the remaining
 # r5-stale greens alphabetically (q_text_zipf_slope,
 # q_window_analytics, q_window_range_frame, q_window_rank,
 # q_window_running, q_window_topk_per_group), then r6-stale greens.
@@ -99,7 +100,9 @@ _PRIORITY = [
     "q_ann_mmr_diversify",
     # --- round-10 registrations (never checked; each displaces one
     #     r5-stale green from the tail below into the r11 queue) ---
-    # (inserted as they land this round)
+    "q_dedup_paragraph_pairs",
+    "q_mix_contamination_matrix",
+    "q_ann_ivf_incremental",
     # --- stalest greens: driver rows last seen in r5, alphabetical (34) ---
     "q_correlated_exists",
     "q_cube",
@@ -132,9 +135,6 @@ _PRIORITY = [
     "q_stream_session",
     "q_string_agg_ordered",
     "q_text_gopher_rules",
-    "q_text_lang_id",
-    "q_text_normalize",
-    "q_text_token_stats",
 ]
 
 

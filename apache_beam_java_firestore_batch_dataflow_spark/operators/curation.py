@@ -1268,3 +1268,115 @@ def q_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("log_ratio_mu")).cast("bigint").alias("contrib"),
         "kl_mu",
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-pair contamination matrix (cross-source shared n-grams)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mix_contamination_matrix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                         t -> length(t) > 0) AS t
+      FROM documents
+    ),
+    sg AS (
+      SELECT DISTINCT source, g FROM (
+        SELECT source,
+               unnest(CASE WHEN len(t) >= {DECONTAM_K}
+                   THEN list_transform(range(1, len(t) - {DECONTAM_K - 2}),
+                        i -> array_to_string(t[i:i+{DECONTAM_K - 1}], ' '))
+                   ELSE CAST([] AS VARCHAR[]) END) AS g
+        FROM toks)
+    ),
+    sizes AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(za.n_grams AS BIGINT) AS n_a,
+           CAST(zb.n_grams AS BIGINT) AS n_b,
+           CAST(round(s.n_shared * 1.0
+                      / (za.n_grams + zb.n_grams - s.n_shared), 6) AS DOUBLE)
+               AS jaccard6,
+           CAST(round(s.n_shared * 1.0 / least(za.n_grams, zb.n_grams), 6)
+                AS DOUBLE) AS containment6
+    FROM shared s
+    JOIN sizes za ON za.source = s.source_a
+    JOIN sizes zb ON zb.source = s.source_b
+    """,
+)
+def q_mix_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source x source shared-n-gram grid — the mixture-audit twin of
+    ``q_mix_kl_divergence`` and the pairwise generalization of
+    ``q_decontaminate_overlap``: for every pair of corpus sources, how
+    many distinct {DECONTAM_K}-token n-grams they share, with Jaccard
+    and min-containment.  This is the matrix a pretraining team reads
+    to find mirrored/syndicated sources (high containment) before
+    weighting the mixture.
+
+    Scale shape: gram sets build narrowly in-row; the distinct
+    (source, gram) census is ONE combiner-friendly distinct (rows ~
+    corpus tokens, the same envelope as the decontamination pass); the
+    self-join on the gram string fans out C(sources_with_gram, 2) <=
+    C(|sources|, 2) per gram — bounded by the SOURCE count (a few
+    hundred in practice), never by corpus rows.  Output is the
+    O(|sources|^2) sparse grid (pairs sharing >= 1 gram).
+    """
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("source", tokens_col(F.col("text")).alias("t"))
+    grams = F.when(
+        F.size("t") >= DECONTAM_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (DECONTAM_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice("t", i, DECONTAM_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sg = (
+        tokd.select("source", F.explode(grams).alias("g"))
+        .distinct()
+        .persist()  # three consumers: sizes + both join sides; released
+        # by the caller's clearCache (the q_graph_jaccard_neighbors
+        # cache-lifetime convention)
+    )
+    sizes = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = sg.alias("a")
+    b = sg.alias("b")
+    shared = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("source").alias("source_a"), F.col("n_grams").alias("n_a"))
+    zb = sizes.select(F.col("source").alias("source_b"), F.col("n_grams").alias("n_b"))
+    return (
+        shared.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.round(
+                F.col("n_shared") * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).cast("double").alias("jaccard6"),
+            F.round(
+                F.col("n_shared") * 1.0 / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).cast("double").alias("containment6"),
+        )
+    )

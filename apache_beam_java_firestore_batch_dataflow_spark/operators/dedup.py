@@ -1542,3 +1542,187 @@ def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kept_doc").cast("bigint").alias("kept_doc"),
         (F.col("doc_id") == F.col("kept_doc")).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level near-dup (chunks through the MinHash band pipeline)
+# ---------------------------------------------------------------------------
+
+PARA_TOKENS = 40     # non-overlapping paragraph windows (chunk stride = width)
+PARA_ID_MOD = 10_000  # cid = doc_id * PARA_ID_MOD + para_idx (docs < 400k tokens)
+PARA_JACC_MIN = 0.5
+
+
+def _para_oracle() -> str:
+    from ..functions.hashing import H2_SALT
+
+    mins = ",\n             ".join(
+        f"min({minhash_term_sql('h1', 'h2', i)}) AS m{i}" for i in range(NUM_HASHES)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT cid, {b} AS band_idx, md5({concat}) AS band_hash FROM sigs".format(
+            b=b,
+            concat="concat_ws(',', "
+            + ", ".join(
+                f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            )
+            + ")",
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH tokd AS (SELECT doc_id, {TOKENS_SQL} AS t FROM documents),
+    paras AS (
+      SELECT doc_id * {PARA_ID_MOD} + CAST((start - 1) // {PARA_TOKENS} AS BIGINT)
+                 AS cid,
+             list_slice(t, start,
+                        least(start + {PARA_TOKENS} - 1, len(t))) AS ck
+      FROM tokd, LATERAL (SELECT unnest(range(1, len(t) + 1, {PARA_TOKENS}))
+                          AS start)
+      WHERE len(t) > 0
+    ),
+    psh AS (
+      SELECT DISTINCT cid, sh FROM (
+        SELECT cid,
+               unnest(CASE WHEN len(ck) >= {SHINGLE_K}
+                   THEN list_transform(range(1, len(ck) - {SHINGLE_K - 2}),
+                        i -> ck[i] || ' ' || ck[i+1] || ' ' || ck[i+2])
+                   ELSE [] END) AS sh
+        FROM paras)
+    ),
+    sigs AS (
+      SELECT cid, {mins}
+      FROM (SELECT cid, {h56_sql('sh')} AS h1,
+                   {h56_sql('sh', salt=H2_SALT)} AS h2
+            FROM psh)
+      GROUP BY cid
+    ),
+    bands AS ({bands}),
+    cand AS (
+      SELECT DISTINCT a.cid AS ca, b.cid AS cb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.cid < b.cid
+    ),
+    inter AS (
+      SELECT c.ca, c.cb, count(*) AS n_common
+      FROM cand c
+      JOIN psh sa ON sa.cid = c.ca
+      JOIN psh sb ON sb.cid = c.cb AND sb.sh = sa.sh
+      GROUP BY c.ca, c.cb
+    ),
+    sizes AS (SELECT cid, count(*) AS n_sh FROM psh GROUP BY cid)
+    SELECT CAST(i.ca // {PARA_ID_MOD} AS BIGINT) AS doc_a,
+           CAST(i.ca % {PARA_ID_MOD} AS BIGINT) AS para_a,
+           CAST(i.cb // {PARA_ID_MOD} AS BIGINT) AS doc_b,
+           CAST(i.cb % {PARA_ID_MOD} AS BIGINT) AS para_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(round(i.n_common * 1.0 / (za.n_sh + zb.n_sh - i.n_common), 6)
+                AS DOUBLE) AS jaccard6
+    FROM inter i
+    JOIN sizes za ON za.cid = i.ca
+    JOIN sizes zb ON zb.cid = i.cb
+    WHERE i.n_common * 1.0 / (za.n_sh + zb.n_sh - i.n_common) >= {PARA_JACC_MIN}
+    """
+
+
+@register("q_dedup_paragraph_pairs", oracle=_para_oracle())
+def q_dedup_paragraph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level near-dup: the corpus is re-chunked into
+    non-overlapping {PARA_TOKENS}-token paragraphs and the paragraphs —
+    not the documents — run through the same MinHash signature → LSH
+    band join → exact-Jaccard verify pipeline as
+    ``q_dedup_minhash_lsh``.  This is the boilerplate-removal pass real
+    pretraining pipelines run BETWEEN doc-level dedup and quality
+    filtering: shared headers/footers/licence blocks pair up at
+    paragraph granularity even when the surrounding documents differ.
+
+    Scale shape — identical to the document pipeline with n = corpus
+    paragraphs (~tokens/{PARA_TOKENS}): shingle sets build narrowly
+    in-row, signatures are ONE combiner agg, candidates come from the
+    band equi-join (collisions ~ near-dup pairs, never n²), and
+    verification joins shingles on CANDIDATES only.  Paragraph ids
+    pack as ``doc_id * {PARA_ID_MOD} + para_idx`` (documented bound:
+    docs under {PARA_ID_MOD}x{PARA_TOKENS} tokens), so the whole band
+    machinery is reused unchanged on a single sortable key.
+
+    Cache lifetime: the exploded paragraph-shingle frame feeds four
+    consumers (signatures, both verify sides, sizes) and persists;
+    released by the caller's ``clearCache`` (the
+    q_graph_jaccard_neighbors convention).
+    """
+    docs = _docs(spark, sf_dir)
+    tokd = docs.select("doc_id", tokens_col(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    paras = (
+        tokd.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t"), F.lit(PARA_TOKENS))
+            ).alias("start"),
+            "t",
+        )
+        .select(
+            (
+                F.col("doc_id") * PARA_ID_MOD
+                + F.floor((F.col("start") - 1) / PARA_TOKENS).cast("bigint")
+            ).alias("cid"),
+            F.slice("t", F.col("start"), PARA_TOKENS).alias("ck"),
+        )
+    )
+    sh_arr = F.when(
+        F.size("ck") >= SHINGLE_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ck") - (SHINGLE_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice("ck", i, SHINGLE_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    psh = (
+        paras.select("cid", F.explode(F.array_distinct(sh_arr)).alias("sh"))
+        .persist()
+    )
+    sigs = minhash_signatures_from(
+        psh.select(F.col("cid").alias("doc_id"), "sh")
+    ).withColumnRenamed("doc_id", "cid")
+    bands = band_hashes(sigs.withColumnRenamed("cid", "doc_id")).select(
+        F.col("doc_id").alias("cid"), "band_idx", "band_hash"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.cid") < F.col("b.cid")),
+        )
+        .select(F.col("a.cid").alias("ca"), F.col("b.cid").alias("cb"))
+        .distinct()
+    )
+    sa = psh.select(F.col("cid").alias("ca"), "sh")
+    sb = psh.select(F.col("cid").alias("cb"), "sh")
+    inter = (
+        cand.join(sa, "ca")
+        .join(sb, ["cb", "sh"])
+        .groupBy("ca", "cb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = psh.groupBy("cid").agg(F.count(F.lit(1)).alias("n_sh"))
+    za = sizes.select(F.col("cid").alias("ca"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("cid").alias("cb"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(za, "ca")
+        .join(zb, "cb")
+        .filter(jac >= PARA_JACC_MIN)
+        .select(
+            F.expr(f"ca div {PARA_ID_MOD}").cast("bigint").alias("doc_a"),
+            F.expr(f"ca % {PARA_ID_MOD}").cast("bigint").alias("para_a"),
+            F.expr(f"cb div {PARA_ID_MOD}").cast("bigint").alias("doc_b"),
+            F.expr(f"cb % {PARA_ID_MOD}").cast("bigint").alias("para_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(jac, 6).cast("double").alias("jaccard6"),
+        )
+    )

@@ -3149,3 +3149,95 @@ def q_ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         "selected_id",
         "score6",
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF incremental assignment (frozen coarse quantizer, new batch only)
+# ---------------------------------------------------------------------------
+
+IVF_BATCH_MOD = 10  # new-arrivals batch: vec_id % IVF_BATCH_MOD == IVF_BATCH_REM
+IVF_BATCH_REM = 3
+
+
+@register(
+    "q_ann_ivf_incremental",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    corpus AS (SELECT * FROM v
+               WHERE vec_id % {IVF_BATCH_MOD} <> {IVF_BATCH_REM}),
+    cent AS (SELECT vec_id AS cent_id, embedding AS c_emb, vnorm AS c_norm
+             FROM corpus ORDER BY {_CENT_HASH_SQL}, vec_id LIMIT {IVF_C}),
+    batch AS (SELECT * FROM v
+              WHERE vec_id % {IVF_BATCH_MOD} = {IVF_BATCH_REM}),
+    ranked AS (
+      SELECT b.vec_id, c.cent_id,
+             {dot_sql('b.embedding', 'c.c_emb')} / (b.vnorm * c.c_norm) AS csim,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {dot_sql('b.embedding', 'c.c_emb')}
+                                         / (b.vnorm * c.c_norm) DESC,
+                                         c.cent_id) AS rn
+      FROM batch b CROSS JOIN cent c
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN rn = 1 THEN cent_id END) AS BIGINT) AS cell,
+           CAST(round(max(CASE WHEN rn = 1 THEN csim END), 6) AS DOUBLE)
+               AS csim6,
+           CAST(max(CASE WHEN rn = 2 THEN cent_id END) AS BIGINT) AS cell2,
+           CAST(round(max(CASE WHEN rn = 1 THEN csim END)
+                      - max(CASE WHEN rn = 2 THEN csim END), 6) AS DOUBLE)
+               AS margin6
+    FROM ranked WHERE rn <= 2 GROUP BY vec_id
+    """,
+)
+def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF ingest — the ANN twin of
+    ``q_dedup_incremental_ingest``: a new-arrivals batch
+    (``vec_id % {IVF_BATCH_MOD} == {IVF_BATCH_REM}``) is assigned to
+    the FROZEN coarse quantizer trained on the existing corpus, without
+    re-touching a single corpus vector's assignment.  Per batch vector:
+    its cell, the centroid cosine, the runner-up cell, and the
+    assignment margin (the reassignment-trigger signal a production
+    index monitors — small margins mean the quantizer is drifting).
+
+    Scale shape: the corpus appears ONLY in the centroid selection —
+    one scan with O(IVF_C) state per task (``TakeOrderedAndProject``,
+    the ``ivf_centroids`` discipline); the quantizer is frozen by
+    construction because the hash-order LIMIT over the corpus slice is
+    independent of the batch.  Assignment is |batch| x IVF_C dot
+    products under an O(IVF_C) broadcast — cost scales with the BATCH,
+    not the corpus, which is the entire point of incremental ingest.
+    The rank-1/rank-2 pivot is one combiner agg on 2 rows per vector.
+    """
+    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    corpus = v.filter(F.col("vec_id") % IVF_BATCH_MOD != IVF_BATCH_REM)
+    batch = v.filter(F.col("vec_id") % IVF_BATCH_MOD == IVF_BATCH_REM)
+    cent = ivf_centroids(corpus)
+    csim = dot(F.col("embedding"), F.col("c_emb")) / (
+        F.col("vnorm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+    ranked = (
+        batch.join(F.broadcast(cent))
+        .select("vec_id", "cent_id", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+    )
+    return ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cent_id")))
+        .cast("bigint")
+        .alias("cell"),
+        F.round(F.max(F.when(F.col("rn") == 1, F.col("csim"))), 6)
+        .cast("double")
+        .alias("csim6"),
+        F.max(F.when(F.col("rn") == 2, F.col("cent_id")))
+        .cast("bigint")
+        .alias("cell2"),
+        F.round(
+            F.max(F.when(F.col("rn") == 1, F.col("csim")))
+            - F.max(F.when(F.col("rn") == 2, F.col("csim"))),
+            6,
+        )
+        .cast("double")
+        .alias("margin6"),
+    )

@@ -141,6 +141,12 @@ HEADLINE = [
     "q_events_theil_sen",
     "q_sample_weighted_stratified",
     "q_multimodal_image_edges",
+    # round 10: paragraph-level MinHash near-dup, the source-pair
+    # contamination grid, and the frozen-quantizer incremental IVF
+    # assignment
+    "q_dedup_paragraph_pairs",
+    "q_mix_contamination_matrix",
+    "q_ann_ivf_incremental",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -188,6 +194,13 @@ SCALING_QUERIES = [
     "q_graph_hits",
     "q_events_theil_sen",
     "q_events_cohort_retention",
+    # round-10 additions: paragraph near-dup claims the doc-MinHash
+    # envelope at ~tokens/40 units, the contamination grid claims
+    # gram-census-linear with source-bounded pair fan-out, and the
+    # incremental IVF claims batch-proportional cost (near-floor ratio)
+    "q_dedup_paragraph_pairs",
+    "q_mix_contamination_matrix",
+    "q_ann_ivf_incremental",
 ]
 
 
