@@ -71,8 +71,9 @@ _MODULES = [
 # those 16 first, then any round-10 registrations (never-checked by
 # construction; rows land the same round), then the stalest greens —
 # driver rows last seen in r5, alphabetical — to fill 50.  Queued for
-# the ROUND 11 prefix: the r5-stale greens the 3 round-10
-# registrations displaced from the tail below (q_text_lang_id,
+# the ROUND 11 prefix: the r5-stale greens the 6 round-10
+# registrations displaced from the tail below (q_stream_session,
+# q_string_agg_ordered, q_text_gopher_rules, q_text_lang_id,
 # q_text_normalize, q_text_token_stats), then the remaining
 # r5-stale greens alphabetically (q_text_zipf_slope,
 # q_window_analytics, q_window_range_frame, q_window_rank,
@@ -103,6 +104,9 @@ _PRIORITY = [
     "q_dedup_paragraph_pairs",
     "q_mix_contamination_matrix",
     "q_ann_ivf_incremental",
+    "q_graph_bfs_khop",
+    "q_events_cusum_drift",
+    "q_mix_unigram_cross_entropy",
     # --- stalest greens: driver rows last seen in r5, alphabetical (34) ---
     "q_correlated_exists",
     "q_cube",
@@ -132,9 +136,6 @@ _PRIORITY = [
     "q_scalar_date",
     "q_scalar_levenshtein",
     "q_split_train_val_test",
-    "q_stream_session",
-    "q_string_agg_ordered",
-    "q_text_gopher_rules",
 ]
 
 

@@ -1380,3 +1380,118 @@ def q_mix_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double").alias("containment6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-pair unigram cross-entropy (domain-distance matrix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mix_unigram_cross_entropy",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(
+                 regexp_split_to_array(text, '[^\\p{L}]+'),
+                 t -> length(t) > 0)) AS w
+      FROM documents
+    ),
+    counts AS (SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2),
+    ntot AS (SELECT source, sum(c) AS n_tok FROM counts GROUP BY 1),
+    vs AS (SELECT count(DISTINCT w) AS v FROM counts),
+    pair_terms AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             sum(a.c * CAST(floor(ln(CAST(b.c + 1 AS DOUBLE)) * 1000000 + 0.5)
+                            AS BIGINT)) AS s_match,
+             sum(a.c) AS m_ab
+      FROM counts a JOIN counts b
+        ON a.w = b.w AND a.source <> b.source
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT na.source AS source_a, nb.source AS source_b,
+             na.n_tok AS n_a, nb.n_tok AS n_b
+      FROM ntot na JOIN ntot nb ON na.source <> nb.source
+    )
+    SELECT g.source_a, g.source_b,
+           CAST(g.n_a AS BIGINT) AS n_tokens_a,
+           CAST(coalesce(p.m_ab, 0) AS BIGINT) AS overlap_mass,
+           CAST((g.n_a * CAST(floor(ln(CAST(g.n_b + vs.v AS DOUBLE)) * 1000000
+                                    + 0.5) AS BIGINT)
+                 - coalesce(p.s_match, 0)) // g.n_a AS BIGINT) AS xent_mu
+    FROM grid g
+    LEFT JOIN pair_terms p USING (source_a, source_b)
+    CROSS JOIN vs
+    """,
+)
+def q_mix_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-distance matrix: for every ORDERED source pair (a, b),
+    the cross-entropy of a's unigram token distribution under b's
+    add-one-smoothed unigram LM — low means b's text statistics model
+    a well (same domain/mirror), high means domain shift.  The
+    continuous companion to ``q_mix_contamination_matrix``'s set
+    overlap, and the score real curation pipelines use to pick proxy
+    corpora and spot mis-labeled sources.
+
+    Determinism (ln6 discipline): each log-probability splits as
+    ln(c_b(w)+1) - ln(N_b+V); BOTH logs are single ``ln`` calls on
+    integer-valued doubles, floor-quantized to micro-nat units, then
+    multiplied by integer counts and summed exactly in int64.  Missing
+    words contribute ln(1) = 0 to the match sum, so
+    ``H_mu = (N_a·lnq(N_b+V) - Σ_match c_a·lnq(c_b+1)) div N_a`` with a
+    provably non-negative numerator (c_b+1 <= N_b+V termwise), making
+    Spark ``div`` == DuckDB ``//``.
+
+    Scale shape: the per-source word census is one combiner groupBy
+    (~corpus tokens in, O(sources x vocab) out); the pair stage joins
+    the census to itself on the WORD key — fan-out per word is
+    C(sources_with_word, 2)-ish, bounded by |sources|², never corpus
+    rows; totals and the vocab size ride one-row/dimension broadcasts
+    onto the O(|sources|²) grid."""
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens_col(F.col("text"))).alias("w"))
+    counts = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c")).persist()
+    ntot = counts.groupBy("source").agg(F.sum("c").alias("n_tok"))
+    vs = counts.agg(F.countDistinct("w").alias("v"))
+
+    def lnq(col):
+        return F.floor(F.log(col.cast("double")) * 1_000_000 + 0.5).cast("bigint")
+
+    a = counts.alias("a")
+    b = counts.alias("b")
+    pair_terms = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") != F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.sum(F.col("a.c") * lnq(F.col("b.c") + 1)).alias("s_match"),
+            F.sum(F.col("a.c")).alias("m_ab"),
+        )
+    )
+    na = ntot.select(F.col("source").alias("source_a"), F.col("n_tok").alias("n_a"))
+    nb = ntot.select(F.col("source").alias("source_b"), F.col("n_tok").alias("n_b"))
+    grid = na.join(F.broadcast(nb), F.col("source_a") != F.col("source_b"))
+    return (
+        grid.join(pair_terms, ["source_a", "source_b"], "left")
+        .join(F.broadcast(vs))
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("bigint").alias("n_tokens_a"),
+            F.coalesce(F.col("m_ab"), F.lit(0)).cast("bigint").alias("overlap_mass"),
+            F.expr(
+                "(n_a * CAST(floor(ln(CAST(n_b + v AS DOUBLE)) * 1000000 + 0.5)"
+                " AS BIGINT) - coalesce(s_match, 0L)) div n_a"
+            )
+            .cast("bigint")
+            .alias("xent_mu"),
+        )
+    )

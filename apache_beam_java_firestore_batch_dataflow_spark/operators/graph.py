@@ -856,3 +856,92 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg_b").cast("bigint").alias("deg_b"),
         jacc.cast("double").alias("jaccard6"),
     ).filter(F.col("jaccard6") >= JACC_MIN)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source k-hop BFS over the semantic graph
+# ---------------------------------------------------------------------------
+
+BFS_K = 3          # hop bound (unrolled rounds)
+BFS_SEED_MOD = 100  # seeds: vec_id % BFS_SEED_MOD == 0
+
+_BFS_ORACLE = f"""
+    WITH RECURSIVE v AS (SELECT vec_id, embedding,
+                  sqrt(list_reduce(list_prepend(0.0,
+                      list_transform(range(1, len(embedding) + 1),
+                          i -> CAST(embedding[i] AS DOUBLE)
+                               * CAST(embedding[i] AS DOUBLE))),
+                      (acc, x) -> acc + x)) AS vnorm
+               FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(0.0,
+                list_transform(range(1, len(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE)
+                         * CAST(b.embedding[i] AS DOUBLE))),
+                (acc, x) -> acc + x) / (a.vnorm * b.vnorm) >= {TRI_TAU}
+    ),
+    e AS (SELECT va AS src, vb AS dst FROM p
+          UNION ALL SELECT vb, va FROM p),
+    seeds AS (SELECT vec_id AS node FROM embeddings
+              WHERE vec_id % {BFS_SEED_MOD} = 0),
+    reach(node, d) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, reach.d + 1 FROM reach JOIN e ON e.src = reach.node
+      WHERE reach.d < {BFS_K}
+    )
+    SELECT node, CAST(min(d) AS INT) AS dist
+    FROM reach GROUP BY node
+"""
+
+
+@register("q_graph_bfs_khop", oracle=_BFS_ORACLE)
+def q_graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS: minimum hop distance (<= {BFS_K}) from
+    the seed set (``vec_id % {BFS_SEED_MOD} == 0``) to every reachable
+    node of the cosine >= {TRI_TAU} semantic graph — the reachability
+    primitive behind "expand a curated seed corpus by k hops of
+    similarity" and the missing distance leg of the graph toolbox
+    (centrality, density, connectivity, now reach).
+
+    Scale shape — synchronous frontier expansion, {BFS_K} unrolled
+    rounds in ONE declarative plan (the ``propagate_min_label``
+    convention: no per-round driver actions): each round is one keyed
+    join frontier⋈arcs + one distinct, rows bounded by O(nodes) per
+    level; the final min-distance is one combiner agg over <=
+    ({BFS_K}+1)·nodes rows.  Edges come from the shared block-pair
+    kernel, checkpointed once (the components discipline).  Frontier
+    frames persist (each feeds the next round AND the final union);
+    caller-clearCache lifetime."""
+    from .similarity import cosine_threshold_pairs
+
+    pairs = (
+        cosine_threshold_pairs(spark, sf_dir, tau=TRI_TAU)
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    both = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    seeds = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % BFS_SEED_MOD == 0)
+        .select(F.col("vec_id").alias("node"))
+        .persist()
+    )
+    levels = [seeds.select("node", F.lit(0).alias("d"))]
+    frontier = seeds
+    for depth in range(1, BFS_K + 1):
+        frontier = (
+            both.join(frontier, both["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .persist()  # consumed by the next round AND the final union
+        )
+        levels.append(frontier.select("node", F.lit(depth).alias("d")))
+    reach = levels[0]
+    for lv in levels[1:]:
+        reach = reach.unionAll(lv)
+    return reach.groupBy("node").agg(F.min("d").cast("int").alias("dist"))

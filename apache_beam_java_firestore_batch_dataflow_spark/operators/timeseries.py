@@ -1968,3 +1968,104 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("p6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detector (one-sided reset CUSUM, per event type, hourly)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_events_cusum_drift",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+             count(*) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, (100 * sum(x)) // count(*) AS mu_centi
+      FROM hourly GROUP BY 1
+    ),
+    d AS (
+      SELECT h.event_type, h.hr, h.x, s.mu_centi,
+             100 * h.x - s.mu_centi - s.mu_centi // 20 AS dd
+      FROM hourly h JOIN stats s USING (event_type)
+    ),
+    pre AS (
+      SELECT event_type, hr, x, mu_centi,
+             sum(dd) OVER (PARTITION BY event_type ORDER BY hr
+                           ROWS UNBOUNDED PRECEDING) AS prefix
+      FROM d
+    ),
+    cu AS (
+      SELECT event_type, hr, x, mu_centi,
+             prefix - least(0, min(prefix) OVER (PARTITION BY event_type
+                 ORDER BY hr ROWS UNBOUNDED PRECEDING)) AS cusum
+      FROM pre
+    ),
+    mx AS (SELECT event_type, max(cusum) AS cmax FROM cu GROUP BY event_type)
+    SELECT c.event_type, c.hr, CAST(c.x AS BIGINT) AS x,
+           CAST(c.cusum AS BIGINT) AS cusum_centi,
+           (c.cusum * 2 > m.cmax) AS flagged
+    FROM cu c JOIN mx m USING (event_type)
+    """,
+)
+def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detector per event type over its hourly
+    count series — the sequential-analysis monitor a pipeline health
+    dashboard runs on ingestion volumes.  Distinct from
+    ``q_events_cusum_changepoint`` (which locates the single peak-|S|
+    changepoint of the un-reset value-deviation walk): this is the
+    RESET form ``S_t = max(0, S_{t-1} + drift)`` that alarms on
+    sustained upward count drift hour by hour.
+
+    The recurrence ``S_t = max(0, S_{t-1} + (x_t - mu - k))`` looks
+    inherently sequential, but has the closed form
+    ``S_t = prefix_t - min(0, min_{j<=t} prefix_j)`` over the drift
+    prefix sum — so the whole detector is TWO stacked running windows
+    (sum, then min), both partitioned by event_type and fully
+    associative: shuffle-parallel across types, scan-parallel within.
+    Exact integer arithmetic throughout: counts are ints, the drift
+    target mu and slack (5% of mu) live in centi-units via floor
+    division (positive operands, so Spark ``div`` == DuckDB ``//``).
+    The alarm threshold self-calibrates to half the per-type CUSUM
+    maximum (one combiner agg broadcast back), so both flag states
+    exist at any scale factor — a mean-relative threshold does not
+    survive scale changes because CUSUM excursions grow with
+    sqrt(mean), not mean.
+
+    Scale shape: one groupBy to O(types x hours) rows, windows
+    partitioned by type over the REDUCED series (never raw events),
+    one tiny broadcast join.  At 100 TB the reduction is the only
+    corpus-sized stage."""
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = hourly.groupBy("event_type").agg(
+        F.expr("(100 * sum(x)) div count(*)").alias("mu_centi")
+    )
+    d = hourly.join(F.broadcast(stats), "event_type").withColumn(
+        "dd",
+        100 * F.col("x") - F.col("mu_centi") - F.expr("mu_centi div 20"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = d.withColumn("prefix", F.sum("dd").over(w))
+    cu = pre.withColumn(
+        "cusum",
+        F.col("prefix") - F.least(F.lit(0), F.min("prefix").over(w)),
+    )
+    mx = cu.groupBy("event_type").agg(F.max("cusum").alias("cmax"))
+    return cu.join(F.broadcast(mx), "event_type").select(
+        "event_type",
+        "hr",
+        F.col("x").cast("bigint").alias("x"),
+        F.col("cusum").cast("bigint").alias("cusum_centi"),
+        (F.col("cusum") * 2 > F.col("cmax")).alias("flagged"),
+    )

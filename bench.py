@@ -147,6 +147,9 @@ HEADLINE = [
     "q_dedup_paragraph_pairs",
     "q_mix_contamination_matrix",
     "q_ann_ivf_incremental",
+    "q_graph_bfs_khop",
+    "q_events_cusum_drift",
+    "q_mix_unigram_cross_entropy",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -201,6 +204,13 @@ SCALING_QUERIES = [
     "q_dedup_paragraph_pairs",
     "q_mix_contamination_matrix",
     "q_ann_ivf_incremental",
+    # batch 2: BFS claims per-level O(nodes) frontier rounds, the CUSUM
+    # detector claims reduced-series (hours-bounded) windows, the
+    # cross-entropy matrix claims census-linear with source-bounded
+    # pair fan-out
+    "q_graph_bfs_khop",
+    "q_events_cusum_drift",
+    "q_mix_unigram_cross_entropy",
 ]
 
 
@@ -226,6 +236,9 @@ EAGER_BUILD_QUERIES = {
     # hits: the distinct purchase-edge frame localCheckpoints eagerly
     # (feeds two plan branches per round)
     "q_graph_hits",
+    # bfs: the semantic edge set localCheckpoints eagerly (feeds all
+    # BFS_K frontier rounds)
+    "q_graph_bfs_khop",
 }
 
 

