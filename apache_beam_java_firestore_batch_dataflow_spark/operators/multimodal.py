@@ -1927,3 +1927,85 @@ def q_multimodal_image_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edge_energy long"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio RMS loudness-normalization gain (per clip, exact sufficient stats)
+# ---------------------------------------------------------------------------
+
+RMS_TARGET = 10_000  # target RMS amplitude for loudness normalization
+
+
+@register(
+    "q_multimodal_audio_rms_gain",
+    # Replays the generating formula positionally; the gain expression
+    # is the IDENTICAL text on both engines (cast -> divide -> sqrt ->
+    # divide -> multiply -> floor: every step correctly-rounded IEEE,
+    # so the quantized result is bit-equal).
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             doc_id % 50 + 20 AS n_frames,
+             doc_id % 2 + 1  AS channels
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id,
+             (doc_id * 7919 + k * 104729) % 65521 - 32760 AS s
+      FROM params, LATERAL (SELECT unnest(range(0, n_frames * channels)) AS k)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_samples, sum(s * s) AS sumsq
+      FROM samples GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(sumsq AS BIGINT) AS sumsq,
+           CAST(floor({RMS_TARGET}.0
+                      / sqrt(CAST(sumsq AS DOUBLE) / n_samples)
+                      * 1000000 + 0.5) AS BIGINT) AS gain_mu
+    FROM agg WHERE sumsq > 0
+    """,
+)
+def q_multimodal_audio_rms_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loudness-normalization gain per decoded clip: the multiplier
+    (micro-units) that brings the clip's RMS amplitude to
+    {RMS_TARGET} — the per-asset normalization constant an audio
+    curation pipeline computes before mixing sources recorded at
+    different levels.
+
+    The decode kernel (REAL RIFF/WAVE parse) emits only the exact
+    integer sufficient statistics (sample count, sum of squares —
+    ≤ ~1.5e11, comfortably BIGINT); the gain itself is ONE identical
+    SQL expression on both engines (divide → sqrt → divide →
+    multiply → floor, each step correctly-rounded IEEE, hence
+    bit-equal without micro-unit gymnastics).  Bytes never shuffle;
+    per-task memory is one clip's samples."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = {"doc_id": [], "n_samples": [], "sumsq": []}
+        for pdf in batches:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.asarray(
+                    decode_wav_samples(bytes(payload)), dtype=np.int64
+                )
+                rows["doc_id"].append(int(did))
+                rows["n_samples"].append(int(samples.size))
+                rows["sumsq"].append(int((samples * samples).sum()))
+        yield pd.DataFrame(rows)
+
+    stats = wav_table(spark, sf_dir).mapInPandas(
+        run, schema="doc_id long, n_samples long, sumsq long"
+    )
+    return stats.filter(F.col("sumsq") > 0).select(
+        "doc_id",
+        "n_samples",
+        "sumsq",
+        F.floor(
+            F.lit(float(RMS_TARGET))
+            / F.sqrt(F.col("sumsq").cast("double") / F.col("n_samples"))
+            * 1_000_000
+            + 0.5
+        ).cast("bigint").alias("gain_mu"),
+    )

@@ -3241,3 +3241,98 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("margin6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid outliers (mislabel candidates)
+# ---------------------------------------------------------------------------
+
+OUTLIER_K = 5  # bottom-k cosine-to-own-centroid per label
+
+
+@register(
+    "q_embedding_label_outliers",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ),
+    cent_long AS (
+      SELECT label, pos,
+             CAST(sum(CAST(round(x, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(*) AS m
+      FROM comp GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, list(m ORDER BY pos) AS c FROM cent_long GROUP BY label
+    ),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             {dot_sql('e.embedding', 'c.c')}
+               / ({norm_sql('e.embedding')} * {norm_sql('c.c')}) AS cos
+      FROM embeddings e JOIN cent c USING (label)
+    ),
+    ranked AS (
+      SELECT label, vec_id, cos,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos ASC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT label, vec_id, CAST(rk AS INT) AS rank,
+           CAST(round(cos, 6) AS DOUBLE) AS cos6
+    FROM ranked WHERE rk <= {OUTLIER_K}
+    """,
+)
+def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel candidates: for every label, the {OUTLIER_K} member
+    vectors with the LOWEST cosine to their own label's centroid — the
+    audit a labeled-embedding pipeline runs to surface vectors that do
+    not belong to the cluster they claim (wrong label, corrupted
+    embedding, or genuine boundary cases worth review).
+
+    Determinism: centroid components are exact order-independent
+    DECIMAL sums divided once (the ``q_embedding_centroids``
+    discipline); the centroid array assembles in pos order on both
+    engines, so the vector⋈centroid cosine is the same sequential
+    left fold everywhere; ranks tie-break on vec_id.
+
+    Scale shape: the component census is one combiner agg to
+    O(labels × dim) rows; centroid arrays are an O(labels) dimension
+    frame BROADCAST to the corpus scan (one pass, |labels| never
+    corpus-scale); the bottom-k is a per-label WindowGroupLimit —
+    partial top-k below the exchange, O(labels × k) rows after."""
+    v = _vecs(spark, sf_dir)
+    comp = v.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("label", "pos", F.col("x").cast("double").alias("x"))
+    dec = F.round(F.col("x"), 6).cast("decimal(30,6)")
+    cent_long = comp.groupBy("label", "pos").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+    scored = v.join(F.broadcast(cent), "label").select(
+        "label",
+        "vec_id",
+        (
+            dot(F.col("embedding"), F.col("c"))
+            / (norm(F.col("embedding")) * norm(F.col("c")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= OUTLIER_K)
+        .select(
+            "label",
+            "vec_id",
+            F.col("rk").cast("int").alias("rank"),
+            F.round("cos", 6).cast("double").alias("cos6"),
+        )
+    )

@@ -2473,3 +2473,69 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("very_difficult")
         .alias("band"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sentence segmentation stats (narrow, zero-shuffle)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_sentence_stats",
+    oracle=r"""
+    WITH segs AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_split_to_array(text, '[.!?]+'),
+                 s -> length(regexp_replace(s, '[^\p{L}]', '', 'g'))),
+               n -> n > 0) AS ls
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS INT) AS n_sentences,
+           CAST(list_reduce(list_prepend(0, ls), (a, b) -> a + b) AS BIGINT)
+               AS total_letters,
+           CAST(list_reduce(list_prepend(0, ls),
+                            (a, b) -> CASE WHEN b > a THEN b ELSE a END)
+                AS INT) AS max_letters,
+           CAST((1000000 * list_reduce(list_prepend(0, ls), (a, b) -> a + b))
+                // len(ls) AS BIGINT) AS mean_letters_mu
+    FROM segs WHERE len(ls) > 0
+    """,
+)
+def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation profile per document: segments split on
+    ``[.!?]+`` runs, a segment counts as a sentence iff it contains at
+    least one letter; emit sentence count, total/max/mean letters per
+    sentence — the structural features (fragmentation vs run-ons) a
+    text-quality gate reads next to the Gopher rules.
+
+    Entirely narrow: split, per-segment letter count, filter, and all
+    four aggregates fold IN-ROW over the segment array — zero
+    exchanges at any corpus size, codegen-fused into the scan.  Letter
+    counts (not raw lengths) make the measure whitespace/punctuation
+    agnostic and engine-portable.  Mean is exact integer micro-units
+    via floor division of non-negative ints (div == //)."""
+    docs = load_table(spark, sf_dir, "documents")
+    letters = F.filter(
+        F.transform(
+            F.split(F.col("text"), r"[.!?]+"),
+            lambda s: F.length(F.regexp_replace(s, r"[^\p{L}]", "")),
+        ),
+        lambda n: n > 0,
+    )
+    segs = docs.select("doc_id", letters.alias("ls")).filter(F.size("ls") > 0)
+    total = F.aggregate(F.col("ls"), F.lit(0), lambda a, b: a + b)
+    mx = F.aggregate(
+        F.col("ls"), F.lit(0), lambda a, b: F.when(b > a, b).otherwise(a)
+    )
+    return segs.select(
+        "doc_id",
+        F.size("ls").cast("int").alias("n_sentences"),
+        total.cast("bigint").alias("total_letters"),
+        mx.cast("int").alias("max_letters"),
+        F.expr(
+            "(1000000 * aggregate(ls, 0, (a, b) -> a + b)) div size(ls)"
+        ).cast("bigint").alias("mean_letters_mu"),
+    )

@@ -150,6 +150,9 @@ HEADLINE = [
     "q_graph_bfs_khop",
     "q_events_cusum_drift",
     "q_mix_unigram_cross_entropy",
+    "q_multimodal_audio_rms_gain",
+    "q_text_sentence_stats",
+    "q_embedding_label_outliers",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -211,6 +214,10 @@ SCALING_QUERIES = [
     "q_graph_bfs_khop",
     "q_events_cusum_drift",
     "q_mix_unigram_cross_entropy",
+    # batch 3: the decode-kernel sufficient-stats op claims linear
+    # decode-bound cost; label outliers claim census-linear + broadcast
+    "q_multimodal_audio_rms_gain",
+    "q_embedding_label_outliers",
 ]
 
 

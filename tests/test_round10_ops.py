@@ -403,3 +403,154 @@ def test_unigram_cross_entropy_matches_python_replay(spark, sf_dir):
     assert got == expected
     assert got
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_audio_rms_gain
+# ---------------------------------------------------------------------------
+
+
+def test_audio_rms_gain_matches_formula_replay(spark, sf_dir):
+    """Replay the sample-generating formula in Python (third path next
+    to the real WAV decode and the oracle) and demand exact agreement
+    on the integer sufficient stats AND the quantized gain."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        RMS_TARGET,
+        q_multimodal_audio_rms_gain,
+    )
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])[
+        "doc_id"
+    ].to_pylist()
+    expected = {}
+    for d in doc_ids:
+        n = (d % 50 + 20) * (d % 2 + 1)
+        sumsq = sum(
+            ((d * 7919 + k * 104729) % 65521 - 32760) ** 2 for k in range(n)
+        )
+        if sumsq > 0:
+            gain = math.floor(
+                float(RMS_TARGET) / math.sqrt(sumsq / n) * 1_000_000 + 0.5
+            )
+            expected[d] = (n, sumsq, gain)
+
+    got = {
+        r.doc_id: (r.n_samples, r.sumsq, r.gain_mu)
+        for r in q_multimodal_audio_rms_gain(spark, sf_dir).collect()
+    }
+    assert got == expected
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_text_sentence_stats
+# ---------------------------------------------------------------------------
+
+
+def test_sentence_stats_matches_python_replay(spark, sf_dir):
+    """Replay split-on-[.!?]+ / letter-count / fold in Python; every
+    doc's four stats must match exactly."""
+    import re
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        q_text_sentence_stats,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    expected = {}
+    for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ls = [
+            sum(1 for ch in seg if unicodedata.category(ch).startswith("L"))
+            for seg in re.split(r"[.!?]+", text)
+        ]
+        ls = [n for n in ls if n > 0]
+        if ls:
+            expected[d] = (
+                len(ls),
+                sum(ls),
+                max(ls),
+                (1_000_000 * sum(ls)) // len(ls),
+            )
+
+    got = {
+        r.doc_id: (r.n_sentences, r.total_letters, r.max_letters, r.mean_letters_mu)
+        for r in q_text_sentence_stats(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got
+    spark.catalog.clearCache()
+
+
+def test_sentence_stats_zero_shuffle(spark, sf_dir):
+    """The whole profile folds in-row — no exchange in the plan."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(text_ops.QUERIES["q_text_sentence_stats"](spark, sf_dir))
+    assert "Exchange" not in txt, txt
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_label_outliers
+# ---------------------------------------------------------------------------
+
+
+def test_label_outliers_matches_python_replay(spark, sf_dir):
+    """Replay: exact-decimal centroid means per (label, pos), then the
+    same sequential left-fold cosine per member vector, bottom-5 per
+    label with vec_id tie-break."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        OUTLIER_K,
+        q_embedding_label_outliers,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    ids = t["vec_id"].to_pylist()
+    labels = t["label"].to_pylist()
+    embs = t["embedding"].to_pylist()
+
+    by_label = defaultdict(list)
+    for i, lb, e in zip(ids, labels, embs):
+        by_label[lb].append((i, [float(np.float64(x)) for x in e]))
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(np.float64(x) * np.float64(y))
+        return acc
+
+    expected = {}
+    for lb, members in by_label.items():
+        dim = len(members[0][1])
+        cent = []
+        for pos in range(dim):
+            s = sum(
+                (Decimal(repr(round(v[pos], 6))) for _, v in members),
+                Decimal(0),
+            )
+            cent.append(float(s) / len(members))
+        scored = []
+        for vid, v in members:
+            cos = fold_dot(v, cent) / (
+                (fold_dot(v, v) ** 0.5) * (fold_dot(cent, cent) ** 0.5)
+            )
+            scored.append((cos, vid))
+        scored.sort()
+        for rk, (cos, vid) in enumerate(scored[:OUTLIER_K], 1):
+            expected[(lb, vid)] = (rk, round(cos, 6))
+
+    got = {
+        (r.label, r.vec_id): (r.rank, r.cos6)
+        for r in q_embedding_label_outliers(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert got
+    spark.catalog.clearCache()
