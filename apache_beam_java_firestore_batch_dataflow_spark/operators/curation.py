@@ -1495,3 +1495,131 @@ def q_mix_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("xent_mu"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (target-domain data selection)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET = "src0"  # the "quality proxy" domain the selector upweights
+DSIR_TOP = 50
+
+
+@register(
+    "q_mix_dsir_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(list_filter(
+                 regexp_split_to_array(text, '[^\\p{{L}}]+'),
+                 t -> length(t) > 0)) AS w
+      FROM documents
+    ),
+    dc AS (SELECT doc_id, source, w, count(*) AS c FROM toks GROUP BY 1, 2, 3),
+    model AS (
+      SELECT w, sum(c) AS c_raw,
+             sum(CASE WHEN source = '{DSIR_TARGET}' THEN c ELSE 0 END) AS c_tgt
+      FROM dc GROUP BY w
+    ),
+    tot AS (
+      SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS v FROM model
+    ),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             sum(d.c) AS n_tokens,
+             sum(d.c * (CAST(floor(ln(CAST(m.c_tgt + 1 AS DOUBLE)) * 1000000
+                                   + 0.5) AS BIGINT)
+                        - CAST(floor(ln(CAST(m.c_raw + 1 AS DOUBLE)) * 1000000
+                                     + 0.5) AS BIGINT))) AS s_match
+      FROM dc d JOIN model m ON d.w = m.w
+      GROUP BY d.doc_id, d.source
+    )
+    SELECT s.doc_id, s.source,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           CAST(s.s_match - s.n_tokens *
+                (CAST(floor(ln(CAST(t.n_tgt + t.v AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT)
+                 - CAST(floor(ln(CAST(t.n_raw + t.v AS DOUBLE)) * 1000000 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS dsir_mu
+    FROM scored s CROSS JOIN tot t
+    ORDER BY dsir_mu DESC, doc_id
+    LIMIT {DSIR_TOP}
+    """,
+)
+def q_mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by ``log p_target(doc) - log p_raw(doc)`` under add-one-
+    smoothed unigram LMs, where the target LM is fit on the
+    '{DSIR_TARGET}' slice and the raw LM on the whole corpus, and emit
+    the top {DSIR_TOP} candidates a resampler would draw first.  This
+    is the selection score real pretraining pipelines use to tilt a
+    web-scale crawl toward a high-quality proxy domain.
+
+    Determinism (ln6 discipline, the `q_mix_unigram_cross_entropy`
+    recipe): every log splits into single ``ln`` calls on
+    integer-valued doubles, floor-quantized to micro-nats, multiplied
+    by integer counts and summed exactly in int64 — no division
+    anywhere, so sign never meets div/floor semantics.
+
+    Scale shape: per-doc word counts are one combiner groupBy (~corpus
+    tokens in); BOTH unigram models ride a single word-keyed groupBy of
+    that frame (the target model is a conditional sum, not a second
+    scan); the score join is word-keyed doc_counts ⋈ model — fan-out 1
+    per (doc, word), never pairwise; totals are a one-row broadcast;
+    the final top-{DSIR_TOP} is TakeOrderedAndProject, O(k) per
+    partition.  Nothing exceeds O(corpus tokens)."""
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens_col(F.col("text"))).alias("w")
+    )
+    dc = (
+        toks.groupBy("doc_id", "source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # two consumers: the model census + the score join;
+        # released by the caller's clearCache (jaccard-neighbors
+        # cache-lifetime convention)
+    )
+    model = dc.groupBy("w").agg(
+        F.sum("c").alias("c_raw"),
+        F.sum(F.when(F.col("source") == DSIR_TARGET, F.col("c")).otherwise(0)).alias(
+            "c_tgt"
+        ),
+    )
+    tot = model.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("v"),
+    )
+
+    def lnq(col):
+        return F.floor(F.log(col.cast("double")) * 1_000_000 + 0.5).cast("bigint")
+
+    scored = (
+        dc.join(model, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(
+                F.col("c") * (lnq(F.col("c_tgt") + 1) - lnq(F.col("c_raw") + 1))
+            ).alias("s_match"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            (
+                F.col("s_match")
+                - F.col("n_tokens")
+                * (lnq(F.col("n_tgt") + F.col("v")) - lnq(F.col("n_raw") + F.col("v")))
+            )
+            .cast("bigint")
+            .alias("dsir_mu"),
+        )
+        .orderBy(F.desc("dsir_mu"), "doc_id")
+        .limit(DSIR_TOP)
+    )

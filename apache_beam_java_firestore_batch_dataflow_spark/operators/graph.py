@@ -945,3 +945,97 @@ def q_graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         reach = reach.unionAll(lv)
     return reach.groupBy("node").agg(F.min("d").cast("int").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: Adamic-Adar weighted common neighbors
+# ---------------------------------------------------------------------------
+
+AA_DF_MAX = 40   # blocking: customers with <= this many suppliers generate
+AA_TOP = 100     # emit the strongest predicted links
+
+_AA_ORACLE = f"""
+    WITH adj AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    wdf AS (
+      SELECT c, CAST(floor(1000000.0 / ln(CAST(count(*) AS DOUBLE)) + 0.5)
+                     AS BIGINT) AS w
+      FROM adj GROUP BY c
+      HAVING count(*) BETWEEN 2 AND {AA_DF_MAX}
+    ),
+    wadj AS (SELECT a.c, a.s, w.w FROM adj a JOIN wdf w ON w.c = a.c)
+    SELECT a.s AS s_a, b.s AS s_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           CAST(sum(a.w) AS BIGINT) AS aa_mu
+    FROM wadj a JOIN wadj b ON a.c = b.c AND a.s < b.s
+    GROUP BY a.s, b.s
+    ORDER BY aa_mu DESC, s_a, s_b
+    LIMIT {AA_TOP}
+"""
+
+
+@register("q_graph_adamic_adar", oracle=_AA_ORACLE)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the customer-supplier graph:
+    score each supplier pair by Σ 1/ln(degree(c)) over their common
+    customers — rare shared customers are strong evidence of a latent
+    tie, hub customers near-zero evidence.  The weighted upgrade of
+    ``q_graph_jaccard_neighbors`` (which counts neighbors; this
+    discounts them by informativeness), emitting the top {AA_TOP}
+    predicted links.
+
+    Blocking contract (rare-gram discipline): only customers with
+    2 <= degree <= {AA_DF_MAX} generate pair candidates AND weight —
+    per-customer fan-out is bounded by C({AA_DF_MAX}, 2), so hub
+    customers cannot explode the pair shuffle.  Unlike the Jaccard op
+    (exact via full neighbor arrays), the emitted score is the
+    BLOCKED Adamic-Adar: excluded hubs each contribute < 1/ln({AA_DF_MAX})
+    ≈ 0.27 micro-units — the standard truncation in web-scale link
+    prediction, and the oracle computes the identical blocked score.
+
+    Determinism: the per-customer weight floor(1e6/ln(df)+0.5) is ONE
+    double expression on an integer-valued argument (df >= 2 so
+    ln > 0), quantized to int64 once, then summed exactly — engines
+    cannot drift.  Final ordering ties break on the pair key.
+
+    Scale shape: distinct adjacency is one combiner groupBy; the
+    degree/weight census another; the pair stage is a self-join on the
+    CUSTOMER key over the df-capped slice (fan-out per customer
+    <= C({AA_DF_MAX}, 2)) feeding one combiner-friendly pair agg; the
+    top-{AA_TOP} is TakeOrderedAndProject.  No neighbor arrays, no
+    windows, no collects."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()  # two consumers (degree census + weighted adjacency);
+        # released by the caller's clearCache (jaccard convention)
+    )
+    wdf = (
+        adj.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= AA_DF_MAX))
+        .select(
+            "c",
+            F.floor(1_000_000.0 / F.log(F.col("df").cast("double")) + 0.5)
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    wadj = adj.join(wdf, "c")
+    a = wadj.alias("a")
+    b = wadj.alias("b")
+    return (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(F.col("a.w")).cast("bigint").alias("aa_mu"),
+        )
+        .orderBy(F.desc("aa_mu"), "s_a", "s_b")
+        .limit(AA_TOP)
+    )

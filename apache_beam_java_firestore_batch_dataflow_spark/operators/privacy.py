@@ -485,3 +485,97 @@ def q_privacy_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_candidates").cast("bigint").alias("n_candidates"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity repair: generalize / suppress failing equivalence classes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_privacy_kanon_generalize",
+    oracle=f"""
+    WITH l0 AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    rel0 AS (SELECT * FROM l0 WHERE n >= {K_ANON}),
+    f0 AS (SELECT * FROM l0 WHERE n < {K_ANON}),
+    l1 AS (
+      SELECT n_regionkey AS rk, f0.c_mktsegment, sum(f0.n) AS n
+      FROM f0 JOIN nation ON n_nationkey = f0.c_nationkey
+      GROUP BY 1, 2
+    ),
+    rel1 AS (SELECT * FROM l1 WHERE n >= {K_ANON}),
+    f1 AS (SELECT * FROM l1 WHERE n < {K_ANON})
+    SELECT CAST(0 AS INT) AS qi_level,
+           'n' || CAST(c_nationkey AS VARCHAR) AS qi_geo,
+           c_mktsegment AS qi_segment, CAST(n AS BIGINT) AS n
+    FROM rel0
+    UNION ALL
+    SELECT 1, 'r' || CAST(rk AS VARCHAR), c_mktsegment, CAST(n AS BIGINT)
+    FROM rel1
+    UNION ALL
+    SELECT 2, '*', '*', CAST(sum(n) AS BIGINT)
+    FROM f1 HAVING count(*) > 0
+    """,
+)
+def q_privacy_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repair operator downstream of ``q_kanonymity_audit``: a
+    two-rung generalization ladder that makes the release k-anonymous.
+    Equivalence classes (nation, segment) of size >= {K_ANON} release
+    at level 0; rows from failing classes re-group under the coarser
+    (region, segment) QI; classes that STILL fail collapse into one
+    fully-suppressed ('*', '*') bucket.  Every published row now hides
+    among >= {K_ANON} lookalikes (the suppressed bucket aggregates all
+    residual rows), which is exactly the generalize-or-suppress pass a
+    release pipeline runs before export.
+
+    Scale shape: ONE row-level aggregation (the level-0 class census,
+    keyed on the QI tuple); every later rung re-aggregates the O(QI
+    classes) census, never the row table — level 1 is a broadcast join
+    of the failing classes to the 25-row nation dim, and the suppressed
+    bucket is a one-row agg.  Integer-exact throughout; output is
+    O(classes)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    l0 = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # two consumers (released + failing slices); released
+        # by the caller's clearCache
+    )
+    rel0 = l0.filter(F.col("n") >= K_ANON).select(
+        F.lit(0).cast("int").alias("qi_level"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("qi_geo"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    f0 = l0.filter(F.col("n") < K_ANON)
+    l1 = (
+        f0.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            f0.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey", "c_mktsegment")
+        .agg(F.sum("n").alias("n"))
+        .persist()
+    )
+    rel1 = l1.filter(F.col("n") >= K_ANON).select(
+        F.lit(1).cast("int").alias("qi_level"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("qi_geo"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+    f1 = (
+        l1.filter(F.col("n") < K_ANON)
+        .agg(F.sum("n").alias("n"), F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") > 0)
+        .select(
+            F.lit(2).cast("int").alias("qi_level"),
+            F.lit("*").alias("qi_geo"),
+            F.lit("*").alias("qi_segment"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )
+    return rel0.unionAll(rel1).unionAll(f1)

@@ -554,3 +554,166 @@ def test_label_outliers_matches_python_replay(spark, sf_dir):
     assert got == expected
     assert got
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_mix_dsir_weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_matches_python_replay(spark, sf_dir):
+    """Independent replay: fit both unigram LMs in Python with the same
+    ln6 quantization and check the emitted top-k scores bit-exactly."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        DSIR_TARGET,
+        DSIR_TOP,
+        q_mix_dsir_weights,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    doc_counts: dict[int, dict[str, int]] = {}
+    doc_source: dict[int, str] = {}
+    c_raw: dict[str, int] = {}
+    c_tgt: dict[str, int] = {}
+    for did, src, text in zip(
+        t["doc_id"].to_pylist(), t["source"].to_pylist(), t["text"].to_pylist()
+    ):
+        doc_source[did] = src
+        dc = doc_counts.setdefault(did, {})
+        for w in _tokens(text):
+            dc[w] = dc.get(w, 0) + 1
+            c_raw[w] = c_raw.get(w, 0) + 1
+            if src == DSIR_TARGET:
+                c_tgt[w] = c_tgt.get(w, 0) + 1
+
+    def lnq(x: int) -> int:
+        return math.floor(math.log(float(x)) * 1_000_000 + 0.5)
+
+    n_raw = sum(c_raw.values())
+    n_tgt = sum(c_tgt.values())
+    v = len(c_raw)
+    norm = lnq(n_tgt + v) - lnq(n_raw + v)
+    expected = []
+    for did, dc in doc_counts.items():
+        n_tok = sum(dc.values())
+        s = sum(
+            c * (lnq(c_tgt.get(w, 0) + 1) - lnq(c_raw[w] + 1)) for w, c in dc.items()
+        )
+        expected.append((did, doc_source[did], n_tok, s - n_tok * norm))
+    expected.sort(key=lambda r: (-r[3], r[0]))
+    expected = expected[:DSIR_TOP]
+
+    got = [
+        (r.doc_id, r.source, r.n_tokens, r.dsir_mu)
+        for r in q_mix_dsir_weights(spark, sf_dir).collect()
+    ]
+    assert got == expected
+    # the selector must actually tilt toward the target slice: target
+    # docs score their own LM's vocabulary, so the top of the list is
+    # enriched in '{target}' relative to its corpus share
+    top_share = sum(1 for r in got if r[1] == DSIR_TARGET) / len(got)
+    corpus_share = sum(1 for s in doc_source.values() if s == DSIR_TARGET) / len(
+        doc_source
+    )
+    assert top_share > corpus_share
+
+
+# ---------------------------------------------------------------------------
+# q_graph_adamic_adar
+# ---------------------------------------------------------------------------
+
+
+def test_adamic_adar_matches_python_replay(spark, sf_dir):
+    """Replay the blocked Adamic-Adar score from the raw parquet and
+    compare the full emitted ranking."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        AA_DF_MAX,
+        AA_TOP,
+        q_graph_adamic_adar,
+    )
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    cust_of = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()))
+    adj: set[tuple[int, int]] = set()
+    for ok, sk in zip(li["l_orderkey"].to_pylist(), li["l_suppkey"].to_pylist()):
+        adj.add((cust_of[ok], sk))
+    by_c: dict[int, list[int]] = {}
+    for c, s in adj:
+        by_c.setdefault(c, []).append(s)
+    pair_w: dict[tuple[int, int], int] = {}
+    pair_n: dict[tuple[int, int], int] = {}
+    for c, ss in by_c.items():
+        if not (2 <= len(ss) <= AA_DF_MAX):
+            continue
+        w = math.floor(1_000_000.0 / math.log(float(len(ss))) + 0.5)
+        ss = sorted(ss)
+        for i, sa in enumerate(ss):
+            for sb in ss[i + 1 :]:
+                pair_w[(sa, sb)] = pair_w.get((sa, sb), 0) + w
+                pair_n[(sa, sb)] = pair_n.get((sa, sb), 0) + 1
+    expected = sorted(
+        ((sa, sb, pair_n[(sa, sb)], mu) for (sa, sb), mu in pair_w.items()),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )[:AA_TOP]
+
+    got = [
+        (r.s_a, r.s_b, r.n_common, r.aa_mu)
+        for r in q_graph_adamic_adar(spark, sf_dir).collect()
+    ]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# q_privacy_kanon_generalize
+# ---------------------------------------------------------------------------
+
+
+def test_kanon_generalize_release_is_k_anonymous(spark, sf_dir):
+    """Replay the ladder in Python AND check the two release invariants:
+    every non-suppressed class has n >= K_ANON, and the released masses
+    sum to the full customer count (nothing lost, nothing double)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.privacy import (
+        K_ANON,
+        q_privacy_kanon_generalize,
+    )
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"])
+    region_of = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist()))
+    l0: dict[tuple[int, str], int] = {}
+    for nk, seg in zip(cust["c_nationkey"].to_pylist(), cust["c_mktsegment"].to_pylist()):
+        l0[(nk, seg)] = l0.get((nk, seg), 0) + 1
+    expected = set()
+    l1: dict[tuple[int, str], int] = {}
+    for (nk, seg), n in l0.items():
+        if n >= K_ANON:
+            expected.add((0, f"n{nk}", seg, n))
+        else:
+            key = (region_of[nk], seg)
+            l1[key] = l1.get(key, 0) + n
+    residual = 0
+    n_residual_classes = 0
+    for (rk, seg), n in l1.items():
+        if n >= K_ANON:
+            expected.add((1, f"r{rk}", seg, n))
+        else:
+            residual += n
+            n_residual_classes += 1
+    if n_residual_classes:
+        expected.add((2, "*", "*", residual))
+
+    rows = q_privacy_kanon_generalize(spark, sf_dir).collect()
+    got = {(r.qi_level, r.qi_geo, r.qi_segment, r.n) for r in rows}
+    assert got == expected
+    assert sum(r.n for r in rows) == cust.num_rows
+    for r in rows:
+        assert r.qi_level == 2 or r.n >= K_ANON
