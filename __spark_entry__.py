@@ -71,8 +71,9 @@ _MODULES = [
 # those 16 first, then any round-10 registrations (never-checked by
 # construction; rows land the same round), then the stalest greens —
 # driver rows last seen in r5, alphabetical — to fill 50.  Queued for
-# the ROUND 11 prefix: the r5-stale greens the 12 round-10
-# registrations displaced from the tail below (q_partitioned_write_prune,
+# the ROUND 11 prefix: the r5-stale greens the 15 round-10
+# registrations displaced from the tail below (q_multimodal_audio_stats,
+# q_multimodal_video_stats, q_orderby_limit, q_partitioned_write_prune,
 # q_profile_table_stats, q_scalar_array, q_scalar_date,
 # q_scalar_levenshtein, q_split_train_val_test, q_stream_session,
 # q_string_agg_ordered, q_text_gopher_rules, q_text_lang_id,
@@ -115,7 +116,10 @@ _PRIORITY = [
     "q_mix_dsir_weights",
     "q_graph_adamic_adar",
     "q_privacy_kanon_generalize",
-    # --- stalest greens: driver rows last seen in r5, alphabetical (22) ---
+    "q_events_kendall_tau",
+    "q_events_burst_hours",
+    "q_multimodal_image_entropy",
+    # --- stalest greens: driver rows last seen in r5, alphabetical (19) ---
     "q_correlated_exists",
     "q_cube",
     "q_dedup_boilerplate_chunks",
@@ -135,9 +139,6 @@ _PRIORITY = [
     "q_join_full_outer",
     "q_knn_bruteforce_cogrouped",
     "q_knn_bruteforce_numpy",
-    "q_multimodal_audio_stats",
-    "q_multimodal_video_stats",
-    "q_orderby_limit",
 ]
 
 

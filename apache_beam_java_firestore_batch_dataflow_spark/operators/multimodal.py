@@ -2009,3 +2009,101 @@ def q_multimodal_audio_rms_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.5
         ).cast("bigint").alias("gain_mu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-image histogram entropy (information-content screen)
+# ---------------------------------------------------------------------------
+
+_IMG_ENTROPY_ORACLE = """
+    WITH params AS (
+      SELECT doc_id, text,
+             doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h,
+             length(text) AS tl
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id,
+             ascii(substr(text, CAST((p - 1) % tl AS INT) + 1, 1)) AS b
+      FROM params, LATERAL (SELECT unnest(range(1, 3 * w * h + 1)) AS p)
+    ),
+    hist AS (SELECT doc_id, b, count(*) AS c FROM bytes GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, sum(c) AS n, count(*) AS n_levels,
+             sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+                          AS BIGINT)) AS s
+      FROM hist GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(n_levels AS BIGINT) AS n_levels,
+           CAST((n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                 - s) // n AS BIGINT) AS entropy_mu
+    FROM agg
+"""
+
+
+@register("q_multimodal_image_entropy", oracle=_IMG_ENTROPY_ORACLE)
+def q_multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each image's byte-value histogram, in
+    micro-nats — the information-content screen next to the bucketed
+    histogram op (`q_multimodal_image_histogram` answers "where is the
+    mass", this answers "how flat is it"): near-zero entropy means a
+    solid/synthetic fill worth dropping from a training corpus, high
+    entropy means texture-rich (or noise/encrypted) content.
+
+    Determinism (ln6 + sufficient-statistics discipline): the decode
+    kernel emits only EXACT integer (value, count) histogram rows —
+    bytes never shuffle, float never enters Python.  Both engines then
+    compute H_mu = (n·lnq(n) − Σ c·lnq(c)) div n with lnq =
+    floor(ln(·)·1e6 + 0.5) on integer-valued doubles; c <= n termwise
+    makes the numerator provably non-negative, so Spark ``div`` ==
+    DuckDB ``//``.
+
+    Scale shape: one decode pass in `mapInPandas`; <= 256 histogram
+    rows per image leave the scan; the per-image agg is map-side
+    combined.  At 100 TB of images the only cost is the decode scan
+    itself (the RMS-gain envelope)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "b": [], "c": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, raster = decode_ppm_raster(bytes(payload))
+                counts = np.bincount(
+                    np.frombuffer(raster, dtype=np.uint8), minlength=256
+                )
+                for b in np.nonzero(counts)[0]:
+                    out["doc_id"].append(int(doc_id))
+                    out["b"].append(int(b))
+                    out["c"].append(int(counts[b]))
+            yield pd.DataFrame(out)
+
+    hist = ppm_table(spark, sf_dir).mapInPandas(
+        run, schema="doc_id long, b int, c long"
+    )
+
+    def lnq(col):
+        return F.floor(F.log(col.cast("double")) * 1_000_000 + 0.5).cast("bigint")
+
+    return (
+        hist.select("doc_id", "c", (F.col("c") * lnq(F.col("c"))).alias("clnc"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_levels"),
+            F.sum("clnc").alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_bytes"),
+            F.col("n_levels").cast("bigint").alias("n_levels"),
+            F.expr(
+                "(n * CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+                " - s) div n"
+            )
+            .cast("bigint")
+            .alias("entropy_mu"),
+        )
+    )

@@ -2069,3 +2069,250 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cusum").cast("bigint").alias("cusum_centi"),
         (F.col("cusum") * 2 > F.col("cmax")).alias("flagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank correlation between event-type hourly series
+# ---------------------------------------------------------------------------
+
+_KT_ORACLE = """
+    WITH hourly AS (
+      SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    hours AS (SELECT DISTINCT h FROM hourly),
+    types AS (SELECT DISTINCT event_type FROM hourly),
+    series AS (
+      SELECT t.event_type, hr.h, coalesce(x.c, 0) AS c
+      FROM types t CROSS JOIN hours hr
+      LEFT JOIN hourly x ON x.event_type = t.event_type AND x.h = hr.h
+    ),
+    aligned AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.h, a.c AS x, b.c AS y
+      FROM series a JOIN series b
+        ON a.h = b.h AND a.event_type < b.event_type
+    ),
+    pp AS (
+      SELECT p.type_a, p.type_b, count(*) AS n0,
+             sum(CASE WHEN (p.x - q.x) * (p.y - q.y) > 0 THEN 1 ELSE 0 END) AS nc,
+             sum(CASE WHEN (p.x - q.x) * (p.y - q.y) < 0 THEN 1 ELSE 0 END) AS nd,
+             sum(CASE WHEN p.x = q.x THEN 1 ELSE 0 END) AS tx,
+             sum(CASE WHEN p.y = q.y THEN 1 ELSE 0 END) AS ty
+      FROM aligned p JOIN aligned q
+        ON q.type_a = p.type_a AND q.type_b = p.type_b AND q.h > p.h
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(n0 AS BIGINT) AS n_pairs,
+           CAST(nc AS BIGINT) AS n_conc,
+           CAST(nd AS BIGINT) AS n_disc,
+           CAST(tx AS BIGINT) AS ties_x,
+           CAST(ty AS BIGINT) AS ties_y,
+           CASE WHEN (n0 - tx) * (n0 - ty) > 0
+                THEN CAST(round((nc - nd) /
+                     sqrt(CAST(n0 - tx AS DOUBLE) * CAST(n0 - ty AS DOUBLE)),
+                     6) AS DOUBLE)
+                ELSE NULL END AS tau_b6
+    FROM pp
+"""
+
+
+@register("q_events_kendall_tau", oracle=_KT_ORACLE)
+def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between every pair of event
+    types' hourly volume series — the robust do-these-signals-move-
+    together screen (Pearson r, see `q_events_autocorrelation`/
+    `q_corr_manual`, is hostage to spikes; tau only sees order), and
+    the monitoring-stack companion to Theil-Sen (same pair space, now
+    across series instead of within one).
+
+    Alignment: both series are materialized on the FULL distinct-hour
+    grid with missing hours as 0 (the gap-robustness lesson from the
+    ACF op) so every hour pair compares the same wall-clock moments.
+    Concordant/discordant/tie counts are exact integers; tau_b's
+    single double expression (one sqrt, one divide, round 6) is
+    identical on both engines.
+
+    Scale shape: the hourly rollup crushes the corpus map-side to
+    O(types x hours); the hour-pair stage self-joins the aligned frame
+    on the (type_a, type_b) key with an h < h inequality — quadratic
+    ONLY in the reduced series length (Theil-Sen's documented
+    contract: a year of hours is ~9k rows -> ~40M comparisons per
+    pair, corpus-size independent); the type grid is a broadcast of an
+    O(|types|) frame."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (epoch_us("ts") / 3_600_000_000).cast("bigint").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()  # three consumers (hour grid, type census, counts);
+        # released by the caller's clearCache
+    )
+    hours = hourly.select("h").distinct()
+    types = hourly.select("event_type").distinct()
+    series = (
+        hours.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    aligned = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.h").alias("h"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    p = aligned.alias("p")
+    q = aligned.alias("q")
+    pp = (
+        p.join(
+            q,
+            (F.col("q.type_a") == F.col("p.type_a"))
+            & (F.col("q.type_b") == F.col("p.type_b"))
+            & (F.col("q.h") > F.col("p.h")),
+        )
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(
+                F.when(
+                    (F.col("p.x") - F.col("q.x")) * (F.col("p.y") - F.col("q.y")) > 0,
+                    1,
+                ).otherwise(0)
+            ).alias("nc"),
+            F.sum(
+                F.when(
+                    (F.col("p.x") - F.col("q.x")) * (F.col("p.y") - F.col("q.y")) < 0,
+                    1,
+                ).otherwise(0)
+            ).alias("nd"),
+            F.sum(F.when(F.col("p.x") == F.col("q.x"), 1).otherwise(0)).alias("tx"),
+            F.sum(F.when(F.col("p.y") == F.col("q.y"), 1).otherwise(0)).alias("ty"),
+        )
+    )
+    den = (F.col("n0") - F.col("tx")).cast("double") * (
+        F.col("n0") - F.col("ty")
+    ).cast("double")
+    return pp.select(
+        "type_a",
+        "type_b",
+        F.col("n0").cast("bigint").alias("n_pairs"),
+        F.col("nc").cast("bigint").alias("n_conc"),
+        F.col("nd").cast("bigint").alias("n_disc"),
+        F.col("tx").cast("bigint").alias("ties_x"),
+        F.col("ty").cast("bigint").alias("ties_y"),
+        F.when(
+            (F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty")) > 0,
+            F.round((F.col("nc") - F.col("nd")) / F.sqrt(den), 6).cast("double"),
+        ).alias("tau_b6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiest hours per event type (trailing-24h excess ranking)
+# ---------------------------------------------------------------------------
+
+BURST_WIN_H = 24  # trailing baseline window (hours, by RANGE not rows)
+BURST_TOP = 5     # burstiest hours reported per type
+
+_BURST_ORACLE = f"""
+    WITH hourly AS (
+      SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, h, c,
+             coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY h
+                 RANGE BETWEEN {BURST_WIN_H} PRECEDING AND 1 PRECEDING), 0)
+                 AS sum24,
+             min(h) OVER (PARTITION BY event_type) AS h0
+      FROM hourly
+    ),
+    scored AS (
+      SELECT event_type, h, c, sum24,
+             {BURST_WIN_H} * c - sum24 AS excess_x24,
+             row_number() OVER (PARTITION BY event_type
+                 ORDER BY {BURST_WIN_H} * c - sum24 DESC, h) AS rn
+      FROM w WHERE h >= h0 + {BURST_WIN_H}
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS h,
+           CAST(c AS BIGINT) AS n_events,
+           CAST(sum24 AS BIGINT) AS sum24,
+           CAST(excess_x24 AS BIGINT) AS excess_x24
+    FROM scored WHERE rn <= {BURST_TOP}
+"""
+
+
+@register("q_events_burst_hours", oracle=_BURST_ORACLE)
+def q_events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: for each event type, the {BURST_TOP} hours with
+    the largest volume excess over their own trailing-{BURST_WIN_H}h
+    baseline (excess_x24 = {BURST_WIN_H}·count − Σ trailing counts —
+    positive means the hour beat its local average, scaled ×
+    {BURST_WIN_H} to stay integer-exact).  The incident-triage twin of
+    the CUSUM ops: CUSUM finds sustained LEVEL shifts, this ranks
+    individual spikes against a moving local norm.
+
+    Gap-correct by construction: the baseline is a RANGE frame over
+    the integer hour key, so missing hours weigh zero instead of
+    pulling adjacent rows in (a ROWS frame would silently compress
+    gaps — the ACF lesson applied to windows).  Hours whose trailing
+    window precedes the series start are excluded (h >= h0 + 24), so
+    every reported baseline is fully covered.  All-integer scoring;
+    rank ties break on the hour.
+
+    Scale shape: the hourly rollup is the only corpus-touching stage
+    (map-side combine to O(types x hours)); both windows and the
+    top-{BURST_TOP} ranking run per type over the reduced series, and
+    the rank cut is a WindowGroupLimit (partial top-k below the
+    exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (epoch_us("ts") / 3_600_000_000).cast("bigint").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wrange = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rangeBetween(-BURST_WIN_H, -1)
+    )
+    wall = Window.partitionBy("event_type")
+    w = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.coalesce(F.sum("c").over(wrange), F.lit(0)).alias("sum24"),
+        F.min("h").over(wall).alias("h0"),
+    ).filter(F.col("h") >= F.col("h0") + BURST_WIN_H)
+    excess = (F.lit(BURST_WIN_H) * F.col("c") - F.col("sum24")).alias("excess_x24")
+    scored = w.select("event_type", "h", "c", "sum24", excess).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("excess_x24"), "h"
+            )
+        ),
+    )
+    return scored.filter(F.col("rn") <= BURST_TOP).select(
+        "event_type",
+        F.col("h").cast("bigint").alias("h"),
+        F.col("c").cast("bigint").alias("n_events"),
+        F.col("sum24").cast("bigint").alias("sum24"),
+        F.col("excess_x24").cast("bigint").alias("excess_x24"),
+    )

@@ -153,6 +153,16 @@ HEADLINE = [
     "q_multimodal_audio_rms_gain",
     "q_text_sentence_stats",
     "q_embedding_label_outliers",
+    # round 10 (batch 4): DSIR selection weights, blocked Adamic-Adar
+    # link prediction, the k-anon generalization ladder, full-grid
+    # Kendall tau, trailing-baseline burst ranking, and the histogram-
+    # entropy decode kernel
+    "q_mix_dsir_weights",
+    "q_graph_adamic_adar",
+    "q_privacy_kanon_generalize",
+    "q_events_kendall_tau",
+    "q_events_burst_hours",
+    "q_multimodal_image_entropy",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -218,6 +228,13 @@ SCALING_QUERIES = [
     # decode-bound cost; label outliers claim census-linear + broadcast
     "q_multimodal_audio_rms_gain",
     "q_embedding_label_outliers",
+    # batch 4: DSIR claims census-linear (word-keyed model join, fan-out
+    # 1 per doc-word); Adamic-Adar claims degree-capped pair fan-out;
+    # Kendall tau claims a corpus-size-INDEPENDENT reduced-series pair
+    # space (near-floor ratio, the Theil-Sen twin)
+    "q_mix_dsir_weights",
+    "q_graph_adamic_adar",
+    "q_events_kendall_tau",
 ]
 
 

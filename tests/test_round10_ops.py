@@ -717,3 +717,150 @@ def test_kanon_generalize_release_is_k_anonymous(spark, sf_dir):
     assert sum(r.n for r in rows) == cust.num_rows
     for r in rows:
         assert r.qi_level == 2 or r.n >= K_ANON
+
+
+# ---------------------------------------------------------------------------
+# q_events_kendall_tau
+# ---------------------------------------------------------------------------
+
+
+def test_kendall_tau_matches_python_replay(spark, sf_dir):
+    """Replay tau-b from the raw events with an O(n²) Python loop over
+    the full-grid-aligned hourly series."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_kendall_tau,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    counts: dict[tuple[str, int], int] = {}
+    hours: set[int] = set()
+    types: set[str] = set()
+    for et, ts in zip(t["event_type"].to_pylist(), t["ts"].to_pylist()):
+        h = int(
+            (ts.replace(tzinfo=None) - __import__("datetime").datetime(1970, 1, 1))
+            .total_seconds() * 1_000_000
+        ) // 3_600_000_000
+        counts[(et, h)] = counts.get((et, h), 0) + 1
+        hours.add(h)
+        types.add(et)
+    hs = sorted(hours)
+    expected = {}
+    tl = sorted(types)
+    for i, ta in enumerate(tl):
+        for tb in tl[i + 1 :]:
+            xs = [counts.get((ta, h), 0) for h in hs]
+            ys = [counts.get((tb, h), 0) for h in hs]
+            nc = nd = tx = ty = 0
+            n = len(hs)
+            for a in range(n):
+                for b in range(a + 1, n):
+                    s = (xs[a] - xs[b]) * (ys[a] - ys[b])
+                    if s > 0:
+                        nc += 1
+                    elif s < 0:
+                        nd += 1
+                    if xs[a] == xs[b]:
+                        tx += 1
+                    if ys[a] == ys[b]:
+                        ty += 1
+            n0 = n * (n - 1) // 2
+            tau = (
+                round((nc - nd) / math.sqrt(float(n0 - tx) * float(n0 - ty)), 6)
+                if (n0 - tx) * (n0 - ty) > 0
+                else None
+            )
+            expected[(ta, tb)] = (n0, nc, nd, tx, ty, tau)
+
+    got = {
+        (r.type_a, r.type_b): (r.n_pairs, r.n_conc, r.n_disc, r.ties_x, r.ties_y,
+                               r.tau_b6)
+        for r in q_events_kendall_tau(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# q_events_burst_hours
+# ---------------------------------------------------------------------------
+
+
+def test_burst_hours_matches_python_replay(spark, sf_dir):
+    """Replay the trailing-24h RANGE baseline and the per-type top-5
+    excess ranking in Python."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        BURST_TOP,
+        BURST_WIN_H,
+        q_events_burst_hours,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    counts: dict[str, dict[int, int]] = {}
+    for et, ts in zip(t["event_type"].to_pylist(), t["ts"].to_pylist()):
+        h = int(
+            (ts.replace(tzinfo=None) - __import__("datetime").datetime(1970, 1, 1))
+            .total_seconds() * 1_000_000
+        ) // 3_600_000_000
+        d = counts.setdefault(et, {})
+        d[h] = d.get(h, 0) + 1
+
+    expected = set()
+    for et, series in counts.items():
+        h0 = min(series)
+        scored = []
+        for h, c in series.items():
+            if h < h0 + BURST_WIN_H:
+                continue
+            s24 = sum(
+                series.get(hh, 0) for hh in range(h - BURST_WIN_H, h)
+            )
+            scored.append((BURST_WIN_H * c - s24, h, c, s24))
+        scored.sort(key=lambda r: (-r[0], r[1]))
+        for ex, h, c, s24 in scored[:BURST_TOP]:
+            expected.add((et, h, c, s24, ex))
+
+    got = {
+        (r.event_type, r.h, r.n_events, r.sum24, r.excess_x24)
+        for r in q_events_burst_hours(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_image_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_image_entropy_matches_python_replay(spark, sf_dir):
+    """Replay the positional PPM raster synthesis and the ln6 entropy
+    quantization; also pin the analytic bounds 0 <= H <= ln(256)."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        q_multimodal_image_entropy,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def lnq(x: int) -> int:
+        return math.floor(math.log(float(x)) * 1_000_000 + 0.5)
+
+    expected = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w, h = did % 13 + 4, did % 7 + 4
+        data = text.encode("utf-8")
+        # the PPM fixture cycles the utf-8 bytes of `text` positionally
+        raster = bytes(data[i % len(data)] for i in range(3 * w * h))
+        hist: dict[int, int] = {}
+        for b in raster:
+            hist[b] = hist.get(b, 0) + 1
+        n = 3 * w * h
+        s = sum(c * lnq(c) for c in hist.values())
+        expected[did] = (n, len(hist), (n * lnq(n) - s) // n)
+
+    rows = q_multimodal_image_entropy(spark, sf_dir).collect()
+    got = {r.doc_id: (r.n_bytes, r.n_levels, r.entropy_mu) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert 0 <= r.entropy_mu <= math.ceil(math.log(256) * 1_000_000)
