@@ -71,8 +71,10 @@ _MODULES = [
 # those 16 first, then any round-10 registrations (never-checked by
 # construction; rows land the same round), then the stalest greens —
 # driver rows last seen in r5, alphabetical — to fill 50.  Queued for
-# the ROUND 11 prefix: the r5-stale greens the 15 round-10
-# registrations displaced from the tail below (q_multimodal_audio_stats,
+# the ROUND 11 prefix: the r5-stale greens the 18 round-10
+# registrations displaced from the tail below (q_join_full_outer,
+# q_knn_bruteforce_cogrouped, q_knn_bruteforce_numpy,
+# q_multimodal_audio_stats,
 # q_multimodal_video_stats, q_orderby_limit, q_partitioned_write_prune,
 # q_profile_table_stats, q_scalar_array, q_scalar_date,
 # q_scalar_levenshtein, q_split_train_val_test, q_stream_session,
@@ -119,7 +121,10 @@ _PRIORITY = [
     "q_events_kendall_tau",
     "q_events_burst_hours",
     "q_multimodal_image_entropy",
-    # --- stalest greens: driver rows last seen in r5, alphabetical (19) ---
+    "q_privacy_t_closeness",
+    "q_text_rake_keywords",
+    "q_graph_degree_assortativity",
+    # --- stalest greens: driver rows last seen in r5, alphabetical (16) ---
     "q_correlated_exists",
     "q_cube",
     "q_dedup_boilerplate_chunks",
@@ -136,9 +141,6 @@ _PRIORITY = [
     "q_format_roundtrip_json",
     "q_grouping_sets",
     "q_join_anti",
-    "q_join_full_outer",
-    "q_knn_bruteforce_cogrouped",
-    "q_knn_bruteforce_numpy",
 ]
 
 

@@ -1039,3 +1039,94 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_mu"), "s_a", "s_b")
         .limit(AA_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the customer-supplier graph
+# ---------------------------------------------------------------------------
+
+_ASSORT_ORACLE = """
+    WITH adj AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    dc AS (SELECT c, count(*) AS deg_c FROM adj GROUP BY c),
+    ds AS (SELECT s, count(*) AS deg_s FROM adj GROUP BY s),
+    e AS (
+      SELECT dc.deg_c AS x, ds.deg_s AS y
+      FROM adj JOIN dc ON dc.c = adj.c JOIN ds ON ds.s = adj.s
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM e
+    )
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+                THEN CAST(round((n * sxy - sx * sy) /
+                     sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS DOUBLE)
+                ELSE NULL END AS assortativity6
+    FROM m
+"""
+
+
+@register("q_graph_degree_assortativity", oracle=_ASSORT_ORACLE)
+def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the customer-supplier bipartite graph:
+    the Pearson correlation, over edges, between the customer
+    endpoint's degree and the supplier endpoint's degree (Newman
+    2002).  Positive means hub buyers concentrate on hub suppliers
+    (fragile core), negative means hubs spread across the periphery —
+    the one-number structural summary read before trusting sampled
+    subgraphs, next to triangles (local density) and k-core (global
+    density).
+
+    Determinism: the moment sums Σx, Σy, Σxy, Σx², Σy² over edges are
+    exact int64 (degrees are integers; n·deg² stays well inside int64
+    at 100 TB arc counts), so the single guarded
+    divide-sqrt-round(6) expression lands identically on both engines
+    (the `q_corr_manual` discipline on a graph).
+
+    Scale shape: distinct adjacency is one combiner groupBy; the two
+    degree censuses are keyed aggs of it; degrees join back onto the
+    arcs by their own keys (two shuffled equi-joins, no fan-out); the
+    moment reduction is one map-side-combined agg to a single row."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()  # three consumers (two degree censuses + edge join);
+        # released by the caller's clearCache
+    )
+    dc = adj.groupBy("c").agg(F.count(F.lit(1)).alias("deg_c"))
+    ds = adj.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s"))
+    e = adj.join(dc, "c").join(ds, "s").select(
+        F.col("deg_c").alias("x"), F.col("deg_s").alias("y")
+    )
+    m = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / F.sqrt(vx.cast("double") * vy.cast("double")),
+                6,
+            ).cast("double"),
+        ).alias("assortativity6"),
+    )

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -579,3 +579,143 @@ def q_privacy_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rel0.unionAll(rel1).unionAll(f1)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (EMD between class and global sensitive distributions)
+# ---------------------------------------------------------------------------
+
+T_CLOSE_MAX6 = 0.25  # release gate: classes with t6 above this fail
+
+
+@register(
+    "q_privacy_t_closeness",
+    oracle=f"""
+    WITH rows_b AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS b
+      FROM customer
+    ),
+    gbuck AS (SELECT b, count(*) AS g FROM rows_b GROUP BY b),
+    nb AS (SELECT count(*) AS n_buckets, sum(g) AS n_total FROM gbuck),
+    cls AS (
+      SELECT c_nationkey, c_mktsegment, b, count(*) AS c
+      FROM rows_b GROUP BY 1, 2, 3
+    ),
+    csize AS (
+      SELECT c_nationkey, c_mktsegment, sum(c) AS n
+      FROM cls GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.c_nationkey, s.c_mktsegment, s.n, g.b, g.g,
+             coalesce(c.c, 0) AS c
+      FROM csize s CROSS JOIN gbuck g
+      LEFT JOIN cls c ON c.c_nationkey = s.c_nationkey
+                     AND c.c_mktsegment = s.c_mktsegment AND c.b = g.b
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, n, b,
+             sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                          ORDER BY b) AS cum_c,
+             sum(g) OVER (PARTITION BY c_nationkey, c_mktsegment
+                          ORDER BY b) AS cum_g
+      FROM grid
+    ),
+    dist AS (
+      SELECT c.c_nationkey, c.c_mktsegment, c.n,
+             sum(abs(c.cum_c * nb.n_total - c.cum_g * c.n)) AS num
+      FROM cum c CROSS JOIN nb
+      GROUP BY 1, 2, 3
+    )
+    SELECT d.c_nationkey, d.c_mktsegment,
+           CAST(d.n AS BIGINT) AS n,
+           CAST(round(d.num / (CAST(d.n AS DOUBLE) * CAST(nb.n_total AS DOUBLE)
+                               * (nb.n_buckets - 1)), 6) AS DOUBLE) AS t6,
+           (round(d.num / (CAST(d.n AS DOUBLE) * CAST(nb.n_total AS DOUBLE)
+                           * (nb.n_buckets - 1)), 6) <= {T_CLOSE_MAX6}) AS t_ok
+    FROM dist d CROSS JOIN nb
+    """,
+)
+def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the k/l/t release ladder
+    (`q_kanonymity_audit` covers k and l): per quasi-identifier class,
+    the Earth Mover's Distance between the class's sensitive-value
+    distribution (acctbal kilobuckets, an ORDERED attribute) and the
+    global one, normalized to [0,1] by (B−1).  l-diversity misses
+    skew — a class can have 3 distinct values yet sit 95% on one tail;
+    t-closeness is the distributional gate that catches it.
+
+    Determinism: EMD over ordered buckets is Σ_b |cumP − cumQ| / (B−1);
+    the cross-multiplied form |cum_c·N − cum_g·n| keeps every summand
+    an exact int64 (cum_c ≤ n, cum_g ≤ N: products ≤ n·N ≈ 10^16 at
+    100 TB scale, inside int64), the per-class sum is exact, and ONE
+    double divide + round(6) lands identically on both engines.
+
+    Scale shape: one row-level agg to the (class × bucket) census; the
+    dense grid is classes × O(B≈12) buckets built from a broadcast of
+    the O(B) global frame; cumulative sums window over the REDUCED
+    grid partitioned by class (bounded B rows per partition); the
+    one-row totals broadcast.  At 100 TB: one shuffle of (QI, bucket)
+    tuples, everything after is census-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    rows_b = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("b"),
+    )
+    cls = (
+        rows_b.groupBy("c_nationkey", "c_mktsegment", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # three consumers: global census, class sizes, grid;
+        # released by the caller's clearCache
+    )
+    glob = cls.groupBy("b").agg(F.sum("c").alias("g"))
+    nb = glob.agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum("g").alias("n_total")
+    )
+    csize = cls.groupBy("c_nationkey", "c_mktsegment").agg(F.sum("c").alias("n"))
+    grid = (
+        csize.crossJoin(F.broadcast(glob))
+        .join(cls, ["c_nationkey", "c_mktsegment", "b"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            "b",
+            "g",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    wcum = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy("b")
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        F.sum("c").over(wcum).alias("cum_c"),
+        F.sum("g").over(wcum).alias("cum_g"),
+    )
+    dist = (
+        cum.join(F.broadcast(nb))
+        .groupBy("c_nationkey", "c_mktsegment", "n", "n_buckets", "n_total")
+        .agg(
+            F.sum(
+                F.abs(F.col("cum_c") * F.col("n_total") - F.col("cum_g") * F.col("n"))
+            ).alias("num")
+        )
+    )
+    t6 = F.round(
+        F.col("num")
+        / (
+            F.col("n").cast("double")
+            * F.col("n_total").cast("double")
+            * (F.col("n_buckets") - 1)
+        ),
+        6,
+    )
+    return dist.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n"),
+        t6.cast("double").alias("t6"),
+        (t6 <= T_CLOSE_MAX6).alias("t_ok"),
+    )

@@ -2539,3 +2539,149 @@ def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * aggregate(ls, 0, (a, b) -> a + b)) div size(ls)"
         ).cast("bigint").alias("mean_letters_mu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (degree/frequency-scored stopword-delimited phrases)
+# ---------------------------------------------------------------------------
+
+RAKE_STOP_K = 10  # corpus-calibrated stopword list: top-K words by frequency
+
+
+@register(
+    "q_text_rake_keywords",
+    oracle=rf"""
+    WITH tl AS (
+      SELECT doc_id, list_transform({TOKENS_SQL}, t -> lower(t)) AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS w
+      FROM tl, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+    ),
+    cw AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    stop AS (SELECT w FROM cw ORDER BY c DESC, w LIMIT {RAKE_STOP_K}),
+    marked AS (
+      SELECT t.doc_id, t.p, t.w, (s.w IS NOT NULL) AS is_stop,
+             sum(CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY t.doc_id ORDER BY t.p) AS pid
+      FROM toks t LEFT JOIN stop s ON s.w = t.w
+    ),
+    content AS (SELECT doc_id, pid, p, w FROM marked WHERE NOT is_stop),
+    phr AS (
+      SELECT doc_id, pid, count(*) AS n_words,
+             string_agg(w, ' ' ORDER BY p) AS phrase
+      FROM content GROUP BY doc_id, pid
+    ),
+    occ AS (
+      SELECT c.doc_id, c.pid, c.w, ph.n_words
+      FROM content c JOIN phr ph ON ph.doc_id = c.doc_id AND ph.pid = c.pid
+    ),
+    ws AS (
+      SELECT doc_id, w, (1000000 * sum(n_words)) // count(*) AS score_mu
+      FROM occ GROUP BY doc_id, w
+    ),
+    ps AS (
+      SELECT o.doc_id, o.pid, sum(ws.score_mu) AS rake_mu
+      FROM occ o JOIN ws ON ws.doc_id = o.doc_id AND ws.w = o.w
+      GROUP BY o.doc_id, o.pid
+    ),
+    ranked AS (
+      SELECT p1.doc_id, ph.phrase, ph.n_words, p1.rake_mu,
+             row_number() OVER (PARTITION BY p1.doc_id
+                 ORDER BY p1.rake_mu DESC, ph.phrase) AS rn
+      FROM ps p1 JOIN phr ph ON ph.doc_id = p1.doc_id AND ph.pid = p1.pid
+    )
+    SELECT doc_id, phrase,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(rake_mu AS BIGINT) AS rake_mu
+    FROM ranked WHERE rn <= 1
+    """,
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): each document's top
+    candidate keyphrase.  Phrases are maximal runs of non-stopword
+    tokens; each word scores degree/frequency within its document
+    (degree = Σ length of the phrases it appears in — words living in
+    long phrases are assumed more contentful) and a phrase scores the
+    sum of its words.  The stopword list self-calibrates as the
+    corpus's {RAKE_STOP_K} most frequent words (exact tie-break on the
+    word), so the operator is language/fixture-agnostic — the same DF
+    discipline the rare-gram families use, inverted.
+
+    Determinism: word scores quantize as (10⁶·deg) div freq (both
+    operands positive, so div == //); phrase scores are exact int64
+    sums; the per-doc winner breaks ties on the phrase string, and
+    equal-scoring duplicate phrases are textually identical rows
+    either way.
+
+    Scale shape: the stopword census is one combiner groupBy to
+    O(vocab) then a {RAKE_STOP_K}-row TakeOrderedAndProject broadcast;
+    phrase segmentation is a per-document running sum (partition =
+    doc, rows bounded by doc length); phrase/word stats and the final
+    rank are keyed aggs + one WindowGroupLimit — everything stays
+    O(corpus tokens) with no cross-document joins at all."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.posexplode(tokens_col(F.col("text"))).alias("p0", "w0"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).cast("bigint").alias("p"),
+        F.lower(F.col("w0")).alias("w"),
+    ).persist()  # two consumers (stop census + marking); released by the
+    # caller's clearCache
+    stop = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(RAKE_STOP_K)
+        .select("w", F.lit(True).alias("is_stop"))
+    )
+    marked = toks.join(F.broadcast(stop), "w", "left").select(
+        "doc_id",
+        "p",
+        "w",
+        F.coalesce(F.col("is_stop"), F.lit(False)).alias("is_stop"),
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("p")
+    content = (
+        marked.withColumn(
+            "pid", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(wrun)
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "pid", "p", "w")
+        .persist()  # three consumers (phrases, occurrences, word stats)
+    )
+    phr = content.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("phrase"),
+    )
+    occ = content.join(
+        phr.select("doc_id", "pid", "n_words"), ["doc_id", "pid"]
+    ).select("doc_id", "pid", "w", "n_words")
+    ws = occ.groupBy("doc_id", "w").agg(
+        F.expr("(1000000 * sum(n_words)) div count(*)").alias("score_mu")
+    )
+    ps = (
+        occ.join(ws, ["doc_id", "w"])
+        .groupBy("doc_id", "pid")
+        .agg(F.sum("score_mu").alias("rake_mu"))
+    )
+    ranked = ps.join(phr, ["doc_id", "pid"]).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.desc("rake_mu"), "phrase")
+        ),
+    )
+    return ranked.filter(F.col("rn") <= 1).select(
+        "doc_id",
+        "phrase",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("rake_mu").cast("bigint").alias("rake_mu"),
+    )

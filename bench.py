@@ -163,6 +163,11 @@ HEADLINE = [
     "q_events_kendall_tau",
     "q_events_burst_hours",
     "q_multimodal_image_entropy",
+    # round 10 (batch 5): the t-closeness EMD grid, corpus-calibrated
+    # RAKE keyphrases, and the one-row assortativity moment reduction
+    "q_privacy_t_closeness",
+    "q_text_rake_keywords",
+    "q_graph_degree_assortativity",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -235,6 +240,9 @@ SCALING_QUERIES = [
     "q_mix_dsir_weights",
     "q_graph_adamic_adar",
     "q_events_kendall_tau",
+    # batch 5: RAKE claims token-linear with a vocab-census broadcast
+    # (no cross-doc joins — the curve should track the corpus)
+    "q_text_rake_keywords",
 ]
 
 

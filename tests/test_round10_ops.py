@@ -864,3 +864,158 @@ def test_image_entropy_matches_python_replay(spark, sf_dir):
     assert got == expected
     for r in rows:
         assert 0 <= r.entropy_mu <= math.ceil(math.log(256) * 1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# q_privacy_t_closeness
+# ---------------------------------------------------------------------------
+
+
+def test_t_closeness_matches_python_replay(spark, sf_dir):
+    """Replay the cross-multiplied integer EMD and the [0,1] bound."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.privacy import (
+        T_CLOSE_MAX6,
+        q_privacy_t_closeness,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+    import math
+
+    cls: dict[tuple[int, str], dict[int, int]] = {}
+    glob: dict[int, int] = {}
+    for nk, seg, bal in zip(
+        t["c_nationkey"].to_pylist(),
+        t["c_mktsegment"].to_pylist(),
+        t["c_acctbal"].to_pylist(),
+    ):
+        b = math.floor(float(bal) / 1000)
+        d = cls.setdefault((nk, seg), {})
+        d[b] = d.get(b, 0) + 1
+        glob[b] = glob.get(b, 0) + 1
+    buckets = sorted(glob)
+    big_n = sum(glob.values())
+    nb = len(buckets)
+    expected = {}
+    for (nk, seg), d in cls.items():
+        n = sum(d.values())
+        cum_c = cum_g = num = 0
+        for b in buckets:
+            cum_c += d.get(b, 0)
+            cum_g += glob[b]
+            num += abs(cum_c * big_n - cum_g * n)
+        t6 = round(num / (float(n) * float(big_n) * (nb - 1)), 6)
+        expected[(nk, seg)] = (n, t6, t6 <= T_CLOSE_MAX6)
+
+    got = {
+        (r.c_nationkey, r.c_mktsegment): (r.n, r.t6, r.t_ok)
+        for r in q_privacy_t_closeness(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for n, t6, _ in got.values():
+        assert 0.0 <= t6 <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q_text_rake_keywords
+# ---------------------------------------------------------------------------
+
+
+def test_rake_keywords_matches_python_replay(spark, sf_dir):
+    """Full RAKE replay: DF-calibrated stopwords, phrase segmentation,
+    deg/freq word scores, per-doc best phrase."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        RAKE_STOP_K,
+        q_text_rake_keywords,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_toks = {
+        did: [w.lower() for w in _tokens(text)]
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    cw: dict[str, int] = {}
+    for ws_ in doc_toks.values():
+        for w in ws_:
+            cw[w] = cw.get(w, 0) + 1
+    stop = {w for w, _ in sorted(cw.items(), key=lambda kv: (-kv[1], kv[0]))[:RAKE_STOP_K]}
+
+    expected = {}
+    for did, ws_ in doc_toks.items():
+        phrases: list[list[str]] = []
+        cur: list[str] = []
+        for w in ws_:
+            if w in stop:
+                if cur:
+                    phrases.append(cur)
+                    cur = []
+            else:
+                cur.append(w)
+        if cur:
+            phrases.append(cur)
+        if not phrases:
+            continue
+        freq: dict[str, int] = {}
+        deg: dict[str, int] = {}
+        for ph in phrases:
+            for w in ph:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0) + len(ph)
+        score = {w: (1_000_000 * deg[w]) // freq[w] for w in freq}
+        scored = [
+            (" ".join(ph), len(ph), sum(score[w] for w in ph)) for ph in phrases
+        ]
+        scored.sort(key=lambda r: (-r[2], r[0]))
+        expected[did] = scored[0]
+
+    got = {
+        r.doc_id: (r.phrase, r.n_words, r.rake_mu)
+        for r in q_text_rake_keywords(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# q_graph_degree_assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_degree_assortativity_matches_python_replay(spark, sf_dir):
+    """Replay the edge-level degree Pearson from the raw parquet."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        q_graph_degree_assortativity,
+    )
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"])
+    cust_of = dict(zip(orders["o_orderkey"].to_pylist(), orders["o_custkey"].to_pylist()))
+    adj = {(cust_of[ok], sk) for ok, sk in
+           zip(li["l_orderkey"].to_pylist(), li["l_suppkey"].to_pylist())}
+    deg_c: dict[int, int] = {}
+    deg_s: dict[int, int] = {}
+    for c, s in adj:
+        deg_c[c] = deg_c.get(c, 0) + 1
+        deg_s[s] = deg_s.get(s, 0) + 1
+    n = len(adj)
+    sx = sum(deg_c[c] for c, _ in adj)
+    sy = sum(deg_s[s] for _, s in adj)
+    sxy = sum(deg_c[c] * deg_s[s] for c, s in adj)
+    sxx = sum(deg_c[c] ** 2 for c, _ in adj)
+    syy = sum(deg_s[s] ** 2 for _, s in adj)
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    exp_r = (
+        round((n * sxy - sx * sy) / math.sqrt(float(vx) * float(vy)), 6)
+        if vx > 0 and vy > 0
+        else None
+    )
+
+    rows = q_graph_degree_assortativity(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].n_edges == n
+    assert rows[0].assortativity6 == exp_r
+    if exp_r is not None:
+        assert -1.0 <= rows[0].assortativity6 <= 1.0
