@@ -71,8 +71,9 @@ _MODULES = [
 # those 16 first, then any round-10 registrations (never-checked by
 # construction; rows land the same round), then the stalest greens —
 # driver rows last seen in r5, alphabetical — to fill 50.  Queued for
-# the ROUND 11 prefix: the r5-stale greens the 18 round-10
-# registrations displaced from the tail below (q_join_full_outer,
+# the ROUND 11 prefix: the r5-stale greens the 21 round-10
+# registrations displaced from the tail below (q_format_roundtrip_json,
+# q_grouping_sets, q_join_anti, q_join_full_outer,
 # q_knn_bruteforce_cogrouped, q_knn_bruteforce_numpy,
 # q_multimodal_audio_stats,
 # q_multimodal_video_stats, q_orderby_limit, q_partitioned_write_prune,
@@ -124,7 +125,10 @@ _PRIORITY = [
     "q_privacy_t_closeness",
     "q_text_rake_keywords",
     "q_graph_degree_assortativity",
-    # --- stalest greens: driver rows last seen in r5, alphabetical (16) ---
+    "q_privacy_dp_sum_clamped",
+    "q_embedding_centroid_silhouette",
+    "q_sessions_bounce_rate",
+    # --- stalest greens: driver rows last seen in r5, alphabetical (13) ---
     "q_correlated_exists",
     "q_cube",
     "q_dedup_boilerplate_chunks",
@@ -138,9 +142,6 @@ _PRIORITY = [
     "q_events_json",
     "q_events_retention",
     "q_events_transitions",
-    "q_format_roundtrip_json",
-    "q_grouping_sets",
-    "q_join_anti",
 ]
 
 

@@ -1623,3 +1623,85 @@ def q_mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dsir_mu"), "doc_id")
         .limit(DSIR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily bounce rate over gap-based sessions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sessions_bounce_rate",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no,
+             ts
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_no,
+             CAST(date_trunc('day', min(ts)) AS DATE) AS day,
+             count(*) AS n_events
+      FROM sessions GROUP BY user_id, session_no
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST((10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS bounce_bp
+    FROM per_session GROUP BY day
+    """,
+)
+def q_sessions_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of gap-based sessions (same >30-min
+    silence rule and event_id tie-break as ``q_sessionize_gaps``) that
+    contain exactly one event, bucketed by the session's start day —
+    the engagement-quality headline a product analytics stack reports,
+    and the aggregate consumer of the sessionization operator (build
+    sessions once, roll up many ways).
+
+    Integer-exact: bounce_bp = (10000·bounces) div sessions with both
+    operands non-negative (div == //); the day bucket is
+    date_trunc(min ts) cast to DATE on both engines (the DuckDB
+    date_trunc('day')→DATE gotcha, handled).
+
+    Scale shape: one shuffle on user_id drives the lag window, the
+    running session counter AND the per-session rollup (same
+    partitioning reused across all three); the daily rollup then
+    aggregates O(sessions) rows by day.  Nothing exceeds the events
+    scan + one keyed shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = epoch_us("ts") - epoch_us(F.lag("ts").over(w))
+    flagged = events.select("user_id", "ts", "event_id").withColumn(
+        "is_new",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_no", F.sum("is_new").over(run))
+    per_session = sessions.groupBy("user_id", "session_no").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounces = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounces.cast("bigint").alias("n_bounces"),
+        F.expr(
+            "(10000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))"
+            " div count(1)"
+        )
+        .cast("bigint")
+        .alias("bounce_bp"),
+    )

@@ -719,3 +719,85 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         t6.cast("double").alias("t6"),
         (t6 <= T_CLOSE_MAX6).alias("t_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DP sum release with contribution clamping (bounded sensitivity)
+# ---------------------------------------------------------------------------
+
+DPSUM_CLAMP = 5000  # per-row contribution bound => sum sensitivity
+
+_DPSUM_ORACLE = f"""
+    WITH c AS (
+      SELECT c_nationkey,
+             count(*) AS n,
+             sum(least(greatest(c_acctbal, 0), {DPSUM_CLAMP})) AS s
+      FROM customer GROUP BY c_nationkey
+    ),
+    u AS (
+      SELECT c_nationkey, n, s,
+             (CAST(CAST('0x' || substr(md5('dpsum:' ||
+                        CAST(c_nationkey AS VARCHAR)), 1, 13) AS BIGINT)
+                   AS DOUBLE) + 0.5) / {_U_SPACE} AS u
+      FROM c
+    )
+    SELECT c_nationkey,
+           CAST(n AS BIGINT) AS n,
+           CAST(round(s, 2) AS DOUBLE) AS clamped_sum,
+           CAST(round(CASE WHEN u < 0.5
+                      THEN round(ln(2.0 * u), 6) * {DPSUM_CLAMP} / {DP_EPSILON}
+                      ELSE -round(ln(2.0 - 2.0 * u), 6) * {DPSUM_CLAMP}
+                           / {DP_EPSILON} END, 4) AS DOUBLE) AS noise,
+           CAST(round(CAST(s AS DOUBLE) + CASE WHEN u < 0.5
+                      THEN round(ln(2.0 * u), 6) * {DPSUM_CLAMP} / {DP_EPSILON}
+                      ELSE -round(ln(2.0 - 2.0 * u), 6) * {DPSUM_CLAMP}
+                           / {DP_EPSILON} END, 4) AS DOUBLE) AS noisy_sum
+    FROM u
+"""
+
+
+@register("q_privacy_dp_sum_clamped", oracle=_DPSUM_ORACLE)
+def q_privacy_dp_sum_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private SUM release with contribution clamping —
+    the mechanism step `q_privacy_dp_counts` cannot show: a sum's
+    sensitivity is unbounded until each row's contribution is clamped
+    (here to [0, {DPSUM_CLAMP}]), after which Laplace({DPSUM_CLAMP}/ε)
+    calibrates to the bound.  Contribution bounding is THE central
+    practical idea of DP aggregation at scale — every production DP
+    engine clamps before it sums.
+
+    Determinism: the clamp runs on exact DECIMAL balances and the
+    clamped sum is an exact decimal aggregate; the single ln() draws
+    from the md5-of-group-key uniform grid and rounds to 6dp
+    immediately (the dp_counts discipline), so the release replays
+    identically across engines and retries.  True n/clamped_sum are
+    emitted solely so the oracle can audit the mechanism end-to-end.
+
+    Scale shape: clamp is a row-local projection fused into the scan;
+    ONE combiner aggregation keyed on the group; the mechanism itself
+    is a projection on O(groups) rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    clamped = F.least(
+        F.greatest(F.col("c_acctbal"), F.lit(0)), F.lit(DPSUM_CLAMP)
+    )
+    c = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(clamped).alias("s")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dpsum:"), F.col("c_nationkey").cast("string"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(_U_SPACE)
+    noise = F.when(
+        u < 0.5, F.round(F.log(2.0 * u), 6) * DPSUM_CLAMP / DP_EPSILON
+    ).otherwise(-F.round(F.log(2.0 - 2.0 * u), 6) * DPSUM_CLAMP / DP_EPSILON)
+    return c.select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("s"), 2).cast("double").alias("clamped_sum"),
+        F.round(noise, 4).cast("double").alias("noise"),
+        F.round(F.col("s").cast("double") + noise, 4).cast("double").alias("noisy_sum"),
+    )

@@ -3336,3 +3336,118 @@ def q_embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).cast("double").alias("cos6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Centroid silhouette (embedding-space label quality in one pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_centroid_silhouette",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, CAST(i - 1 AS INT) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i)
+    ),
+    cent_long AS (
+      SELECT label, pos,
+             CAST(sum(CAST(round(x, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                 / count(*) AS m
+      FROM comp GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label AS clabel, list(m ORDER BY pos) AS c
+      FROM cent_long GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, c.clabel,
+             {dot_sql('e.embedding', 'c.c')}
+               / ({norm_sql('e.embedding')} * {norm_sql('c.c')}) AS cos
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    pv AS (
+      SELECT vec_id, max(label) AS label,
+             max(CASE WHEN label = clabel THEN cos END) AS own,
+             max(CASE WHEN label <> clabel THEN cos END) AS other
+      FROM scored GROUP BY vec_id
+    ),
+    m AS (
+      SELECT label,
+             CAST(floor((own - other) * 1000000 + 0.5) AS BIGINT) AS mq
+      FROM pv
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN mq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative,
+           CAST(floor(CAST(sum(mq) AS BIGINT) / count(*)) AS BIGINT)
+               AS mean_margin_mu,
+           CAST(min(mq) AS BIGINT) AS min_margin_mu
+    FROM m GROUP BY label
+    """,
+)
+def q_embedding_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid silhouette: per label, how separable the cluster is —
+    each vector's margin = cos(own centroid) − max cos(any OTHER
+    label's centroid), aggregated to mean / minimum / count-negative
+    per label.  Negative margins are vectors sitting closer to a
+    competing label's center (the aggregate label-quality dial; its
+    per-vector sibling `q_embedding_label_outliers` names the worst
+    offenders, this scores whole labels).  The O(n·k) centroid variant
+    of the O(n²) silhouette, which is the only one that exists at
+    100 TB.
+
+    Determinism: centroids are exact DECIMAL component sums divided
+    once (the centroids discipline); per-vector margins quantize to
+    int64 micro-units with floor(x·10⁶ + 0.5) BEFORE any cross-row
+    aggregation (rounded-double sums would be reduction-order-
+    dependent); the mean is floor(exact-int-sum / count) — an explicit
+    floor because margins can be negative (div truncation would
+    diverge from //).
+
+    Scale shape: component census is one combiner agg to
+    O(labels × dim); the O(labels) centroid frame broadcasts onto ONE
+    corpus scan scoring all labels per vector (fan-out = |labels|, a
+    constant); the own/other pivot is a per-vector combiner agg and
+    the label rollup another.  No corpus-corpus stage anywhere."""
+    v = _vecs(spark, sf_dir)
+    comp = v.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select("label", "pos", F.col("x").cast("double").alias("x"))
+    dec = F.round(F.col("x"), 6).cast("decimal(30,6)")
+    cent_long = comp.groupBy("label", "pos").agg(
+        (F.sum(dec).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    cent = cent_long.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    ).select(F.col("label").alias("clabel"), "c")
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (
+            dot(F.col("embedding"), F.col("c"))
+            / (norm(F.col("embedding")) * norm(F.col("c")))
+        ).alias("cos"),
+    )
+    pivot = scored.groupBy("vec_id").agg(
+        F.max("label").alias("label"),
+        F.max(F.when(F.col("label") == F.col("clabel"), F.col("cos"))).alias("own"),
+        F.max(F.when(F.col("label") != F.col("clabel"), F.col("cos"))).alias("other"),
+    )
+    mq = F.floor((F.col("own") - F.col("other")) * 1_000_000 + 0.5).cast("bigint")
+    m = pivot.select("label", mq.alias("mq"))
+    return m.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("mq") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative"),
+        F.floor(F.sum("mq") / F.count(F.lit(1))).cast("bigint").alias("mean_margin_mu"),
+        F.min("mq").cast("bigint").alias("min_margin_mu"),
+    )

@@ -168,6 +168,11 @@ HEADLINE = [
     "q_privacy_t_closeness",
     "q_text_rake_keywords",
     "q_graph_degree_assortativity",
+    # round 10 (batch 6): clamped DP sums, the broadcast-centroid
+    # silhouette, and the sessionized daily bounce rate
+    "q_privacy_dp_sum_clamped",
+    "q_embedding_centroid_silhouette",
+    "q_sessions_bounce_rate",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

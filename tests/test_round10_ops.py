@@ -1019,3 +1019,162 @@ def test_degree_assortativity_matches_python_replay(spark, sf_dir):
     assert rows[0].assortativity6 == exp_r
     if exp_r is not None:
         assert -1.0 <= rows[0].assortativity6 <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# q_privacy_dp_sum_clamped
+# ---------------------------------------------------------------------------
+
+
+def test_dp_sum_clamped_mechanism(spark, sf_dir):
+    """Replay the clamp + seeded-Laplace mechanism in Python; also pin
+    the DP invariants: clamped_sum is within [0, n*CLAMP] and
+    noisy = clamped + noise at 4dp."""
+    import hashlib
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.privacy import (
+        DP_EPSILON,
+        DPSUM_CLAMP,
+        _U_SPACE,
+        q_privacy_dp_sum_clamped,
+    )
+
+    t = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"])
+    agg: dict[int, list] = {}
+    for nk, bal in zip(t["c_nationkey"].to_pylist(), t["c_acctbal"].to_pylist()):
+        c = min(max(float(bal), 0.0), float(DPSUM_CLAMP))
+        a = agg.setdefault(nk, [0, 0.0])
+        a[0] += 1
+        a[1] += c
+
+    rows = q_privacy_dp_sum_clamped(spark, sf_dir).collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        n, s = agg[r.c_nationkey]
+        assert r.n == n
+        assert abs(r.clamped_sum - round(s, 2)) < 1e-6
+        assert 0.0 <= r.clamped_sum <= n * DPSUM_CLAMP
+        u = (
+            int(hashlib.md5(f"dpsum:{r.c_nationkey}".encode()).hexdigest()[:13], 16)
+            + 0.5
+        ) / _U_SPACE
+        if u < 0.5:
+            noise = round(math.log(2.0 * u), 6) * DPSUM_CLAMP / DP_EPSILON
+        else:
+            noise = -round(math.log(2.0 - 2.0 * u), 6) * DPSUM_CLAMP / DP_EPSILON
+        assert r.noise == round(noise, 4)
+        assert abs(r.noisy_sum - round(r.clamped_sum + noise, 4)) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_centroid_silhouette
+# ---------------------------------------------------------------------------
+
+
+def test_centroid_silhouette_matches_python_replay(spark, sf_dir):
+    """Replay centroids (round-6 exact sums / count), the engines'
+    sequential-fold cosine, and the quantized margin aggregation."""
+    import math
+    from fractions import Fraction
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        q_embedding_centroid_silhouette,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding", "label"])
+    by_label: dict[str, list] = {}
+    vecs = {}
+    for vid, emb, lab in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist(),
+                             t["label"].to_pylist()):
+        e = [float(x) for x in emb]
+        vecs[vid] = (lab, e)
+        by_label.setdefault(lab, []).append(e)
+
+    cents = {}
+    for lab, es in by_label.items():
+        dim = len(es[0])
+        cents[lab] = [
+            float(sum(Fraction(round(e[d], 6)) for e in es) / len(es))
+            for d in range(dim)
+        ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def cos(a, b):
+        return fold_dot(a, b) / (math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b)))
+
+    stats: dict[str, list] = {}
+    for vid, (lab, e) in vecs.items():
+        own = cos(e, cents[lab])
+        other = max(cos(e, c) for l2, c in cents.items() if l2 != lab)
+        mq = math.floor((own - other) * 1_000_000 + 0.5)
+        s = stats.setdefault(lab, [0, 0, 0, None])
+        s[0] += 1
+        s[1] += mq
+        s[2] += 1 if mq < 0 else 0
+        s[3] = mq if s[3] is None else min(s[3], mq)
+
+    expected = {
+        lab: (n, neg, math.floor(sq / n), mn)
+        for lab, (n, sq, neg, mn) in stats.items()
+    }
+    got = {
+        r.label: (r.n_members, r.n_negative, r.mean_margin_mu, r.min_margin_mu)
+        for r in q_embedding_centroid_silhouette(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# q_sessions_bounce_rate
+# ---------------------------------------------------------------------------
+
+
+def test_bounce_rate_matches_python_replay(spark, sf_dir):
+    """Replay gap sessionization (30-min rule, event_id tie-break) and
+    the daily bounce rollup; also check n_bounces <= n_sessions."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        q_sessions_bounce_rate,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "ts", "event_id"])
+    per_user: dict[int, list] = {}
+    for uid, ts, eid in zip(t["user_id"].to_pylist(), t["ts"].to_pylist(),
+                            t["event_id"].to_pylist()):
+        per_user.setdefault(uid, []).append((ts.replace(tzinfo=None), eid))
+
+    daily: dict = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        prev = None
+        cur: list = []
+        sessions = []
+        for ts, eid in evs:
+            if prev is not None and (ts - prev).total_seconds() * 1_000_000 > 1_800_000_000:
+                sessions.append(cur)
+                cur = []
+            cur.append(ts)
+            prev = ts
+        if cur:
+            sessions.append(cur)
+        for s in sessions:
+            day = s[0].date()
+            d = daily.setdefault(day, [0, 0])
+            d[0] += 1
+            d[1] += 1 if len(s) == 1 else 0
+
+    expected = {
+        day: (n, b, (10000 * b) // n) for day, (n, b) in daily.items()
+    }
+    rows = q_sessions_bounce_rate(spark, sf_dir).collect()
+    got = {r.day: (r.n_sessions, r.n_bounces, r.bounce_bp) for r in rows}
+    assert got == expected
+    for n, b, _ in got.values():
+        assert b <= n
