@@ -71,8 +71,9 @@ _MODULES = [
 # those 16 first, then any round-10 registrations (never-checked by
 # construction; rows land the same round), then the stalest greens —
 # driver rows last seen in r5, alphabetical — to fill 50.  Queued for
-# the ROUND 11 prefix: the r5-stale greens the 21 round-10
-# registrations displaced from the tail below (q_format_roundtrip_json,
+# the ROUND 11 prefix: the r5-stale greens the 24 round-10
+# registrations displaced from the tail below (q_events_json,
+# q_events_retention, q_events_transitions, q_format_roundtrip_json,
 # q_grouping_sets, q_join_anti, q_join_full_outer,
 # q_knn_bruteforce_cogrouped, q_knn_bruteforce_numpy,
 # q_multimodal_audio_stats,
@@ -128,7 +129,10 @@ _PRIORITY = [
     "q_privacy_dp_sum_clamped",
     "q_embedding_centroid_silhouette",
     "q_sessions_bounce_rate",
-    # --- stalest greens: driver rows last seen in r5, alphabetical (13) ---
+    "q_embedding_quantize_error",
+    "q_events_seasonality_strength",
+    "q_audit_benford_totalprice",
+    # --- stalest greens: driver rows last seen in r5, alphabetical (10) ---
     "q_correlated_exists",
     "q_cube",
     "q_dedup_boilerplate_chunks",
@@ -139,9 +143,6 @@ _PRIORITY = [
     "q_doc_length_histogram",
     "q_embedding_gram_matrix",
     "q_events_funnel",
-    "q_events_json",
-    "q_events_retention",
-    "q_events_transitions",
 ]
 
 

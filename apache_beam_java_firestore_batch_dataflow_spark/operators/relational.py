@@ -4087,3 +4087,67 @@ def q_stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cov_n") / F.sqrt(F.col("var_a") * F.col("var_b")), 6
         ).cast("double").alias("corr6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (fabricated-data screen)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_audit_benford_totalprice",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(o_totalprice AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    c AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+    SELECT c.digit,
+           CAST(c.n AS BIGINT) AS n,
+           CAST((1000000 * c.n) // t.total AS BIGINT) AS observed_mu,
+           CAST(floor(1000000.0 * ln(1.0 + 1.0 / c.digit) / ln(10.0) + 0.5)
+                AS BIGINT) AS benford_mu,
+           CAST((1000000 * c.n) // t.total
+                - CAST(floor(1000000.0 * ln(1.0 + 1.0 / c.digit) / ln(10.0)
+                             + 0.5) AS BIGINT) AS BIGINT) AS dev_mu
+    FROM c CROSS JOIN tot t
+    """,
+)
+def q_audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit over order totals: the observed
+    leading-digit distribution versus Benford's law log10(1 + 1/d) —
+    the classic fabricated-/synthetic-data screen next to the
+    checksum, gap, and orphan audits (organically-grown monetary
+    amounts follow Benford; invented or uniformly-generated ones — as
+    this fixture's deviations show — do not).
+
+    Determinism: the leading digit comes from the DECIMAL's canonical
+    string form (identical on both engines for positive totals);
+    observed shares quantize as (10⁶·n) div N with non-negative
+    operands, and the Benford expectation is one double expression on
+    the integer digit, floor-quantized — exact int64 everywhere after.
+
+    Scale shape: one map-side-combined groupBy to ≤9 rows; the total
+    rides a one-row broadcast.  A full-table audit for the cost of one
+    scan."""
+    orders = _t(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(F.col("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    c = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("total"))
+    benford_mu = F.floor(
+        1_000_000.0 * F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)) + 0.5
+    ).cast("bigint")
+    return c.join(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("(1000000 * n) div total").cast("bigint").alias("observed_mu"),
+        benford_mu.alias("benford_mu"),
+        (F.expr("(1000000 * n) div total").cast("bigint") - benford_mu)
+        .cast("bigint")
+        .alias("dev_mu"),
+    )

@@ -3451,3 +3451,110 @@ def q_embedding_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFra
         F.floor(F.sum("mq") / F.count(F.lit(1))).cast("bigint").alias("mean_margin_mu"),
         F.min("mq").cast("bigint").alias("min_margin_mu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization reconstruction-error audit (per label)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_quantize_error",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+      FROM embeddings
+    ),
+    mx AS (
+      SELECT vec_id, label, xd,
+             list_reduce(list_prepend(0.0, list_transform(xd, x -> abs(x))),
+                         (a, b) -> greatest(a, b)) AS maxabs
+      FROM base
+    ),
+    err AS (
+      SELECT vec_id, label,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(xd, x ->
+                       CAST(floor(abs(x - round(x * 127.0 / maxabs)
+                                          * (maxabs / 127.0)) * 1000000000
+                                  + 0.5) AS BIGINT))
+                  ELSE list_transform(xd, x -> CAST(0 AS BIGINT)) END AS eq
+      FROM mx
+    ),
+    per_vec AS (
+      SELECT label,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), eq),
+                         (a, b) -> a + b) AS s_err,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), eq),
+                         (a, b) -> greatest(a, b)) AS m_err,
+             len(eq) AS dim
+      FROM err
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(sum(s_err) AS BIGINT) // sum(dim) AS BIGINT)
+               AS mean_abs_err_nano,
+           CAST(max(m_err) AS BIGINT) AS max_abs_err_nano
+    FROM per_vec GROUP BY label
+    """,
+)
+def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error audit for the int8 quantizer — the quality
+    half of `q_embedding_quantize_int8`: per label, the mean and worst
+    per-component absolute error of the round-trip x → int8 → x̂ with
+    x̂ = q·(absmax/127), in nano units.  This is the number a serving
+    team reads before flipping a 100 TB index to int8 (labels with
+    heavy-tailed components quantize worse — symmetric absmax scaling
+    wastes levels on outliers).
+
+    Determinism: the error expression reuses the quantizer's exact
+    double arithmetic element-by-element (same round/scale fold both
+    engines, already value-proven by the quantize op), then quantizes
+    each |error| to int64 nanos IN-ROW before any cross-row sum; the
+    mean is one integer division with non-negative operands (div ==
+    //).
+
+    Scale shape: everything per-vector folds in-row on the scan (zero
+    shuffles until the O(labels) rollup); the label agg is one
+    combiner groupBy.  The audit costs one corpus scan, exactly like
+    the quantizer it audits."""
+    v = _vecs(spark, sf_dir)
+    xd = F.transform("embedding", lambda x: x.cast("double"))
+    base = v.select("vec_id", "label", xd.alias("xd"))
+    maxabs = F.aggregate(
+        F.transform("xd", lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda a, b: F.greatest(a, b),
+    )
+    mx = base.select("vec_id", "label", "xd", maxabs.alias("maxabs"))
+    eq = F.when(
+        F.col("maxabs") > 0,
+        F.transform(
+            "xd",
+            lambda x: F.floor(
+                F.abs(
+                    x
+                    - F.round(x * 127.0 / F.col("maxabs"))
+                    * (F.col("maxabs") / 127.0)
+                )
+                * 1_000_000_000
+                + 0.5
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.transform("xd", lambda x: F.lit(0).cast("bigint")))
+    per_vec = mx.select(
+        "label",
+        F.aggregate(
+            eq, F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("s_err"),
+        F.aggregate(
+            eq, F.lit(0).cast("bigint"), lambda a, b: F.greatest(a, b)
+        ).alias("m_err"),
+        F.size(eq).cast("bigint").alias("dim"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.expr("sum(s_err) div sum(dim)").cast("bigint").alias("mean_abs_err_nano"),
+        F.max("m_err").cast("bigint").alias("max_abs_err_nano"),
+    )

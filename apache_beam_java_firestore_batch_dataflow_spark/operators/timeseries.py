@@ -2316,3 +2316,153 @@ def q_events_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum24").cast("bigint").alias("sum24"),
         F.col("excess_x24").cast("bigint").alias("excess_x24"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hour-of-day seasonality strength (variance decomposition)
+# ---------------------------------------------------------------------------
+
+_SEAS_STRENGTH_ORACLE = """
+    WITH hourly AS (
+      SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    hours AS (SELECT DISTINCT h FROM hourly),
+    types AS (SELECT DISTINCT event_type FROM hourly),
+    grid AS (
+      SELECT t.event_type, hr.h, hr.h % 24 AS hod, coalesce(x.c, 0) AS c
+      FROM types t CROSS JOIN hours hr
+      LEFT JOIN hourly x ON x.event_type = t.event_type AND x.h = hr.h
+    ),
+    hod_g AS (
+      SELECT event_type, hod, count(*) AS n_g, CAST(sum(c) AS BIGINT) AS s_g
+      FROM grid GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(sum(CAST(floor(1000000.0 * s_g * s_g / n_g + 0.5)
+                           AS BIGINT)) AS BIGINT) AS b_mu
+      FROM hod_g GROUP BY 1
+    ),
+    q AS (
+      SELECT event_type, CAST(sum(c * c) AS BIGINT) AS qq
+      FROM grid GROUP BY 1
+    ),
+    peak AS (
+      SELECT event_type, hod, s_g,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY s_g DESC, hod) AS rn
+      FROM hod_g
+    )
+    SELECT t.event_type,
+           CAST(t.n AS BIGINT) AS n_hours,
+           CASE WHEN t.qq_d > 0
+                THEN CAST(round((t.b_mu / 1000000.0 - t.ssn) / t.qq_d, 6)
+                          AS DOUBLE)
+                ELSE NULL END AS strength6,
+           CAST(p.hod AS INT) AS peak_hod,
+           CAST((10000 * p.s_g) // t.s AS BIGINT) AS peak_share_bp
+    FROM (
+      SELECT tot.event_type, tot.n, tot.s, tot.b_mu,
+             CAST(tot.s AS DOUBLE) * tot.s / tot.n AS ssn,
+             q.qq - CAST(tot.s AS DOUBLE) * tot.s / tot.n AS qq_d
+      FROM tot JOIN q ON q.event_type = tot.event_type
+    ) t
+    JOIN peak p ON p.event_type = t.event_type AND p.rn = 1
+"""
+
+
+@register("q_events_seasonality_strength", oracle=_SEAS_STRENGTH_ORACLE)
+def q_events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality strength per event type: the share of
+    hourly-volume variance explained by the hour-of-day profile
+    (between-group SS / total SS over the 24 hod groups) plus the peak
+    hour and its traffic share — the forecasting diagnostic that
+    decides whether a seasonal model is worth fitting at all
+    (strength ≈ 0: don't), complementing the weekday profile
+    (`q_events_seasonal_profile`) and the ACF's lag view.
+
+    Determinism: all sufficient statistics (n, Σc, Σc², per-hod n_g,
+    S_g) are exact integers over the FULL hour grid (missing hours
+    count 0 — the tau/ACF gap lesson); the only non-integer term,
+    Σ_g S_g²/n_g, quantizes per group to int64 micro-units BEFORE the
+    cross-group sum (24 doubles summed in engine order would drift),
+    then ONE double expression forms the ratio.  S_g² stays in double
+    range under IEEE-identical rounding on both engines; the 10⁶
+    quantization scale holds S_g up to ~3·10⁹ events per (type, hod) —
+    beyond that drop the scale a decade.  Peak ties break on the hour.
+
+    Scale shape: the hourly rollup crushes the corpus map-side; the
+    grid, both rollups, and the 24-row-per-type peak rank all run on
+    O(types × hours) rows.  Corpus-size independent after one scan."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "event_type",
+            (epoch_us("ts") / 3_600_000_000).cast("bigint").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()  # three consumers (grid, hour census, type census);
+        # released by the caller's clearCache
+    )
+    hours = hourly.select("h").distinct()
+    types = hourly.select("event_type").distinct()
+    grid = (
+        hours.crossJoin(F.broadcast(types))
+        .join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            (F.col("h") % 24).alias("hod"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .persist()  # two consumers (hod census + Σc² rollup)
+    )
+    hod_g = grid.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("c").cast("bigint").alias("s_g")
+    ).persist()  # two consumers (totals + peak rank)
+    tot = hod_g.groupBy("event_type").agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum(
+            F.floor(
+                1_000_000.0 * F.col("s_g") * F.col("s_g") / F.col("n_g") + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("b_mu"),
+    )
+    qq = grid.groupBy("event_type").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq")
+    )
+    peak = hod_g.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(F.desc("s_g"), "hod")
+        ),
+    ).filter(F.col("rn") == 1)
+    t = tot.join(qq, "event_type").select(
+        "event_type",
+        "n",
+        "s",
+        "b_mu",
+        (F.col("s").cast("double") * F.col("s") / F.col("n")).alias("ssn"),
+        (
+            F.col("qq") - F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("qq_d"),
+    )
+    return t.join(peak.select("event_type", "hod", "s_g"), "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.when(
+            F.col("qq_d") > 0,
+            F.round(
+                (F.col("b_mu") / 1_000_000.0 - F.col("ssn")) / F.col("qq_d"), 6
+            ).cast("double"),
+        ).alias("strength6"),
+        F.col("hod").cast("int").alias("peak_hod"),
+        F.expr("(10000 * s_g) div s").cast("bigint").alias("peak_share_bp"),
+    )

@@ -173,6 +173,11 @@ HEADLINE = [
     "q_privacy_dp_sum_clamped",
     "q_embedding_centroid_silhouette",
     "q_sessions_bounce_rate",
+    # round 10 (batch 7): the in-row int8 error audit, the hod variance
+    # decomposition, and the Benford digit screen
+    "q_embedding_quantize_error",
+    "q_events_seasonality_strength",
+    "q_audit_benford_totalprice",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

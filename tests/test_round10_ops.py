@@ -1178,3 +1178,148 @@ def test_bounce_rate_matches_python_replay(spark, sf_dir):
     assert got == expected
     for n, b, _ in got.values():
         assert b <= n
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_quantize_error
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_error_matches_python_replay(spark, sf_dir):
+    """Replay the int8 round-trip error in Python with the engines'
+    exact double arithmetic; errors must be bounded by half a
+    quantization step."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        q_embedding_quantize_error,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["embedding", "label"])
+    stats: dict[str, list] = {}
+    for emb, lab in zip(t["embedding"].to_pylist(), t["label"].to_pylist()):
+        xd = [float(x) for x in emb]
+        maxabs = 0.0
+        for x in xd:
+            maxabs = max(maxabs, abs(x))
+        s = stats.setdefault(lab, [0, 0, 0, 0])
+        s[0] += 1
+        s[3] += len(xd)
+        for x in xd:
+            if maxabs > 0:
+                # Spark/DuckDB round() is half-away-from-zero
+                v = x * 127.0 / maxabs
+                q = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+                e = math.floor(abs(x - q * (maxabs / 127.0)) * 1e9 + 0.5)
+            else:
+                e = 0
+            s[1] += e
+            s[2] = max(s[2], e)
+
+    expected = {
+        lab: (n, sq // dim, mx) for lab, (n, sq, mx, dim) in stats.items()
+    }
+    got = {
+        r.label: (r.n_vecs, r.mean_abs_err_nano, r.max_abs_err_nano)
+        for r in q_embedding_quantize_error(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # half-step bound: |err| <= scale/2 = maxabs/254 (+1 nano slack)
+    for _, _, mx in got.values():
+        assert mx <= int(1e9 / 2 / 127 * 1.1) + 1
+
+
+# ---------------------------------------------------------------------------
+# q_events_seasonality_strength
+# ---------------------------------------------------------------------------
+
+
+def test_seasonality_strength_matches_python_replay(spark, sf_dir):
+    """Replay the full-grid hod variance decomposition; strength must
+    sit in [0, 1] (up to the documented micro-unit quantization)."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_seasonality_strength,
+    )
+
+    t = pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    counts: dict[tuple[str, int], int] = {}
+    hours: set[int] = set()
+    types: set[str] = set()
+    for et, ts in zip(t["event_type"].to_pylist(), t["ts"].to_pylist()):
+        h = int(
+            (ts.replace(tzinfo=None) - __import__("datetime").datetime(1970, 1, 1))
+            .total_seconds() * 1_000_000
+        ) // 3_600_000_000
+        counts[(et, h)] = counts.get((et, h), 0) + 1
+        hours.add(h)
+        types.add(et)
+
+    expected = {}
+    for et in types:
+        hod_n: dict[int, int] = {}
+        hod_s: dict[int, int] = {}
+        n = s = qq = 0
+        for h in hours:
+            c = counts.get((et, h), 0)
+            hod = h % 24
+            hod_n[hod] = hod_n.get(hod, 0) + 1
+            hod_s[hod] = hod_s.get(hod, 0) + c
+            n += 1
+            s += c
+            qq += c * c
+        b_mu = sum(
+            math.floor(1_000_000.0 * hod_s[g] * hod_s[g] / hod_n[g] + 0.5)
+            for g in hod_n
+        )
+        ssn = float(s) * s / n
+        qq_d = qq - ssn
+        strength = round((b_mu / 1_000_000.0 - ssn) / qq_d, 6) if qq_d > 0 else None
+        peak = sorted(hod_s.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expected[et] = (n, strength, peak[0], (10000 * peak[1]) // s)
+
+    got = {
+        r.event_type: (r.n_hours, r.strength6, r.peak_hod, r.peak_share_bp)
+        for r in q_events_seasonality_strength(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for _, st, _, _ in got.values():
+        if st is not None:
+            assert -0.001 <= st <= 1.001
+
+
+# ---------------------------------------------------------------------------
+# q_audit_benford_totalprice
+# ---------------------------------------------------------------------------
+
+
+def test_benford_audit_matches_python_replay(spark, sf_dir):
+    """Replay first-digit counts and the quantized Benford expectation;
+    expectations must sum to ~1e6 and observed shares exactly
+    partition the total."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_audit_benford_totalprice,
+    )
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    c: dict[int, int] = {}
+    for v in t["o_totalprice"].to_pylist():
+        d = int(str(v)[0])
+        c[d] = c.get(d, 0) + 1
+    total = sum(c.values())
+    expected = {}
+    for d, n in c.items():
+        obs = (1_000_000 * n) // total
+        ben = math.floor(1_000_000.0 * math.log(1.0 + 1.0 / d) / math.log(10.0) + 0.5)
+        expected[d] = (n, obs, ben, obs - ben)
+
+    got = {
+        r.digit: (r.n, r.observed_mu, r.benford_mu, r.dev_mu)
+        for r in q_audit_benford_totalprice(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(n for n, *_ in got.values()) == total
