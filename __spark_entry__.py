@@ -71,8 +71,9 @@ _MODULES = [
 # those 16 first, then any round-10 registrations (never-checked by
 # construction; rows land the same round), then the stalest greens —
 # driver rows last seen in r5, alphabetical — to fill 50.  Queued for
-# the ROUND 11 prefix: the r5-stale greens the 24 round-10
-# registrations displaced from the tail below (q_events_json,
+# the ROUND 11 prefix: the r5-stale greens the 27 round-10
+# registrations displaced from the tail below (q_doc_length_histogram,
+# q_embedding_gram_matrix, q_events_funnel, q_events_json,
 # q_events_retention, q_events_transitions, q_format_roundtrip_json,
 # q_grouping_sets, q_join_anti, q_join_full_outer,
 # q_knn_bruteforce_cogrouped, q_knn_bruteforce_numpy,
@@ -132,7 +133,10 @@ _PRIORITY = [
     "q_embedding_quantize_error",
     "q_events_seasonality_strength",
     "q_audit_benford_totalprice",
-    # --- stalest greens: driver rows last seen in r5, alphabetical (10) ---
+    "q_multimodal_image_colorfulness",
+    "q_agg_theil_nation_revenue",
+    "q_embedding_kcenter_seeds",
+    # --- stalest greens: driver rows last seen in r5, alphabetical (7) ---
     "q_correlated_exists",
     "q_cube",
     "q_dedup_boilerplate_chunks",
@@ -140,9 +144,6 @@ _PRIORITY = [
     "q_dedup_incremental_ingest",
     "q_dedup_minhash_lsh",
     "q_dedup_winnow_pairs",
-    "q_doc_length_histogram",
-    "q_embedding_gram_matrix",
-    "q_events_funnel",
 ]
 
 

@@ -2107,3 +2107,111 @@ def q_multimodal_image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entropy_mu"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Image colorfulness (Hasler-Süsstrunk opponent-channel metric)
+# ---------------------------------------------------------------------------
+
+_COLORFUL_ORACLE = """
+    WITH params AS (
+      SELECT doc_id, text,
+             doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h,
+             length(text) AS tl
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id,
+             CAST((p - 1) // 3 AS BIGINT) AS px,
+             CAST((p - 1) % 3 AS INT) AS ch,
+             ascii(substr(text, CAST((p - 1) % tl AS INT) + 1, 1)) AS b
+      FROM params, LATERAL (SELECT unnest(range(1, 3 * w * h + 1)) AS p)
+    ),
+    pix AS (
+      SELECT doc_id, px,
+             max(CASE WHEN ch = 0 THEN b END) AS r,
+             max(CASE WHEN ch = 1 THEN b END) AS g,
+             max(CASE WHEN ch = 2 THEN b END) AS bb
+      FROM bytes GROUP BY doc_id, px
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS n_px,
+             CAST(sum(r - g) AS BIGINT) AS s_rg,
+             CAST(sum((r - g) * (r - g)) AS BIGINT) AS q_rg,
+             CAST(sum(r + g - 2 * bb) AS BIGINT) AS s_yb2,
+             CAST(sum((r + g - 2 * bb) * (r + g - 2 * bb)) AS BIGINT) AS q_yb2
+      FROM pix GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_px AS BIGINT) AS n_px,
+           CAST(round(
+             sqrt((CAST(q_rg AS DOUBLE) / n_px
+                   - (CAST(s_rg AS DOUBLE) / n_px) * (CAST(s_rg AS DOUBLE) / n_px))
+                  + (CAST(q_yb2 AS DOUBLE) / n_px
+                     - (CAST(s_yb2 AS DOUBLE) / n_px)
+                       * (CAST(s_yb2 AS DOUBLE) / n_px)) / 4.0)
+             + 0.3 * sqrt((CAST(s_rg AS DOUBLE) / n_px)
+                          * (CAST(s_rg AS DOUBLE) / n_px)
+                          + (CAST(s_yb2 AS DOUBLE) / n_px)
+                            * (CAST(s_yb2 AS DOUBLE) / n_px) / 4.0),
+             4) AS DOUBLE) AS colorfulness4
+    FROM stats
+"""
+
+
+@register("q_multimodal_image_colorfulness", oracle=_COLORFUL_ORACLE)
+def q_multimodal_image_colorfulness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image colorfulness (Hasler & Süsstrunk 2003, the standard
+    no-reference metric): M = sqrt(σ²_rg + σ²_yb) + 0.3·sqrt(µ²_rg +
+    µ²_yb) over the opponent channels rg = R−G, yb = (R+G)/2 − B of
+    the decoded PPM raster — the grayscale/duotone screen an image
+    curation pipeline runs next to the exposure histogram and entropy
+    ops (near-zero M = monochrome content regardless of brightness).
+
+    Determinism (sufficient-statistics discipline): the kernel emits
+    only exact integer sums (n, Σrg, Σrg², Σyb2, Σyb2² with yb2 =
+    R+G−2B = 2·yb so everything stays integral); the metric is ONE
+    identical IEEE expression on both engines (the /4 factors undo the
+    ×2 on yb2).  The oracle replays the raster synthesis positionally
+    and rebuilds pixels from (position div 3, position mod 3).
+
+    Scale shape: one decode pass in `mapInPandas`, five integers per
+    image leave the scan — bytes never shuffle; the metric is a
+    post-scan projection (the RMS-gain envelope)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_px": [], "s_rg": [], "q_rg": [],
+                   "s_yb2": [], "q_yb2": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, _, raster = decode_ppm_raster(bytes(payload))
+                a = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                a = a.reshape(-1, 3)
+                rg = a[:, 0] - a[:, 1]
+                yb2 = a[:, 0] + a[:, 1] - 2 * a[:, 2]
+                out["doc_id"].append(int(doc_id))
+                out["n_px"].append(int(a.shape[0]))
+                out["s_rg"].append(int(rg.sum()))
+                out["q_rg"].append(int((rg * rg).sum()))
+                out["s_yb2"].append(int(yb2.sum()))
+                out["q_yb2"].append(int((yb2 * yb2).sum()))
+            yield pd.DataFrame(out)
+
+    stats = ppm_table(spark, sf_dir).mapInPandas(
+        run,
+        schema="doc_id long, n_px long, s_rg long, q_rg long, "
+        "s_yb2 long, q_yb2 long",
+    )
+    n = F.col("n_px").cast("double")
+    mrg = F.col("s_rg").cast("double") / n
+    myb2 = F.col("s_yb2").cast("double") / n
+    var_rg = F.col("q_rg").cast("double") / n - mrg * mrg
+    var_yb2 = F.col("q_yb2").cast("double") / n - myb2 * myb2
+    metric = F.sqrt(var_rg + var_yb2 / 4.0) + 0.3 * F.sqrt(
+        mrg * mrg + myb2 * myb2 / 4.0
+    )
+    return stats.select(
+        "doc_id",
+        F.col("n_px").cast("bigint").alias("n_px"),
+        F.round(metric, 4).cast("double").alias("colorfulness4"),
+    )

@@ -4151,3 +4151,103 @@ def q_audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dev_mu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil inequality index of customer revenue, per nation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_theil_nation_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT c_nationkey, c_custkey,
+             CAST(sum(o_totalprice * 100) AS BIGINT) AS xc
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ),
+    nat AS (
+      SELECT c_nationkey, count(*) AS n, CAST(sum(xc) AS BIGINT) AS s
+      FROM rev GROUP BY 1
+    ),
+    terms AS (
+      SELECT r.c_nationkey,
+             CAST(sum(CAST(r.xc AS DECIMAL(38,0))
+                  * (CAST(floor(ln(CAST(r.xc AS DOUBLE) * t.n) * 1000000 + 0.5)
+                          AS BIGINT)
+                     - CAST(floor(ln(CAST(t.s AS DOUBLE)) * 1000000 + 0.5)
+                            AS BIGINT))) AS DECIMAL(38,0)) AS num
+      FROM rev r JOIN nat t ON t.c_nationkey = r.c_nationkey
+      GROUP BY 1
+    )
+    SELECT t.c_nationkey,
+           CAST(n.n AS BIGINT) AS n_customers,
+           CAST(n.s AS BIGINT) AS total_cents,
+           CAST(round(greatest(CAST(t.num AS DOUBLE), 0.0)
+                      / n.s / 1000000.0, 6) AS DOUBLE) AS theil6
+    FROM terms t JOIN nat n ON n.c_nationkey = t.c_nationkey
+    """,
+)
+def q_agg_theil_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of customer revenue within each nation:
+    T = (1/S)·Σ xᵢ·ln(xᵢ·n/S) — the log-based inequality measure next
+    to the Gini rank scan (`q_agg_gini_customer_revenue`); unlike Gini
+    it is additively decomposable, which is why mixture/revenue audits
+    prefer it for within-vs-between-group splits.
+
+    Determinism: revenues are exact integer cents; each term's log
+    splits into TWO single-``ln`` calls on integer-valued doubles
+    (ln(x·n) − ln(S)), floor-quantized to micro-nats, multiplied by the
+    exact cent weight and summed in DECIMAL(38) (HUGEINT-exact on the
+    oracle side — xᵢ·10⁷ µ-nats per term overflows int64 at fixture
+    scale already); T ≥ 0 analytically, so the quantized numerator
+    clamps at 0 on both engines (the KL lesson) before the single
+    divide + round(6).
+
+    Scale shape: one join + two keyed combiner aggs build the
+    O(customers) revenue census; nation totals broadcast back onto it;
+    the term sum is a third combiner agg to O(nations).  Nothing holds
+    more than a nation's totals per task."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice") * 100).cast("bigint").alias("xc"))
+    )
+    nat = rev.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("xc").cast("bigint").alias("s")
+    )
+
+    def lnq(col):
+        return F.floor(F.log(col) * 1_000_000 + 0.5).cast("bigint")
+
+    terms = (
+        rev.join(F.broadcast(nat), "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.col("xc").cast("decimal(38,0)")
+                * (
+                    lnq(F.col("xc").cast("double") * F.col("n"))
+                    - lnq(F.col("s").cast("double"))
+                )
+            )
+            .cast("decimal(38,0)")
+            .alias("num")
+        )
+    )
+    return terms.join(nat, "c_nationkey").select(
+        "c_nationkey",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.round(
+            F.greatest(F.col("num").cast("double"), F.lit(0.0))
+            / F.col("s")
+            / 1_000_000.0,
+            6,
+        )
+        .cast("double")
+        .alias("theil6"),
+    )

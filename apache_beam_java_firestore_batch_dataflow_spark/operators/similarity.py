@@ -3558,3 +3558,123 @@ def q_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum(s_err) div sum(dim)").cast("bigint").alias("mean_abs_err_nano"),
         F.max("m_err").cast("bigint").alias("max_abs_err_nano"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy seed selection (farthest-point traversal, 3 rounds)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embedding_kcenter_seeds",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+      FROM embeddings
+    ),
+    s1 AS (SELECT vec_id, embedding, vnorm FROM v
+           ORDER BY vnorm DESC, vec_id LIMIT 1),
+    c1 AS (
+      SELECT v.vec_id, v.embedding, v.vnorm,
+             {dot_sql('v.embedding', 's1.embedding')}
+               / (v.vnorm * s1.vnorm) AS sim
+      FROM v CROSS JOIN s1
+    ),
+    s2 AS (SELECT vec_id, embedding, vnorm, sim FROM c1
+           ORDER BY sim ASC, vec_id LIMIT 1),
+    seeds AS (
+      SELECT vec_id, embedding, vnorm FROM s1
+      UNION ALL SELECT vec_id, embedding, vnorm FROM s2
+    ),
+    c2 AS (
+      SELECT v.vec_id,
+             max({dot_sql('v.embedding', 'sd.embedding')}
+                 / (v.vnorm * sd.vnorm)) AS maxsim
+      FROM v CROSS JOIN seeds sd
+      GROUP BY v.vec_id
+    ),
+    s3 AS (SELECT vec_id, maxsim FROM c2 ORDER BY maxsim ASC, vec_id LIMIT 1)
+    SELECT CAST(1 AS INT) AS round, s1.vec_id,
+           CAST(round(s1.vnorm, 6) AS DOUBLE) AS score6 FROM s1
+    UNION ALL
+    SELECT 2, s2.vec_id, CAST(round(s2.sim, 6) AS DOUBLE) FROM s2
+    UNION ALL
+    SELECT 3, s3.vec_id, CAST(round(s3.maxsim, 6) AS DOUBLE) FROM s3
+    """,
+)
+def q_embedding_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy seed selection (Gonzalez farthest-point
+    traversal, the coreset/k-means++-style initializer): seed 1 is the
+    max-norm vector (the deterministic stand-in for a random start),
+    each later seed is the vector MINIMIZING its max cosine to the
+    seeds chosen so far — 3 unrolled rounds, the diversification dual
+    of `q_ann_mmr_diversify` (MMR diversifies a retrieval shortlist;
+    this seeds coverage of the whole corpus).  Emits (round, vec_id,
+    selection score).
+
+    Determinism: selection compares the engines' identical sequential-
+    fold cosines with a vec_id tie-break at every argmin/argmax
+    (unrounded doubles, the ivf-incremental discipline); scores round
+    to 6dp only for display.  Self-similarity is 1 = the maximum, so
+    already-chosen seeds can never win an argmin round.
+
+    Scale shape: each round is ONE corpus scan against an O(seeds)
+    broadcast (fan-out ≤ |seeds| per vector) feeding a
+    TakeOrderedAndProject(1) — never a corpus×corpus stage; k unrolled
+    rounds cost k scans, the farthest-point contract.  At 100 TB with
+    k in the hundreds, the selected-seed frame stays a broadcast."""
+    v = with_norm(_vecs(spark, sf_dir)).select(
+        "vec_id", "embedding", "vnorm"
+    ).persist()  # three consumers (one per round); released by the
+    # caller's clearCache
+    s1 = v.orderBy(F.desc("vnorm"), "vec_id").limit(1)
+    sd1 = s1.select(
+        F.col("embedding").alias("s_emb"), F.col("vnorm").alias("s_norm")
+    )
+    c1 = v.crossJoin(F.broadcast(sd1)).select(
+        "vec_id",
+        "embedding",
+        "vnorm",
+        (dot(F.col("embedding"), F.col("s_emb")) / (F.col("vnorm") * F.col("s_norm"))).alias("sim"),
+    )
+    s2 = c1.orderBy(F.asc("sim"), "vec_id").limit(1)
+    seeds = s1.select("vec_id", "embedding", "vnorm").unionAll(
+        s2.select("vec_id", "embedding", "vnorm")
+    )
+    sd = seeds.select(
+        F.col("embedding").alias("s_emb"), F.col("vnorm").alias("s_norm")
+    )
+    c2 = (
+        v.crossJoin(F.broadcast(sd))
+        .select(
+            "vec_id",
+            (
+                dot(F.col("embedding"), F.col("s_emb"))
+                / (F.col("vnorm") * F.col("s_norm"))
+            ).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("sim").alias("maxsim"))
+    )
+    s3 = c2.orderBy(F.asc("maxsim"), "vec_id").limit(1)
+    return (
+        s1.select(
+            F.lit(1).cast("int").alias("round"),
+            "vec_id",
+            F.round("vnorm", 6).cast("double").alias("score6"),
+        )
+        .unionAll(
+            s2.select(
+                F.lit(2).cast("int").alias("round"),
+                "vec_id",
+                F.round("sim", 6).cast("double").alias("score6"),
+            )
+        )
+        .unionAll(
+            s3.select(
+                F.lit(3).cast("int").alias("round"),
+                "vec_id",
+                F.round("maxsim", 6).cast("double").alias("score6"),
+            )
+        )
+    )

@@ -178,6 +178,11 @@ HEADLINE = [
     "q_embedding_quantize_error",
     "q_events_seasonality_strength",
     "q_audit_benford_totalprice",
+    # round 10 (batch 8): the opponent-channel colorfulness kernel, the
+    # decomposable Theil index, and 3-round farthest-point seeding
+    "q_multimodal_image_colorfulness",
+    "q_agg_theil_nation_revenue",
+    "q_embedding_kcenter_seeds",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

@@ -1323,3 +1323,141 @@ def test_benford_audit_matches_python_replay(spark, sf_dir):
     }
     assert got == expected
     assert sum(n for n, *_ in got.values()) == total
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_image_colorfulness
+# ---------------------------------------------------------------------------
+
+
+def test_colorfulness_matches_python_replay(spark, sf_dir):
+    """Replay the positional synthesis and the Hasler-Süsstrunk metric
+    bit-exactly; the metric is non-negative by construction."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        q_multimodal_image_colorfulness,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    expected = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w, h = did % 13 + 4, did % 7 + 4
+        data = text.encode("utf-8")
+        raster = [data[i % len(data)] for i in range(3 * w * h)]
+        n = w * h
+        s_rg = q_rg = s_yb2 = q_yb2 = 0
+        for k in range(n):
+            r, g, b = raster[3 * k], raster[3 * k + 1], raster[3 * k + 2]
+            rg, yb2 = r - g, r + g - 2 * b
+            s_rg += rg
+            q_rg += rg * rg
+            s_yb2 += yb2
+            q_yb2 += yb2 * yb2
+        mrg, myb2 = s_rg / n, s_yb2 / n
+        m = math.sqrt((q_rg / n - mrg * mrg) + (q_yb2 / n - myb2 * myb2) / 4.0) \
+            + 0.3 * math.sqrt(mrg * mrg + myb2 * myb2 / 4.0)
+        expected[did] = (n, round(m, 4))
+
+    got = {
+        r.doc_id: (r.n_px, r.colorfulness4)
+        for r in q_multimodal_image_colorfulness(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for _, m in got.values():
+        assert m >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# q_agg_theil_nation_revenue
+# ---------------------------------------------------------------------------
+
+
+def test_theil_index_matches_python_replay(spark, sf_dir):
+    """Replay the µ-nat quantized Theil-T per nation; T must be >= 0 and
+    <= ln(n) (the index's analytic range)."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_agg_theil_nation_revenue,
+    )
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"])
+    nation_of = dict(zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist()))
+    rev: dict[tuple[int, int], int] = {}
+    for ck, tp in zip(orders["o_custkey"].to_pylist(), orders["o_totalprice"].to_pylist()):
+        key = (nation_of[ck], ck)
+        rev[key] = rev.get(key, 0) + round(float(tp) * 100)
+
+    def lnq(x: float) -> int:
+        return math.floor(math.log(x) * 1_000_000 + 0.5)
+
+    by_nat: dict[int, list[int]] = {}
+    for (nk, _), xc in rev.items():
+        by_nat.setdefault(nk, []).append(xc)
+    expected = {}
+    for nk, xs in by_nat.items():
+        n, s = len(xs), sum(xs)
+        num = sum(xc * (lnq(float(xc) * n) - lnq(float(s))) for xc in xs)
+        expected[nk] = (n, s, round(max(float(num), 0.0) / s / 1_000_000.0, 6))
+
+    got = {
+        r.c_nationkey: (r.n_customers, r.total_cents, r.theil6)
+        for r in q_agg_theil_nation_revenue(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for n, _, t in got.values():
+        assert 0.0 <= t <= math.log(n) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q_embedding_kcenter_seeds
+# ---------------------------------------------------------------------------
+
+
+def test_kcenter_seeds_matches_python_replay(spark, sf_dir):
+    """Replay the 3-round farthest-point traversal with the engines'
+    sequential-fold cosine; seeds must be distinct, and round-3's
+    min-max similarity must be >= round-2's (maxing over a superset of
+    seeds can only raise the farthest point's similarity — the
+    coverage radius, in distance terms, shrinks monotonically)."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        q_embedding_kcenter_seeds,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vecs = {i: [float(x) for x in e]
+            for i, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    norms = {i: math.sqrt(fold_dot(e, e)) for i, e in vecs.items()}
+
+    def cos(i, j):
+        return fold_dot(vecs[i], vecs[j]) / (norms[i] * norms[j])
+
+    s1 = min(vecs, key=lambda i: (-norms[i], i))
+    s2 = min(vecs, key=lambda i: (cos(i, s1), i))
+    s3 = min(vecs, key=lambda i: (max(cos(i, s1), cos(i, s2)), i))
+    expected = {
+        1: (s1, round(norms[s1], 6)),
+        2: (s2, round(cos(s2, s1), 6)),
+        3: (s3, round(max(cos(s3, s1), cos(s3, s2)), 6)),
+    }
+
+    got = {
+        r["round"]: (r.vec_id, r.score6)
+        for r in q_embedding_kcenter_seeds(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert len({v for v, _ in got.values()}) == 3
+    assert got[3][1] >= got[2][1] - 1e-9
