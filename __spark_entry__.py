@@ -56,94 +56,91 @@ _MODULES = [
 # registration order (observed rounds 1-3).  The registry rotates the
 # prefix each round until every query has a recorded driver row;
 # `scripts/check_oracles.py` re-proves the FULL registry locally every
-# round (artifact: ORACLE_CHECK_r06.txt, 0 failures).
+# round (artifact: ORACLE_CHECK_r{N}.txt).
 #
-# Driver-row ledger going into round 10 (CORRECTNESS_r01..r09): r9 was
-# fully green, 50/50 — the 23 never-checked late-r8 registrations all
-# retired, plus 3 early-r9 registrations and 24 stale re-checks.
-# Cumulative coverage after r9: 238 of the 253 registered queries have
-# a driver row, every last-seen row green.  15 have NEVER been
-# driver-checked (all round-9 registrations, all with committed
-# ORACLE_CHECK_r09 proof rows), and q_format_schema_evolution's r6
-# green row belongs to the round-5 implementation that round 9
-# replaced — it needs a fresh row for the surviving supplier-based
-# definition.  ROUND 10 prefix (exactly 50, per VERDICT r9 item 1):
-# those 16 first, then any round-10 registrations (never-checked by
-# construction; rows land the same round), then the stalest greens —
-# driver rows last seen in r5, alphabetical — to fill 50.  Queued for
-# the ROUND 11 prefix: the r5-stale greens the 27 round-10
-# registrations displaced from the tail below (q_doc_length_histogram,
-# q_embedding_gram_matrix, q_events_funnel, q_events_json,
-# q_events_retention, q_events_transitions, q_format_roundtrip_json,
-# q_grouping_sets, q_join_anti, q_join_full_outer,
-# q_knn_bruteforce_cogrouped, q_knn_bruteforce_numpy,
-# q_multimodal_audio_stats,
-# q_multimodal_video_stats, q_orderby_limit, q_partitioned_write_prune,
-# q_profile_table_stats, q_scalar_array, q_scalar_date,
-# q_scalar_levenshtein, q_split_train_val_test, q_stream_session,
-# q_string_agg_ordered, q_text_gopher_rules, q_text_lang_id,
-# q_text_normalize, q_text_token_stats), then the remaining
-# r5-stale greens alphabetically (q_text_zipf_slope,
-# q_window_analytics, q_window_range_frame, q_window_rank,
-# q_window_running, q_window_topk_per_group), then r6-stale greens.
+# Driver-row ledger going into round 11 (CORRECTNESS_r01..r10): r10 was
+# fully green, 50/50 — all 16 queued r9 registrations, all 27 r10
+# registrations, and 7 r5-stale re-checks retired.  Cumulative: every
+# one of the 280 r10-era queries has a green driver row, but 81 are
+# STALE — 33 last checked in r5, 48 in r6 (computed from the
+# CORRECTNESS_r*.json files; VERDICT r10 item 1 caps new r11
+# registrations at ~10 so ≥35 of the 50 slots drain this backlog).
+# ROUND 11 prefix (exactly 50): the round-11 registrations first
+# (never-checked by construction), then ALL 33 r5-stale greens
+# alphabetically, then r6-stale greens alphabetically to fill 50.
+# Arithmetic: 3 new + 33 r5 + 14 r6 = 50 (47 stale re-checks).
+# QUEUED FOR THE ROUND 12 PREFIX — the 34 remaining r6-stale greens
+# (every query last driver-checked before r7 is therefore ledgered,
+# satisfying the r10 "no unqueued pre-r7 row" done-criterion):
+# q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+# q9_product_profit, q_ann_pq_trained, q_ann_recall, q_ann_rrf_fusion,
+# q_corr_manual, q_dedup_canonical_keep, q_dedup_minhash_est_error,
+# q_dedup_semantic, q_doc_similarity_tfidf, q_embedding_mrl_truncate,
+# q_embedding_power_iteration, q_events_anomaly_mad, q_events_ewma,
+# q_join_left, q_join_semi, q_layout_zorder_buckets,
+# q_multimodal_phash_pairs, q_multimodal_scene_cuts,
+# q_pivot_conditional, q_rollup, q_sample_weighted, q_scalar_map,
+# q_scalar_math, q_scalar_string, q_set_ops, q_sketch_countmin_words,
+# q_subquery_scalar, q_text_bigram_logprob, q_text_novelty_ngrams,
+# q_text_winnow_fingerprints, q_union_except — then r7-stale greens
+# (49 of them) alphabetically.  Any late-r11 registration displaces
+# one r6-stale from the tail below INTO the r12 queue (keep this
+# comment's arithmetic current when that happens).
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- round-9 registrations without a driver row (15 never-checked
-    #     + q_format_schema_evolution, whose r6 row predates the r9
-    #     re-implementation) (16) ---
-    "q_events_cohort_retention",
-    "q_events_theil_sen",
-    "q_graph_hits",
-    "q_mix_kl_divergence",
-    "q_multimodal_image_edges",
-    "q_privacy_dp_median",
-    "q_embedding_dim_stats",
-    "q_text_zipf_fit",
-    "q_window_ratio_to_report",
-    "q_text_readability",
-    "q_agg_trimmed_mean",
-    "q_stats_correlation_matrix",
-    "q_events_markov_transitions",
-    "q_graph_jaccard_neighbors",
-    "q_format_schema_evolution",
-    "q_ann_mmr_diversify",
-    # --- round-10 registrations (never checked; each displaces one
-    #     r5-stale green from the tail below into the r11 queue) ---
-    "q_dedup_paragraph_pairs",
-    "q_mix_contamination_matrix",
-    "q_ann_ivf_incremental",
-    "q_graph_bfs_khop",
-    "q_events_cusum_drift",
-    "q_mix_unigram_cross_entropy",
-    "q_multimodal_audio_rms_gain",
-    "q_text_sentence_stats",
-    "q_embedding_label_outliers",
-    "q_mix_dsir_weights",
-    "q_graph_adamic_adar",
-    "q_privacy_kanon_generalize",
-    "q_events_kendall_tau",
-    "q_events_burst_hours",
-    "q_multimodal_image_entropy",
-    "q_privacy_t_closeness",
-    "q_text_rake_keywords",
-    "q_graph_degree_assortativity",
-    "q_privacy_dp_sum_clamped",
-    "q_embedding_centroid_silhouette",
-    "q_sessions_bounce_rate",
-    "q_embedding_quantize_error",
-    "q_events_seasonality_strength",
-    "q_audit_benford_totalprice",
-    "q_multimodal_image_colorfulness",
-    "q_agg_theil_nation_revenue",
-    "q_embedding_kcenter_seeds",
-    # --- stalest greens: driver rows last seen in r5, alphabetical (7) ---
-    "q_correlated_exists",
-    "q_cube",
-    "q_dedup_boilerplate_chunks",
-    "q_dedup_clusters_k3",
-    "q_dedup_incremental_ingest",
-    "q_dedup_minhash_lsh",
-    "q_dedup_winnow_pairs",
+    # --- round-11 registrations (never checked) (3) ---
+    "q_dedup_split_leakage",
+    "q_text_langid_kappa",
+    "q_text_bpe_fertility_by_lang",
+    # --- all r5-stale greens, alphabetical (33) ---
+    "q_doc_length_histogram",
+    "q_embedding_gram_matrix",
+    "q_events_funnel",
+    "q_events_json",
+    "q_events_retention",
+    "q_events_transitions",
+    "q_format_roundtrip_json",
+    "q_grouping_sets",
+    "q_join_anti",
+    "q_join_full_outer",
+    "q_knn_bruteforce_cogrouped",
+    "q_knn_bruteforce_numpy",
+    "q_multimodal_audio_stats",
+    "q_multimodal_video_stats",
+    "q_orderby_limit",
+    "q_partitioned_write_prune",
+    "q_profile_table_stats",
+    "q_scalar_array",
+    "q_scalar_date",
+    "q_scalar_levenshtein",
+    "q_split_train_val_test",
+    "q_stream_session",
+    "q_string_agg_ordered",
+    "q_text_gopher_rules",
+    "q_text_lang_id",
+    "q_text_normalize",
+    "q_text_token_stats",
+    "q_text_zipf_slope",
+    "q_window_analytics",
+    "q_window_range_frame",
+    "q_window_rank",
+    "q_window_running",
+    "q_window_topk_per_group",
+    # --- r6-stale greens, alphabetical, to fill 50 (14) ---
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_bracketed_revenue",
+    "q20_heavy_shippers",
+    "q21_last_shipper",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
 ]
 
 
@@ -171,10 +168,14 @@ def _merge(attr: str) -> dict:
     for mod in _MODULES:
         out.update(getattr(mod, attr))
     expected = sum(len(getattr(mod, attr)) for mod in _MODULES)
-    assert len(out) == expected, (
-        f"cross-module duplicate query name: merged {attr} has "
-        f"{len(out)} entries but modules register {expected}"
-    )
+    if len(out) != expected:
+        # ValueError (not assert): the guard must survive ``python -O``,
+        # which strips asserts and would silently revert to
+        # last-module-wins — the exact round-9 shadowing hazard.
+        raise ValueError(
+            f"cross-module duplicate query name: merged {attr} has "
+            f"{len(out)} entries but modules register {expected}"
+        )
     return _ordered(out)
 
 

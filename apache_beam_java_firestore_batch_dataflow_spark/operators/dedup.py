@@ -20,6 +20,7 @@ pipeline (including banding) has a full SQL oracle.
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -349,13 +350,34 @@ def connected_components(
       saved action.  A 100 TB run keeps the same shape; on a real
       cluster prefer reliable ``checkpoint()`` to survive executor
       loss during long iterations.  ``checkpoint_every`` is retained
-      for API compatibility; any value beyond 1 is ignored.
+      for API compatibility only — every round checkpoints, any other
+      value warns and is ignored (ADVICE r10).
+
+    Block reclamation (ADVICE r10): ``DataFrame.unpersist()`` is a
+    no-op on a checkpointed frame (its blocks bypass the cache
+    manager), so each superseded round's O(nodes) blocks are freed
+    EXPLICITLY by diffing the JVM persistent-RDD registry around the
+    ``localCheckpoint`` call and unpersisting the previous round's RDD
+    once the new round is materialized — long-diameter graphs hold at
+    most two generations instead of O(rounds).  The final round's
+    blocks back the returned frame and are reclaimed by GC after the
+    caller drops it.
     """
+    if checkpoint_every not in (None, 1):
+        warnings.warn(
+            "connected_components localCheckpoints EVERY round; "
+            f"checkpoint_every={checkpoint_every} is ignored "
+            "(parameter retained for API compatibility)",
+            stacklevel=2,
+        )
     both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     both = both.persist()
     handle = vertices.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     labels = handle
+    jsc = vertices.sparkSession.sparkContext._jsc
+    prev_ckpt_ids: set = set()
     for _ in range(max_iter):
+        before_ids = set(jsc.getPersistentRDDs().keys())
         neighbor_min = (
             both.join(labels, both["src"] == labels["doc_id"])
             .select(F.col("dst").alias("doc_id"), "cluster_id")
@@ -374,7 +396,16 @@ def connected_components(
             ).cast("int").alias("chg"),
         ).localCheckpoint(eager=True)
         changed = stepped.agg(F.sum("chg")).first()[0] or 0
-        handle.unpersist()
+        handle.unpersist()  # round 1 frees the initial vertices persist
+        # the new round is materialized, so the previous round's
+        # checkpoint blocks are dead — free them now, not at GC time
+        registry = jsc.getPersistentRDDs()
+        new_ids = set(registry.keys()) - before_ids
+        for rid in prev_ckpt_ids:
+            dead = registry.get(rid)
+            if dead is not None:
+                dead.unpersist()
+        prev_ckpt_ids = new_ids
         handle = stepped
         # narrow projection of the checkpointed frame — no copy
         labels = stepped.select("doc_id", "cluster_id")
@@ -1725,4 +1756,94 @@ def q_dedup_paragraph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_common").cast("bigint").alias("n_common"),
             F.round(jac, 6).cast("double").alias("jaccard6"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split near-dup leakage audit (train/val/test contamination)
+# ---------------------------------------------------------------------------
+
+def _split_sql(col: str) -> str:
+    """DuckDB split-assignment expression — identical hash + thresholds
+    to ``curation.q_split_train_val_test``'s oracle."""
+    from .curation import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    return (
+        f"CASE WHEN CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 2))"
+        f"::INT AS BIGINT) % 100 < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 2))"
+        f"::INT AS BIGINT) % 100 < {SPLIT_VAL_PCT} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+
+
+def _split_col(c: F.Column) -> F.Column:
+    """Spark twin of ``_split_sql`` (pure function of the id — no join)."""
+    from .curation import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+
+    bucket = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 2), 16, 10).cast("bigint")
+        % 100
+    )
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def _split_leakage_oracle() -> str:
+    return f"""
+    WITH pairs AS ({_MINHASH_ORACLE}),
+    tagged AS (
+      SELECT {_split_sql('doc_a')} AS sa, {_split_sql('doc_b')} AS sb
+      FROM pairs
+    ),
+    grid AS (
+      SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+             count(*) AS n
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT split_lo, split_hi, CAST(n AS BIGINT) AS n_pairs,
+           CAST(split_lo <> split_hi AS INT) AS is_leak
+    FROM grid
+"""
+
+
+@register("q_dedup_split_leakage", oracle=_split_leakage_oracle())
+def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-duplicate leakage audit (VERDICT r10 item 7a):
+    MinHash-LSH near-dup pairs bucketed by the train/val/test membership
+    of their two endpoints — the dedup-aware-split check every
+    pretraining pipeline runs before trusting its eval numbers, because
+    a val/test document with a train-side near-duplicate inflates eval
+    scores without any literal id overlap.  Composes the two proven
+    pipelines verbatim: ``q_dedup_minhash_lsh``'s banded pair join and
+    ``q_split_train_val_test``'s hash assignment.
+
+    Scale shape: rides the banded LSH pipeline unchanged (collisions ~
+    |near-dup pairs|, never n²) and adds ZERO joins on top — the split
+    is a pure md5 function of each endpoint id, fused into the pair
+    projection, and the final grid aggregation has at most 6 keys
+    (unordered split pairs).  ``is_leak=1`` rows are the contamination;
+    at 100 TB the same plan holds because nothing here touches row
+    text beyond what the LSH kernel already shuffles."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    tagged = pairs.select(
+        _split_col(F.col("doc_a")).alias("sa"),
+        _split_col(F.col("doc_b")).alias("sb"),
+    )
+    grid = (
+        tagged.select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grid.select(
+        "split_lo",
+        "split_hi",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        (F.col("split_lo") != F.col("split_hi")).cast("int").alias("is_leak"),
     )

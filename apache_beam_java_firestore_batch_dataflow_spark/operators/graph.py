@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .similarity import cosine_threshold_pairs
+from .similarity import semantic_edges
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 from ..registry import add as _registry_add
@@ -282,10 +282,11 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations total, all keyed — nothing quadratic in nodes, no
     broadcast of anything unbounded.
     """
-    raw = cosine_threshold_pairs(spark, sf_dir, tau=TRI_TAU).select("vec_a", "vec_b")
-    # localCheckpoint: edges feed 4 plan branches (degree, orientation,
-    # closing join) — without it the O(n²/blocks) kernel re-runs per branch.
-    e = raw.localCheckpoint(eager=True)
+    # memoized checkpoint (semantic_edges): edges feed 4 plan branches
+    # (degree, orientation, closing join) — without materialization the
+    # O(n²/blocks) kernel re-runs per branch — AND the same frame serves
+    # components/BFS/every other analytic at this tau in the session.
+    e = semantic_edges(spark, sf_dir, tau=TRI_TAU)
     deg = (
         e.select(F.col("vec_a").alias("node"))
         .unionAll(e.select(F.col("vec_b").alias("node")))
@@ -395,15 +396,12 @@ def q_graph_components_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the shared block-pair kernel, checkpointed once.  The size
     profile is one extra combiner agg on O(nodes) label rows."""
     from .dedup import connected_components
-    from .similarity import cosine_threshold_pairs
 
     vecs = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id")
     )
-    e = (
-        cosine_threshold_pairs(spark, sf_dir, tau=TRI_TAU)
-        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-        .localCheckpoint(eager=True)
+    e = semantic_edges(spark, sf_dir, tau=TRI_TAU).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     labels = connected_components(vecs, e)
     sizes = labels.groupBy("cluster_id").agg(
@@ -915,12 +913,8 @@ def q_graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel, checkpointed once (the components discipline).  Frontier
     frames persist (each feeds the next round AND the final union);
     caller-clearCache lifetime."""
-    from .similarity import cosine_threshold_pairs
-
-    pairs = (
-        cosine_threshold_pairs(spark, sf_dir, tau=TRI_TAU)
-        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-        .localCheckpoint(eager=True)
+    pairs = semantic_edges(spark, sf_dir, tau=TRI_TAU).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
     )
     both = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

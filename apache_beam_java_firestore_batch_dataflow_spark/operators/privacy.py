@@ -526,10 +526,13 @@ def q_privacy_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equivalence classes (nation, segment) of size >= {K_ANON} release
     at level 0; rows from failing classes re-group under the coarser
     (region, segment) QI; classes that STILL fail collapse into one
-    fully-suppressed ('*', '*') bucket.  Every published row now hides
-    among >= {K_ANON} lookalikes (the suppressed bucket aggregates all
-    residual rows), which is exactly the generalize-or-suppress pass a
-    release pipeline runs before export.
+    fully-suppressed ('*', '*') bucket.  Levels 0 and 1 are k-anonymous
+    by construction (each published class has n >= {K_ANON}); the
+    level-2 bucket aggregates ALL residual rows but its total can
+    itself be < {K_ANON} when very few rows fail both rungs, so a
+    strict release pipeline would additionally withhold it below k
+    (ADVICE r10 — not enforced here; the bucket is published so the
+    census stays complete and auditable).
 
     Scale shape: ONE row-level aggregation (the level-0 class census,
     keyed on the QI tuple); every later rung re-aggregates the O(QI

@@ -639,6 +639,49 @@ def cosine_threshold_pairs(
     )
 
 
+# One materialized copy of the semantic-graph edge set per (session,
+# sf_dir, tau) — VERDICT r10 item 2: triangles / components / BFS /
+# (transitively) every graph-family caller used to rebuild and
+# re-checkpoint the SAME cosine_threshold_pairs frame, ~10 s of
+# repeated kernel work per bench true_total and the production
+# anti-shape (a real pipeline materializes the graph once, then runs
+# every graph analytic against it).
+_EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+
+
+def semantic_edges(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """Memoized, eagerly-checkpointed ``(vec_a, vec_b)`` edge frame of
+    the cosine >= tau similarity graph.
+
+    The first caller in a session pays the block-pair kernel once;
+    every later caller (any graph analytic at the same tau) reuses the
+    checkpointed blocks.  Keyed by ``applicationId`` so a new
+    SparkSession never sees another session's dead frame, and
+    deliberately NOT invalidated by ``spark.catalog.clearCache()``
+    (localCheckpoint blocks bypass the cache manager) — callers that
+    need a genuinely cold rebuild call ``clear_semantic_edge_cache()``,
+    which the bench's scaling legs and the tests' session teardown use.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir, float(tau))
+    cached = _EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    edges = (
+        cosine_threshold_pairs(spark, sf_dir, tau=tau)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=True)
+    )
+    _EDGE_CACHE[key] = edges
+    return edges
+
+
+def clear_semantic_edge_cache() -> None:
+    """Invalidation hook for ``semantic_edges`` (drops every session's
+    memo; the checkpoint blocks themselves are reclaimed by GC once the
+    frames are unreferenced)."""
+    _EDGE_CACHE.clear()
+
+
 @register("q_dedup_embedding_cosine", oracle=_EMB_DEDUP_ORACLE)
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs: EXACT threshold join (cosine ≥ 0.35)

@@ -2494,12 +2494,14 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(len(ls) AS INT) AS n_sentences,
-           CAST(list_reduce(list_prepend(0, ls), (a, b) -> a + b) AS BIGINT)
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ls),
+                            (a, b) -> a + b) AS BIGINT)
                AS total_letters,
            CAST(list_reduce(list_prepend(0, ls),
                             (a, b) -> CASE WHEN b > a THEN b ELSE a END)
                 AS INT) AS max_letters,
-           CAST((1000000 * list_reduce(list_prepend(0, ls), (a, b) -> a + b))
+           CAST((1000000 * list_reduce(list_prepend(CAST(0 AS BIGINT), ls),
+                                       (a, b) -> a + b))
                 // len(ls) AS BIGINT) AS mean_letters_mu
     FROM segs WHERE len(ls) > 0
     """,
@@ -2526,7 +2528,13 @@ def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda n: n > 0,
     )
     segs = docs.select("doc_id", letters.alias("ls")).filter(F.size("ls") > 0)
-    total = F.aggregate(F.col("ls"), F.lit(0), lambda a, b: a + b)
+    # BIGINT fold accumulator on BOTH engines (ADVICE r10): with an INT
+    # accumulator, a document with > ~2147 letters overflows the
+    # 1000000* multiply — Spark (non-ANSI) wraps silently while DuckDB
+    # raises, a latent engine divergence the small fixtures never hit.
+    total = F.aggregate(
+        F.col("ls"), F.lit(0).cast("bigint"), lambda a, b: a + b
+    )
     mx = F.aggregate(
         F.col("ls"), F.lit(0), lambda a, b: F.when(b > a, b).otherwise(a)
     )
@@ -2536,7 +2544,8 @@ def q_text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.cast("bigint").alias("total_letters"),
         mx.cast("int").alias("max_letters"),
         F.expr(
-            "(1000000 * aggregate(ls, 0, (a, b) -> a + b)) div size(ls)"
+            "(1000000 * aggregate(ls, CAST(0 AS BIGINT), (a, b) -> a + b))"
+            " div size(ls)"
         ).cast("bigint").alias("mean_letters_mu"),
     )
 
@@ -2684,4 +2693,157 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phrase",
         F.col("n_words").cast("bigint").alias("n_words"),
         F.col("rake_mu").cast("bigint").alias("rake_mu"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-agreement: Cohen's kappa of the lang-id classifier vs the gold lang
+# ---------------------------------------------------------------------------
+
+_KAPPA_ORACLE = f"""
+    WITH pred AS ({_LANGID_ORACLE}),
+    cells AS (
+      SELECT lang_actual, lang_pred, count(*) AS n
+      FROM pred GROUP BY 1, 2
+    ),
+    rm AS (SELECT lang_actual AS k, CAST(sum(n) AS BIGINT) AS row_n
+           FROM cells GROUP BY 1),
+    cm AS (SELECT lang_pred AS k, CAST(sum(n) AS BIGINT) AS col_n
+           FROM cells GROUP BY 1),
+    s AS (SELECT CAST(coalesce(sum(row_n * col_n), 0) AS BIGINT) AS pe_num
+          FROM rm JOIN cm USING (k)),
+    agree AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_agree
+              FROM cells WHERE lang_actual = lang_pred),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+    SELECT n_total, n_agree, pe_num,
+           CAST(round(CAST(n_agree * n_total - pe_num AS DOUBLE)
+                      / CAST(n_total * n_total - pe_num AS DOUBLE), 6)
+                AS DOUBLE) AS kappa
+    FROM tot, agree, s
+"""
+
+
+@register("q_text_langid_kappa", oracle=_KAPPA_ORACLE)
+def q_text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement (VERDICT r10 item 7b): Cohen's kappa
+    between the stopword-marker lang-id classifier and the corpus's
+    gold ``lang`` label — chance-corrected agreement, the standard
+    annotator/classifier-consistency statistic an eval pipeline reports
+    next to raw accuracy (``q_text_langid_confusion`` holds the full
+    matrix; this is its scalar summary).
+
+    Exact rational form: kappa = (po - pe) / (1 - pe) with po = d/N and
+    pe = S/N² (S = sum over labels of row-marginal x column-marginal)
+    reduces to (d·N - S) / (N² - S) — ALL-INTEGER sufficient statistics
+    (d, N, S emitted as columns), one double division + round(6) as the
+    single shared float expression, so both engines agree bit-for-bit.
+
+    Scale shape: the corpus appears only in the zero-shuffle regex
+    projection + ONE |langs|² combiner aggregation; every later frame
+    (marginals, S, the scalar join) is O(16) rows, broadcast-combined.
+    The contingency frame persists across its four tiny consumers
+    (caller-clearCache lifetime)."""
+    pred = q_text_lang_id(spark, sf_dir).select("lang_actual", "lang_pred")
+    cells = (
+        pred.groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # <= 16 rows, 4 consumers; released by caller clearCache
+    )
+    rm = cells.groupBy("lang_actual").agg(F.sum("n").cast("bigint").alias("row_n"))
+    cm = cells.groupBy("lang_pred").agg(F.sum("n").cast("bigint").alias("col_n"))
+    s = (
+        rm.join(cm, rm.lang_actual == cm.lang_pred)
+        .agg(
+            F.coalesce(F.sum(F.col("row_n") * F.col("col_n")), F.lit(0))
+            .cast("bigint")
+            .alias("pe_num")
+        )
+    )
+    agree = cells.filter(F.col("lang_actual") == F.col("lang_pred")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_agree")
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("n_total"))
+    return (
+        tot.crossJoin(F.broadcast(agree))
+        .crossJoin(F.broadcast(s))
+        .select(
+            "n_total",
+            "n_agree",
+            "pe_num",
+            F.round(
+                (F.col("n_agree") * F.col("n_total") - F.col("pe_num")).cast(
+                    "double"
+                )
+                / (F.col("n_total") * F.col("n_total") - F.col("pe_num")).cast(
+                    "double"
+                ),
+                6,
+            )
+            .cast("double")
+            .alias("kappa"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language tokenizer fertility (BPE-ish tokens per whitespace word)
+# ---------------------------------------------------------------------------
+
+_FERTILITY_ORACLE = r"""
+    WITH feat AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                 AS n_bpe,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_ws
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST((1000000 * CAST(sum(n_bpe) AS BIGINT))
+                // CAST(sum(n_ws) AS BIGINT) AS BIGINT) AS fertility_mu
+    FROM feat GROUP BY 1
+"""
+
+
+@register("q_text_bpe_fertility_by_lang", oracle=_FERTILITY_ORACLE)
+def q_text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (VERDICT r10 item 7c): BPE-ish
+    tokens per whitespace word, bucketed by the corpus's ``lang``
+    label — the tokenizer-budget audit for multilingual mixes (a
+    language whose fertility runs high pays proportionally more of the
+    context window per word, the number a mixture designer reads next
+    to the sampling weights).  Buckets use the GOLD label rather than
+    the marker classifier's prediction: ``q_text_langid_kappa`` proves
+    the heuristic is at-chance on this corpus (kappa = 0, every doc
+    argmaxes to 'en'), so predicted buckets would collapse the audit
+    to one row.
+
+    One scan of ``q_token_count_bpe``'s two token censuses (row-local
+    regex counts fused into the projection, zero joins); the only
+    exchange is the O(|langs|) combiner aggregation.  Fertility is
+    exact integer micro-units: (10⁶ · Σbpe) div Σws with both sums
+    BIGINT (Σws >= n_docs > 0, all operands non-negative, so Spark div
+    == DuckDB //; at 100 TB-scale corpora Σbpe ~ 10¹² keeps 10⁶·Σbpe
+    comfortably inside int64)."""
+    docs = _docs(spark, sf_dir)
+    feat = docs.select(
+        "lang",
+        F.regexp_count(
+            F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+        ).alias("n_bpe"),
+        (
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            + 1
+        ).alias("n_ws"),
+    )
+    return feat.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+        F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+        F.expr(
+            "(1000000 * CAST(sum(n_bpe) AS BIGINT))"
+            " div CAST(sum(n_ws) AS BIGINT)"
+        ).cast("bigint").alias("fertility_mu"),
     )

@@ -1,0 +1,294 @@
+"""Semantic tests for the round-11 operator batch plus the round-11
+infrastructure changes (semantic-edge memo, connected-components block
+reclamation).  Each operator is checked against an independent Python
+computation, never a snapshot (SURVEY.md §5 test strategy)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow.parquet as pq
+
+# Java-regex-faithful building blocks: Java's \b is ASCII-word-class
+# based for ASCII patterns ([a-zA-Z0-9_]), while Python's \b is
+# Unicode-aware — accented letters next to a marker word would flip a
+# boundary.  Explicit lookarounds replicate the JVM semantics.
+_B_L = r"(?<![a-zA-Z0-9_])"
+_B_R = r"(?![a-zA-Z0-9_])"
+_MARKERS = {
+    "en": "the|a|of|and|to|in|is|it",
+    "fr": "le|la|les|des|une|est|dans",
+    "de": "der|die|das|und|ist|nicht",
+    "es": "el|los|las|una|es|de|que",
+}
+
+
+def _lang_pred(text: str) -> str:
+    low = text.lower()
+    hits = {
+        lang: len(re.findall(_B_L + "(?:" + alts + ")" + _B_R, low))
+        for lang, alts in _MARKERS.items()
+    }
+    en, fr, de, es = hits["en"], hits["fr"], hits["de"], hits["es"]
+    if en >= fr and en >= de and en >= es:
+        return "en"
+    if fr >= de and fr >= es:
+        return "fr"
+    if de >= es:
+        return "de"
+    return "es"
+
+
+def _split_of(doc_id: int) -> str:
+    """Independent hashlib replica of the md5-bucket split assignment."""
+    bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) % 100
+    if bucket < 80:
+        return "train"
+    if bucket < 90:
+        return "val"
+    return "test"
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_split_leakage
+# ---------------------------------------------------------------------------
+
+
+def test_split_leakage_matches_python_replay(spark, sf_dir):
+    """The leakage grid must equal the Python-side bucketing of the
+    (already independently tested) MinHash pair set, with the split of
+    each endpoint recomputed via hashlib — independent of the Spark
+    conv/md5 expression chain."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        q_dedup_minhash_lsh,
+        q_dedup_split_leakage,
+    )
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+    ]
+    assert pairs, "fixture must produce at least one near-dup pair"
+    expected: dict[tuple[str, str], int] = {}
+    for a, b in pairs:
+        sa, sb = sorted((_split_of(a), _split_of(b)))
+        expected[(sa, sb)] = expected.get((sa, sb), 0) + 1
+
+    got = {
+        (r.split_lo, r.split_hi): (r.n_pairs, r.is_leak)
+        for r in q_dedup_split_leakage(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expected
+    for (lo, hi), (_, leak) in got.items():
+        assert leak == (1 if lo != hi else 0)
+    spark.catalog.clearCache()
+
+
+def test_split_leakage_consistent_with_split_op(spark, sf_dir):
+    """The split assignment inside the leakage op must agree with
+    q_split_train_val_test row-for-row (same hash, same thresholds)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        q_split_train_val_test,
+    )
+
+    for r in q_split_train_val_test(spark, sf_dir).collect():
+        assert r.split == _split_of(r.doc_id)
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_text_langid_kappa
+# ---------------------------------------------------------------------------
+
+
+def test_langid_kappa_matches_python_replay(spark, sf_dir):
+    """Cohen's kappa replayed from scratch: Python regex lang-id, an
+    explicit confusion matrix, and the textbook po/pe formula (floats)
+    compared against the engine's exact-rational form."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        q_text_langid_kappa,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    preds = [_lang_pred(x) for x in t["text"].to_pylist()]
+    actual = t["lang"].to_pylist()
+    n_total = len(actual)
+    n_agree = sum(1 for a, p in zip(actual, preds) if a == p)
+    labels = set(actual) | set(preds)
+    s = sum(
+        actual.count(k) * preds.count(k) for k in labels
+    )  # sum of row x column marginals
+    kappa = (n_agree * n_total - s) / (n_total * n_total - s)
+
+    row = q_text_langid_kappa(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_total == n_total
+    assert r.n_agree == n_agree
+    assert r.pe_num == s
+    assert abs(r.kappa - kappa) < 5e-7
+    # the marker heuristic argmaxes every fixture doc to 'en', so the
+    # exact-rational kappa is 0 — the honest at-chance reading the op
+    # exists to surface (and the reason fertility buckets on the gold
+    # label instead of the prediction)
+    assert r.n_agree < r.n_total
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_text_bpe_fertility_by_lang
+# ---------------------------------------------------------------------------
+
+
+def test_fertility_matches_python_replay(spark, sf_dir):
+    """Per-language sums replayed with Java-faithful regexes (ASCII \\s
+    class, since Python's \\s is Unicode-wide) and exact integer
+    micro-unit fertility."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        q_text_bpe_fertility_by_lang,
+    )
+
+    bpe_re = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]")
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    agg: dict[str, list[int]] = {}
+    for text, lang in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        n_bpe = len(bpe_re.findall(text.lower()))
+        n_ws = text.count(" ") + 1
+        row = agg.setdefault(lang, [0, 0, 0])
+        row[0] += 1
+        row[1] += n_bpe
+        row[2] += n_ws
+
+    got = {
+        r.lang: (
+            r.n_docs,
+            r.total_bpe_tokens,
+            r.total_ws_tokens,
+            r.fertility_mu,
+        )
+        for r in q_text_bpe_fertility_by_lang(spark, sf_dir).collect()
+    }
+    expected = {
+        lang: (n, bpe, ws, (1_000_000 * bpe) // ws)
+        for lang, (n, bpe, ws) in agg.items()
+    }
+    assert got == expected
+    assert len(got) >= 2, "fixture must exercise at least two languages"
+    spark.catalog.clearCache()
+
+
+def test_fertility_single_exchange_plan(spark, sf_dir):
+    """Docstring claim: one scan, zero joins, the only exchange is the
+    final combiner aggregation."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        q_text_bpe_fertility_by_lang,
+    )
+
+    plan = (
+        q_text_bpe_fertility_by_lang(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# semantic_edges memo (VERDICT r10 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_edges_memoized_and_invalidatable(spark, sf_dir):
+    """Same (session, sf_dir, tau) returns the SAME checkpointed frame;
+    the invalidation hook forces a rebuild; different tau is a
+    different cache entry."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        clear_semantic_edge_cache,
+        semantic_edges,
+    )
+
+    clear_semantic_edge_cache()
+    a = semantic_edges(spark, sf_dir, tau=0.25)
+    b = semantic_edges(spark, sf_dir, tau=0.25)
+    assert a is b
+    c = semantic_edges(spark, sf_dir, tau=0.35)
+    assert c is not a
+    clear_semantic_edge_cache()
+    d = semantic_edges(spark, sf_dir, tau=0.25)
+    assert d is not a
+    # the memoized frame is checkpointed: its logical plan is a scan of
+    # materialized blocks, not the block-pair kernel
+    assert "applyInPandas" not in d._jdf.queryExecution().optimizedPlan().toString()
+    clear_semantic_edge_cache()
+    spark.catalog.clearCache()
+
+
+def test_graph_family_shares_edge_frame(spark, sf_dir):
+    """Triangles and components both consume the single memoized edge
+    frame — the production build-the-graph-once shape."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        TRI_TAU,
+        q_graph_components_semantic,
+        q_graph_triangles,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        _EDGE_CACHE,
+        clear_semantic_edge_cache,
+        semantic_edges,
+    )
+
+    clear_semantic_edge_cache()
+    q_graph_triangles(spark, sf_dir).collect()
+    key = (spark.sparkContext.applicationId, sf_dir, float(TRI_TAU))
+    assert key in _EDGE_CACHE, "triangles must populate the shared memo"
+    frame_after_triangles = _EDGE_CACHE[key]
+    q_graph_components_semantic(spark, sf_dir).collect()
+    assert _EDGE_CACHE[key] is frame_after_triangles, (
+        "components must reuse, not rebuild, the memoized edge frame"
+    )
+    assert semantic_edges(spark, sf_dir, TRI_TAU) is frame_after_triangles
+    clear_semantic_edge_cache()
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# connected_components block reclamation (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_frees_superseded_checkpoints(spark):
+    """A 10-vertex chain runs ~9 rounds; without explicit reclamation
+    every round's localCheckpoint blocks would linger in the JVM
+    persistent-RDD registry.  After the run at most two generations
+    (the returned frame's + the in-flight diff) may remain."""
+    import warnings as _w
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 10
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(1, n + 1)], "doc_id long"
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "src long, dst long"
+    )
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    labels = connected_components(vertices, edges)
+    got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
+    leaked = len(after - before)
+    assert leaked <= 2, (
+        f"{leaked} checkpoint generations left behind (expected <= 2: "
+        "the returned frame's blocks only)"
+    )
+    # the ignored parameter must WARN, not silently no-op
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        connected_components(vertices, edges, checkpoint_every=3)
+    assert any("ignored" in str(w.message) for w in rec)
+    spark.catalog.clearCache()
