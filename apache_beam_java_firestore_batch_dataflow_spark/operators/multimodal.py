@@ -2215,3 +2215,81 @@ def q_multimodal_image_colorfulness(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("n_px").cast("bigint").alias("n_px"),
         F.round(metric, 4).cast("double").alias("colorfulness4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio clipping audit (distorted-asset screen, exact integer stats)
+# ---------------------------------------------------------------------------
+
+CLIP_ABS = 32000  # |sample| at or above this int16 amplitude counts as clipped
+
+
+@register(
+    "q_multimodal_audio_clipping",
+    # Replays the generating formula positionally (the wav_table
+    # payloads are synthesized declaratively, so the oracle reproduces
+    # the exact int16 stream without parsing bytes).
+    oracle=f"""
+    WITH params AS (
+      SELECT doc_id,
+             doc_id % 50 + 20 AS n_frames,
+             doc_id % 2 + 1  AS channels
+      FROM documents
+    ),
+    samples AS (
+      SELECT doc_id,
+             (doc_id * 7919 + k * 104729) % 65521 - 32760 AS s
+      FROM params, LATERAL (SELECT unnest(range(0, n_frames * channels)) AS k)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_samples,
+             sum(CASE WHEN abs(s) >= {CLIP_ABS} THEN 1 ELSE 0 END) AS n_clipped,
+             max(abs(s)) AS peak_abs
+      FROM samples GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_samples AS BIGINT) AS n_samples,
+           CAST(n_clipped AS BIGINT) AS n_clipped,
+           CAST(peak_abs AS BIGINT) AS peak_abs,
+           CAST((10000 * n_clipped) // n_samples AS BIGINT) AS clip_bp
+    FROM agg
+    """,
+)
+def q_multimodal_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping audit per decoded clip: the share of samples at or above
+    {CLIP_ABS} absolute amplitude (near int16 full scale) plus the peak
+    — the distorted-asset screen an audio curation pipeline runs before
+    feature extraction, and the quality gate next to
+    ``q_multimodal_audio_rms_gain``'s loudness normalizer (a clip whose
+    gain would push it past full scale needs limiting, not gain).
+
+    The decode kernel (REAL RIFF/WAVE parse) emits only exact integer
+    sufficient statistics (count / clipped count / peak); the ratio is
+    integer basis points via floor division of non-negative ints (div
+    == //).  Bytes never shuffle, per-task memory is one clip's
+    samples — the audio-family envelope."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {"doc_id": [], "n_samples": [], "n_clipped": [], "peak_abs": []}
+        for pdf in batches:
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.abs(
+                    np.asarray(decode_wav_samples(bytes(payload)), dtype=np.int64)
+                )
+                rows["doc_id"].append(int(did))
+                rows["n_samples"].append(int(samples.size))
+                rows["n_clipped"].append(int((samples >= CLIP_ABS).sum()))
+                rows["peak_abs"].append(int(samples.max()) if samples.size else 0)
+        yield pd.DataFrame(rows)
+
+    stats = wav_table(spark, sf_dir).mapInPandas(
+        run,
+        schema="doc_id long, n_samples long, n_clipped long, peak_abs long",
+    )
+    return stats.select(
+        "doc_id",
+        "n_samples",
+        "n_clipped",
+        "peak_abs",
+        F.expr("(10000 * n_clipped) div n_samples").cast("bigint").alias("clip_bp"),
+    )

@@ -3721,3 +3721,94 @@ def q_embedding_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: nearest DIFFERENT-label neighbors per anchor
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, label,
+                      {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    q AS (SELECT * FROM v WHERE vec_id % {QUERY_MOD} = 0
+          ORDER BY vec_id LIMIT {N_QUERIES}),
+    pairs AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             v.vec_id AS neighbor_id, v.label AS neighbor_label,
+             {dot_sql('q.embedding', 'v.embedding')} / (q.vnorm * v.vnorm) AS sim
+      FROM q JOIN v ON q.vec_id <> v.vec_id AND q.label <> v.label
+    ),
+    ranked AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT query_id, CAST(query_label AS INT) AS query_label,
+           neighbor_id, CAST(neighbor_label AS INT) AS neighbor_label,
+           CAST(rank AS INT) AS rank,
+           CAST(round(sim, 6) AS DOUBLE) AS cosine
+    FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+@register("q_ann_hard_negatives", oracle=_HARDNEG_ORACLE)
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor in
+    the bounded query set, the top-{KNN_K} most-similar vectors whose
+    label DIFFERS from the anchor's — the highest-similarity
+    wrong-label examples are exactly the negatives that make a
+    contrastive/retrieval loss informative (random negatives are too
+    easy; these sit right at the decision boundary).  The
+    embedding-family twin of what ``q_dedup_split_leakage`` does for
+    splits: both audit the pairs a naive pipeline silently mishandles.
+
+    Scale shape: identical to ``q_knn_bruteforce`` — the anchor set is
+    a bounded {N_QUERIES}-row broadcast, so the plan is ONE corpus scan
+    + broadcast join at any corpus size; the label-mismatch predicate
+    fuses into the join condition (no second pass), and the per-anchor
+    top-k is a rank-window over anchor-keyed partitions
+    (WindowGroupLimit pushes the cut before the final sort)."""
+    v = with_norm(_vecs(spark, sf_dir)).select(
+        "vec_id", "embedding", "vnorm", "label"
+    )
+    q = (
+        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("q_emb"),
+            F.col("vnorm").alias("q_norm"),
+        )
+    )
+    pairs = v.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("vec_id"))
+        & (F.col("query_label") != F.col("label")),
+    )
+    sim = dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_norm") * F.col("vnorm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            "query_id",
+            F.col("query_label").cast("int").alias("query_label"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").cast("int").alias("neighbor_label"),
+            sim.alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).cast("double").alias("cosine"),
+        )
+    )

@@ -189,10 +189,13 @@ HEADLINE = [
     "q_multimodal_image_colorfulness",
     "q_agg_theil_nation_revenue",
     "q_embedding_kcenter_seeds",
-    # round-11 additions (the three VERDICT r10 item-7 operators)
+    # round-11 additions (the three VERDICT r10 item-7 operators, plus
+    # the audio clipping screen; q_ann_hard_negatives stays out of
+    # HEADLINE under the q_knn_bruteforce interpreted-fold policy)
     "q_dedup_split_leakage",
     "q_text_langid_kappa",
     "q_text_bpe_fertility_by_lang",
+    "q_multimodal_audio_clipping",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

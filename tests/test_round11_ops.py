@@ -292,3 +292,96 @@ def test_connected_components_frees_superseded_checkpoints(spark):
         connected_components(vertices, edges, checkpoint_every=3)
     assert any("ignored" in str(w.message) for w in rec)
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_ann_hard_negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_matches_numpy(spark, sf_dir):
+    """Numpy replay: per anchor, rank all DIFFERENT-label vectors by
+    cosine and compare ids/ranks exactly (sims to 1e-9 after the
+    engines' round(6))."""
+    import numpy as np
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        KNN_K,
+        N_QUERIES,
+        QUERY_MOD,
+        q_ann_hard_negatives,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_pylist()
+    labels = dict(zip(ids, t["label"].to_pylist()))
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids = [ids[i] for i in order]
+    mat = mat[order]
+    norms = np.linalg.norm(mat, axis=1)
+    queries = [i for i in ids if i % QUERY_MOD == 0][:N_QUERIES]
+
+    got: dict[int, list] = {}
+    for r in q_ann_hard_negatives(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(r)
+        assert r.query_label == labels[r.query_id]
+        assert r.neighbor_label == labels[r.neighbor_id]
+        assert r.query_label != r.neighbor_label
+
+    assert sorted(got) == sorted(queries)
+    idx = {v: k for k, v in enumerate(ids)}
+    for qid in queries:
+        qi = idx[qid]
+        sims = (mat @ mat[qi]) / (norms * norms[qi])
+        cand = sorted(
+            (
+                (float(sims[idx[j]]), j)
+                for j in ids
+                if j != qid and labels[j] != labels[qid]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:KNN_K]
+        rows = sorted(got[qid], key=lambda r: r.rank)
+        assert [(r.neighbor_id, r.rank) for r in rows] == [
+            (nid, k + 1) for k, (_, nid) in enumerate(cand)
+        ], qid
+        for r in rows:
+            assert abs(r.cosine - round(cand[r.rank - 1][0], 6)) < 1e-9
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_audio_clipping
+# ---------------------------------------------------------------------------
+
+
+def test_audio_clipping_matches_python_replay(spark, sf_dir):
+    """Replay the synthetic int16 stream per clip with the module's own
+    sample formula (the payloads are declaratively generated) and check
+    every count/peak/ratio exactly; at least one clip must clip."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        CLIP_ABS,
+        q_multimodal_audio_clipping,
+        wav_sample,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    expected = {}
+    for did in t["doc_id"].to_pylist():
+        n = (did % 50 + 20) * (did % 2 + 1)
+        samples = [abs(wav_sample(did, k)) for k in range(n)]
+        clipped = sum(1 for s in samples if s >= CLIP_ABS)
+        expected[did] = (
+            n,
+            clipped,
+            max(samples),
+            (10000 * clipped) // n,
+        )
+    got = {
+        r.doc_id: (r.n_samples, r.n_clipped, r.peak_abs, r.clip_bp)
+        for r in q_multimodal_audio_clipping(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(v[1] > 0 for v in got.values()), "fixture must clip somewhere"
+    spark.catalog.clearCache()
