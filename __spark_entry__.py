@@ -68,8 +68,8 @@ _MODULES = [
 # ROUND 11 prefix (exactly 50): the round-11 registrations first
 # (never-checked by construction), then ALL 33 r5-stale greens
 # alphabetically, then r6-stale greens alphabetically to fill 50.
-# Arithmetic: 5 new + 33 r5 + 12 r6 = 50 (45 stale re-checks).
-# QUEUED FOR THE ROUND 12 PREFIX — the 36 remaining r6-stale greens
+# Arithmetic: 6 new + 33 r5 + 11 r6 = 50 (44 stale re-checks).
+# QUEUED FOR THE ROUND 12 PREFIX — the 37 remaining r6-stale greens
 # (every query last driver-checked before r7 is therefore ledgered,
 # satisfying the r10 "no unqueued pre-r7 row" done-criterion):
 # q6_forecast_revenue, q7_volume_shipping, q8_market_share,
@@ -82,20 +82,21 @@ _MODULES = [
 # q_pivot_conditional, q_rollup, q_sample_weighted, q_scalar_map,
 # q_scalar_math, q_scalar_string, q_set_ops, q_sketch_countmin_words,
 # q_subquery_scalar, q_text_bigram_logprob, q_text_novelty_ngrams,
-# q_text_winnow_fingerprints, q_union_except, plus q4_order_priority and
-# q5_region_revenue (displaced by the 2 late-r11 registrations) — then
-# r7-stale greens
+# q_text_winnow_fingerprints, q_union_except, plus q3_shipping_priority,
+# q4_order_priority and q5_region_revenue (displaced by the 3 late-r11
+# registrations) — then r7-stale greens
 # (49 of them) alphabetically.  Any late-r11 registration displaces
 # one r6-stale from the tail below INTO the r12 queue (keep this
 # comment's arithmetic current when that happens).
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- round-11 registrations (never checked) (5) ---
+    # --- round-11 registrations (never checked) (6) ---
     "q_dedup_split_leakage",
     "q_text_langid_kappa",
     "q_text_bpe_fertility_by_lang",
     "q_ann_hard_negatives",
     "q_multimodal_audio_clipping",
+    "q_dedup_rate_by_source",
     # --- all r5-stale greens, alphabetical (33) ---
     "q_doc_length_histogram",
     "q_embedding_gram_matrix",
@@ -130,7 +131,7 @@ _PRIORITY = [
     "q_window_rank",
     "q_window_running",
     "q_window_topk_per_group",
-    # --- r6-stale greens, alphabetical, to fill 50 (12) ---
+    # --- r6-stale greens, alphabetical, to fill 50 (11) ---
     "q10_returned_items",
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -142,7 +143,6 @@ _PRIORITY = [
     "q21_last_shipper",
     "q22_idle_customers",
     "q2_min_cost_supplier",
-    "q3_shipping_priority",
 ]
 
 

@@ -1847,3 +1847,70 @@ def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         (F.col("split_lo") != F.col("split_hi")).cast("int").alias("is_leak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup rate per source (which corpus slice is internally duplicated)
+# ---------------------------------------------------------------------------
+
+_DUP_RATE_ORACLE = f"""
+    WITH pairs AS ({_MINHASH_ORACLE}),
+    ends AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      )
+    ),
+    flagged AS (
+      SELECT d.source,
+             count(*) AS n_docs,
+             sum(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM documents d LEFT JOIN ends e ON e.doc_id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_dup AS BIGINT) AS n_dup_docs,
+           CAST((10000 * n_dup) // n_docs AS BIGINT) AS dup_bp
+    FROM flagged
+"""
+
+
+@register("q_dedup_rate_by_source", oracle=_DUP_RATE_ORACLE)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate per corpus source: the share of each
+    source's documents that participate in at least one MinHash-LSH
+    near-dup pair — the which-slice-is-dirty audit a curation pipeline
+    reads before deciding where to spend dedup budget (a source at 40%
+    internal duplication gets cluster-collapsed; one at 1% is left
+    alone), and the per-source drill-down of ``q_dedup_split_leakage``'s
+    global grid.
+
+    Scale shape: rides the banded LSH pipeline unchanged; the flagged
+    set is the DISTINCT pair-endpoint ids (O(near-dup docs), keyed
+    dedup), joined back to the corpus on doc_id (one keyed join, fan-out
+    1) and rolled up to O(sources) rows with an integer basis-point
+    rate (non-negative floor division, div == //)."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    # explode, not a two-branch union: one consumption of the LSH
+    # pipeline (a union of two selects over the same frame would run
+    # the banded join twice unless the exchange happens to be reused)
+    ends = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(1).alias("is_dup"))
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        docs.join(ends, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).alias("n_dup"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_dup").cast("bigint").alias("n_dup_docs"),
+            F.expr("(10000 * n_dup) div n_docs").cast("bigint").alias("dup_bp"),
+        )
+    )

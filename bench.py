@@ -196,6 +196,7 @@ HEADLINE = [
     "q_text_langid_kappa",
     "q_text_bpe_fertility_by_lang",
     "q_multimodal_audio_clipping",
+    "q_dedup_rate_by_source",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

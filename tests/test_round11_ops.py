@@ -385,3 +385,40 @@ def test_audio_clipping_matches_python_replay(spark, sf_dir):
     assert got == expected
     assert any(v[1] > 0 for v in got.values()), "fixture must clip somewhere"
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_rate_by_source
+# ---------------------------------------------------------------------------
+
+
+def test_dup_rate_by_source_matches_python_replay(spark, sf_dir):
+    """Replay from the (independently tested) MinHash pair set plus the
+    raw documents table: flagged = docs appearing in any pair; rates
+    are exact integer basis points per source."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        q_dedup_minhash_lsh,
+        q_dedup_rate_by_source,
+    )
+
+    flagged = set()
+    for r in q_dedup_minhash_lsh(spark, sf_dir).collect():
+        flagged.add(r.doc_a)
+        flagged.add(r.doc_b)
+    assert flagged, "fixture must produce near-dup docs"
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    expected: dict[str, list[int]] = {}
+    for did, src in zip(t["doc_id"].to_pylist(), t["source"].to_pylist()):
+        row = expected.setdefault(src, [0, 0])
+        row[0] += 1
+        row[1] += 1 if did in flagged else 0
+
+    got = {
+        r.source: (r.n_docs, r.n_dup_docs, r.dup_bp)
+        for r in q_dedup_rate_by_source(spark, sf_dir).collect()
+    }
+    assert got == {
+        src: (n, d, (10000 * d) // n) for src, (n, d) in expected.items()
+    }
+    spark.catalog.clearCache()
