@@ -68,7 +68,8 @@ _MODULES = [
 # ROUND 11 prefix (exactly 50): the round-11 registrations first
 # (never-checked by construction), then ALL 33 r5-stale greens
 # alphabetically, then r6-stale greens alphabetically to fill 50.
-# Arithmetic: 6 new + 33 r5 + 11 r6 = 50 (44 stale re-checks).
+# Arithmetic: 9 new + 33 r5 + 8 r6 = 50 (41 stale re-checks —
+# final-batch arithmetic restated below the r12-queue note).
 # QUEUED FOR THE ROUND 12 PREFIX — the 37 remaining r6-stale greens
 # (every query last driver-checked before r7 is therefore ledgered,
 # satisfying the r10 "no unqueued pre-r7 row" done-criterion):
@@ -84,13 +85,19 @@ _MODULES = [
 # q_subquery_scalar, q_text_bigram_logprob, q_text_novelty_ngrams,
 # q_text_winnow_fingerprints, q_union_except, plus q3_shipping_priority,
 # q4_order_priority and q5_region_revenue (displaced by the 3 late-r11
-# registrations) — then r7-stale greens
+# registrations), plus q21_last_shipper, q22_idle_customers and
+# q2_min_cost_supplier (displaced by the final-r11 batch of 3) — then
+# r7-stale greens
 # (49 of them) alphabetically.  Any late-r11 registration displaces
 # one r6-stale from the tail below INTO the r12 queue (keep this
 # comment's arithmetic current when that happens).
+# Arithmetic now: 9 new + 33 r5 + 8 r6 = 50 (41 stale re-checks).
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- round-11 registrations (never checked) (6) ---
+    # --- round-11 registrations (never checked) (9) ---
+    "q_text_heaps_law",
+    "q_dedup_threshold_sweep",
+    "q_embedding_label_conflicts",
     "q_dedup_split_leakage",
     "q_text_langid_kappa",
     "q_text_bpe_fertility_by_lang",
@@ -140,9 +147,6 @@ _PRIORITY = [
     "q18_large_volume_customer",
     "q19_bracketed_revenue",
     "q20_heavy_shippers",
-    "q21_last_shipper",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
 ]
 
 

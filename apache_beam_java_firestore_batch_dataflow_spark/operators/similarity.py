@@ -3812,3 +3812,142 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).cast("double").alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup threshold calibration sweep: candidate-pair cosine histogram
+# --------------------------------------------------------------------------
+
+SWEEP_TAU = 0.2  # sweep floor — below both the graph τ=0.25 and dedup τ=0.35
+SWEEP_STEP_MICRO = 50_000  # 0.05-wide buckets in 1e-6 cosine units
+
+_SWEEP_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    p AS (
+      SELECT {dot_sql('a.embedding', 'b.embedding')} / (a.vnorm * b.vnorm)
+                 AS sim
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.vnorm * b.vnorm)
+            >= {SWEEP_TAU}
+    ),
+    m AS (
+      SELECT CAST(round(round(sim, 6) * 1000000, 0) AS BIGINT) AS micro
+      FROM p
+    )
+    SELECT CAST((micro - micro % {SWEEP_STEP_MICRO}) AS DOUBLE) / 1000000.0
+               AS bucket_lo,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM m GROUP BY 1
+"""
+
+
+@register("q_dedup_threshold_sweep", oracle=_SWEEP_ORACLE)
+def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration histogram for embedding near-dup: candidate
+    pairs at a LOW floor (cosine >= {SWEEP_TAU}) bucketed into 0.05-wide
+    similarity bands.  This is the curve a pipeline owner reads before
+    committing to a dedup threshold — how many pairs each candidate τ
+    would merge (the elbow locates the duplicate/neighbor boundary),
+    covering both production choices in this repo (graph τ=0.25, dedup
+    τ=0.35) in one pass.
+
+    Scale shape: the pair space is the audited
+    ``cosine_threshold_pairs`` block-pair kernel (bounded kernel
+    memory, no nested-loop join, only qualifying pairs leave the UDF);
+    the histogram is one O(#buckets ≤ 17) combiner aggregation, so the
+    sweep costs exactly one kernel pass regardless of how many
+    thresholds it calibrates — vs. re-running dedup per candidate τ.
+    Float discipline: sims quantize to integer micro-units with a
+    round-then-round (never cast-float-to-int, which rounds in DuckDB
+    but truncates in Spark); the bucket floor is nonneg ``%`` on
+    BIGINTs and ONE identical double division at emit."""
+    pairs = cosine_threshold_pairs(spark, sf_dir, tau=SWEEP_TAU)
+    micro = F.round(F.round("sim", 6) * 1_000_000, 0).cast("bigint")
+    bucket = micro - micro % SWEEP_STEP_MICRO
+    return (
+        pairs.select(
+            (bucket.cast("double") / F.lit(1000000.0)).alias("bucket_lo")
+        )
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Label-noise audit: label agreement across near-duplicate pairs
+# --------------------------------------------------------------------------
+
+LABEL_EDGE_TAU = 0.25  # == operators/graph.py TRI_TAU, so the memoized
+# semantic_edges frame is shared with the whole graph family (keyed by
+# float tau; graph.py cannot be imported here without a cycle).
+
+_CONFLICT_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.vnorm * b.vnorm)
+            >= {LABEL_EDGE_TAU}
+    ),
+    lab AS (
+      SELECT least(ea.label, eb.label) AS label_lo,
+             greatest(ea.label, eb.label) AS label_hi
+      FROM p
+      JOIN embeddings ea ON ea.vec_id = p.vec_a
+      JOIN embeddings eb ON eb.vec_id = p.vec_b
+    )
+    SELECT label_lo, label_hi,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           label_lo <> label_hi AS is_conflict
+    FROM lab GROUP BY label_lo, label_hi
+"""
+
+
+@register("q_embedding_label_conflicts", oracle=_CONFLICT_ORACLE)
+def q_embedding_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit over the semantic graph: every near-duplicate
+    pair (cosine >= {LABEL_EDGE_TAU}) bucketed by its unordered label
+    pair.  Off-diagonal mass (``is_conflict``) is the confident-learning
+    signal — near-identical examples carrying different labels are
+    either annotation noise or genuinely ambiguous items, and both are
+    what a training-data curator pulls for re-review before the labels
+    feed a classifier head.
+
+    Scale shape: edges come from the session-memoized
+    ``semantic_edges`` frame (same τ as the graph family, so triangles /
+    components / BFS / this audit all share ONE checkpointed kernel
+    pass); labels attach with two fan-out-1 keyed joins (both sides
+    hash-partition on vec_id — no broadcast grows with the corpus); the
+    rollup is an O(|labels|²) combiner aggregation.  All-integer
+    outputs; the conflict flag derives from the group keys after
+    aggregation."""
+    e = semantic_edges(spark, sf_dir, tau=LABEL_EDGE_TAU)
+    lab = _vecs(spark, sf_dir).select("vec_id", "label")
+    j = (
+        e.join(
+            lab.select(
+                F.col("vec_id").alias("vec_a"), F.col("label").alias("la")
+            ),
+            "vec_a",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("vec_b"), F.col("label").alias("lb")
+            ),
+            "vec_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("la", "lb").alias("label_lo"),
+            F.greatest("la", "lb").alias("label_hi"),
+        )
+        .groupBy("label_lo", "label_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .select(
+            "label_lo", "label_hi", "n_pairs",
+            (F.col("label_lo") != F.col("label_hi")).alias("is_conflict"),
+        )
+    )

@@ -2847,3 +2847,155 @@ def q_text_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(sum(n_ws) AS BIGINT)"
         ).cast("bigint").alias("fertility_mu"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: OLS slope of ln(vocab) on ln(tokens)
+# ---------------------------------------------------------------------------
+
+_HEAPS_ORACLE = rf"""
+    WITH base AS (
+      SELECT doc_id, source, {tokens_sql('lower(text)')} AS toks
+      FROM documents
+    ),
+    docs AS (
+      SELECT doc_id, source, len(toks) AS n_toks
+      FROM base WHERE len(toks) > 0
+    ),
+    firsts AS (
+      SELECT source, tok, min(doc_id) AS first_doc
+      FROM (SELECT doc_id, source, unnest(toks) AS tok FROM base)
+      GROUP BY source, tok
+    ),
+    newt AS (
+      SELECT source, first_doc AS doc_id, count(*) AS new_types
+      FROM firsts GROUP BY source, first_doc
+    ),
+    cum AS (
+      SELECT d.source,
+             CAST(sum(d.n_toks) OVER w AS BIGINT) AS n_cum,
+             CAST(sum(coalesce(t.new_types, 0)) OVER w AS BIGINT) AS v_cum
+      FROM docs d LEFT JOIN newt t USING (source, doc_id)
+      WINDOW w AS (PARTITION BY d.source ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    pts AS (
+      SELECT source, n_cum, v_cum,
+             CAST(round(ln(CAST(n_cum AS DOUBLE)), 9) AS DECIMAL(38,9)) AS x,
+             CAST(round(ln(CAST(v_cum AS DOUBLE)), 9) AS DECIMAL(38,9)) AS y
+      FROM cum
+    ),
+    sums AS (
+      SELECT source, count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 9)
+                           AS DECIMAL(38,9))) AS DOUBLE) AS sxy,
+             CAST(max(n_cum) AS BIGINT) AS total_tokens,
+             CAST(max(v_cum) AS BIGINT) AS vocab_size
+      FROM pts GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs, total_tokens, vocab_size,
+           CAST(round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS DOUBLE)
+               AS heaps_beta,
+           CAST(round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                      / n, 6) AS DOUBLE) AS heaps_intercept
+    FROM sums
+"""
+
+
+@register("q_text_heaps_law", oracle=_HEAPS_ORACLE)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit per source: OLS slope of
+    ln(cumulative distinct types) on ln(cumulative tokens), one
+    (x, y) point per document in doc_id order.  Natural text sits near
+    β≈0.4–0.6; a saturating curve (tiny β at the tail) flags template /
+    boilerplate sources, while β≈1 flags ID-soup — the
+    vocabulary-health complement of ``q_text_zipf_slope``'s frequency
+    fit and the audit a tokenizer-budget plan reads before committing a
+    vocab size to a source mix.
+
+    Scale shape: the type census is ONE combiner aggregation
+    (min(doc_id) per (source, token) — duplicate in-doc tokens are
+    pre-collapsed row-locally with ``array_distinct``); new-type counts
+    per doc are a second O(vocab) combiner agg; the running sums
+    partition by source, so every source's prefix scan is independent
+    (at extreme per-source row counts the fit points would decimate to
+    fixed log-spaced checkpoints — the fit itself is already O(1) per
+    source).  Float discipline is the ``q_text_zipf_slope`` one: ln()
+    on identical BIGINTs both engines, 9-dp quantize, exact DECIMAL
+    sufficient statistics, ONE closed-form double expression.
+    Reference anchor: the tokenize→census chain is the
+    ``WordCount.java:52-75`` extract/count pipeline re-keyed by
+    (source, first-occurrence)."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", "source", tokens_col(F.lower(F.col("text"))).alias("toks")
+    )
+    d = base.select(
+        "doc_id", "source", F.size("toks").alias("n_toks")
+    ).filter(F.col("n_toks") > 0)
+    firsts = (
+        base.select(
+            "source", "doc_id",
+            F.explode(F.array_distinct("toks")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    newt = (
+        firsts.groupBy("source", F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        d.join(newt, ["source", "doc_id"], "left")
+        .select(
+            "source", "doc_id", "n_toks",
+            F.coalesce(F.col("new_types"), F.lit(0)).alias("new_types"),
+        )
+        .select(
+            "source",
+            F.sum("n_toks").over(w).cast("bigint").alias("n_cum"),
+            F.sum("new_types").over(w).cast("bigint").alias("v_cum"),
+        )
+    )
+    pts = cum.select(
+        "source", "n_cum", "v_cum",
+        F.round(F.log(F.col("n_cum").cast("double")), 9)
+        .cast("decimal(38,9)")
+        .alias("x"),
+        F.round(F.log(F.col("v_cum").cast("double")), 9)
+        .cast("decimal(38,9)")
+        .alias("y"),
+    )
+    sums = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("x").cast("double"), 9)
+            .cast("decimal(38,9)")
+        ).cast("double").alias("sxx"),
+        F.sum(
+            F.round(F.col("x").cast("double") * F.col("y").cast("double"), 9)
+            .cast("decimal(38,9)")
+        ).cast("double").alias("sxy"),
+        F.max("n_cum").cast("bigint").alias("total_tokens"),
+        F.max("v_cum").cast("bigint").alias("vocab_size"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    slope = (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx)
+    return sums.select(
+        "source",
+        n.cast("bigint").alias("n_docs"),
+        "total_tokens",
+        "vocab_size",
+        F.round(slope, 6).cast("double").alias("heaps_beta"),
+        F.round((sy - slope * sx) / n, 6).cast("double").alias("heaps_intercept"),
+    )

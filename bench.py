@@ -197,6 +197,10 @@ HEADLINE = [
     "q_text_bpe_fertility_by_lang",
     "q_multimodal_audio_clipping",
     "q_dedup_rate_by_source",
+    # final round-11 batch
+    "q_text_heaps_law",
+    "q_dedup_threshold_sweep",
+    "q_embedding_label_conflicts",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -306,6 +310,9 @@ EAGER_BUILD_QUERIES = {
     # set itself is built once per session (semantic_edges memo, r11)
     # and accounted under eager_build_sec["semantic_edges_shared"]
     "q_graph_bfs_khop",
+    # label conflicts: construction touches the same shared
+    # semantic_edges memo (free if any graph query already built it)
+    "q_embedding_label_conflicts",
 }
 
 

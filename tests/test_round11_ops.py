@@ -422,3 +422,148 @@ def test_dup_rate_by_source_matches_python_replay(spark, sf_dir):
         src: (n, d, (10000 * d) // n) for src, (n, d) in expected.items()
     }
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_text_heaps_law
+# ---------------------------------------------------------------------------
+
+
+def test_heaps_law_matches_python_replay(spark, sf_dir):
+    """Per-source Heaps fit replayed from scratch: Python tokenization
+    (the fixture corpus is ASCII, so ``[^a-zA-Z]+`` equals the engine's
+    ``[^\\p{L}]+``), explicit cumulative type/token curves in doc order,
+    and a float least-squares fit compared within rounding tolerance;
+    the integer census columns must match exactly."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        q_text_heaps_law,
+    )
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+    docs.sort(key=lambda d: d["doc_id"])
+    by_source: dict[str, list[list[str]]] = {}
+    for d in docs:
+        toks = [t for t in re.split(r"[^a-zA-Z]+", d["text"].lower()) if t]
+        if toks:
+            by_source.setdefault(d["source"], []).append(toks)
+
+    expected = {}
+    for source, tok_lists in by_source.items():
+        seen: set[str] = set()
+        n_cum = 0
+        xs, ys = [], []
+        for toks in tok_lists:
+            n_cum += len(toks)
+            seen.update(toks)
+            xs.append(round(math.log(n_cum), 9))
+            ys.append(round(math.log(len(seen)), 9))
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(round(x * x, 9) for x in xs)
+        sxy = sum(round(x * y, 9) for x, y in zip(xs, ys))
+        beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        expected[source] = (n, n_cum, len(seen), beta, (sy - beta * sx) / n)
+
+    got = {r.source: r for r in q_text_heaps_law(spark, sf_dir).collect()}
+    assert set(got) == set(expected)
+    for source, (n, total, vocab, beta, icept) in expected.items():
+        r = got[source]
+        assert r.n_docs == n
+        assert r.total_tokens == total
+        assert r.vocab_size == vocab
+        assert abs(r.heaps_beta - beta) < 5e-6
+        assert abs(r.heaps_intercept - icept) < 5e-6
+        # sanity: vocabulary grows sublinearly in tokens (the tiny
+        # fixture vocab can saturate inside the first doc → beta == 0)
+        assert 0.0 <= r.heaps_beta < 1.0
+    spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_threshold_sweep / q_embedding_label_conflicts
+# ---------------------------------------------------------------------------
+
+
+def _cosine_pairs_python(sf_dir: str, tau: float):
+    """All-pairs cosine >= tau replayed with the kernel's exact IEEE
+    fold order (sequential over dimensions), independent of Spark."""
+    import math
+
+    vecs = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    ids = [v["vec_id"] for v in vecs]
+    embs = [[float(x) for x in v["embedding"]] for v in vecs]
+    norms = []
+    for e in embs:
+        acc = 0.0
+        for x in e:
+            acc += x * x
+        norms.append(math.sqrt(acc))
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = embs[i], embs[j]
+            acc = 0.0
+            for k in range(len(a)):
+                acc += a[k] * b[k]
+            sim = acc / (norms[i] * norms[j])
+            if sim >= tau:
+                lo, hi = sorted((ids[i], ids[j]))
+                out.append((lo, hi, sim))
+    return vecs, out
+
+
+def test_threshold_sweep_matches_python_replay(spark, sf_dir):
+    """The sweep histogram must equal the bucketed all-pairs cosine set
+    computed in pure Python (same fold order as the block kernel)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        SWEEP_TAU,
+        q_dedup_threshold_sweep,
+    )
+
+    _, pairs = _cosine_pairs_python(sf_dir, SWEEP_TAU)
+    assert pairs, "fixture must produce candidate pairs at the sweep floor"
+    expected: dict[float, int] = {}
+    for _, _, sim in pairs:
+        micro = int(round(round(sim, 6) * 1_000_000))
+        lo = (micro - micro % 50_000) / 1_000_000.0
+        expected[lo] = expected.get(lo, 0) + 1
+
+    got = {
+        r.bucket_lo: r.n_pairs
+        for r in q_dedup_threshold_sweep(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the sweep must cover both production thresholds' bands
+    assert any(lo <= 0.25 < lo + 0.05 for lo in got)
+    assert any(lo <= 0.35 < lo + 0.05 for lo in got)
+    spark.catalog.clearCache()
+
+
+def test_label_conflicts_matches_python_replay(spark, sf_dir):
+    """The conflict matrix must equal the Python-side label bucketing of
+    the tau=0.25 pair set; the flag must mark exactly the off-diagonal."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        LABEL_EDGE_TAU,
+        clear_semantic_edge_cache,
+        q_embedding_label_conflicts,
+    )
+
+    vecs, pairs = _cosine_pairs_python(sf_dir, LABEL_EDGE_TAU)
+    label_of = {v["vec_id"]: v["label"] for v in vecs}
+    expected: dict[tuple[int, int], int] = {}
+    for a, b, _ in pairs:
+        la, lb = sorted((label_of[a], label_of[b]))
+        expected[(la, lb)] = expected.get((la, lb), 0) + 1
+    assert expected, "fixture must produce near-dup pairs at tau=0.25"
+
+    got = {
+        (r.label_lo, r.label_hi): (r.n_pairs, r.is_conflict)
+        for r in q_embedding_label_conflicts(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == expected
+    for (lo, hi), (_, conflict) in got.items():
+        assert conflict == (lo != hi)
+    clear_semantic_edge_cache()
+    spark.catalog.clearCache()
