@@ -68,7 +68,7 @@ _MODULES = [
 # ROUND 11 prefix (exactly 50): the round-11 registrations first
 # (never-checked by construction), then ALL 33 r5-stale greens
 # alphabetically, then r6-stale greens alphabetically to fill 50.
-# Arithmetic: 9 new + 33 r5 + 8 r6 = 50 (41 stale re-checks —
+# Arithmetic: 10 new + 33 r5 + 7 r6 = 50 (40 stale re-checks —
 # final-batch arithmetic restated below the r12-queue note).
 # QUEUED FOR THE ROUND 12 PREFIX — the 37 remaining r6-stale greens
 # (every query last driver-checked before r7 is therefore ledgered,
@@ -86,15 +86,16 @@ _MODULES = [
 # q_text_winnow_fingerprints, q_union_except, plus q3_shipping_priority,
 # q4_order_priority and q5_region_revenue (displaced by the 3 late-r11
 # registrations), plus q21_last_shipper, q22_idle_customers and
-# q2_min_cost_supplier (displaced by the final-r11 batch of 3) — then
-# r7-stale greens
+# q2_min_cost_supplier (displaced by the final-r11 batch of 3), plus
+# q20_heavy_shippers (displaced by the late q_quality_yield_curve) —
+# then r7-stale greens
 # (49 of them) alphabetically.  Any late-r11 registration displaces
 # one r6-stale from the tail below INTO the r12 queue (keep this
 # comment's arithmetic current when that happens).
-# Arithmetic now: 9 new + 33 r5 + 8 r6 = 50 (41 stale re-checks).
+# Arithmetic now: 10 new + 33 r5 + 7 r6 = 50 (40 stale re-checks).
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- round-11 registrations (never checked) (9) ---
+    # --- round-11 registrations (never checked) (10) ---
     "q_text_heaps_law",
     "q_dedup_threshold_sweep",
     "q_embedding_label_conflicts",
@@ -104,6 +105,7 @@ _PRIORITY = [
     "q_ann_hard_negatives",
     "q_multimodal_audio_clipping",
     "q_dedup_rate_by_source",
+    "q_quality_yield_curve",
     # --- all r5-stale greens, alphabetical (33) ---
     "q_doc_length_histogram",
     "q_embedding_gram_matrix",
@@ -138,7 +140,7 @@ _PRIORITY = [
     "q_window_rank",
     "q_window_running",
     "q_window_topk_per_group",
-    # --- r6-stale greens, alphabetical, to fill 50 (11) ---
+    # --- r6-stale greens, alphabetical, to fill 50 (7) ---
     "q10_returned_items",
     "q14_promo_revenue",
     "q15_top_supplier",
@@ -146,7 +148,6 @@ _PRIORITY = [
     "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "q19_bracketed_revenue",
-    "q20_heavy_shippers",
 ]
 
 

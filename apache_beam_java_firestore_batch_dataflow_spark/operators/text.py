@@ -2999,3 +2999,126 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).cast("double").alias("heaps_beta"),
         F.round((sy - slope * sx) / n, 6).cast("double").alias("heaps_intercept"),
     )
+
+
+# Quality-gate sweep grid: the cutoffs a curation pipeline would consider
+# for the [0, 10000]-bp q_text_quality score.  Module constant so the
+# replay test and the oracle literal stay in lock-step.
+YIELD_THRESHOLDS = list(range(2000, 10000, 1000))
+
+
+@register(
+    "q_quality_yield_curve",
+    oracle=f"""
+    SELECT source,
+           t.threshold_bp,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE quality_bp >= t.threshold_bp)
+               AS surviving_docs,
+           CAST((10000 * (count(*) FILTER (WHERE quality_bp >= t.threshold_bp)))
+                // count(*) AS BIGINT) AS doc_yield_bp,
+           CAST((10000 * coalesce(sum(n_tokens)
+                                  FILTER (WHERE quality_bp >= t.threshold_bp), 0))
+                // greatest(sum(n_tokens), 1) AS BIGINT) AS token_yield_bp
+    FROM (
+      SELECT source, n_tokens,
+             least(n_tokens, 100) * 50
+             + least(CAST(floor(stop_hits * 15000.0 / greatest(n_tokens, 1)) AS BIGINT), 3000)
+             + 2000
+             - least(CAST(floor(n_punct * 20000.0 / greatest(n_chars, 1)) AS BIGINT), 2000)
+                 AS quality_bp
+      FROM (
+        SELECT source, n_chars,
+               len({TOKENS_SQL}) AS n_tokens,
+               len(regexp_extract_all(lower(text), '{_LANG_MARKERS["en"]}'))
+                   AS stop_hits,
+               len(regexp_extract_all(text, '[^\\p{{L}}\\s]')) AS n_punct
+        FROM documents
+      )
+    )
+    CROSS JOIN (SELECT unnest([{", ".join(str(t) for t in YIELD_THRESHOLDS)}])
+                AS threshold_bp) t
+    GROUP BY source, t.threshold_bp
+    """,
+)
+def q_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-threshold yield curve — the audit read before
+    committing a per-source quality cutoff: for each candidate threshold,
+    how many documents and what token share of each source survive the
+    ``q_text_quality`` gate.
+
+    The score expressions are the exact integer-bp formulas of
+    ``q_text_quality`` (same floor arithmetic, proven hash-identical to
+    DuckDB there), so the curve is byte-exact by construction.  Yields
+    are integer basis points via truncating integer division on
+    nonnegative operands (Spark ``div`` == DuckDB ``//`` here).
+
+    Scale shape: ONE groupBy(source) with 2 + 2x|thresholds| combiner
+    aggregates (map-side partials; |sources| ~ 20 groups), then a
+    constant 8-row ``stack`` per group — the threshold grid multiplies
+    the tiny aggregated frame, never the corpus.  At 100 TB the cost is
+    the document scan itself; no join, no second shuffle.  (A naive
+    corpus x thresholds cross join before the groupBy would 8x the
+    shuffle input for no reason — deliberately avoided.)
+
+    Reference provenance: quality gating generalizes the reference's
+    filter stage (WordCount.java:66-75, the empty-token drop) from a
+    boolean predicate to a scored sweep.
+    """
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(tokens_col(F.col("text")))
+    stop_hits = F.regexp_count(F.lower(F.col("text")), F.lit(_LANG_MARKERS["en"]))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\p{L}\s]"))
+    d = docs.select(
+        "source",
+        F.col("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        n_punct.alias("n_punct"),
+    )
+    tok_denom = F.greatest(F.col("n_tokens"), F.lit(1))
+    chr_denom = F.greatest(F.col("n_chars"), F.lit(1))
+    quality_bp = (
+        F.least(F.col("n_tokens"), F.lit(100)) * 50
+        + F.least(F.floor(F.col("stop_hits") * 15000.0 / tok_denom), F.lit(3000))
+        + 2000
+        - F.least(F.floor(F.col("n_punct") * 20000.0 / chr_denom), F.lit(2000))
+    )
+    scored = d.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        quality_bp.cast("bigint").alias("quality_bp"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    ]
+    for t in YIELD_THRESHOLDS:
+        cond = F.col("quality_bp") >= t
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"d{t}"))
+        aggs.append(
+            F.sum(F.when(cond, F.col("n_tokens")).otherwise(F.lit(0))).alias(f"t{t}")
+        )
+    wide = scored.groupBy("source").agg(*aggs)
+    stack_args = ", ".join(f"{t}L, d{t}, t{t}" for t in YIELD_THRESHOLDS)
+    tall = wide.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.expr(
+            f"stack({len(YIELD_THRESHOLDS)}, {stack_args})"
+            " AS (threshold_bp, surviving_docs, surviving_tokens)"
+        ),
+    )
+    return tall.select(
+        "source",
+        F.col("threshold_bp").cast("bigint").alias("threshold_bp"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("surviving_docs").cast("bigint").alias("surviving_docs"),
+        F.expr("(10000 * surviving_docs) div n_docs")
+        .cast("bigint")
+        .alias("doc_yield_bp"),
+        F.expr("(10000 * surviving_tokens) div greatest(total_tokens, 1L)")
+        .cast("bigint")
+        .alias("token_yield_bp"),
+    )

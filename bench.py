@@ -201,6 +201,7 @@ HEADLINE = [
     "q_text_heaps_law",
     "q_dedup_threshold_sweep",
     "q_embedding_label_conflicts",
+    "q_quality_yield_curve",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

@@ -567,3 +567,67 @@ def test_label_conflicts_matches_python_replay(spark, sf_dir):
         assert conflict == (lo != hi)
     clear_semantic_edge_cache()
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_quality_yield_curve
+# ---------------------------------------------------------------------------
+
+
+def test_quality_yield_curve_matches_python_replay(spark, sf_dir):
+    """The per-source threshold survival grid replayed from scratch:
+    Python-side quality_bp per doc (same integer-bp floor formula as
+    q_text_quality; ASCII fixture so ``[^a-zA-Z]+`` equals ``[^\\p{L}]+``
+    and ``[^a-zA-Z\\s]`` equals ``[^\\p{L}\\s]``), then exact integer
+    aggregation over every (source, threshold) cell."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        YIELD_THRESHOLDS,
+        q_quality_yield_curve,
+    )
+
+    stop_re = re.compile(_B_L + "(?:" + _MARKERS["en"] + ")" + _B_R)
+    punct_re = re.compile(r"[^a-zA-Z\s]")
+    per_source: dict[str, list[tuple[int, int]]] = {}
+    for d in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist():
+        n_tokens = len([t for t in re.split(r"[^a-zA-Z]+", d["text"]) if t])
+        stop_hits = len(stop_re.findall(d["text"].lower()))
+        n_punct = len(punct_re.findall(d["text"]))
+        q = (
+            min(n_tokens, 100) * 50
+            + min(math.floor(stop_hits * 15000.0 / max(n_tokens, 1)), 3000)
+            + 2000
+            - min(math.floor(n_punct * 20000.0 / max(d["n_chars"], 1)), 2000)
+        )
+        per_source.setdefault(d["source"], []).append((q, n_tokens))
+
+    expected = {}
+    for src, rows in per_source.items():
+        n_docs = len(rows)
+        total_tokens = sum(t for _, t in rows)
+        for thr in YIELD_THRESHOLDS:
+            sd = sum(1 for q, _ in rows if q >= thr)
+            st = sum(t for q, t in rows if q >= thr)
+            expected[(src, thr)] = (
+                n_docs,
+                sd,
+                (10000 * sd) // n_docs,
+                (10000 * st) // max(total_tokens, 1),
+            )
+
+    got = {
+        (r.source, r.threshold_bp): (
+            r.n_docs,
+            r.surviving_docs,
+            r.doc_yield_bp,
+            r.token_yield_bp,
+        )
+        for r in q_quality_yield_curve(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the curve must be monotone non-increasing in the threshold
+    for src in per_source:
+        ys = [got[(src, t)][1] for t in YIELD_THRESHOLDS]
+        assert all(a >= b for a, b in zip(ys, ys[1:]))
+    spark.catalog.clearCache()
