@@ -313,6 +313,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One materialized copy of the verified near-dup pair set per (session,
+# sf_dir) — the `semantic_edges` discipline applied to the text side:
+# clusters / clusters_k3 / split-leakage / rate-by-source (and
+# transitively canonical-keep) each consumed q_dedup_minhash_lsh and so
+# re-ran the shingle+band+verify kernel per call, the production
+# anti-shape (a real pipeline materializes the pair set once, then runs
+# every dedup analytic against it).
+_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized, eagerly-checkpointed ``(doc_a, doc_b)`` frame of the
+    verified MinHash-LSH near-dup pairs (Jaccard >= JACCARD_MIN).
+
+    The first caller in a session pays the banded kernel once; every
+    later dedup analytic reuses the checkpointed blocks.  Keyed by
+    ``applicationId`` so a new SparkSession never sees another
+    session's dead frame, and deliberately NOT invalidated by
+    ``spark.catalog.clearCache()`` (localCheckpoint blocks bypass the
+    cache manager) — callers that need a genuinely cold rebuild call
+    ``clear_minhash_pair_cache()``, which the bench's shared-kernel
+    setup and any fixture-mutating test must use.
+    ``q_dedup_minhash_lsh`` itself stays un-memoized: it IS the kernel
+    under measurement, and its registered output carries the
+    n_common/jaccard columns this id-only frame drops.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    pairs = (
+        q_dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    _PAIR_CACHE[key] = pairs
+    return pairs
+
+
+def clear_minhash_pair_cache() -> None:
+    """Invalidation hook for ``minhash_pairs`` (drops every session's
+    memo; the checkpoint blocks themselves are reclaimed by GC once the
+    frames are unreferenced)."""
+    _PAIR_CACHE.clear()
+
+
 # ---------------------------------------------------------------------------
 # Connected-components clustering: pairs -> canonical doc per cluster
 # ---------------------------------------------------------------------------
@@ -438,7 +484,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by label propagation.  ``cluster_id == doc_id`` rows are the corpus
     to keep; the rest are the near-duplicates to drop."""
     docs = _docs(spark, sf_dir)
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    pairs = minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(docs.select("doc_id"), edges)
 
@@ -556,7 +602,7 @@ def q_dedup_clusters_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
     within <= k hops (depth-bounded recursive CTE) — a walk of length
     <= k reaches exactly the vertices at distance <= k."""
     docs = _docs(spark, sf_dir)
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    pairs = minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return propagate_min_label(docs.select("doc_id"), edges)
 
@@ -1828,7 +1874,7 @@ def q_dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unordered split pairs).  ``is_leak=1`` rows are the contamination;
     at 100 TB the same plan holds because nothing here touches row
     text beyond what the LSH kernel already shuffles."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = minhash_pairs(spark, sf_dir)
     tagged = pairs.select(
         _split_col(F.col("doc_a")).alias("sa"),
         _split_col(F.col("doc_b")).alias("sb"),
@@ -1890,7 +1936,7 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup), joined back to the corpus on doc_id (one keyed join, fan-out
     1) and rolled up to O(sources) rows with an integer basis-point
     rate (non-negative floor division, div == //)."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    pairs = minhash_pairs(spark, sf_dir)
     # explode, not a two-branch union: one consumption of the LSH
     # pipeline (a union of two selects over the same frame would run
     # the banded join twice unless the exchange happens to be reused)

@@ -31,6 +31,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (  # noqa: E402
+    clear_minhash_pair_cache,
+)
 from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (  # noqa: E402
     clear_semantic_edge_cache,
 )
@@ -371,6 +374,9 @@ def scaling_bench(spark, registry) -> dict:
                 # kernel and the curve goes flat.
                 spark.catalog.clearCache()
                 clear_semantic_edge_cache()
+                # Same rule for the r11 minhash-pair memo: the dedup
+                # scaling legs must pay the banded kernel per rep.
+                clear_minhash_pair_cache()
             times[key] = round(red(reps), 3)
         # Floor-corrected ratio: engine work scales with data; session
         # overhead does not.  Clamp both adjusted legs at 20 ms so a
@@ -565,6 +571,21 @@ def main() -> None:
     _b0 = time.monotonic()
     semantic_edges(spark, SF_DIR, tau=TRI_TAU)
     eager_build["semantic_edges_shared"] = round(time.monotonic() - _b0, 3)
+
+    # Shared MinHash near-dup pair kernel (r11, same discipline):
+    # clusters / clusters_k3 / split-leakage / rate-by-source read ONE
+    # memoized verified-pair frame per session instead of each re-running
+    # shingle+band+verify.  Timed here so the one-time kernel cost lands
+    # in eager_build_sec / true_total.  q_dedup_minhash_lsh itself stays
+    # cold — it is the kernel under measurement.
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        minhash_pairs,
+    )
+
+    clear_minhash_pair_cache()
+    _b0 = time.monotonic()
+    minhash_pairs(spark, SF_DIR)
+    eager_build["minhash_pairs_shared"] = round(time.monotonic() - _b0, 3)
 
     for name in HEADLINE:
         fn = registry[name]

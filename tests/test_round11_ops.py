@@ -61,6 +61,7 @@ def test_split_leakage_matches_python_replay(spark, sf_dir):
     each endpoint recomputed via hashlib — independent of the Spark
     conv/md5 expression chain."""
     from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        clear_minhash_pair_cache,
         q_dedup_minhash_lsh,
         q_dedup_split_leakage,
     )
@@ -82,6 +83,7 @@ def test_split_leakage_matches_python_replay(spark, sf_dir):
     assert {k: v[0] for k, v in got.items()} == expected
     for (lo, hi), (_, leak) in got.items():
         assert leak == (1 if lo != hi else 0)
+    clear_minhash_pair_cache()
     spark.catalog.clearCache()
 
 
@@ -397,6 +399,7 @@ def test_dup_rate_by_source_matches_python_replay(spark, sf_dir):
     raw documents table: flagged = docs appearing in any pair; rates
     are exact integer basis points per source."""
     from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        clear_minhash_pair_cache,
         q_dedup_minhash_lsh,
         q_dedup_rate_by_source,
     )
@@ -421,6 +424,7 @@ def test_dup_rate_by_source_matches_python_replay(spark, sf_dir):
     assert got == {
         src: (n, d, (10000 * d) // n) for src, (n, d) in expected.items()
     }
+    clear_minhash_pair_cache()
     spark.catalog.clearCache()
 
 
