@@ -635,3 +635,61 @@ def test_quality_yield_curve_matches_python_replay(spark, sf_dir):
         ys = [got[(src, t)][1] for t in YIELD_THRESHOLDS]
         assert all(a >= b for a, b in zip(ys, ys[1:]))
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# minhash_pairs memo (r11: semantic_edges discipline on the text side)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_pairs_memoized_and_invalidatable(spark, sf_dir):
+    """Same (session, sf_dir) returns the SAME checkpointed frame; the
+    invalidation hook forces a rebuild; the memoized frame reads
+    materialized blocks, not the banded kernel."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        clear_minhash_pair_cache,
+        minhash_pairs,
+        q_dedup_minhash_lsh,
+    )
+
+    clear_minhash_pair_cache()
+    a = minhash_pairs(spark, sf_dir)
+    b = minhash_pairs(spark, sf_dir)
+    assert a is b
+    clear_minhash_pair_cache()
+    c = minhash_pairs(spark, sf_dir)
+    assert c is not a
+    # checkpointed: the plan must not contain the band join
+    assert "Join" not in c._jdf.queryExecution().optimizedPlan().toString()
+    # content identical to the cold pipeline's id pairs
+    cold = {
+        (r.doc_a, r.doc_b) for r in q_dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert {(r.doc_a, r.doc_b) for r in c.collect()} == cold
+    clear_minhash_pair_cache()
+    spark.catalog.clearCache()
+
+
+def test_dedup_family_shares_pair_frame(spark, sf_dir):
+    """clusters_k3 and rate-by-source both consume the single memoized
+    pair frame — the production build-the-pairs-once shape."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        _PAIR_CACHE,
+        clear_minhash_pair_cache,
+        minhash_pairs,
+        q_dedup_clusters_k3,
+        q_dedup_rate_by_source,
+    )
+
+    clear_minhash_pair_cache()
+    q_dedup_clusters_k3(spark, sf_dir).collect()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in _PAIR_CACHE, "clusters_k3 must populate the shared memo"
+    frame_after = _PAIR_CACHE[key]
+    q_dedup_rate_by_source(spark, sf_dir).collect()
+    assert _PAIR_CACHE[key] is frame_after, (
+        "rate-by-source must reuse, not rebuild, the memoized pair frame"
+    )
+    assert minhash_pairs(spark, sf_dir) is frame_after
+    clear_minhash_pair_cache()
+    spark.catalog.clearCache()
