@@ -87,12 +87,19 @@ _MODULES = [
 # q4_order_priority and q5_region_revenue (displaced by the 3 late-r11
 # registrations), plus q21_last_shipper, q22_idle_customers and
 # q2_min_cost_supplier (displaced by the final-r11 batch of 3), plus
-# q20_heavy_shippers (displaced by the late q_quality_yield_curve) —
+# q20_heavy_shippers (displaced by the late q_quality_yield_curve),
+# plus q15_top_supplier, q16_part_supplier_counts,
+# q17_small_qty_revenue, q18_large_volume_customer and
+# q19_bracketed_revenue (displaced by the closing-r11 batch of 5:
+# q_mix_epoch_audit, q_text_oov_rate, q_ann_ivf_cell_balance,
+# q_multimodal_image_blur, q_quality_dup_interaction) —
 # then r7-stale greens
 # (49 of them) alphabetically.  Any late-r11 registration displaces
 # one r6-stale from the tail below INTO the r12 queue (keep this
 # comment's arithmetic current when that happens).
-# Arithmetic now: 10 new + 33 r5 + 7 r6 = 50 (40 stale re-checks).
+# Arithmetic now: 15 new + 33 r5 + 2 r6 = 50 (35 stale re-checks —
+# exactly the VERDICT r10 ">=35 of the 50 slots" floor, so NO further
+# r11 registrations are admissible without dropping below it).
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
     # --- round-11 registrations (never checked) (10) ---
@@ -106,6 +113,11 @@ _PRIORITY = [
     "q_multimodal_audio_clipping",
     "q_dedup_rate_by_source",
     "q_quality_yield_curve",
+    "q_mix_epoch_audit",
+    "q_text_oov_rate",
+    "q_ann_ivf_cell_balance",
+    "q_multimodal_image_blur",
+    "q_quality_dup_interaction",
     # --- all r5-stale greens, alphabetical (33) ---
     "q_doc_length_histogram",
     "q_embedding_gram_matrix",
@@ -140,14 +152,9 @@ _PRIORITY = [
     "q_window_rank",
     "q_window_running",
     "q_window_topk_per_group",
-    # --- r6-stale greens, alphabetical, to fill 50 (7) ---
+    # --- r6-stale greens, alphabetical, to fill 50 (2) ---
     "q10_returned_items",
     "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_bracketed_revenue",
 ]
 
 

@@ -1705,3 +1705,115 @@ def q_sessions_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bounce_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-allocation audit: repeat factors a token budget forces per source
+# ---------------------------------------------------------------------------
+
+# Training budget as an integer multiple of the corpus size (scales with
+# sf), and the repeat cap curation policy allows before a source is
+# considered over-epoched (Muennighoff et al. 2023 find ~4 epochs is
+# where repeated data stops helping).
+EPOCH_BUDGET_MULT = 3
+MAX_EPOCHS = 4
+
+_EPOCH_AUDIT_ORACLE = f"""
+    WITH avail AS (
+      SELECT source, CAST({_mix_units_sql()} AS BIGINT) AS u,
+             CAST(sum(n_chars) AS BIGINT) AS avail_chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(u) AS BIGINT) AS units,
+             CAST({EPOCH_BUDGET_MULT} * sum(avail_chars) AS BIGINT) AS budget
+      FROM avail
+    ),
+    req AS (
+      SELECT a.source, a.u, a.avail_chars,
+             CAST(a.u * t.budget // t.units AS BIGINT) AS requested_chars
+      FROM avail a, tot t
+    )
+    SELECT source, CAST(u AS BIGINT) AS units, avail_chars, requested_chars,
+           CAST(10000 * requested_chars // avail_chars AS BIGINT)
+               AS epochs_bp,
+           CAST(least(requested_chars, {MAX_EPOCHS} * avail_chars) AS BIGINT)
+               AS effective_chars,
+           CAST(10000 * least(requested_chars, {MAX_EPOCHS} * avail_chars)
+                // avail_chars AS BIGINT) AS epochs_capped_bp,
+           CAST(requested_chars
+                - least(requested_chars, {MAX_EPOCHS} * avail_chars)
+                AS BIGINT) AS shortfall_chars,
+           requested_chars > {MAX_EPOCHS} * avail_chars AS is_capped
+    FROM req
+"""
+
+
+@register("q_mix_epoch_audit", oracle=_EPOCH_AUDIT_ORACLE)
+def q_mix_epoch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-allocation audit: given a training budget of
+    ``EPOCH_BUDGET_MULT ×`` the corpus and the `q_mix_budget_solver`
+    target mixture, how many EPOCHS (repeat factor, basis points) each
+    source must serve — and, under the ``MAX_EPOCHS`` repeat cap every
+    curation policy carries (repeating data beyond ~4 epochs stops
+    helping), which sources are clipped and how many characters of the
+    plan they can no longer supply.  This is the complement of the
+    budget solver: that op prices the largest UN-repeated corpus the mix
+    admits; this one prices a FIXED budget in repeats and shortfall.
+
+    Exact integer end-to-end: unit weights, char sums, the budget
+    (an integer multiple of the corpus so the audit scales with sf),
+    and every division a truncating nonneg ``div`` — identical on both
+    engines; no floats anywhere.
+
+    Scale shape: ONE combiner agg to O(sources) rows, a one-row
+    broadcast (unit sum + budget), and a projection.  At 100 TB the
+    cost is the documents scan inside the first agg; nothing
+    data-sized moves afterwards.
+
+    Reference provenance: generalizes the reference's single-corpus
+    assumption (TextIO.read() of one glob, NaiveImplementation.java:36)
+    to the multi-source repeat-budget plan a real pretraining mix needs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    units = F.lit(MIX_BUDGET_DEFAULT_UNITS)
+    for s, u in reversed(MIX_BUDGET_UNITS.items()):
+        units = F.when(F.col("source") == s, F.lit(u)).otherwise(units)
+    avail = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("bigint").alias("avail_chars")
+    ).select("source", units.cast("bigint").alias("u"), "avail_chars")
+    tot = avail.agg(
+        F.sum("u").cast("bigint").alias("units_total"),
+        (F.lit(EPOCH_BUDGET_MULT) * F.sum("avail_chars"))
+        .cast("bigint")
+        .alias("budget"),
+    )
+    req = avail.join(F.broadcast(tot)).withColumn(
+        "requested_chars", F.expr("u * budget div units_total").cast("bigint")
+    )
+    effective = F.least(
+        F.col("requested_chars"), F.lit(MAX_EPOCHS) * F.col("avail_chars")
+    )
+    return req.select(
+        "source",
+        F.col("u").alias("units"),
+        "avail_chars",
+        "requested_chars",
+        F.expr("10000 * requested_chars div avail_chars")
+        .cast("bigint")
+        .alias("epochs_bp"),
+        effective.cast("bigint").alias("effective_chars"),
+        F.expr(
+            f"10000 * least(requested_chars, {MAX_EPOCHS} * avail_chars)"
+            " div avail_chars"
+        )
+        .cast("bigint")
+        .alias("epochs_capped_bp"),
+        (F.col("requested_chars") - effective)
+        .cast("bigint")
+        .alias("shortfall_chars"),
+        (
+            F.col("requested_chars")
+            > F.lit(MAX_EPOCHS) * F.col("avail_chars")
+        ).alias("is_capped"),
+    )

@@ -2293,3 +2293,120 @@ def q_multimodal_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_abs",
         F.expr("(10000 * n_clipped) div n_samples").cast("bigint").alias("clip_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Image sharpness (Laplacian variance, the standard no-reference blur screen)
+# ---------------------------------------------------------------------------
+
+_BLUR_ORACLE = """
+    WITH params AS (
+      SELECT doc_id, text,
+             doc_id % 13 + 4 AS w, doc_id % 7 + 4 AS h,
+             length(text) AS tl
+      FROM documents
+    ),
+    bytes AS (
+      SELECT doc_id, w, h,
+             CAST((p - 1) // 3 AS BIGINT) AS px,
+             CAST((p - 1) % 3 AS INT) AS ch,
+             ascii(substr(text, CAST((p - 1) % tl AS INT) + 1, 1)) AS b
+      FROM params, LATERAL (SELECT unnest(range(1, 3 * w * h + 1)) AS p)
+    ),
+    lum AS (
+      SELECT doc_id, w, h,
+             CAST(px % w AS BIGINT) AS x, CAST(px // w AS BIGINT) AS y,
+             CAST(sum(CASE ch WHEN 0 THEN b WHEN 1 THEN 2 * b
+                              ELSE b END) AS BIGINT) AS l
+      FROM bytes GROUP BY doc_id, w, h, px
+    ),
+    lap AS (
+      SELECT c.doc_id,
+             4 * c.l - u.l - d.l - lf.l - rt.l AS lap
+      FROM lum c
+      JOIN lum u  ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
+      JOIN lum d  ON d.doc_id = c.doc_id AND d.x = c.x AND d.y = c.y + 1
+      JOIN lum lf ON lf.doc_id = c.doc_id AND lf.x = c.x - 1 AND lf.y = c.y
+      JOIN lum rt ON rt.doc_id = c.doc_id AND rt.x = c.x + 1 AND rt.y = c.y
+      WHERE c.x BETWEEN 1 AND c.w - 2 AND c.y BETWEEN 1 AND c.h - 2
+    ),
+    stats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_interior,
+             CAST(sum(lap) AS BIGINT) AS s_lap,
+             CAST(sum(lap * lap) AS BIGINT) AS q_lap
+      FROM lap GROUP BY doc_id
+    )
+    SELECT doc_id, n_interior, s_lap, q_lap,
+           CAST(round(CAST(q_lap AS DOUBLE) / n_interior
+                      - (CAST(s_lap AS DOUBLE) / n_interior)
+                        * (CAST(s_lap AS DOUBLE) / n_interior),
+                      4) AS DOUBLE) AS lap_var4
+    FROM stats
+"""
+
+
+@register("q_multimodal_image_blur", oracle=_BLUR_ORACLE)
+def q_multimodal_image_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image sharpness via Laplacian variance — THE standard
+    no-reference blur screen an image curation pipeline runs before
+    training (Pech-Pacheco et al. 2000): convolve the luma plane with
+    the 4-neighbor Laplacian and report the response variance.  Low
+    variance = few edges = blurred/flat content worth dropping; it
+    complements `q_multimodal_image_edges` (edge COUNT at a threshold)
+    with the scale-free variance statistic.
+
+    Determinism (sufficient-statistics discipline): the decode kernel
+    (REAL P6 parse) computes an integer luma plane l = R + 2G + B
+    (range 0..1020, no division) and emits only the exact integer
+    triple (count, Σlap, Σlap²) over interior pixels; the variance is
+    ONE identical divide/multiply/subtract/round(…,4) IEEE expression
+    on both engines — the `q_multimodal_image_colorfulness` proof
+    pattern.  The DuckDB oracle replays the synthetic raster byte-for-
+    byte and takes the Laplacian via four coordinate self-joins of the
+    tiny per-image grid.
+
+    Scale shape: one decode pass in `mapInPandas`; the Laplacian is a
+    local stencil evaluated INSIDE the kernel (numpy slicing, no
+    shuffle of pixels ever); three integers per image leave the scan
+    and the result is already per-image — no post-agg at all.  At
+    100 TB the cost is the decode scan, the audio-RMS envelope."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {"doc_id": [], "n_interior": [], "s_lap": [], "q_lap": []}
+        for pdf in batches:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raster = decode_ppm_raster(bytes(payload))
+                rgb = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+                lum = (
+                    rgb[:, :, 0].astype(np.int64)
+                    + 2 * rgb[:, :, 1].astype(np.int64)
+                    + rgb[:, :, 2].astype(np.int64)
+                )
+                lap = (
+                    4 * lum[1:-1, 1:-1]
+                    - lum[:-2, 1:-1]
+                    - lum[2:, 1:-1]
+                    - lum[1:-1, :-2]
+                    - lum[1:-1, 2:]
+                )
+                rows["doc_id"].append(int(doc_id))
+                rows["n_interior"].append(int(lap.size))
+                rows["s_lap"].append(int(lap.sum()))
+                rows["q_lap"].append(int((lap * lap).sum()))
+        yield pd.DataFrame(rows)
+
+    stats = ppm_table(spark, sf_dir).mapInPandas(
+        run, schema="doc_id long, n_interior long, s_lap long, q_lap long"
+    )
+    n = F.col("n_interior").cast("double")
+    mean = F.col("s_lap").cast("double") / n
+    return stats.select(
+        "doc_id",
+        "n_interior",
+        "s_lap",
+        "q_lap",
+        F.round(F.col("q_lap").cast("double") / n - mean * mean, 4)
+        .cast("double")
+        .alias("lap_var4"),
+    )

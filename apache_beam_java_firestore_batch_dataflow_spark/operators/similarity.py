@@ -3951,3 +3951,71 @@ def q_embedding_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label_lo") != F.col("label_hi")).alias("is_conflict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF cell-balance audit (hot-cell / skew screen for the ANN index)
+# ---------------------------------------------------------------------------
+
+_IVF_BALANCE_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm
+               FROM embeddings),
+    cent AS ({_CENT_SQL}),
+    assign AS ({_ivf_sql()}),
+    cells AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors
+              FROM assign GROUP BY cell),
+    tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_cells_used
+            FROM cells)
+    SELECT c.cell, c.n_vectors,
+           CAST(10000 * c.n_vectors // t.total AS BIGINT) AS share_bp,
+           CAST(10000 * c.n_vectors * t.n_cells_used // t.total AS BIGINT)
+               AS load_bp,
+           c.n_vectors * t.n_cells_used > 2 * t.total AS is_hot
+    FROM cells c, tot t
+"""
+
+
+@register("q_ann_ivf_cell_balance", oracle=_IVF_BALANCE_ORACLE)
+def q_ann_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-occupancy audit for the IVF coarse quantizer: per non-empty
+    cell, its vector count, corpus share, and load factor relative to a
+    perfectly balanced index (10000 bp = exactly total/n_cells_used
+    vectors).  `is_hot` flags cells holding > 2x their fair share —
+    the cells that dominate probe latency and the first thing an ANN
+    operator re-trains the quantizer over (IVF probe cost is the SIZE
+    of the probed cells, so one hot cell sets the p99).
+
+    Shares and load factors are integer basis points via truncating
+    nonneg division (`div` == `//`); the count census is exact.
+
+    Scale shape: the assignment pass is the audited `ivf_assignments`
+    broadcast scan (O(IVF_C) state per task); the census is ONE
+    combiner agg to <= IVF_C rows and the totals row is a broadcast of
+    ONE row.  Nothing after the scan is corpus-sized.
+
+    Reference provenance: index-health telemetry generalizing the
+    reference's pipeline metrics (WordCount.java:54-63) to the ANN
+    index the similarity family maintains.
+    """
+    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    cells = (
+        ivf_assignments(v)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    )
+    tot = cells.agg(
+        F.sum("n_vectors").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells_used"),
+    )
+    return cells.join(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        F.expr("10000 * n_vectors div total").cast("bigint").alias("share_bp"),
+        F.expr("10000 * n_vectors * n_cells_used div total")
+        .cast("bigint")
+        .alias("load_bp"),
+        (F.col("n_vectors") * F.col("n_cells_used") > 2 * F.col("total")).alias(
+            "is_hot"
+        ),
+    )

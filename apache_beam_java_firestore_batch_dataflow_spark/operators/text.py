@@ -3122,3 +3122,241 @@ def q_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("token_yield_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-vocabulary rate per source (phrase-vocabulary coverage audit)
+# ---------------------------------------------------------------------------
+
+# Closed phrase-vocabulary size for the OOV audit, over token 3-grams.
+# The fixture corpus has only ~31 distinct WORD tokens (every word-level
+# vocab is trivially complete) but ~16k distinct trigrams — so the audit
+# is defined at the phrase level, where coverage is a real decision:
+# VOCAB_K of 512 keeps the head-vocabulary broadcast O(1) while leaving
+# genuine OOV tail mass at every sf.
+VOCAB_K = 512
+OOV_N = 3
+
+_OOV_ORACLE = f"""
+    WITH toks AS (SELECT source, {TOKENS_SQL} AS t FROM documents),
+    grams AS (
+      SELECT source,
+             unnest(CASE WHEN len(t) >= {OOV_N}
+                         THEN list_transform(range(1, len(t) - {OOV_N - 2}),
+                                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                         ELSE [] END) AS g
+      FROM toks
+    ),
+    vocab AS (
+      SELECT g FROM grams GROUP BY g
+      ORDER BY count(*) DESC, g LIMIT {VOCAB_K}
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS total_grams,
+           CAST(count(*) FILTER (WHERE v.g IS NULL) AS BIGINT)
+               AS oov_grams,
+           CAST(10000 * (count(*) FILTER (WHERE v.g IS NULL))
+                // count(*) AS BIGINT) AS oov_bp,
+           CAST(count(DISTINCT CASE WHEN v.g IS NULL THEN s.g END)
+                AS BIGINT) AS oov_types
+    FROM grams s LEFT JOIN vocab v ON v.g = s.g
+    GROUP BY s.source
+"""
+
+
+@register("q_text_oov_rate", oracle=_OOV_ORACLE)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus-global
+    top-`VOCAB_K` phrase vocabulary (token {OOV_N}-grams) — the
+    coverage audit a pipeline runs before freezing a phrase table /
+    merged-token inventory: a source whose {OOV_N}-gram mass falls
+    outside the global head (high `oov_bp`) is stylistically far from
+    the corpus mode and will fragment under any vocabulary of that
+    size.  Complements `q_text_bpe_fertility_by_lang` (subword cost
+    per LANGUAGE) and `q_text_novelty_ngrams` (per-DOC novelty vs a
+    reference slice) with the per-SOURCE closed-vocabulary view.
+
+    Vocabulary determinism: ties at the K boundary break by (count
+    DESC, gram ASC) on both engines — the same census both ways.
+
+    Scale shape: trigram expansion is a narrow ``Generate`` over the
+    scan (~token count rows); then two combiner aggs (the vocab
+    census and the per-source roll-up with an exact distinct on OOV
+    types) plus ONE broadcast hash join — the vocab is K rows by
+    construction (TakeOrderedAndProject selects it), so membership
+    tagging stays inside the scan stage; the corpus never joins
+    itself.  At 100 TB both aggs are map-side-combined gram streams.
+
+    Reference provenance: extends the reference's tokenize+count
+    (WordCount.java:52-75, 106) with closed-vocab membership.
+    """
+    docs = _docs(spark, sf_dir)
+    tokd = docs.select("source", tokens_col(F.col("text")).alias("t"))
+    gram_arr = F.when(
+        F.size("t") >= OOV_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (OOV_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice("t", i, OOV_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tokd.select("source", F.explode(gram_arr).alias("g"))
+    vocab = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(VOCAB_K)
+        .select("g", F.lit(1).alias("in_vocab"))
+    )
+    tagged = grams.join(F.broadcast(vocab), "g", "left")
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_grams"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("oov_grams"),
+            F.countDistinct(
+                F.when(F.col("in_vocab").isNull(), F.col("g"))
+            )
+            .cast("bigint")
+            .alias("oov_types"),
+        )
+        .select(
+            "source",
+            "total_grams",
+            "oov_grams",
+            F.expr("10000 * oov_grams div total_grams")
+            .cast("bigint")
+            .alias("oov_bp"),
+            "oov_types",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality x duplicate-status interaction (is dedup removing the good docs?)
+# ---------------------------------------------------------------------------
+
+# Opening-prefix width for the duplicate fingerprint: documents sharing
+# their first PREFIX_DUP_K word tokens are treated as one template
+# family (the crawl "same boilerplate intro" heuristic; the fixture
+# corpus has no full-text exact dups, but it does carry prefix families).
+PREFIX_DUP_K = 10
+
+_QUALITY_DUP_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(array_to_string(
+                 list_slice({TOKENS_SQL}, 1, {PREFIX_DUP_K}), ' ')) AS fp,
+             least((least(len({TOKENS_SQL}), 100) * 50
+                    + least(CAST(floor(
+                        len(regexp_extract_all(lower(text),
+                            '{_LANG_MARKERS["en"]}')) * 15000.0
+                        / greatest(len({TOKENS_SQL}), 1)) AS BIGINT), 3000)
+                    + 2000
+                    - least(CAST(floor(
+                        len(regexp_extract_all(text, '[^\\p{{L}}\\s]'))
+                        * 20000.0 / greatest(n_chars, 1)) AS BIGINT), 2000)
+                   ) // 2000, 4) AS quality_bucket
+      FROM documents
+    ),
+    classed AS (
+      SELECT quality_bucket,
+             CASE WHEN count(*) OVER (PARTITION BY fp) = 1 THEN 'unique'
+                  WHEN doc_id = min(doc_id) OVER (PARTITION BY fp)
+                       THEN 'canonical'
+                  ELSE 'extra' END AS dup_class
+      FROM scored
+    ),
+    grid AS (
+      SELECT dup_class, CAST(quality_bucket AS BIGINT) AS quality_bucket,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM classed GROUP BY dup_class, quality_bucket
+    )
+    SELECT dup_class, quality_bucket, n_docs,
+           CAST(10000 * n_docs
+                // sum(n_docs) OVER (PARTITION BY dup_class) AS BIGINT)
+               AS class_share_bp
+    FROM grid
+"""
+
+
+@register("q_quality_dup_interaction", oracle=_QUALITY_DUP_ORACLE)
+def q_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality x duplicate-status cross-tab — the audit that answers
+    "does dedup remove low-quality or high-quality mass?" before a
+    pipeline commits to dropping duplicates.  Each document gets
+    (a) its duplicate class over the md5 of its first ``PREFIX_DUP_K``
+    word tokens (the "same boilerplate opening" template heuristic —
+    chosen over the `q_dedup_exact` full-text fingerprint because the
+    fixture corpus carries prefix families but zero full-text dups, so
+    THIS fingerprint exercises all three classes end-to-end):
+    'unique' (singleton group), 'canonical' (the kept min-doc_id of a
+    >1 group) or 'extra' (the copies dedup drops) — and (b) its
+    `q_text_quality` integer-bp score folded to five buckets
+    (bucket = min(bp div 2000, 4)).  The output grid
+    gives each class's bucket distribution in basis points; an 'extra'
+    column skewed low confirms duplicates are disproportionately
+    low-quality (the usual crawl pathology), skewed high means the
+    dedup policy is eating curated content.
+
+    Exact integer end-to-end: the quality formula is the proven
+    `q_text_quality` floor arithmetic, bucketing and shares are
+    truncating nonneg divisions, and the duplicate class comes from
+    count/min windows over the identical md5 on both engines.
+
+    Scale shape: ONE corpus shuffle keyed on the content fingerprint
+    (the count+min windows share the partitioning — same envelope as
+    `q_dedup_exact`), then a combiner agg to <= 15 grid cells and a
+    window over that constant-size frame.  At 100 TB: scan + one
+    keyed exchange, nothing else.
+
+    Reference provenance: composes the reference's filter semantics
+    (WordCount.java:66-75) with the dedup family's canonical-keep rule
+    into the joint audit.
+    """
+    docs = _docs(spark, sf_dir)
+    n_tokens = F.size(tokens_col(F.col("text")))
+    stop_hits = F.regexp_count(F.lower(F.col("text")), F.lit(_LANG_MARKERS["en"]))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\p{L}\s]"))
+    tok_denom = F.greatest(n_tokens, F.lit(1))
+    chr_denom = F.greatest(F.col("n_chars"), F.lit(1))
+    quality_bp = (
+        F.least(n_tokens, F.lit(100)) * 50
+        + F.least(F.floor(stop_hits * 15000.0 / tok_denom), F.lit(3000))
+        + 2000
+        - F.least(F.floor(n_punct * 20000.0 / chr_denom), F.lit(2000))
+    )
+    fp = F.md5(
+        F.array_join(
+            F.slice(tokens_col(F.col("text")), 1, PREFIX_DUP_K), " "
+        )
+    )
+    scored = docs.select(
+        "doc_id", fp.alias("fp"), quality_bp.cast("bigint").alias("qbp")
+    ).select(
+        "doc_id",
+        "fp",
+        F.expr("least(qbp div 2000, 4)").cast("bigint").alias("quality_bucket"),
+    )
+    w = Window.partitionBy("fp")
+    classed = scored.select(
+        "quality_bucket",
+        F.when(F.count(F.lit(1)).over(w) == 1, F.lit("unique"))
+        .when(F.col("doc_id") == F.min("doc_id").over(w), F.lit("canonical"))
+        .otherwise(F.lit("extra"))
+        .alias("dup_class"),
+    )
+    grid = classed.groupBy("dup_class", "quality_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return grid.select(
+        "dup_class",
+        "quality_bucket",
+        "n_docs",
+        F.expr(
+            "10000 * n_docs div sum(n_docs) OVER (PARTITION BY dup_class)"
+        )
+        .cast("bigint")
+        .alias("class_share_bp"),
+    )

@@ -693,3 +693,296 @@ def test_dedup_family_shares_pair_frame(spark, sf_dir):
     assert minhash_pairs(spark, sf_dir) is frame_after
     clear_minhash_pair_cache()
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_mix_epoch_audit
+# ---------------------------------------------------------------------------
+
+
+def test_epoch_audit_matches_python_replay(spark, sf_dir):
+    """Exact-integer replay of the repeat-factor audit: unit weights,
+    3x-corpus budget, floor divisions and the MAX_EPOCHS clip."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        EPOCH_BUDGET_MULT,
+        MAX_EPOCHS,
+        MIX_BUDGET_DEFAULT_UNITS,
+        MIX_BUDGET_UNITS,
+        q_mix_epoch_audit,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    avail: dict[str, int] = {}
+    for s, c in zip(t["source"].to_pylist(), t["n_chars"].to_pylist()):
+        avail[s] = avail.get(s, 0) + c
+    units = {s: MIX_BUDGET_UNITS.get(s, MIX_BUDGET_DEFAULT_UNITS) for s in avail}
+    u_total = sum(units.values())
+    budget = EPOCH_BUDGET_MULT * sum(avail.values())
+
+    expected = {}
+    for s, a in avail.items():
+        req = units[s] * budget // u_total
+        eff = min(req, MAX_EPOCHS * a)
+        expected[s] = (
+            units[s],
+            a,
+            req,
+            10000 * req // a,
+            eff,
+            10000 * eff // a,
+            req - eff,
+            req > MAX_EPOCHS * a,
+        )
+
+    got = {
+        r.source: (
+            r.units,
+            r.avail_chars,
+            r.requested_chars,
+            r.epochs_bp,
+            r.effective_chars,
+            r.epochs_capped_bp,
+            r.shortfall_chars,
+            r.is_capped,
+        )
+        for r in q_mix_epoch_audit(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the budget is 3x the corpus, so uncapped epochs average 3 across
+    # sources; at least one boosted source must hit the cap and at least
+    # one must sit under it for the audit to be informative
+    assert any(v[7] for v in got.values())
+    assert any(not v[7] for v in got.values())
+    # capped epochs never exceed the cap
+    for v in got.values():
+        assert v[5] <= 10000 * MAX_EPOCHS
+
+
+# ---------------------------------------------------------------------------
+# q_text_oov_rate
+# ---------------------------------------------------------------------------
+
+
+def test_oov_rate_matches_python_replay(spark, sf_dir):
+    """Replay the closed phrase-vocab census: token trigrams, top-VOCAB_K
+    by (count desc, gram asc), then per-source OOV gram/type counts
+    (ASCII fixture, so the [^a-zA-Z]+ split equals the engines'
+    [^\\p{L}]+)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        OOV_N,
+        VOCAB_K,
+        q_text_oov_rate,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    counts: dict[str, int] = {}
+    per_source: dict[str, list[str]] = {}
+    for s, text in zip(t["source"].to_pylist(), t["text"].to_pylist()):
+        toks = [w for w in re.split(r"[^a-zA-Z]+", text) if w]
+        grams = [
+            " ".join(toks[i : i + OOV_N]) for i in range(len(toks) - OOV_N + 1)
+        ]
+        per_source.setdefault(s, []).extend(grams)
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+    vocab = {
+        g for g, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_K]
+    }
+
+    expected = {}
+    for s, grams in per_source.items():
+        oov = [g for g in grams if g not in vocab]
+        expected[s] = (
+            len(grams),
+            len(oov),
+            10000 * len(oov) // len(grams),
+            len(set(oov)),
+        )
+
+    got = {
+        r.source: (r.total_grams, r.oov_grams, r.oov_bp, r.oov_types)
+        for r in q_text_oov_rate(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the trigram tail is real: every source must carry some OOV mass,
+    # and the head vocab must still cover a nonzero share somewhere
+    assert all(v[1] > 0 for v in got.values())
+    assert any(v[2] < 10000 for v in got.values())
+    for v in got.values():
+        assert 0 <= v[2] <= 10000
+
+
+# ---------------------------------------------------------------------------
+# q_ann_ivf_cell_balance
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_cell_balance_matches_python_replay(spark, sf_dir):
+    """Replay the LCG-hash centroid selection and the sequential-fold
+    cosine assignment (the engines' fold order, not np.dot), then the
+    occupancy census and integer-bp load factors."""
+    import numpy as np
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        IVF_C,
+        q_ann_ivf_cell_balance,
+    )
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    embs = {i: e for i, e in zip(ids, t["embedding"].to_pylist())}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(np.float64(x) * np.float64(y))
+        return acc
+
+    norms = {i: float(np.sqrt(np.float64(fold_dot(e, e)))) for i, e in embs.items()}
+    cent_ids = sorted(ids, key=lambda i: ((i * 1103515245 + 12345) % 2147483648, i))[
+        :IVF_C
+    ]
+
+    census: dict[int, int] = {}
+    for i in ids:
+        best = min(
+            (-(fold_dot(embs[i], embs[c]) / (norms[i] * norms[c])), c)
+            for c in cent_ids
+        )
+        census[best[1]] = census.get(best[1], 0) + 1
+    total = sum(census.values())
+    used = len(census)
+    expected = {
+        c: (
+            n,
+            10000 * n // total,
+            10000 * n * used // total,
+            n * used > 2 * total,
+        )
+        for c, n in census.items()
+    }
+
+    got = {
+        r.cell: (r.n_vectors, r.share_bp, r.load_bp, r.is_hot)
+        for r in q_ann_ivf_cell_balance(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert total == len(ids)
+    # bp shares must sum to ~10000 (floor loss < number of cells)
+    assert 10000 - used < sum(v[1] for v in got.values()) <= 10000
+
+
+# ---------------------------------------------------------------------------
+# q_multimodal_image_blur
+# ---------------------------------------------------------------------------
+
+
+def test_image_blur_matches_python_replay(spark, sf_dir):
+    """Replay the positional PPM synthesis, the integer luma plane
+    (R + 2G + B), the 4-neighbor Laplacian over interior pixels and the
+    round(var, 4) statistic."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.multimodal import (
+        q_multimodal_image_blur,
+    )
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    expected = {}
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        w, h = did % 13 + 4, did % 7 + 4
+        data = text.encode("utf-8")
+        raster = [data[i % len(data)] for i in range(3 * w * h)]
+        lum = [
+            [
+                raster[3 * (y * w + x)]
+                + 2 * raster[3 * (y * w + x) + 1]
+                + raster[3 * (y * w + x) + 2]
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        n = s = q = 0
+        for y in range(1, h - 1):
+            for x in range(1, w - 1):
+                lap = (
+                    4 * lum[y][x]
+                    - lum[y - 1][x]
+                    - lum[y + 1][x]
+                    - lum[y][x - 1]
+                    - lum[y][x + 1]
+                )
+                n += 1
+                s += lap
+                q += lap * lap
+        expected[did] = (n, s, q, round(q / n - (s / n) * (s / n), 4))
+
+    got = {
+        r.doc_id: (r.n_interior, r.s_lap, r.q_lap, r.lap_var4)
+        for r in q_multimodal_image_blur(spark, sf_dir).collect()
+    }
+    assert got == expected
+    for _, _, _, v in got.values():
+        assert v >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# q_quality_dup_interaction
+# ---------------------------------------------------------------------------
+
+
+def test_quality_dup_interaction_matches_python_replay(spark, sf_dir):
+    """Replay the prefix-fingerprint duplicate classes and the quality
+    buckets, then the per-class share grid; the fixture must exercise
+    all three classes (it carries prefix families)."""
+    import math
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import (
+        PREFIX_DUP_K,
+        q_quality_dup_interaction,
+    )
+
+    stop_re = re.compile(_B_L + "(?:" + _MARKERS["en"] + ")" + _B_R)
+    punct_re = re.compile(r"[^a-zA-Z\s]")
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    rows = []
+    groups: dict[str, list[int]] = {}
+    for did, text, n_chars in zip(
+        t["doc_id"].to_pylist(), t["text"].to_pylist(), t["n_chars"].to_pylist()
+    ):
+        toks = [w for w in re.split(r"[^a-zA-Z]+", text) if w]
+        fp = hashlib.md5(" ".join(toks[:PREFIX_DUP_K]).encode()).hexdigest()
+        qbp = (
+            min(len(toks), 100) * 50
+            + min(math.floor(len(stop_re.findall(text.lower())) * 15000.0
+                             / max(len(toks), 1)), 3000)
+            + 2000
+            - min(math.floor(len(punct_re.findall(text)) * 20000.0
+                             / max(n_chars, 1)), 2000)
+        )
+        rows.append((did, fp, min(qbp // 2000, 4)))
+        groups.setdefault(fp, []).append(did)
+
+    grid: dict[tuple[str, int], int] = {}
+    for did, fp, bucket in rows:
+        members = groups[fp]
+        if len(members) == 1:
+            cls = "unique"
+        elif did == min(members):
+            cls = "canonical"
+        else:
+            cls = "extra"
+        grid[(cls, bucket)] = grid.get((cls, bucket), 0) + 1
+    class_tot: dict[str, int] = {}
+    for (cls, _), n in grid.items():
+        class_tot[cls] = class_tot.get(cls, 0) + n
+    expected = {
+        k: (n, 10000 * n // class_tot[k[0]]) for k, n in grid.items()
+    }
+
+    got = {
+        (r.dup_class, r.quality_bucket): (r.n_docs, r.class_share_bp)
+        for r in q_quality_dup_interaction(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert {c for c, _ in got} == {"unique", "canonical", "extra"}
