@@ -205,6 +205,12 @@ HEADLINE = [
     "q_dedup_threshold_sweep",
     "q_embedding_label_conflicts",
     "q_quality_yield_curve",
+    # closing round-11 batch: the curation-audit five
+    "q_mix_epoch_audit",
+    "q_text_oov_rate",
+    "q_ann_ivf_cell_balance",
+    "q_multimodal_image_blur",
+    "q_quality_dup_interaction",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

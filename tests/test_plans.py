@@ -1049,3 +1049,49 @@ def test_heavy_hitters_uses_window_group_limit(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_oov_vocab_is_takeordered_then_broadcast(spark, sf_dir):
+    """q_text_oov_rate: the top-VOCAB_K phrase vocabulary must plan as
+    TakeOrderedAndProject (per-partition heaps, O(K) driver state) and
+    membership tagging as a BroadcastHashJoin of those K rows — the
+    corpus gram stream must never shuffle for the join."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import text as t
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(t.QUERIES["q_text_oov_rate"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in txt, txt
+    assert "BroadcastHashJoin" in txt, txt
+    bx = txt.index("BroadcastExchange")
+    assert "TakeOrderedAndProject" in txt[bx : bx + 600], txt[bx : bx + 600]
+
+
+def test_quality_dup_windows_share_one_exchange(spark, sf_dir):
+    """q_quality_dup_interaction: the count and min windows both key on
+    the prefix fingerprint, so the corpus must cross exactly ONE
+    fingerprint exchange (plus the constant-size grid exchange) — a
+    second corpus-sized shuffle would mean the windows failed to share
+    their partitioning."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import text as t
+
+    df = t.QUERIES["q_quality_dup_interaction"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    fp_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(fp#" in ln
+    ]
+    assert len(fp_exchanges) == 1, plan
+
+
+def test_ivf_cell_balance_broadcasts_centroids_and_totals(spark, sf_dir):
+    """q_ann_ivf_cell_balance: the centroid set and the one-row totals
+    frame are the only build sides — both broadcast; the census output
+    is bounded by IVF_C so nothing after the scan is corpus-sized."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import similarity as s
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(s.QUERIES["q_ann_ivf_cell_balance"](spark, sf_dir))
+    assert txt.count("BroadcastExchange") >= 2, txt
+    assert "TakeOrderedAndProject" in txt, txt  # centroid selection
+    # the corpus side must never be a build (broadcast) input
+    assert "SortMergeJoin" not in txt, txt
