@@ -291,6 +291,11 @@ SCALING_QUERIES = [
     # projection + O(langs) agg
     "q_dedup_split_leakage",
     "q_text_bpe_fertility_by_lang",
+    # closing round-11: OOV claims two gram-census-linear combiner aggs
+    # + an O(K) broadcast (no corpus self-join); the quality-dup grid
+    # claims the q_dedup_exact one-exchange envelope
+    "q_text_oov_rate",
+    "q_quality_dup_interaction",
 ]
 
 
