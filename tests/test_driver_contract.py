@@ -218,3 +218,21 @@ def test_merged_registry_size_matches_module_sum():
 
     total = sum(len(mod.QUERIES) for mod in E._MODULES)
     assert len(E.queries()) == total
+
+
+def test_r12_queue_ledger_names_resolve():
+    """Every query name ledgered in the __spark_entry__ r12-queue comment
+    must exist in the registry — a typo there would waste a driver slot
+    next round (the window is the scarce verification resource)."""
+    import re
+
+    import __spark_entry__ as e
+
+    src = open(e.__file__).read()
+    block = src[src.index("QUEUED FOR THE ROUND 12 PREFIX") : src.index("_PRIORITY = [")]
+    names = set(re.findall(r"q[0-9a-z_]+", block))
+    # strip comment words that merely look like names
+    names = {n for n in names if n.startswith("q_") or re.fullmatch(r"q\d+_[a-z_]+", n)}
+    registry = set(e.queries())
+    missing = sorted(names - registry)
+    assert not missing, f"r12-queue ledger names not in registry: {missing}"

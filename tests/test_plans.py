@@ -1095,3 +1095,27 @@ def test_ivf_cell_balance_broadcasts_centroids_and_totals(spark, sf_dir):
     assert "TakeOrderedAndProject" in txt, txt  # centroid selection
     # the corpus side must never be a build (broadcast) input
     assert "SortMergeJoin" not in txt, txt
+
+
+def test_epoch_audit_broadcasts_totals_only(spark, sf_dir):
+    """q_mix_epoch_audit: after the O(sources) census agg, the unit-sum/
+    budget frame joins back as a one-row broadcast — no sort-merge join,
+    no second corpus-sized exchange."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import curation
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(curation.QUERIES["q_mix_epoch_audit"](spark, sf_dir))
+    assert "BroadcastHashJoin" in txt or "BroadcastNestedLoopJoin" in txt, txt
+    assert "SortMergeJoin" not in txt, txt
+
+
+def test_image_blur_has_no_post_scan_exchange(spark, sf_dir):
+    """q_multimodal_image_blur: the Laplacian stencil runs inside the
+    decode kernel and the output is already per-image — the plan must
+    contain ZERO shuffle exchanges (pixels and stats never move)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import multimodal
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(multimodal.QUERIES["q_multimodal_image_blur"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in txt, txt
+    assert "Exchange rangepartitioning" not in txt, txt
