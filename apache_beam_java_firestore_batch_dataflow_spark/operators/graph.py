@@ -103,23 +103,65 @@ _PAGERANK_ORACLE = f"""
 """
 
 
-def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+# One materialized copy of the distinct customer–supplier co-purchase
+# adjacency per (session, sf_dir) — the semantic_edges / minhash_pairs
+# discipline applied to the TPC-H-derived graph: pagerank / kcore / LPA
+# (via _pr_edges), HITS, Jaccard, Adamic-Adar and assortativity each
+# used to re-run the SAME orders⋈lineitem + distinct kernel and
+# re-materialize it independently (the production anti-shape — a real
+# pipeline extracts the graph once, then runs every analytic on it).
+_ADJ_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized, eagerly-checkpointed distinct ``(c, s)`` co-purchase
+    adjacency (customer c bought from supplier s in ≥1 order).
+
+    The first graph analytic in a session pays the fact join + distinct
+    once; every later caller reuses the checkpointed blocks and derives
+    its own arc shape (doubled-id undirected, directed bipartite, plain
+    bipartite) as a narrow projection over them.  Keyed by
+    ``applicationId`` so a new SparkSession never sees another
+    session's dead frame; NOT invalidated by
+    ``spark.catalog.clearCache()`` (localCheckpoint blocks bypass the
+    cache manager) — callers needing a genuinely cold rebuild use
+    ``clear_copurchase_cache()`` (the bench's scaling legs and the
+    tests' teardown do)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _ADJ_CACHE.get(key)
+    if cached is not None:
+        return cached
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    half = (
+    adj = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    both = half.unionAll(
+    _ADJ_CACHE[key] = adj
+    return adj
+
+
+def clear_copurchase_cache() -> None:
+    """Invalidation hook for ``copurchase_adj`` (drops every session's
+    memo; the checkpoint blocks themselves are reclaimed by GC once the
+    frames are unreferenced)."""
+    _ADJ_CACHE.clear()
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    adj = copurchase_adj(spark, sf_dir)
+    half = adj.select(
+        (F.col("c") * 2).alias("src"),
+        (F.col("s") * 2 + 1).alias("dst"),
+    )
+    # arcs feed degree + one join per iteration (3+ plan branches), but
+    # every branch is now a narrow projection + union over the memoized
+    # checkpoint blocks — no join or shuffle left to re-run per branch
+    return half.unionAll(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # arcs feed degree + one join per iteration (3+ plan branches) —
-    # materialize once instead of re-running the join+distinct per branch
-    return both.localCheckpoint(eager=True)
 
 
 def pagerank(e: DataFrame, k: int, checkpoint_every: int = 4) -> DataFrame:
@@ -670,16 +712,11 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     score frames are O(nodes).  k rounds = 2k keyed shuffles; for
     large k apply the checkpoint_every discipline (the loop here is
     {HITS_ROUNDS} rounds, under the >3 auto-checkpoint bound)."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # feeds 2 plan branches per round
+    # 2 plan branches per round, each a narrow projection over the
+    # memoized co-purchase checkpoint blocks (copurchase_adj)
+    e = copurchase_adj(spark, sf_dir).select(
+        (F.col("c") * 2).alias("src"),
+        (F.col("s") * 2 + 1).alias("dst"),
     )
     deg = {
         "src": e.groupBy(F.col("src").alias("node")).agg(
@@ -796,14 +833,7 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     so releasing it at plan-build time would triple the orders⋈lineitem
     join.  Repeated same-session invocations rely on the caller's
     ``spark.catalog.clearCache()`` (bench and pytest both do)."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    adj = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .persist()
-    )
+    adj = copurchase_adj(spark, sf_dir)
     nbrs = adj.groupBy("s").agg(
         F.array_sort(F.collect_list("c")).alias("cs"),
         F.count(F.lit(1)).alias("deg"),
@@ -1000,15 +1030,9 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     <= C({AA_DF_MAX}, 2)) feeding one combiner-friendly pair agg; the
     top-{AA_TOP} is TakeOrderedAndProject.  No neighbor arrays, no
     windows, no collects."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    adj = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .persist()  # two consumers (degree census + weighted adjacency);
-        # released by the caller's clearCache (jaccard convention)
-    )
+    # two consumers (degree census + weighted adjacency) — both narrow
+    # reads of the memoized co-purchase checkpoint (copurchase_adj)
+    adj = copurchase_adj(spark, sf_dir)
     wdf = (
         adj.groupBy("c")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1089,15 +1113,9 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree censuses are keyed aggs of it; degrees join back onto the
     arcs by their own keys (two shuffled equi-joins, no fan-out); the
     moment reduction is one map-side-combined agg to a single row."""
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    adj = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-        .persist()  # three consumers (two degree censuses + edge join);
-        # released by the caller's clearCache
-    )
+    # three consumers (two degree censuses + edge join) — all narrow
+    # reads of the memoized co-purchase checkpoint (copurchase_adj)
+    adj = copurchase_adj(spark, sf_dir)
     dc = adj.groupBy("c").agg(F.count(F.lit(1)).alias("deg_c"))
     ds = adj.groupBy("s").agg(F.count(F.lit(1)).alias("deg_s"))
     e = adj.join(dc, "c").join(ds, "s").select(

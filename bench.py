@@ -34,6 +34,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (  # noqa: E402
     clear_minhash_pair_cache,
 )
+from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (  # noqa: E402
+    clear_copurchase_cache,
+)
 from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (  # noqa: E402
     clear_semantic_edge_cache,
 )
@@ -388,6 +391,10 @@ def scaling_bench(spark, registry) -> dict:
                 # Same rule for the r11 minhash-pair memo: the dedup
                 # scaling legs must pay the banded kernel per rep.
                 clear_minhash_pair_cache()
+                # And the r11 co-purchase adjacency memo: the graph
+                # scaling legs must pay the fact join + distinct per rep
+                # or the curve goes flat.
+                clear_copurchase_cache()
             times[key] = round(red(reps), 3)
         # Floor-corrected ratio: engine work scales with data; session
         # overhead does not.  Clamp both adjusted legs at 20 ms so a
@@ -597,6 +604,19 @@ def main() -> None:
     _b0 = time.monotonic()
     minhash_pairs(spark, SF_DIR)
     eager_build["minhash_pairs_shared"] = round(time.monotonic() - _b0, 3)
+
+    # Shared co-purchase adjacency (r11, same discipline): pagerank /
+    # kcore / LPA / HITS / Jaccard / Adamic-Adar / assortativity read
+    # ONE memoized checkpointed (customer, supplier) distinct frame per
+    # session instead of each re-running the orders⋈lineitem kernel.
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        copurchase_adj,
+    )
+
+    clear_copurchase_cache()
+    _b0 = time.monotonic()
+    copurchase_adj(spark, SF_DIR)
+    eager_build["copurchase_adj_shared"] = round(time.monotonic() - _b0, 3)
 
     for name in HEADLINE:
         fn = registry[name]

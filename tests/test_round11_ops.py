@@ -9,6 +9,7 @@ import hashlib
 import re
 
 import pyarrow.parquet as pq
+from pyspark.sql import functions as F
 
 # Java-regex-faithful building blocks: Java's \b is ASCII-word-class
 # based for ASCII patterns ([a-zA-Z0-9_]), while Python's \b is
@@ -986,3 +987,68 @@ def test_quality_dup_interaction_matches_python_replay(spark, sf_dir):
     }
     assert got == expected
     assert {c for c, _ in got} == {"unique", "canonical", "extra"}
+
+
+# ---------------------------------------------------------------------------
+# copurchase_adj memoization (shared TPC-H graph kernel)
+# ---------------------------------------------------------------------------
+
+
+def test_copurchase_adj_memoized_and_invalidatable(spark, sf_dir):
+    """Same (session, sf_dir) returns the SAME checkpointed adjacency;
+    the invalidation hook forces a rebuild; the memoized frame reads
+    materialized blocks (no fact join left in its plan); content equals
+    the cold orders⋈lineitem distinct."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        clear_copurchase_cache,
+        copurchase_adj,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import (
+        load_table,
+    )
+
+    clear_copurchase_cache()
+    a = copurchase_adj(spark, sf_dir)
+    b = copurchase_adj(spark, sf_dir)
+    assert a is b
+    clear_copurchase_cache()
+    c = copurchase_adj(spark, sf_dir)
+    assert c is not a
+    assert "Join" not in c._jdf.queryExecution().optimizedPlan().toString()
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cold = {
+        (r.c, r.s)
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .collect()
+    }
+    assert {(r.c, r.s) for r in c.collect()} == cold
+    clear_copurchase_cache()
+    spark.catalog.clearCache()
+
+
+def test_graph_family_shares_copurchase_frame(spark, sf_dir):
+    """pagerank and adamic-adar both consume the single memoized
+    adjacency — the extract-the-graph-once production shape."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        _ADJ_CACHE,
+        clear_copurchase_cache,
+        copurchase_adj,
+        q_graph_adamic_adar,
+        q_graph_pagerank,
+    )
+
+    clear_copurchase_cache()
+    q_graph_pagerank(spark, sf_dir).collect()
+    key = (spark.sparkContext.applicationId, sf_dir)
+    assert key in _ADJ_CACHE, "pagerank must populate the shared memo"
+    frame_after = _ADJ_CACHE[key]
+    q_graph_adamic_adar(spark, sf_dir).collect()
+    assert _ADJ_CACHE[key] is frame_after, (
+        "adamic-adar must reuse, not rebuild, the memoized adjacency"
+    )
+    assert copurchase_adj(spark, sf_dir) is frame_after
+    clear_copurchase_cache()
+    spark.catalog.clearCache()
