@@ -102,7 +102,7 @@ _MODULES = [
 # r11 registrations are admissible without dropping below it).
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- round-11 registrations (never checked) (10) ---
+    # --- round-11 registrations (never checked) (15) ---
     "q_text_heaps_law",
     "q_dedup_threshold_sweep",
     "q_embedding_label_conflicts",

@@ -974,6 +974,17 @@ MIX_BUDGET_UNITS = {"src0": 8, "src1": 4, "src2": 2, "src3": 2}
 MIX_BUDGET_DEFAULT_UNITS = 1
 
 
+def _units_col() -> "F.Column":
+    """Spark twin of :func:`_mix_units_sql`: the per-source unit weight
+    as a when-chain over MIX_BUDGET_UNITS (default for the tail).  ONE
+    definition so the budget solver and the epoch audit cannot
+    desynchronize on the mixture definition."""
+    units = F.lit(MIX_BUDGET_DEFAULT_UNITS)
+    for s, u in reversed(MIX_BUDGET_UNITS.items()):
+        units = F.when(F.col("source") == s, F.lit(u)).otherwise(units)
+    return units
+
+
 def _mix_units_sql() -> str:
     arms = " ".join(
         f"WHEN source = '{s}' THEN {u}" for s, u in MIX_BUDGET_UNITS.items()
@@ -1019,12 +1030,9 @@ def q_mix_budget_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, two one-row broadcast aggregates (unit sum, capacity min),
     and a projection — nothing data-sized past the first agg."""
     docs = load_table(spark, sf_dir, "documents")
-    units = F.lit(MIX_BUDGET_DEFAULT_UNITS)
-    for s, u in reversed(MIX_BUDGET_UNITS.items()):
-        units = F.when(F.col("source") == s, F.lit(u)).otherwise(units)
     avail = docs.groupBy("source").agg(
         F.sum("n_chars").cast("bigint").alias("avail_chars")
-    ).select("source", units.cast("bigint").alias("u"), "avail_chars")
+    ).select("source", _units_col().cast("bigint").alias("u"), "avail_chars")
     tot = avail.agg(F.sum("u").cast("bigint").alias("units_total"))
     joined = avail.join(F.broadcast(tot))
     cap = joined.agg(
@@ -1776,12 +1784,9 @@ def q_mix_epoch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the multi-source repeat-budget plan a real pretraining mix needs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    units = F.lit(MIX_BUDGET_DEFAULT_UNITS)
-    for s, u in reversed(MIX_BUDGET_UNITS.items()):
-        units = F.when(F.col("source") == s, F.lit(u)).otherwise(units)
     avail = docs.groupBy("source").agg(
         F.sum("n_chars").cast("bigint").alias("avail_chars")
-    ).select("source", units.cast("bigint").alias("u"), "avail_chars")
+    ).select("source", _units_col().cast("bigint").alias("u"), "avail_chars")
     tot = avail.agg(
         F.sum("u").cast("bigint").alias("units_total"),
         (F.lit(EPOCH_BUDGET_MULT) * F.sum("avail_chars"))

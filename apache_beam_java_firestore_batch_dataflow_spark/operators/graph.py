@@ -827,12 +827,14 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emitted Jaccard is exact, not blocked.  No (pair x customer)
     exploded shuffle exists anywhere.
 
-    Cache lifetime (ADVICE r9): ``adj`` persists across its three
-    consumers (neighbor arrays, DF census, candidate pairs) and is NOT
-    unpersisted here — the cache materializes at the caller's action,
-    so releasing it at plan-build time would triple the orders⋈lineitem
-    join.  Repeated same-session invocations rely on the caller's
-    ``spark.catalog.clearCache()`` (bench and pytest both do)."""
+    Cache lifetime (closing r11): ``adj`` is the session-memoized
+    ``copurchase_adj`` checkpoint shared with the whole graph family —
+    its three consumers here (neighbor arrays, DF census, candidate
+    pairs) are narrow reads of the checkpoint blocks.
+    ``spark.catalog.clearCache()`` does NOT release or rebuild it
+    (localCheckpoint blocks bypass the cache manager); a genuinely
+    cold rebuild requires ``clear_copurchase_cache()`` — the bench's
+    scaling legs and the memoization tests call it."""
     adj = copurchase_adj(spark, sf_dir)
     nbrs = adj.groupBy("s").agg(
         F.array_sort(F.collect_list("c")).alias("cs"),

@@ -180,6 +180,62 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The q_text_quality score formula, shared by every operator that
+# buckets/sweeps/cross-tabs on it (q_text_quality, q_quality_yield_curve,
+# q_quality_dup_interaction).  ONE definition per engine so a future
+# weight/cap change cannot silently desynchronize the consumers: the
+# Spark expression and the SQL fragment are built here and nowhere else.
+
+
+def quality_raw_features() -> tuple:
+    """Row-local (n_tokens, stop_hits, n_punct) columns over ``text``."""
+    n_tokens = F.size(tokens_col(F.col("text")))
+    stop_hits = F.regexp_count(F.lower(F.col("text")), F.lit(_LANG_MARKERS["en"]))
+    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\p{L}\s]"))
+    return n_tokens, stop_hits, n_punct
+
+
+def quality_raw_features_sql() -> str:
+    """DuckDB twin of :func:`quality_raw_features` (select-list fragment
+    over a ``documents`` row; emits n_tokens / stop_hits / n_punct)."""
+    return (
+        f"len({TOKENS_SQL}) AS n_tokens,\n"
+        f"             len(regexp_extract_all(lower(text), '{_LANG_MARKERS['en']}'))\n"
+        "                 AS stop_hits,\n"
+        r"             len(regexp_extract_all(text, '[^\p{L}\s]')) AS n_punct"
+    )
+
+
+def quality_bp_expr(n_tokens, stop_hits, n_punct, n_chars):
+    """The integer-bp quality score: length signal + stopword density +
+    inverse punctuation density, floor arithmetic throughout."""
+    tok_denom = F.greatest(n_tokens, F.lit(1))
+    chr_denom = F.greatest(n_chars, F.lit(1))
+    return (
+        F.least(n_tokens, F.lit(100)) * 50
+        + F.least(F.floor(stop_hits * 15000.0 / tok_denom), F.lit(3000))
+        + 2000
+        - F.least(F.floor(n_punct * 20000.0 / chr_denom), F.lit(2000))
+    )
+
+
+def quality_bp_sql(
+    n_tokens: str = "n_tokens",
+    stop_hits: str = "stop_hits",
+    n_punct: str = "n_punct",
+    n_chars: str = "n_chars",
+) -> str:
+    """DuckDB twin of :func:`quality_bp_expr` (same floor arithmetic)."""
+    return (
+        f"least({n_tokens}, 100) * 50\n"
+        f"             + least(CAST(floor({stop_hits} * 15000.0"
+        f" / greatest({n_tokens}, 1)) AS BIGINT), 3000)\n"
+        "             + 2000\n"
+        f"             - least(CAST(floor({n_punct} * 20000.0"
+        f" / greatest({n_chars}, 1)) AS BIGINT), 2000)"
+    )
+
+
 @register(
     "q_text_quality",
     oracle=f"""
@@ -189,16 +245,11 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS stopword_bp,
            CAST(floor(n_punct * 10000.0 / greatest(n_chars, 1)) AS BIGINT)
                AS punct_bp,
-           CAST(least(n_tokens, 100) * 50
-                + least(CAST(floor(stop_hits * 15000.0 / greatest(n_tokens, 1)) AS BIGINT), 3000)
-                + 2000 - least(CAST(floor(n_punct * 20000.0 / greatest(n_chars, 1)) AS BIGINT), 2000)
+           CAST({quality_bp_sql()}
                 AS BIGINT) AS quality_bp
     FROM (
       SELECT doc_id, n_chars,
-             len({TOKENS_SQL}) AS n_tokens,
-             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to|in|is|it)\\b'))
-                 AS stop_hits,
-             len(regexp_extract_all(text, '[^\\p{{L}}\\s]')) AS n_punct
+             {quality_raw_features_sql()}
       FROM documents
     )
     """,
@@ -209,9 +260,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer basis points [0, 10000].  Integer floor arithmetic — no float
     rounding boundary can diverge between engines."""
     docs = _docs(spark, sf_dir)
-    n_tokens = F.size(tokens_col(F.col("text")))
-    stop_hits = F.regexp_count(F.lower(F.col("text")), F.lit(_LANG_MARKERS["en"]))
-    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\p{L}\s]"))
+    n_tokens, stop_hits, n_punct = quality_raw_features()
     d = docs.select(
         "doc_id",
         F.col("n_chars"),
@@ -223,11 +272,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     chr_denom = F.greatest(F.col("n_chars"), F.lit(1))
     stop_bp = F.floor(F.col("stop_hits") * 10000.0 / tok_denom)
     punct_bp = F.floor(F.col("n_punct") * 10000.0 / chr_denom)
-    quality_bp = (
-        F.least(F.col("n_tokens"), F.lit(100)) * 50
-        + F.least(F.floor(F.col("stop_hits") * 15000.0 / tok_denom), F.lit(3000))
-        + 2000
-        - F.least(F.floor(F.col("n_punct") * 20000.0 / chr_denom), F.lit(2000))
+    quality_bp = quality_bp_expr(
+        F.col("n_tokens"), F.col("stop_hits"), F.col("n_punct"), F.col("n_chars")
     )
     return d.select(
         "doc_id",
@@ -3022,17 +3068,11 @@ YIELD_THRESHOLDS = list(range(2000, 10000, 1000))
                 // greatest(sum(n_tokens), 1) AS BIGINT) AS token_yield_bp
     FROM (
       SELECT source, n_tokens,
-             least(n_tokens, 100) * 50
-             + least(CAST(floor(stop_hits * 15000.0 / greatest(n_tokens, 1)) AS BIGINT), 3000)
-             + 2000
-             - least(CAST(floor(n_punct * 20000.0 / greatest(n_chars, 1)) AS BIGINT), 2000)
+             {quality_bp_sql()}
                  AS quality_bp
       FROM (
         SELECT source, n_chars,
-               len({TOKENS_SQL}) AS n_tokens,
-               len(regexp_extract_all(lower(text), '{_LANG_MARKERS["en"]}'))
-                   AS stop_hits,
-               len(regexp_extract_all(text, '[^\\p{{L}}\\s]')) AS n_punct
+             {quality_raw_features_sql()}
         FROM documents
       )
     )
@@ -3066,9 +3106,7 @@ def q_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean predicate to a scored sweep.
     """
     docs = _docs(spark, sf_dir)
-    n_tokens = F.size(tokens_col(F.col("text")))
-    stop_hits = F.regexp_count(F.lower(F.col("text")), F.lit(_LANG_MARKERS["en"]))
-    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\p{L}\s]"))
+    n_tokens, stop_hits, n_punct = quality_raw_features()
     d = docs.select(
         "source",
         F.col("n_chars"),
@@ -3076,13 +3114,8 @@ def q_quality_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_hits.alias("stop_hits"),
         n_punct.alias("n_punct"),
     )
-    tok_denom = F.greatest(F.col("n_tokens"), F.lit(1))
-    chr_denom = F.greatest(F.col("n_chars"), F.lit(1))
-    quality_bp = (
-        F.least(F.col("n_tokens"), F.lit(100)) * 50
-        + F.least(F.floor(F.col("stop_hits") * 15000.0 / tok_denom), F.lit(3000))
-        + 2000
-        - F.least(F.floor(F.col("n_punct") * 20000.0 / chr_denom), F.lit(2000))
+    quality_bp = quality_bp_expr(
+        F.col("n_tokens"), F.col("stop_hits"), F.col("n_punct"), F.col("n_chars")
     )
     scored = d.select(
         "source",
@@ -3244,21 +3277,17 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 PREFIX_DUP_K = 10
 
 _QUALITY_DUP_ORACLE = f"""
-    WITH scored AS (
-      SELECT doc_id,
+    WITH feat AS (
+      SELECT doc_id, n_chars,
              md5(array_to_string(
                  list_slice({TOKENS_SQL}, 1, {PREFIX_DUP_K}), ' ')) AS fp,
-             least((least(len({TOKENS_SQL}), 100) * 50
-                    + least(CAST(floor(
-                        len(regexp_extract_all(lower(text),
-                            '{_LANG_MARKERS["en"]}')) * 15000.0
-                        / greatest(len({TOKENS_SQL}), 1)) AS BIGINT), 3000)
-                    + 2000
-                    - least(CAST(floor(
-                        len(regexp_extract_all(text, '[^\\p{{L}}\\s]'))
-                        * 20000.0 / greatest(n_chars, 1)) AS BIGINT), 2000)
-                   ) // 2000, 4) AS quality_bucket
+             {quality_raw_features_sql()}
       FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, fp,
+             least(({quality_bp_sql()}) // 2000, 4) AS quality_bucket
+      FROM feat
     ),
     classed AS (
       SELECT quality_bucket,
@@ -3316,17 +3345,8 @@ def q_quality_dup_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the joint audit.
     """
     docs = _docs(spark, sf_dir)
-    n_tokens = F.size(tokens_col(F.col("text")))
-    stop_hits = F.regexp_count(F.lower(F.col("text")), F.lit(_LANG_MARKERS["en"]))
-    n_punct = F.regexp_count(F.col("text"), F.lit(r"[^\p{L}\s]"))
-    tok_denom = F.greatest(n_tokens, F.lit(1))
-    chr_denom = F.greatest(F.col("n_chars"), F.lit(1))
-    quality_bp = (
-        F.least(n_tokens, F.lit(100)) * 50
-        + F.least(F.floor(stop_hits * 15000.0 / tok_denom), F.lit(3000))
-        + 2000
-        - F.least(F.floor(n_punct * 20000.0 / chr_denom), F.lit(2000))
-    )
+    n_tokens, stop_hits, n_punct = quality_raw_features()
+    quality_bp = quality_bp_expr(n_tokens, stop_hits, n_punct, F.col("n_chars"))
     fp = F.md5(
         F.array_join(
             F.slice(tokens_col(F.col("text")), 1, PREFIX_DUP_K), " "
