@@ -518,18 +518,39 @@ def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPLIT_TRAIN_PCT = 80  # md5 bucket < 80  -> train
 SPLIT_VAL_PCT = 90    # 80 <= bucket < 90 -> val, else test
 
-_SPLIT_ORACLE = f"""
-    WITH assigned AS (
-      SELECT doc_id, source,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2))::INT
-                  AS BIGINT) % 100 AS bucket
-      FROM documents
+
+def split_col(c: "F.Column") -> "F.Column":
+    """The train/val/test assignment as a pure expression of an id
+    column — THE canonical definition (the leakage audit in dedup.py
+    consumes this same pair, so the two operators cannot diverge on
+    what a split is)."""
+    bucket = (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 2), 16, 10).cast("bigint")
+        % 100
     )
-    SELECT doc_id, source,
-           CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
-                WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
-                ELSE 'test' END AS split
-    FROM assigned
+    return (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def split_sql(col: str) -> str:
+    """DuckDB twin of :func:`split_col` over an arbitrary id expression."""
+    bucket = (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 2))"
+        "::INT AS BIGINT) % 100"
+    )
+    return (
+        f"CASE WHEN {bucket} < {SPLIT_TRAIN_PCT} THEN 'train' "
+        f"WHEN {bucket} < {SPLIT_VAL_PCT} THEN 'val' "
+        "ELSE 'test' END"
+    )
+
+
+_SPLIT_ORACLE = f"""
+    SELECT doc_id, source, {split_sql('doc_id')} AS split
+    FROM documents
 """
 
 
@@ -547,16 +568,8 @@ def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning and seed plumbing.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-    ).cast("bigint") % 100
     return docs.select(
-        "doc_id",
-        "source",
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-        .alias("split"),
+        "doc_id", "source", split_col(F.col("doc_id")).alias("split")
     )
 
 

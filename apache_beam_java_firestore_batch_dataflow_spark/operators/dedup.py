@@ -343,6 +343,9 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict dead-session entries on miss (semantic_edges discipline)
+    for k in [k for k in _PAIR_CACHE if k[0] != key[0]]:
+        del _PAIR_CACHE[k]
     pairs = (
         q_dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
@@ -399,15 +402,21 @@ def connected_components(
       for API compatibility only — every round checkpoints, any other
       value warns and is ignored (ADVICE r10).
 
-    Block reclamation (ADVICE r10): ``DataFrame.unpersist()`` is a
-    no-op on a checkpointed frame (its blocks bypass the cache
-    manager), so each superseded round's O(nodes) blocks are freed
-    EXPLICITLY by diffing the JVM persistent-RDD registry around the
-    ``localCheckpoint`` call and unpersisting the previous round's RDD
-    once the new round is materialized — long-diameter graphs hold at
-    most two generations instead of O(rounds).  The final round's
-    blocks back the returned frame and are reclaimed by GC after the
-    caller drops it.
+    Block reclamation (ADVICE r10; reworked closing r11):
+    ``DataFrame.unpersist()`` is a no-op on a checkpointed frame (its
+    blocks bypass the cache manager), so each superseded round's
+    O(nodes) blocks are freed EXPLICITLY by unpersisting the PREVIOUS
+    round's internal checkpointed RDD (``queryExecution.toRdd()`` — the
+    exact object ``localCheckpoint`` persisted) once the new round is
+    materialized — long-diameter graphs hold at most two generations
+    instead of O(rounds).  The first implementation diffed the JVM
+    persistent-RDD registry around the checkpoint call instead; that
+    sweep was unsound — round 1's diff also captured the ``both`` edge
+    cache (and would capture ANY concurrently persisted RDD), so round
+    2 unpersisted the edge frame and every later round re-ran the
+    doubled-edge union.  The direct RDD handle cannot touch anything
+    but the superseded generation.  The final round's blocks back the
+    returned frame and are reclaimed by GC after the caller drops it.
     """
     if checkpoint_every not in (None, 1):
         warnings.warn(
@@ -420,10 +429,8 @@ def connected_components(
     both = both.persist()
     handle = vertices.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     labels = handle
-    jsc = vertices.sparkSession.sparkContext._jsc
-    prev_ckpt_ids: set = set()
+    prev_ckpt_rdd = None
     for _ in range(max_iter):
-        before_ids = set(jsc.getPersistentRDDs().keys())
         neighbor_min = (
             both.join(labels, both["src"] == labels["doc_id"])
             .select(F.col("dst").alias("doc_id"), "cluster_id")
@@ -441,17 +448,18 @@ def connected_components(
                 < F.col("cluster_id")
             ).cast("int").alias("chg"),
         ).localCheckpoint(eager=True)
+        # the exact JVM RDD localCheckpoint persisted: the returned
+        # frame's plan is LogicalRDD(<checkpointed rdd>), so its .rdd()
+        # IS the persisted object (toRdd() would be a fresh derivation
+        # over it and unpersisting that would free nothing)
+        ckpt_rdd = stepped._jdf.queryExecution().logical().rdd()
         changed = stepped.agg(F.sum("chg")).first()[0] or 0
         handle.unpersist()  # round 1 frees the initial vertices persist
         # the new round is materialized, so the previous round's
         # checkpoint blocks are dead — free them now, not at GC time
-        registry = jsc.getPersistentRDDs()
-        new_ids = set(registry.keys()) - before_ids
-        for rid in prev_ckpt_ids:
-            dead = registry.get(rid)
-            if dead is not None:
-                dead.unpersist()
-        prev_ckpt_ids = new_ids
+        if prev_ckpt_rdd is not None:
+            prev_ckpt_rdd.unpersist(False)
+        prev_ckpt_rdd = ckpt_rdd
         handle = stepped
         # narrow projection of the checkpointed frame — no copy
         labels = stepped.select("doc_id", "cluster_id")
@@ -1810,32 +1818,20 @@ def q_dedup_paragraph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _split_sql(col: str) -> str:
-    """DuckDB split-assignment expression — identical hash + thresholds
-    to ``curation.q_split_train_val_test``'s oracle."""
-    from .curation import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+    """The canonical split assignment from curation.py (closing-r11
+    review: previously a verbatim re-implementation here — a change to
+    the hash idiom in ONE copy would silently bucket leakage under
+    splits no document belongs to)."""
+    from .curation import split_sql
 
-    return (
-        f"CASE WHEN CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 2))"
-        f"::INT AS BIGINT) % 100 < {SPLIT_TRAIN_PCT} THEN 'train' "
-        f"WHEN CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 2))"
-        f"::INT AS BIGINT) % 100 < {SPLIT_VAL_PCT} THEN 'val' "
-        f"ELSE 'test' END"
-    )
+    return split_sql(col)
 
 
 def _split_col(c: F.Column) -> F.Column:
-    """Spark twin of ``_split_sql`` (pure function of the id — no join)."""
-    from .curation import SPLIT_TRAIN_PCT, SPLIT_VAL_PCT
+    """Spark twin — same canonical definition."""
+    from .curation import split_col
 
-    bucket = (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 2), 16, 10).cast("bigint")
-        % 100
-    )
-    return (
-        F.when(bucket < SPLIT_TRAIN_PCT, "train")
-        .when(bucket < SPLIT_VAL_PCT, "val")
-        .otherwise("test")
-    )
+    return split_col(c)
 
 
 def _split_leakage_oracle() -> str:

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from .similarity import semantic_edges
+from .similarity import SEM_GRAPH_TAU, semantic_edges
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 from ..registry import add as _registry_add
@@ -131,6 +131,9 @@ def copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _ADJ_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict dead-session entries on miss (semantic_edges discipline)
+    for k in [k for k in _ADJ_CACHE if k[0] != key[0]]:
+        del _ADJ_CACHE[k]
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     adj = (
@@ -253,8 +256,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Degree-ordered triangle census over the semantic similarity graph
 # ---------------------------------------------------------------------------
 
-TRI_TAU = 0.25  # edge threshold: cosine ≥ τ (lower than the dedup τ=0.35
-#                 so the graph has real community structure to count)
+# Edge threshold: cosine ≥ τ (lower than the dedup τ=0.35 so the graph
+# has real community structure to count).  Canonical definition lives in
+# similarity.py next to the semantic_edges memo it keys; re-exported
+# here under its historical name.
+TRI_TAU = SEM_GRAPH_TAU
 
 # The oracle counts triangles with the simple canonical-order join (same
 # result as the degree-ordered plan by symmetry), then credits each of

@@ -646,6 +646,14 @@ def cosine_threshold_pairs(
 # repeated kernel work per bench true_total and the production
 # anti-shape (a real pipeline materializes the graph once, then runs
 # every graph analytic against it).
+# Semantic-graph edge threshold shared by the WHOLE graph family
+# (triangles / components / BFS / kcore / LPA callers in graph.py, which
+# re-exports it as TRI_TAU) and the label-conflict audit below: ONE
+# definition, because the memo is keyed by float tau — two hand-synced
+# constants drifting apart would silently split the cache into two
+# independently rebuilt O(n²/blocks) kernels.
+SEM_GRAPH_TAU = 0.25
+
 _EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
 
 
@@ -666,6 +674,11 @@ def semantic_edges(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict entries of dead SparkSessions on miss (closing-r11 review:
+    # a process cycling sessions would otherwise accumulate one stale
+    # frame + py4j handle per dead session for the process lifetime)
+    for k in [k for k in _EDGE_CACHE if k[0] != key[0]]:
+        del _EDGE_CACHE[k]
     edges = (
         cosine_threshold_pairs(spark, sf_dir, tau=tau)
         .select("vec_a", "vec_b")
@@ -3878,9 +3891,9 @@ def q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Label-noise audit: label agreement across near-duplicate pairs
 # --------------------------------------------------------------------------
 
-LABEL_EDGE_TAU = 0.25  # == operators/graph.py TRI_TAU, so the memoized
-# semantic_edges frame is shared with the whole graph family (keyed by
-# float tau; graph.py cannot be imported here without a cycle).
+LABEL_EDGE_TAU = SEM_GRAPH_TAU  # audit-local alias: same memo key as
+# the graph family by construction (closing-r11 review: the previous
+# hand-synced 0.25 literal could drift and split the shared memo).
 
 _CONFLICT_ORACLE = f"""
     WITH v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS vnorm

@@ -279,6 +279,12 @@ def test_connected_components_frees_superseded_checkpoints(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(1, n)], "src long, dst long"
     )
+    # an unrelated persisted frame must SURVIVE the run: the first
+    # (registry-diff) reclamation implementation would have swept any
+    # RDD that happened to materialize during round 1 — including the
+    # loop's own edge cache (closing-r11 review finding)
+    bystander = spark.range(100).persist()
+    bystander.count()
     before = set(spark.sparkContext._jsc.getPersistentRDDs().keys())
     labels = connected_components(vertices, edges)
     got = {r.doc_id: r.cluster_id for r in labels.collect()}
@@ -289,6 +295,11 @@ def test_connected_components_frees_superseded_checkpoints(spark):
         f"{leaked} checkpoint generations left behind (expected <= 2: "
         "the returned frame's blocks only)"
     )
+    assert before - after == set(), (
+        "reclamation unpersisted RDDs it does not own: "
+        f"{sorted(before - after)}"
+    )
+    bystander.unpersist()
     # the ignored parameter must WARN, not silently no-op
     with _w.catch_warnings(record=True) as rec:
         _w.simplefilter("always")
