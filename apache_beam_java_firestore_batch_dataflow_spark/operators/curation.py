@@ -1756,12 +1756,12 @@ _EPOCH_AUDIT_ORACLE = f"""
       FROM avail a, tot t
     )
     SELECT source, CAST(u AS BIGINT) AS units, avail_chars, requested_chars,
-           CAST(10000 * requested_chars // avail_chars AS BIGINT)
+           CAST(10000 * requested_chars // greatest(avail_chars, 1) AS BIGINT)
                AS epochs_bp,
            CAST(least(requested_chars, {MAX_EPOCHS} * avail_chars) AS BIGINT)
                AS effective_chars,
            CAST(10000 * least(requested_chars, {MAX_EPOCHS} * avail_chars)
-                // avail_chars AS BIGINT) AS epochs_capped_bp,
+                // greatest(avail_chars, 1) AS BIGINT) AS epochs_capped_bp,
            CAST(requested_chars
                 - least(requested_chars, {MAX_EPOCHS} * avail_chars)
                 AS BIGINT) AS shortfall_chars,
@@ -1817,13 +1817,15 @@ def q_mix_epoch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("units"),
         "avail_chars",
         "requested_chars",
-        F.expr("10000 * requested_chars div avail_chars")
+        # greatest(avail_chars, 1): a zero-char source must yield 0 bp on
+        # both engines, not Spark-NULL vs a DuckDB divide error (ADVICE r11)
+        F.expr("10000 * requested_chars div greatest(avail_chars, 1)")
         .cast("bigint")
         .alias("epochs_bp"),
         effective.cast("bigint").alias("effective_chars"),
         F.expr(
             f"10000 * least(requested_chars, {MAX_EPOCHS} * avail_chars)"
-            " div avail_chars"
+            " div greatest(avail_chars, 1)"
         )
         .cast("bigint")
         .alias("epochs_capped_bp"),

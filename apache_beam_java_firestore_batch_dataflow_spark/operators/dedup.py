@@ -34,7 +34,7 @@ from ..functions.hashing import (
     minhash_term,
     minhash_term_sql,
 )
-from ..sources.tables import load_table
+from ..sources.tables import fixture_fingerprint, load_table
 from .text import TOKENS_SQL, tokens_col
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -320,7 +320,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-ran the shingle+band+verify kernel per call, the production
 # anti-shape (a real pipeline materializes the pair set once, then runs
 # every dedup analytic against it).
-_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIR_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,13 +338,20 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_dedup_minhash_lsh`` itself stays un-memoized: it IS the kernel
     under measurement, and its registered output carries the
     n_common/jaccard columns this id-only frame drops.
+    The key also carries a fixture fingerprint (mtime+size of the
+    documents parquet, ADVICE r11): a same-session rewrite of the
+    fixture under the same sf_dir changes the fingerprint, so the memo
+    misses and rebuilds instead of silently serving stale checkpointed
+    blocks.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    fp = fixture_fingerprint(sf_dir, ("documents",))
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
     cached = _PAIR_CACHE.get(key)
     if cached is not None:
         return cached
-    # evict dead-session entries on miss (semantic_edges discipline)
-    for k in [k for k in _PAIR_CACHE if k[0] != key[0]]:
+    # evict dead-session entries AND superseded-fixture entries for this
+    # sf_dir on miss (semantic_edges discipline)
+    for k in [k for k in _PAIR_CACHE if k[0] != key[0] or k[1] == sf_dir]:
         del _PAIR_CACHE[k]
     pairs = (
         q_dedup_minhash_lsh(spark, sf_dir)

@@ -33,7 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import load_table
+from ..sources.tables import fixture_fingerprint, load_table
 from .similarity import SEM_GRAPH_TAU, semantic_edges
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -110,7 +110,7 @@ _PAGERANK_ORACLE = f"""
 # used to re-run the SAME orders⋈lineitem + distinct kernel and
 # re-materialize it independently (the production anti-shape — a real
 # pipeline extracts the graph once, then runs every analytic on it).
-_ADJ_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ADJ_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,13 +126,19 @@ def copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``spark.catalog.clearCache()`` (localCheckpoint blocks bypass the
     cache manager) — callers needing a genuinely cold rebuild use
     ``clear_copurchase_cache()`` (the bench's scaling legs and the
-    tests' teardown do)."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    tests' teardown do).  The key also carries a fixture fingerprint
+    (mtime+size of the orders/lineitem parquet, ADVICE r11): a
+    same-session rewrite of the fixture under the same sf_dir changes
+    the fingerprint, so the memo misses and rebuilds instead of
+    silently serving stale checkpointed blocks."""
+    fp = fixture_fingerprint(sf_dir, ("orders", "lineitem"))
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
     cached = _ADJ_CACHE.get(key)
     if cached is not None:
         return cached
-    # evict dead-session entries on miss (semantic_edges discipline)
-    for k in [k for k in _ADJ_CACHE if k[0] != key[0]]:
+    # evict dead-session entries AND superseded-fixture entries for this
+    # sf_dir on miss (semantic_edges discipline)
+    for k in [k for k in _ADJ_CACHE if k[0] != key[0] or k[1] == sf_dir]:
         del _ADJ_CACHE[k]
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")

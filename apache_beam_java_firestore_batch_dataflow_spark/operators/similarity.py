@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import dot, dot_sql, hyperplane_signs, norm, norm_sql
-from ..sources.tables import load_table
+from ..sources.tables import fixture_fingerprint, load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 from ..registry import add as _registry_add
@@ -654,7 +654,7 @@ def cosine_threshold_pairs(
 # independently rebuilt O(n²/blocks) kernels.
 SEM_GRAPH_TAU = 0.25
 
-_EDGE_CACHE: dict[tuple[str, str, float], DataFrame] = {}
+_EDGE_CACHE: dict[tuple[str, str, str, float], DataFrame] = {}
 
 
 def semantic_edges(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
@@ -669,15 +669,22 @@ def semantic_edges(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     (localCheckpoint blocks bypass the cache manager) — callers that
     need a genuinely cold rebuild call ``clear_semantic_edge_cache()``,
     which the bench's scaling legs and the tests' session teardown use.
+    The key also carries a fixture fingerprint (mtime+size of the
+    embeddings parquet, ADVICE r11): a same-session rewrite of the
+    fixture under the same sf_dir changes the fingerprint, so the memo
+    misses and rebuilds instead of silently serving stale checkpointed
+    blocks.
     """
-    key = (spark.sparkContext.applicationId, sf_dir, float(tau))
+    fp = fixture_fingerprint(sf_dir, ("embeddings",))
+    key = (spark.sparkContext.applicationId, sf_dir, fp, float(tau))
     cached = _EDGE_CACHE.get(key)
     if cached is not None:
         return cached
-    # evict entries of dead SparkSessions on miss (closing-r11 review:
-    # a process cycling sessions would otherwise accumulate one stale
-    # frame + py4j handle per dead session for the process lifetime)
-    for k in [k for k in _EDGE_CACHE if k[0] != key[0]]:
+    # evict entries of dead SparkSessions (closing-r11 review: a process
+    # cycling sessions would otherwise accumulate one stale frame + py4j
+    # handle per dead session for the process lifetime) AND
+    # superseded-fixture entries for this sf_dir on miss
+    for k in [k for k in _EDGE_CACHE if k[0] != key[0] or (k[1] == sf_dir and k[2] != fp)]:
         del _EDGE_CACHE[k]
     edges = (
         cosine_threshold_pairs(spark, sf_dir, tau=tau)

@@ -27,6 +27,32 @@ TABLE_NAMES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fixture_fingerprint(sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> str:
+    """Cheap driver-side fingerprint of the fixture files under ``sf_dir``
+    (path, mtime_ns, size per parquet file/dir-member).
+
+    Used as a component of the shared-kernel memo keys
+    (``semantic_edges`` / ``minhash_pairs`` / ``copurchase_adj``): those
+    memos hold ``localCheckpoint`` blocks that bypass
+    ``spark.catalog.clearCache()``, so without this a same-session
+    fixture rewrite under the same ``sf_dir`` would silently serve stale
+    checkpointed data (ADVICE r11).  A rewrite changes mtime/size, the
+    key misses, and the kernel rebuilds from the new files.  O(tables)
+    ``os.stat`` calls — never reads data.
+    """
+    parts: list[tuple[str, int, int]] = []
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            for entry in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, entry))
+                parts.append((f"{name}/{entry}", st.st_mtime_ns, st.st_size))
+        elif os.path.exists(path):
+            st = os.stat(path)
+            parts.append((name, st.st_mtime_ns, st.st_size))
+    return repr(parts)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 

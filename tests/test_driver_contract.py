@@ -220,16 +220,22 @@ def test_merged_registry_size_matches_module_sum():
     assert len(E.queries()) == total
 
 
-def test_r12_queue_ledger_names_resolve():
-    """Every query name ledgered in the __spark_entry__ r12-queue comment
-    must exist in the registry — a typo there would waste a driver slot
-    next round (the window is the scarce verification resource)."""
+def test_next_round_queue_ledger_names_resolve():
+    """Every query name ledgered in the __spark_entry__ next-round-queue
+    comment must exist in the registry — a typo there would waste a
+    driver slot next round (the window is the scarce verification
+    resource)."""
+    import pathlib
     import re
 
     import __spark_entry__ as e
 
-    src = open(e.__file__).read()
-    block = src[src.index("QUEUED FOR THE ROUND 12 PREFIX") : src.index("_PRIORITY = [")]
+    src = pathlib.Path(e.__file__).read_text()
+    marker = re.search(r"QUEUED FOR THE ROUND \d+ PREFIX", src)
+    assert marker, "next-round queue marker comment missing from ledger"
+    tail = src.find("_PRIORITY = [", marker.start())
+    assert tail != -1, "_PRIORITY list must follow the queue marker"
+    block = src[marker.start() : tail]
     names = set(re.findall(r"q[0-9a-z_]+", block))
     # strip comment words that merely look like names
     names = {n for n in names if n.startswith("q_") or re.fullmatch(r"q\d+_[a-z_]+", n)}

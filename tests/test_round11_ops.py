@@ -244,7 +244,14 @@ def test_graph_family_shares_edge_frame(spark, sf_dir):
 
     clear_semantic_edge_cache()
     q_graph_triangles(spark, sf_dir).collect()
-    key = (spark.sparkContext.applicationId, sf_dir, float(TRI_TAU))
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import fixture_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        fixture_fingerprint(sf_dir, ("embeddings",)),
+        float(TRI_TAU),
+    )
     assert key in _EDGE_CACHE, "triangles must populate the shared memo"
     frame_after_triangles = _EDGE_CACHE[key]
     q_graph_components_semantic(spark, sf_dir).collect()
@@ -695,7 +702,13 @@ def test_dedup_family_shares_pair_frame(spark, sf_dir):
 
     clear_minhash_pair_cache()
     q_dedup_clusters_k3(spark, sf_dir).collect()
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import fixture_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        fixture_fingerprint(sf_dir, ("documents",)),
+    )
     assert key in _PAIR_CACHE, "clusters_k3 must populate the shared memo"
     frame_after = _PAIR_CACHE[key]
     q_dedup_rate_by_source(spark, sf_dir).collect()
@@ -1053,7 +1066,13 @@ def test_graph_family_shares_copurchase_frame(spark, sf_dir):
 
     clear_copurchase_cache()
     q_graph_pagerank(spark, sf_dir).collect()
-    key = (spark.sparkContext.applicationId, sf_dir)
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import fixture_fingerprint
+
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        fixture_fingerprint(sf_dir, ("orders", "lineitem")),
+    )
     assert key in _ADJ_CACHE, "pagerank must populate the shared memo"
     frame_after = _ADJ_CACHE[key]
     q_graph_adamic_adar(spark, sf_dir).collect()
