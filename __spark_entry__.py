@@ -58,103 +58,95 @@ _MODULES = [
 # `scripts/check_oracles.py` re-proves the FULL registry locally every
 # round (artifact: ORACLE_CHECK_r{N}.txt).
 #
-# Driver-row ledger going into round 11 (CORRECTNESS_r01..r10): r10 was
-# fully green, 50/50 — all 16 queued r9 registrations, all 27 r10
-# registrations, and 7 r5-stale re-checks retired.  Cumulative: every
-# one of the 280 r10-era queries has a green driver row, but 81 are
-# STALE — 33 last checked in r5, 48 in r6 (computed from the
-# CORRECTNESS_r*.json files; VERDICT r10 item 1 caps new r11
-# registrations at ~10 so ≥35 of the 50 slots drain this backlog).
-# ROUND 11 prefix (exactly 50): the round-11 registrations first
-# (never-checked by construction), then ALL 33 r5-stale greens
-# alphabetically, then r6-stale greens alphabetically to fill 50.
-# Arithmetic: 10 new + 33 r5 + 7 r6 = 50 (40 stale re-checks —
-# final-batch arithmetic restated below the r12-queue note).
-# QUEUED FOR THE ROUND 12 PREFIX — the 37 remaining r6-stale greens
-# (every query last driver-checked before r7 is therefore ledgered,
-# satisfying the r10 "no unqueued pre-r7 row" done-criterion):
-# q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-# q9_product_profit, q_ann_pq_trained, q_ann_recall, q_ann_rrf_fusion,
-# q_corr_manual, q_dedup_canonical_keep, q_dedup_minhash_est_error,
-# q_dedup_semantic, q_doc_similarity_tfidf, q_embedding_mrl_truncate,
-# q_embedding_power_iteration, q_events_anomaly_mad, q_events_ewma,
-# q_join_left, q_join_semi, q_layout_zorder_buckets,
-# q_multimodal_phash_pairs, q_multimodal_scene_cuts,
-# q_pivot_conditional, q_rollup, q_sample_weighted, q_scalar_map,
-# q_scalar_math, q_scalar_string, q_set_ops, q_sketch_countmin_words,
-# q_subquery_scalar, q_text_bigram_logprob, q_text_novelty_ngrams,
-# q_text_winnow_fingerprints, q_union_except, plus q3_shipping_priority,
-# q4_order_priority and q5_region_revenue (displaced by the 3 late-r11
-# registrations), plus q21_last_shipper, q22_idle_customers and
-# q2_min_cost_supplier (displaced by the final-r11 batch of 3), plus
-# q20_heavy_shippers (displaced by the late q_quality_yield_curve),
-# plus q15_top_supplier, q16_part_supplier_counts,
-# q17_small_qty_revenue, q18_large_volume_customer and
-# q19_bracketed_revenue (displaced by the closing-r11 batch of 5:
-# q_mix_epoch_audit, q_text_oov_rate, q_ann_ivf_cell_balance,
-# q_multimodal_image_blur, q_quality_dup_interaction) —
-# then r7-stale greens
-# (49 of them) alphabetically.  Any late-r11 registration displaces
-# one r6-stale from the tail below INTO the r12 queue (keep this
-# comment's arithmetic current when that happens).
-# Arithmetic now: 15 new + 33 r5 + 2 r6 = 50 (35 stale re-checks —
-# exactly the VERDICT r10 ">=35 of the 50 slots" floor, so NO further
-# r11 registrations are admissible without dropping below it).
+# Driver-row ledger going into round 12 (CORRECTNESS_r01..r11): r11 was
+# fully green, 50/50 — 15 r11 registrations, all 33 r5-stale and 2
+# r6-stale re-checks.  Cumulative: every one of the 295 r11-era queries
+# has a green driver row; 46 were last checked in r6 and 49 in r7
+# (computed from the CORRECTNESS_r*.json files).  VERDICT r11 item 1
+# caps new r12 registrations at <=4 so the whole r6 cohort drains this
+# round; 2 were registered, so the window is 2 new + 46 r6-stale + the
+# 2 alphabetically-first r7-stale greens = 50.  After a green r12 no
+# driver row is older than r7 — the r10 "no unqueued pre-r7 row"
+# criterion stays satisfied and the backlog is one cohort deep.
+# QUEUED FOR THE ROUND 13 PREFIX — the 47 remaining r7-stale greens
+# (any late-r12 registration displaces one r7-stale from the tail of
+# _PRIORITY below INTO this queue; keep the arithmetic current):
+# q_agg_percentile_disc, q_agg_skew_kurtosis, q_ann_filtered_by_label,
+# q_ann_hamming_rank, q_assoc_pairs_lift, q_audit_sequence_gaps,
+# q_bloom_semi_join, q_customer_rfm, q_drift_psi_events,
+# q_embedding_spectral_scores, q_er_fuzzy_blocked,
+# q_events_attribution, q_events_cusum_changepoint,
+# q_events_gapfill_hourly, q_events_holt_linear,
+# q_events_m4_downsample, q_events_moving_median,
+# q_events_robust_scale, q_format_corrupt_quarantine,
+# q_graph_components_semantic, q_graph_pagerank, q_graph_triangles,
+# q_histogram_equidepth, q_join_null_safe, q_kanonymity_audit,
+# q_layout_zonemap_skipping, q_market_concentration_hhi,
+# q_mix_temperature_weights, q_multimodal_audio_silence,
+# q_multimodal_image_histogram, q_multimodal_keyframes,
+# q_privacy_dp_counts, q_profile_entropy_mi,
+# q_quality_topp_per_source, q_regress_trend_per_type,
+# q_sample_balanced_labels, q_scd2_priority_history,
+# q_sequence_pattern_vcp, q_sessions_concurrency,
+# q_sketch_kmv_join_estimate, q_stream_static_enrich,
+# q_stream_window_topk, q_supplier_pareto80, q_text_bpe_merge,
+# q_text_langid_confusion, q_udtf_chunk_words,
+# q_window_running_distinct
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- round-11 registrations (never checked) (15) ---
-    "q_text_heaps_law",
-    "q_dedup_threshold_sweep",
-    "q_embedding_label_conflicts",
-    "q_dedup_split_leakage",
-    "q_text_langid_kappa",
-    "q_text_bpe_fertility_by_lang",
-    "q_ann_hard_negatives",
-    "q_multimodal_audio_clipping",
-    "q_dedup_rate_by_source",
-    "q_quality_yield_curve",
-    "q_mix_epoch_audit",
-    "q_text_oov_rate",
-    "q_ann_ivf_cell_balance",
-    "q_multimodal_image_blur",
-    "q_quality_dup_interaction",
-    # --- all r5-stale greens, alphabetical (33) ---
-    "q_doc_length_histogram",
-    "q_embedding_gram_matrix",
-    "q_events_funnel",
-    "q_events_json",
-    "q_events_retention",
-    "q_events_transitions",
-    "q_format_roundtrip_json",
-    "q_grouping_sets",
-    "q_join_anti",
-    "q_join_full_outer",
-    "q_knn_bruteforce_cogrouped",
-    "q_knn_bruteforce_numpy",
-    "q_multimodal_audio_stats",
-    "q_multimodal_video_stats",
-    "q_orderby_limit",
-    "q_partitioned_write_prune",
-    "q_profile_table_stats",
-    "q_scalar_array",
-    "q_scalar_date",
-    "q_scalar_levenshtein",
-    "q_split_train_val_test",
-    "q_stream_session",
-    "q_string_agg_ordered",
-    "q_text_gopher_rules",
-    "q_text_lang_id",
-    "q_text_normalize",
-    "q_text_token_stats",
-    "q_text_zipf_slope",
-    "q_window_analytics",
-    "q_window_range_frame",
-    "q_window_rank",
-    "q_window_running",
-    "q_window_topk_per_group",
-    # --- r6-stale greens, alphabetical, to fill 50 (2) ---
-    "q10_returned_items",
-    "q14_promo_revenue",
+    # --- round-12 registrations (never checked) (2) ---
+    "q_contamination_eval_13gram",
+    "q_curation_funnel_yield",
+    # --- all 46 remaining r6-stale greens, alphabetical ---
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_bracketed_revenue",
+    "q20_heavy_shippers",
+    "q21_last_shipper",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q_ann_pq_trained",
+    "q_ann_recall",
+    "q_ann_rrf_fusion",
+    "q_corr_manual",
+    "q_dedup_canonical_keep",
+    "q_dedup_minhash_est_error",
+    "q_dedup_semantic",
+    "q_doc_similarity_tfidf",
+    "q_embedding_mrl_truncate",
+    "q_embedding_power_iteration",
+    "q_events_anomaly_mad",
+    "q_events_ewma",
+    "q_join_left",
+    "q_join_semi",
+    "q_layout_zorder_buckets",
+    "q_multimodal_phash_pairs",
+    "q_multimodal_scene_cuts",
+    "q_pivot_conditional",
+    "q_rollup",
+    "q_sample_weighted",
+    "q_scalar_map",
+    "q_scalar_math",
+    "q_scalar_string",
+    "q_set_ops",
+    "q_sketch_countmin_words",
+    "q_subquery_scalar",
+    "q_text_bigram_logprob",
+    "q_text_novelty_ngrams",
+    "q_text_winnow_fingerprints",
+    "q_union_except",
+    # --- oldest r7-stale greens, alphabetical, to fill 50 (2) ---
+    "q_agg_incremental_merge",
+    "q_agg_mode",
 ]
 
 

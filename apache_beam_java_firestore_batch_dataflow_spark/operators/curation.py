@@ -1837,3 +1837,325 @@ def q_mix_epoch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(MAX_EPOCHS) * F.col("avail_chars")
         ).alias("is_capped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set contamination: 13-gram membership against the held-out split
+# ---------------------------------------------------------------------------
+
+# Lee et al. 2022 / GPT-3-style decontamination width: a training document
+# sharing any 13-token n-gram with the eval fixture is flagged.  The eval
+# fixture is THE canonical held-out split (split_col(doc_id) == 'test') so
+# this audit, the split assigner and the near-dup leakage audit all agree
+# on what "held out" means.
+CONTAM_K = 13
+# Bloom sizing is a knob on the EVAL fixture (fixed-size benchmark suite),
+# never on the corpus: 2^17 bits / 5 probes holds ~18k eval grams under
+# 1% FP; a false positive only costs one extra exact-join probe row.
+CONTAM_BLOOM_BITS = 1 << 17
+CONTAM_BLOOM_K = 5
+
+
+def _contam_grams_sql() -> str:
+    """CTE body: per-document distinct {CONTAM_K}-token grams plus split
+    membership (DuckDB twin of the in-row gram build below)."""
+    from .text import TOKENS_SQL
+
+    return f"""
+      SELECT doc_id, source, split,
+             unnest(list_distinct(
+                 CASE WHEN len(t) >= {CONTAM_K}
+                      THEN list_transform(range(1, len(t) - {CONTAM_K - 2}),
+                               i -> array_to_string(t[i:i+{CONTAM_K - 1}], ' '))
+                      ELSE CAST([] AS VARCHAR[]) END)) AS g
+      FROM (SELECT doc_id, source, {split_sql('doc_id')} AS split,
+                   {TOKENS_SQL} AS t
+            FROM documents)
+    """
+
+
+def contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document eval-contamination hits ``(doc_id, n_matched)`` for
+    every non-test document sharing >= 1 distinct {CONTAM_K}-gram with
+    the test split — the shared kernel behind the contamination audit
+    and the curation funnel.
+
+    Scale shape (the reason this is not a plain self-join): the eval
+    fixture is a FIXED-size benchmark suite, so its distinct gram set is
+    O(eval), never O(corpus).  It is aggregated once, folded into a
+    broadcast Bloom filter (``functions/bloom.py``: one bounded
+    ``bit_or`` collect of CONTAM_BLOOM_BITS/64 int64 words), and probed
+    INSIDE the corpus scan — non-matching grams (the overwhelming
+    majority) die map-side in whole-stage codegen before any shuffle.
+    Only Bloom survivors reach the one exact broadcast semi-join that
+    removes false positives, so the Bloom is purely a shuffle-volume
+    optimization and never changes results; the corpus never joins
+    itself.  The in-row gram build is the shingle discipline
+    (zero-shuffle Generate over the scan).
+    """
+    from ..functions.bloom import bloom_build, bloom_member
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id",
+        split_col(F.col("doc_id")).alias("split"),
+        tokens_col(F.col("text")).alias("t"),
+    )
+    gram_arr = F.when(
+        F.size("t") >= CONTAM_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (CONTAM_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice("t", i, CONTAM_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tokd.select(
+        "doc_id", "split", F.explode(F.array_distinct(gram_arr)).alias("g")
+    )
+    eval_g = grams.filter(F.col("split") == "test").select("g").distinct()
+    words = bloom_build(
+        eval_g, F.col("g"), CONTAM_BLOOM_BITS, CONTAM_BLOOM_K
+    )
+    cand = grams.filter(F.col("split") != "test").filter(
+        bloom_member(F.col("g"), words, CONTAM_BLOOM_BITS, CONTAM_BLOOM_K)
+    )
+    return (
+        cand.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matched"))
+    )
+
+
+_CONTAM_ORACLE = f"""
+    WITH g AS ({_contam_grams_sql()}),
+    ev AS (SELECT DISTINCT g FROM g WHERE split = 'test'),
+    hits AS (
+      SELECT t.doc_id, count(*) AS m
+      FROM g t JOIN ev USING (g)
+      WHERE t.split <> 'test'
+      GROUP BY t.doc_id
+    ),
+    train AS (
+      SELECT doc_id, source FROM documents
+      WHERE {split_sql('doc_id')} <> 'test'
+    )
+    SELECT tr.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(h.m) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(sum(h.m), 0) AS BIGINT) AS n_grams_matched,
+           CAST(round(count(h.m) * 1.0 / count(*), 6) AS DOUBLE)
+               AS contam_rate
+    FROM train tr LEFT JOIN hits h USING (doc_id)
+    GROUP BY tr.source
+"""
+
+
+@register("q_contamination_eval_13gram", oracle=_CONTAM_ORACLE)
+def q_contamination_eval_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination audit (Lee et al. 2022 style): per source,
+    how many non-test documents share at least one {CONTAM_K}-token
+    n-gram with the canonical held-out test split, how many distinct
+    grams matched, and the contamination rate — the audit a pretraining
+    pipeline runs before trusting ANY benchmark number, because a
+    verbatim eval passage inside the training corpus inflates the
+    benchmark without improving the model.
+
+    Rides :func:`contaminated_docs` (broadcast-Bloom-gated gram probe +
+    exact verify — see its docstring for the 100 TB shape) and adds one
+    fan-out-1 doc_id join + an O(sources) rollup.  Counts are exact
+    integers; the one ratio rounds at emit.
+
+    Reference provenance: extends the reference's tokenize pipeline
+    (WordCount.java:52-75) with the n-gram membership audit its
+    single-corpus word count has no notion of.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(split_col(F.col("doc_id")) != "test").select(
+        "doc_id", "source"
+    )
+    hits = contaminated_docs(spark, sf_dir)
+    joined = train.join(hits, "doc_id", "left")
+    n_contam = F.count("n_matched")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        n_contam.cast("bigint").alias("n_contaminated"),
+        F.coalesce(F.sum("n_matched"), F.lit(0))
+        .cast("bigint")
+        .alias("n_grams_matched"),
+        F.round(n_contam * 1.0 / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("contam_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: cumulative per-source yield through the four gates
+# ---------------------------------------------------------------------------
+
+# Quality gate for the funnel: ~25th percentile of the corpus quality_bp
+# distribution, so the gate filters without being degenerate at any sf.
+FUNNEL_QUALITY_BP = 4500
+
+_FUNNEL_STAGES = ("raw", "lang_id", "quality", "dedup", "decontam")
+
+
+def _funnel_oracle() -> str:
+    # assembled in a function so the (large) minhash CTE is composed
+    # exactly once, at registration time
+    from .dedup import _MINHASH_ORACLE
+    from .text import _LANGID_ORACLE, quality_bp_sql, quality_raw_features_sql
+
+    stage_selects = "\n    UNION ALL\n".join(
+        f"""    SELECT source, '{name}' AS stage, CAST({rank} AS INT) AS stage_rank,
+           n{rank} AS n_docs, c{rank} AS n_chars FROM agg"""
+        for rank, name in enumerate(_FUNNEL_STAGES)
+    )
+    return f"""
+    WITH pairs AS ({_MINHASH_ORACLE}),
+    dupb AS (SELECT DISTINCT doc_b AS doc_id FROM pairs),
+    g AS ({_contam_grams_sql()}),
+    ev AS (SELECT DISTINCT g FROM g WHERE split = 'test'),
+    contam AS (
+      SELECT DISTINCT t.doc_id FROM g t JOIN ev USING (g)
+      WHERE t.split <> 'test'
+    ),
+    lang AS ({_LANGID_ORACLE}),
+    feat AS (
+      SELECT doc_id, source, n_chars, {split_sql('doc_id')} AS split,
+             {quality_raw_features_sql()}
+      FROM documents
+    ),
+    base AS (
+      SELECT f.source, f.n_chars,
+             (l.lang_pred = l.lang_actual) AS g1,
+             (l.lang_pred = l.lang_actual)
+                 AND ({quality_bp_sql()}) >= {FUNNEL_QUALITY_BP} AS g2,
+             (l.lang_pred = l.lang_actual)
+                 AND ({quality_bp_sql()}) >= {FUNNEL_QUALITY_BP}
+                 AND d.doc_id IS NULL AS g3,
+             (l.lang_pred = l.lang_actual)
+                 AND ({quality_bp_sql()}) >= {FUNNEL_QUALITY_BP}
+                 AND d.doc_id IS NULL AND c.doc_id IS NULL AS g4
+      FROM feat f
+      JOIN lang l USING (doc_id)
+      LEFT JOIN dupb d USING (doc_id)
+      LEFT JOIN contam c USING (doc_id)
+      WHERE f.split <> 'test'
+    ),
+    agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(n_chars) AS BIGINT) AS c0,
+             CAST(count(*) FILTER (WHERE g1) AS BIGINT) AS n1,
+             CAST(coalesce(sum(n_chars) FILTER (WHERE g1), 0) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (WHERE g2) AS BIGINT) AS n2,
+             CAST(coalesce(sum(n_chars) FILTER (WHERE g2), 0) AS BIGINT) AS c2,
+             CAST(count(*) FILTER (WHERE g3) AS BIGINT) AS n3,
+             CAST(coalesce(sum(n_chars) FILTER (WHERE g3), 0) AS BIGINT) AS c3,
+             CAST(count(*) FILTER (WHERE g4) AS BIGINT) AS n4,
+             CAST(coalesce(sum(n_chars) FILTER (WHERE g4), 0) AS BIGINT) AS c4
+      FROM base GROUP BY source
+    )
+{stage_selects}
+"""
+
+
+@register("q_curation_funnel_yield", oracle=_funnel_oracle())
+def q_curation_funnel_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel: per source, documents and characters
+    surviving each successive gate of a pretraining curation pipeline —
+    raw corpus (non-test split) → language-ID agrees with the labeled
+    language → quality score >= {FUNNEL_QUALITY_BP} bp → not the dropped
+    (higher-id) endpoint of a verified MinHash near-dup pair → not
+    13-gram-contaminated against the held-out eval split.  One long-form
+    row per (source, stage), cumulative — the yield waterfall every
+    corpus report publishes (what FineWeb/Gopher-class pipelines chart),
+    and the op that prices the WHOLE curation stack in one number.
+
+    Composition is the point, and so is what it does NOT recompute: the
+    near-dup drop set rides the session-memoized :func:`minhash_pairs
+    <..operators.dedup.minhash_pairs>` checkpoint (zero extra kernel
+    passes), the contamination set rides :func:`contaminated_docs`'s
+    Bloom-gated probe, and the lang/quality flags are zero-shuffle
+    codegen projections.  The funnel itself adds three fan-out-1 doc_id
+    joins, ONE O(sources) combiner agg, and an O(sources x 5) unpivot —
+    at 100 TB the marginal cost over the kernels is one pass over the
+    doc-id spine.
+
+    Gate order is fixed (cheap/local gates first, pair-derived gates
+    last) and cumulative by construction: g(k) = g(k-1) AND gate(k), so
+    the waterfall is monotone per source on both engines.
+    """
+    from .dedup import minhash_pairs
+    from .text import (
+        q_text_lang_id,
+        quality_bp_expr,
+        quality_raw_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens, stop_hits, n_punct = quality_raw_features()
+    feat = docs.filter(split_col(F.col("doc_id")) != "test").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            quality_bp_expr(n_tokens, stop_hits, n_punct, F.col("n_chars"))
+            >= FUNNEL_QUALITY_BP
+        ).alias("qual_ok"),
+    )
+    lang = q_text_lang_id(spark, sf_dir).select(
+        "doc_id", (F.col("lang_pred") == F.col("lang_actual")).alias("lang_ok")
+    )
+    dupb = (
+        minhash_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    contam = contaminated_docs(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("is_contam")
+    )
+    g1 = F.col("lang_ok")
+    g2 = g1 & F.col("qual_ok")
+    g3 = g2 & F.col("is_dup").isNull()
+    g4 = g3 & F.col("is_contam").isNull()
+    flags = (
+        feat.join(lang, "doc_id")
+        .join(dupb, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+    )
+
+    def _docs_chars(gate, rank):
+        keep = F.lit(True) if gate is None else gate
+        return [
+            F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias(f"n{rank}"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{rank}"),
+        ]
+
+    agg = flags.groupBy("source").agg(
+        *_docs_chars(None, 0),
+        *_docs_chars(g1, 1),
+        *_docs_chars(g2, 2),
+        *_docs_chars(g3, 3),
+        *_docs_chars(g4, 4),
+    )
+    stack_args = ", ".join(
+        f"'{name}', {rank}, n{rank}, c{rank}"
+        for rank, name in enumerate(_FUNNEL_STAGES)
+    )
+    return agg.select(
+        "source",
+        F.expr(
+            f"stack({len(_FUNNEL_STAGES)}, {stack_args}) "
+            "AS (stage, stage_rank, n_docs, n_chars)"
+        ),
+    ).select(
+        "source",
+        "stage",
+        F.col("stage_rank").cast("int").alias("stage_rank"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )

@@ -2141,7 +2141,14 @@ def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY in the reduced series length (Theil-Sen's documented
     contract: a year of hours is ~9k rows -> ~40M comparisons per
     pair, corpus-size independent); the type grid is a broadcast of an
-    O(|types|) frame."""
+    O(|types|) frame.
+
+    Granularity boundary (VERDICT r11): the O(L²) pair space is safe
+    at HOURLY granularity and coarser (L ≈ 9k/year).  A
+    minute-granularity variant multiplies the comparisons by 3600× and
+    MUST switch to the merge-rank O(L log L) concordance formulation
+    (sort one series, count inversions of the other) before
+    registering — do not widen this plan to finer grids."""
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.select(

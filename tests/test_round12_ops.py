@@ -57,3 +57,148 @@ def test_copurchase_memo_invalidated_by_fixture_rewrite(spark, tmp_path):
     assert copurchase_adj(spark, str(tmp_path)) is b
     clear_copurchase_cache()
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_contamination_eval_13gram
+# ---------------------------------------------------------------------------
+
+
+def _brute_contamination(spark, sf_dir):
+    """Driver-side exact reference: per-doc distinct 13-gram overlap with
+    the test split, no Bloom anywhere."""
+    import re
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import CONTAM_K
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    import hashlib
+
+    def split(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    def grams(text):
+        # [^\W\d_] == \p{L} for Python's re: letters only, like tokens_col
+        toks = [t for t in re.findall(r"[^\W\d_]+", text, re.UNICODE) if t]
+        return {
+            " ".join(toks[i : i + CONTAM_K])
+            for i in range(len(toks) - CONTAM_K + 1)
+        }
+
+    ev = set()
+    for r in rows:
+        if split(r.doc_id) == "test":
+            ev |= grams(r.text)
+    hits = {}
+    for r in rows:
+        if split(r.doc_id) != "test":
+            m = len(grams(r.text) & ev)
+            if m:
+                hits[r.doc_id] = m
+    return hits
+
+
+def test_contamination_matches_bruteforce(spark, sf_dir):
+    """The Bloom-gated distributed audit must agree exactly with a
+    no-Bloom driver-side brute force (the Bloom is a shuffle-volume
+    optimization, never a semantics change)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        contaminated_docs,
+        q_contamination_eval_13gram,
+    )
+
+    expected = _brute_contamination(spark, sf_dir)
+    got = {
+        r.doc_id: r.n_matched
+        for r in contaminated_docs(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # rollup consistency: per-source contaminated counts sum to the
+    # per-doc hit count, and every rate is n_contaminated / n_docs
+    agg = q_contamination_eval_13gram(spark, sf_dir).collect()
+    assert sum(r.n_contaminated for r in agg) == len(expected)
+    assert sum(r.n_grams_matched for r in agg) == sum(expected.values())
+    for r in agg:
+        assert r.n_docs > 0
+        assert 0.0 <= r.contam_rate <= 1.0
+        assert abs(r.contam_rate - round(r.n_contaminated / r.n_docs, 6)) < 1e-12
+
+
+def test_contamination_bloom_probe_is_in_plan(spark, sf_dir):
+    """The corpus-side gram stream must be Bloom-gated inside the scan
+    stage: the optimized plan carries the getbit probes (codegen-native
+    membership), and the only equi-join key is the gram against the
+    O(eval) broadcast side."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        contaminated_docs,
+    )
+
+    plan = (
+        contaminated_docs(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "getbit" in plan, "Bloom probe must gate the corpus gram stream"
+
+
+# ---------------------------------------------------------------------------
+# q_curation_funnel_yield
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_monotone_and_consistent(spark, sf_dir):
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        _FUNNEL_STAGES,
+        q_curation_funnel_yield,
+        split_col,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = q_curation_funnel_yield(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, {})[r.stage_rank] = r
+        assert r.stage == _FUNNEL_STAGES[r.stage_rank]
+    raw_expected = {
+        r.source: (r.n, r.c)
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(split_col(F.col("doc_id")) != "test")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c"))
+        .collect()
+    }
+    assert set(by_source) == set(raw_expected)
+    for source, stages in by_source.items():
+        assert sorted(stages) == [0, 1, 2, 3, 4], "every stage present"
+        assert (stages[0].n_docs, stages[0].n_chars) == raw_expected[source]
+        for k in range(1, 5):
+            assert stages[k].n_docs <= stages[k - 1].n_docs, "docs monotone"
+            assert stages[k].n_chars <= stages[k - 1].n_chars, "chars monotone"
+        assert stages[4].n_docs >= 0
+
+
+def test_funnel_reuses_minhash_memo(spark, sf_dir):
+    """The funnel's dedup gate must consume the session-memoized pair
+    frame, not re-run the banded kernel."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        q_curation_funnel_yield,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        _PAIR_CACHE,
+        clear_minhash_pair_cache,
+        minhash_pairs,
+    )
+
+    clear_minhash_pair_cache()
+    q_curation_funnel_yield(spark, sf_dir).collect()
+    assert len(_PAIR_CACHE) == 1, "funnel must populate the shared memo"
+    frame = next(iter(_PAIR_CACHE.values()))
+    assert minhash_pairs(spark, sf_dir) is frame
+    clear_minhash_pair_cache()
+    spark.catalog.clearCache()
