@@ -1,6 +1,6 @@
 """Round-12 additions: fixture-fingerprint memo invalidation (ADVICE r11),
-the eval-set contamination audit, sequence packing, PII scan, and the
-epoch-audit zero-char guard.
+the eval-set 13-gram contamination audit, the curation funnel, and the
+bench host-band contention signal (VERDICT r11 item 2).
 """
 
 from __future__ import annotations
@@ -8,7 +8,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from .conftest import SF_DIR, sorted_rows
+from .conftest import SF_DIR
 
 
 # ---------------------------------------------------------------------------
@@ -202,3 +202,43 @@ def test_funnel_reuses_minhash_memo(spark, sf_dir):
     assert minhash_pairs(spark, sf_dir) is frame
     clear_minhash_pair_cache()
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# bench host-band contention signal (VERDICT r11 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_host_band_signal_bands():
+    import bench
+
+    quiet = bench.host_band_signal(
+        {"naive_sec": 1.50},
+        {
+            "semantic_edges_shared": 1.3,
+            "minhash_pairs_shared": 3.4,
+            "copurchase_adj_shared": 1.2,
+        },
+    )
+    assert quiet["band"] == "in-band"
+    assert quiet["sink_leg_ratio"] < 1.3
+    # the r11 driver-window signature: kernel builds amplified
+    driver_window = bench.host_band_signal(
+        {"naive_sec": 1.6}, {"minhash_pairs_shared": 27.5}
+    )
+    assert driver_window["band"] == "contended"
+    assert driver_window["worst_kernel_build_ratio"] > 8
+    # sink-leg-only inflation also flags (pure host-CPU probe)
+    busy_cpu = bench.host_band_signal({"naive_sec": 2.2}, {})
+    assert busy_cpu["band"] == "contended"
+    assert busy_cpu["worst_kernel_build_ratio"] == 0.0
+
+
+def test_host_band_uncalibrated_config():
+    import bench
+
+    hb = bench.host_band_signal(
+        {"naive_sec": 5.0}, {"minhash_pairs_shared": 30.0}, calibrated=False
+    )
+    assert hb["band"] == "uncalibrated"
+    assert hb["worst_kernel_build_ratio"] > 2  # ratios still reported
