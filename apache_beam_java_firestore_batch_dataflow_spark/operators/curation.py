@@ -1874,11 +1874,26 @@ def _contam_grams_sql() -> str:
     """
 
 
+# One materialized copy of the per-doc contamination hits per (session,
+# sf_dir, fixture fingerprint) — the semantic_edges / minhash_pairs
+# discipline: the audit and the funnel would otherwise each re-run the
+# eval-gram census + Bloom bit_or collect + gated probe per call (and
+# the bench would pay it per rep), the production anti-shape.
+_CONTAM_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document eval-contamination hits ``(doc_id, n_matched)`` for
-    every non-test document sharing >= 1 distinct {CONTAM_K}-gram with
-    the test split — the shared kernel behind the contamination audit
-    and the curation funnel.
+    """Memoized, eagerly-checkpointed per-document eval-contamination
+    hits ``(doc_id, n_matched)`` for every non-test document sharing
+    >= 1 distinct {CONTAM_K}-gram with the test split — the shared
+    kernel behind the contamination audit and the curation funnel.
+
+    Keyed by ``applicationId`` + a fixture fingerprint of the documents
+    parquet (mtime+size — a same-session fixture rewrite misses and
+    rebuilds, never serves stale checkpointed blocks); NOT invalidated
+    by ``spark.catalog.clearCache()`` — callers needing a genuinely
+    cold rebuild use ``clear_contamination_cache()`` (the bench's
+    scaling legs and fixture-mutating tests must).
 
     Scale shape (the reason this is not a plain self-join): the eval
     fixture is a FIXED-size benchmark suite, so its distinct gram set is
@@ -1893,6 +1908,33 @@ def contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself.  The in-row gram build is the shingle discipline
     (zero-shuffle Generate over the scan).
     """
+    from ..sources.tables import fixture_fingerprint
+
+    fp = fixture_fingerprint(sf_dir, ("documents",))
+    key = (spark.sparkContext.applicationId, sf_dir, fp)
+    cached = _CONTAM_CACHE.get(key)
+    if cached is not None:
+        return cached
+    # evict dead-session entries AND superseded-fixture entries for this
+    # sf_dir on miss (semantic_edges discipline)
+    for k in [k for k in _CONTAM_CACHE if k[0] != key[0] or k[1] == sf_dir]:
+        del _CONTAM_CACHE[k]
+    hits = _contamination_hits_plan(spark, sf_dir).localCheckpoint(eager=True)
+    _CONTAM_CACHE[key] = hits
+    return hits
+
+
+def clear_contamination_cache() -> None:
+    """Invalidation hook for ``contaminated_docs`` (drops every
+    session's memo; the checkpoint blocks themselves are reclaimed by
+    GC once the frames are unreferenced)."""
+    _CONTAM_CACHE.clear()
+
+
+def _contamination_hits_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-memoized Bloom-gated plan behind :func:`contaminated_docs`
+    (split out so the plan-shape tests pin the real pipeline, not the
+    checkpoint scan a memo hit returns)."""
     from ..functions.bloom import bloom_build, bloom_member
     from .text import tokens_col
 

@@ -31,6 +31,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (  # noqa: E402
+    clear_contamination_cache,
+)
 from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (  # noqa: E402
     clear_minhash_pair_cache,
 )
@@ -267,6 +270,10 @@ HEADLINE = [
     "q_ann_ivf_cell_balance",
     "q_multimodal_image_blur",
     "q_quality_dup_interaction",
+    # round-12: the decontamination pair — the Bloom-gated 13-gram
+    # audit and the funnel that composes every curation gate
+    "q_contamination_eval_13gram",
+    "q_curation_funnel_yield",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -352,6 +359,10 @@ SCALING_QUERIES = [
     # claims the q_dedup_exact one-exchange envelope
     "q_text_oov_rate",
     "q_quality_dup_interaction",
+    # round-12: contamination claims gram-build-linear cost with the
+    # corpus never joining itself (O(eval) Bloom broadcast + exact
+    # semi-join on Bloom survivors only) — the curve is the proof
+    "q_contamination_eval_13gram",
 ]
 
 
@@ -390,6 +401,12 @@ EAGER_BUILD_QUERIES = {
     # listed so the accounting survives any reordering of the prebuild
     "q_graph_adamic_adar",
     "q_graph_degree_assortativity",
+    # round-12 contamination pair: construction runs the eval-gram
+    # census + the Bloom bit_or collect (bloom_build); the funnel
+    # additionally touches the shared minhash_pairs memo (~0 when
+    # main()'s prebuild already paid it)
+    "q_contamination_eval_13gram",
+    "q_curation_funnel_yield",
 }
 
 
@@ -456,6 +473,7 @@ def scaling_bench(spark, registry) -> dict:
                 clear_semantic_edge_cache()
                 clear_minhash_pair_cache()
                 clear_copurchase_cache()
+                clear_contamination_cache()
                 start = time.monotonic()
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
@@ -682,6 +700,18 @@ def main() -> None:
     _b0 = time.monotonic()
     copurchase_adj(spark, SF_DIR)
     eager_build["copurchase_adj_shared"] = round(time.monotonic() - _b0, 3)
+
+    # Shared contamination-hit kernel (r12, same discipline): the
+    # 13-gram audit and the curation funnel read ONE memoized
+    # Bloom-gated hit frame per session.
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        contaminated_docs,
+    )
+
+    clear_contamination_cache()
+    _b0 = time.monotonic()
+    contaminated_docs(spark, SF_DIR)
+    eager_build["contamination_hits_shared"] = round(time.monotonic() - _b0, 3)
 
     for name in HEADLINE:
         fn = registry[name]

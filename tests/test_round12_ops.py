@@ -107,10 +107,12 @@ def test_contamination_matches_bruteforce(spark, sf_dir):
     no-Bloom driver-side brute force (the Bloom is a shuffle-volume
     optimization, never a semantics change)."""
     from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        clear_contamination_cache,
         contaminated_docs,
         q_contamination_eval_13gram,
     )
 
+    clear_contamination_cache()
     expected = _brute_contamination(spark, sf_dir)
     got = {
         r.doc_id: r.n_matched
@@ -134,16 +136,43 @@ def test_contamination_bloom_probe_is_in_plan(spark, sf_dir):
     membership), and the only equi-join key is the gram against the
     O(eval) broadcast side."""
     from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
-        contaminated_docs,
+        _contamination_hits_plan,
     )
 
     plan = (
-        contaminated_docs(spark, sf_dir)
+        _contamination_hits_plan(spark, sf_dir)
         ._jdf.queryExecution()
         .optimizedPlan()
         .toString()
     )
     assert "getbit" in plan, "Bloom probe must gate the corpus gram stream"
+
+
+def test_contamination_memo_shared_by_funnel_and_audit(spark, sf_dir):
+    """The audit and the funnel must consume ONE checkpointed hit frame
+    per session (the minhash_pairs discipline), and the invalidation
+    hook forces a rebuild."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        _CONTAM_CACHE,
+        clear_contamination_cache,
+        contaminated_docs,
+        q_contamination_eval_13gram,
+        q_curation_funnel_yield,
+    )
+
+    clear_contamination_cache()
+    q_contamination_eval_13gram(spark, sf_dir).collect()
+    assert len(_CONTAM_CACHE) == 1, "audit must populate the shared memo"
+    frame = next(iter(_CONTAM_CACHE.values()))
+    q_curation_funnel_yield(spark, sf_dir).collect()
+    assert next(iter(_CONTAM_CACHE.values())) is frame, (
+        "funnel must reuse, not rebuild, the memoized hit frame"
+    )
+    assert contaminated_docs(spark, sf_dir) is frame
+    clear_contamination_cache()
+    assert contaminated_docs(spark, sf_dir) is not frame
+    clear_contamination_cache()
+    spark.catalog.clearCache()
 
 
 # ---------------------------------------------------------------------------
