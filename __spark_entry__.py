@@ -64,11 +64,14 @@ _MODULES = [
 # has a green driver row; 46 were last checked in r6 and 49 in r7
 # (computed from the CORRECTNESS_r*.json files).  VERDICT r11 item 1
 # caps new r12 registrations at <=4 so the whole r6 cohort drains this
-# round; 2 were registered, so the window is 2 new + 46 r6-stale + the
-# 2 alphabetically-first r7-stale greens = 50.  After a green r12 no
+# round; 3 were registered, so the window is 3 new + 46 r6-stale + the
+# alphabetically-first r7-stale green = 50.  After a green r12 no
 # driver row is older than r7 — the r10 "no unqueued pre-r7 row"
 # criterion stays satisfied and the backlog is one cohort deep.
-# QUEUED FOR THE ROUND 13 PREFIX — the 47 remaining r7-stale greens
+# QUEUED FOR THE ROUND 13 PREFIX — the 48 remaining r7-stale greens
+# (q_agg_mode rejoined the queue when the third r12 registration
+# displaced it from the window tail):
+# q_agg_mode,
 # (any late-r12 registration displaces one r7-stale from the tail of
 # _PRIORITY below INTO this queue; keep the arithmetic current):
 # q_agg_percentile_disc, q_agg_skew_kurtosis, q_ann_filtered_by_label,
@@ -94,9 +97,10 @@ _MODULES = [
 # q_window_running_distinct
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- round-12 registrations (never checked) (2) ---
+    # --- round-12 registrations (never checked) (3) ---
     "q_contamination_eval_13gram",
     "q_curation_funnel_yield",
+    "q_contamination_containment",
     # --- all 46 remaining r6-stale greens, alphabetical ---
     "q15_top_supplier",
     "q16_part_supplier_counts",
@@ -144,9 +148,8 @@ _PRIORITY = [
     "q_text_novelty_ngrams",
     "q_text_winnow_fingerprints",
     "q_union_except",
-    # --- oldest r7-stale greens, alphabetical, to fill 50 (2) ---
+    # --- oldest r7-stale green, alphabetical, to fill 50 (1) ---
     "q_agg_incremental_merge",
-    "q_agg_mode",
 ]
 
 

@@ -1931,10 +1931,15 @@ def clear_contamination_cache() -> None:
     _CONTAM_CACHE.clear()
 
 
-def _contamination_hits_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The un-memoized Bloom-gated plan behind :func:`contaminated_docs`
-    (split out so the plan-shape tests pin the real pipeline, not the
-    checkpoint scan a memo hit returns)."""
+def _contam_gram_streams(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared gram-stream construction for the contamination family:
+    returns ``(cand, eval_grams)`` where ``eval_grams`` is the test
+    split's per-doc distinct {CONTAM_K}-gram stream (O(eval) rows) and
+    ``cand`` is the non-test gram stream already Bloom-gated on
+    eval-gram membership (non-matches die map-side inside the scan
+    stage; the ``bloom_build`` here is one bounded bit_or collect)."""
     from ..functions.bloom import bloom_build, bloom_member
     from .text import tokens_col
 
@@ -1954,13 +1959,22 @@ def _contamination_hits_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = tokd.select(
         "doc_id", "split", F.explode(F.array_distinct(gram_arr)).alias("g")
     )
-    eval_g = grams.filter(F.col("split") == "test").select("g").distinct()
+    eval_grams = grams.filter(F.col("split") == "test").select("doc_id", "g")
     words = bloom_build(
-        eval_g, F.col("g"), CONTAM_BLOOM_BITS, CONTAM_BLOOM_K
+        eval_grams, F.col("g"), CONTAM_BLOOM_BITS, CONTAM_BLOOM_K
     )
     cand = grams.filter(F.col("split") != "test").filter(
         bloom_member(F.col("g"), words, CONTAM_BLOOM_BITS, CONTAM_BLOOM_K)
     )
+    return cand, eval_grams
+
+
+def _contamination_hits_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-memoized Bloom-gated plan behind :func:`contaminated_docs`
+    (split out so the plan-shape tests pin the real pipeline, not the
+    checkpoint scan a memo hit returns)."""
+    cand, eval_grams = _contam_gram_streams(spark, sf_dir)
+    eval_g = eval_grams.select("g").distinct()
     return (
         cand.join(F.broadcast(eval_g), "g")
         .groupBy("doc_id")
@@ -2200,4 +2214,122 @@ def q_curation_funnel_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("stage_rank").cast("int").alias("stage_rank"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-doc containment: is an eval item QUOTED inside a training doc?
+# ---------------------------------------------------------------------------
+
+# Containment threshold in basis points: an eval doc with >= 50% of its
+# distinct grams inside one training doc counts as quoted.  Compared as
+# exact integers (n_shared * 10000 >= bp * n_grams) — no float gate.
+CONTAIN_TAU_BP = 5000
+
+_CONTAINMENT_ORACLE = f"""
+    WITH g AS ({_contam_grams_sql()}),
+    ev AS (SELECT doc_id AS eval_doc, g FROM g WHERE split = 'test'),
+    pairs AS (
+      SELECT t.doc_id AS train_doc, e.eval_doc, count(*) AS n_shared
+      FROM g t JOIN ev e USING (g)
+      WHERE t.split <> 'test'
+      GROUP BY 1, 2
+    ),
+    evn AS (SELECT eval_doc, count(*) AS n_grams FROM ev GROUP BY eval_doc),
+    alltest AS (
+      SELECT doc_id AS eval_doc FROM documents
+      WHERE {split_sql('doc_id')} = 'test'
+    ),
+    best AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY eval_doc ORDER BY n_shared DESC, train_doc
+      ) AS rn FROM pairs
+    )
+    SELECT a.eval_doc,
+           CAST(coalesce(n.n_grams, 0) AS BIGINT) AS n_grams,
+           b.train_doc AS best_train_doc,
+           CAST(coalesce(b.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(round(coalesce(b.n_shared, 0) * 1.0
+                      / greatest(coalesce(n.n_grams, 0), 1), 6) AS DOUBLE)
+               AS containment,
+           (coalesce(b.n_shared, 0) * 10000
+                >= {CONTAIN_TAU_BP} * coalesce(n.n_grams, 0)
+            AND coalesce(n.n_grams, 0) > 0) AS is_quoted
+    FROM alltest a
+    LEFT JOIN evn n USING (eval_doc)
+    LEFT JOIN (SELECT eval_doc, train_doc, n_shared FROM best WHERE rn = 1) b
+        USING (eval_doc)
+"""
+
+
+@register("q_contamination_containment", oracle=_CONTAINMENT_ORACLE)
+def q_contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVAL-doc containment report: for every held-out test
+    document, the training document sharing the most distinct
+    {CONTAM_K}-grams with it, the shared-gram count, the containment
+    ratio |grams(eval) ∩ grams(train)| / |grams(eval)|, and a quoted
+    flag at {CONTAIN_TAU_BP} bp — the ASYMMETRIC complement of
+    `q_contamination_eval_13gram` (rates) and `q_dedup_split_leakage`
+    (Jaccard): symmetric Jaccard misses a short eval item quoted
+    verbatim inside a long training document, which is exactly the
+    failure mode that inflates benchmarks.  Eval docs too short to
+    carry a {CONTAM_K}-gram appear with n_grams = 0 and NULL
+    best_train_doc, so the report's row count is the eval fixture.
+
+    Scale shape: rides :func:`_contam_gram_streams` — the corpus-side
+    gram stream is Bloom-gated map-side on the O(eval) gram set, so
+    the (train, eval) pair space is bounded by the gram postings of
+    BLOOM SURVIVORS (13-gram postings are near-unique), never
+    corpus×eval; everything after the candidate join is O(pairs) +
+    O(eval)-row frames and a per-eval-doc WindowGroupLimit.  The
+    quoted gate is exact integer arithmetic; the one ratio rounds at
+    emit.
+    """
+    cand, eval_grams = _contam_gram_streams(spark, sf_dir)
+    pairs = (
+        cand.select(F.col("doc_id").alias("train_doc"), "g")
+        .join(
+            F.broadcast(
+                eval_grams.select(F.col("doc_id").alias("eval_doc"), "g")
+            ),
+            "g",
+        )
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    evn = (
+        eval_grams.groupBy(F.col("doc_id").alias("eval_doc"))
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+    )
+    alltest = (
+        load_table(spark, sf_dir, "documents")
+        .filter(split_col(F.col("doc_id")) == "test")
+        .select(F.col("doc_id").alias("eval_doc"))
+    )
+    w = Window.partitionBy("eval_doc").orderBy(
+        F.desc("n_shared"), F.asc("train_doc")
+    )
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("eval_doc", "train_doc", "n_shared")
+    )
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint")
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0)).cast("bigint")
+    return (
+        alltest.join(evn, "eval_doc", "left")
+        .join(best, "eval_doc", "left")
+        .select(
+            "eval_doc",
+            n_grams.alias("n_grams"),
+            F.col("train_doc").alias("best_train_doc"),
+            n_shared.alias("n_shared"),
+            F.round(n_shared * 1.0 / F.greatest(n_grams, F.lit(1)), 6)
+            .cast("double")
+            .alias("containment"),
+            (
+                (n_shared * 10000 >= CONTAIN_TAU_BP * n_grams)
+                & (n_grams > 0)
+            ).alias("is_quoted"),
+        )
     )

@@ -270,10 +270,12 @@ HEADLINE = [
     "q_ann_ivf_cell_balance",
     "q_multimodal_image_blur",
     "q_quality_dup_interaction",
-    # round-12: the decontamination pair — the Bloom-gated 13-gram
-    # audit and the funnel that composes every curation gate
+    # round-12: the decontamination trio — the Bloom-gated 13-gram
+    # audit, the funnel that composes every curation gate, and the
+    # per-eval-doc containment screen
     "q_contamination_eval_13gram",
     "q_curation_funnel_yield",
+    "q_contamination_containment",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -407,6 +409,7 @@ EAGER_BUILD_QUERIES = {
     # main()'s prebuild already paid it)
     "q_contamination_eval_13gram",
     "q_curation_funnel_yield",
+    "q_contamination_containment",
 }
 
 

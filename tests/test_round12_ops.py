@@ -271,3 +271,66 @@ def test_host_band_uncalibrated_config():
     )
     assert hb["band"] == "uncalibrated"
     assert hb["worst_kernel_build_ratio"] > 2  # ratios still reported
+
+
+# ---------------------------------------------------------------------------
+# q_contamination_containment
+# ---------------------------------------------------------------------------
+
+
+def test_containment_matches_bruteforce(spark, sf_dir):
+    """Per-eval-doc best-train containment must agree with a driver-side
+    exact reference, including gram-less eval docs and the deterministic
+    (n_shared desc, train_doc asc) tie-break."""
+    import hashlib
+    import re
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        CONTAM_K,
+        q_contamination_containment,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+
+    def split(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:2], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    def grams(text):
+        toks = re.findall(r"[^\W\d_]+", text, re.UNICODE)
+        return {
+            " ".join(toks[i : i + CONTAM_K])
+            for i in range(len(toks) - CONTAM_K + 1)
+        }
+
+    ev = {r.doc_id: grams(r.text) for r in rows if split(r.doc_id) == "test"}
+    tr = {r.doc_id: grams(r.text) for r in rows if split(r.doc_id) != "test"}
+    expected = {}
+    for e_id, e_g in ev.items():
+        best = None
+        for t_id in sorted(tr):
+            shared = len(e_g & tr[t_id])
+            if shared and (best is None or shared > best[1]):
+                best = (t_id, shared)
+        n = len(e_g)
+        shared = best[1] if best else 0
+        expected[e_id] = (
+            n,
+            best[0] if best else None,
+            shared,
+            round(shared / max(n, 1), 6),
+            bool(n > 0 and shared * 10000 >= 5000 * n),
+        )
+
+    got = {
+        r.eval_doc: (
+            r.n_grams,
+            r.best_train_doc,
+            r.n_shared,
+            r.containment,
+            r.is_quoted,
+        )
+        for r in q_contamination_containment(spark, sf_dir).collect()
+    }
+    assert got == expected
