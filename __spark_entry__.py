@@ -64,14 +64,16 @@ _MODULES = [
 # has a green driver row; 46 were last checked in r6 and 49 in r7
 # (computed from the CORRECTNESS_r*.json files).  VERDICT r11 item 1
 # caps new r12 registrations at <=4 so the whole r6 cohort drains this
-# round; 3 were registered, so the window is 3 new + 46 r6-stale + the
-# alphabetically-first r7-stale green = 50.  After a green r12 no
+# round; exactly 4 were registered, so the window is 4 new + all 46
+# r6-stale = 50 — the registration cap is now EXHAUSTED for r12 (a 5th
+# would evict an r6-stale row and break the drain).  After a green r12 no
 # driver row is older than r7 — the r10 "no unqueued pre-r7 row"
 # criterion stays satisfied and the backlog is one cohort deep.
-# QUEUED FOR THE ROUND 13 PREFIX — the 48 remaining r7-stale greens
-# (q_agg_mode rejoined the queue when the third r12 registration
-# displaced it from the window tail):
-# q_agg_mode,
+# QUEUED FOR THE ROUND 13 PREFIX — all 49 r7-stale greens
+# (q_agg_incremental_merge and q_agg_mode rejoined the queue when the
+# third and fourth r12 registrations displaced them from the window
+# tail):
+# q_agg_incremental_merge, q_agg_mode,
 # (any late-r12 registration displaces one r7-stale from the tail of
 # _PRIORITY below INTO this queue; keep the arithmetic current):
 # q_agg_percentile_disc, q_agg_skew_kurtosis, q_ann_filtered_by_label,
@@ -97,10 +99,11 @@ _MODULES = [
 # q_window_running_distinct
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- round-12 registrations (never checked) (3) ---
+    # --- round-12 registrations (never checked) (4) ---
     "q_contamination_eval_13gram",
     "q_curation_funnel_yield",
     "q_contamination_containment",
+    "q_pack_token_budget",
     # --- all 46 remaining r6-stale greens, alphabetical ---
     "q15_top_supplier",
     "q16_part_supplier_counts",
@@ -148,8 +151,6 @@ _PRIORITY = [
     "q_text_novelty_ngrams",
     "q_text_winnow_fingerprints",
     "q_union_except",
-    # --- oldest r7-stale green, alphabetical, to fill 50 (1) ---
-    "q_agg_incremental_merge",
 ]
 
 

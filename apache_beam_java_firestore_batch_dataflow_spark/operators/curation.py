@@ -2333,3 +2333,105 @@ def q_contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_quoted"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing: boundary-crossing + fill audit
+# ---------------------------------------------------------------------------
+
+# Tokens per training sequence (GPT-style concat-then-chop packing:
+# documents concatenate in doc_id order per source, the stream chops
+# into SEQ_TOKENS-token sequences, documents may span a boundary).
+SEQ_TOKENS = 512
+
+_PACK_TOKENS_ORACLE = f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len({{tokens}}) AS n_tokens
+      FROM documents
+    ),
+    run AS (
+      SELECT source, doc_id, n_tokens,
+             sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM toks
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) // {SEQ_TOKENS} AS BIGINT) AS n_seqs_full,
+           CAST(10000 * (sum(n_tokens) % {SEQ_TOKENS}) // {SEQ_TOKENS}
+                AS BIGINT) AS tail_fill_bp,
+           CAST(sum(CASE WHEN n_tokens > 0
+                          AND (cum - n_tokens) // {SEQ_TOKENS}
+                              <> (cum - 1) // {SEQ_TOKENS}
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_crossing
+    FROM run
+    GROUP BY source
+"""
+
+
+def _pack_tokens_oracle() -> str:
+    from .text import TOKENS_SQL
+
+    return _PACK_TOKENS_ORACLE.format(tokens=TOKENS_SQL)
+
+
+@register("q_pack_token_budget", oracle=_pack_tokens_oracle())
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence-packing audit (the GPT-style concat-then-
+    chop packer, per source, docs in doc_id order, {SEQ_TOKENS}-token
+    sequences): total tokens, full sequences produced, the fill of the
+    tail sequence in basis points, and how many documents straddle a
+    sequence boundary — the attention-mask fragmentation signal a
+    pretraining data loader reports (a doc crossing a boundary either
+    leaks context across sequences or wastes the remainder when the
+    loader resets instead).  Complements `q_pack_char_budget` (bin
+    occupancy by characters) with the TOKEN arithmetic training
+    actually bills in.
+
+    Exact integers end-to-end: token counts from the reference
+    tokenizer, one running-sum window, truncating div/mod — identical
+    on both engines; no floats anywhere.
+
+    Scale shape: ONE shuffle on source for the running window, then a
+    combiner agg to O(sources) rows.  The per-source prefix sum is the
+    documented serial-per-source contract (`q_pack_char_budget`,
+    Heaps-law prefix windows): sources are the parallelism unit; a
+    pathological single-source corpus would pre-shard the stream.
+    """
+    from .text import tokens_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    run = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = toks.withColumn("cum", F.sum("n_tokens").over(run))
+    crossing = F.when(
+        (F.col("n_tokens") > 0)
+        & (
+            F.expr(f"(cum - n_tokens) div {SEQ_TOKENS}")
+            != F.expr(f"(cum - 1) div {SEQ_TOKENS}")
+        ),
+        1,
+    ).otherwise(0)
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr(f"sum(n_tokens) div {SEQ_TOKENS}")
+        .cast("bigint")
+        .alias("n_seqs_full"),
+        F.expr(f"10000 * (sum(n_tokens) % {SEQ_TOKENS}) div {SEQ_TOKENS}")
+        .cast("bigint")
+        .alias("tail_fill_bp"),
+        F.sum(crossing).cast("bigint").alias("n_docs_crossing"),
+    )
+

@@ -276,6 +276,7 @@ HEADLINE = [
     "q_contamination_eval_13gram",
     "q_curation_funnel_yield",
     "q_contamination_containment",
+    "q_pack_token_budget",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

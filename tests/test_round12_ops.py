@@ -334,3 +334,46 @@ def test_containment_matches_bruteforce(spark, sf_dir):
         for r in q_contamination_containment(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# q_pack_token_budget
+# ---------------------------------------------------------------------------
+
+
+def test_pack_token_budget_matches_bruteforce(spark, sf_dir):
+    """Per-source packing stats must agree with a driver-side replay of
+    the concat-then-chop packer (cumulative token positions, boundary
+    test per doc)."""
+    import re
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        SEQ_TOKENS,
+        q_pack_token_budget,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+
+    rows = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    ).collect()
+    by_source = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        n = len(re.findall(r"[^\W\d_]+", r.text, re.UNICODE))
+        s = by_source.setdefault(
+            r.source, {"n_docs": 0, "n_tokens": 0, "crossing": 0}
+        )
+        start = s["n_tokens"]
+        end = start + n
+        s["n_docs"] += 1
+        s["n_tokens"] = end
+        if n > 0 and start // SEQ_TOKENS != (end - 1) // SEQ_TOKENS:
+            s["crossing"] += 1
+    got = {r.source: r for r in q_pack_token_budget(spark, sf_dir).collect()}
+    assert set(got) == set(by_source)
+    for source, exp in by_source.items():
+        g = got[source]
+        assert g.n_docs == exp["n_docs"]
+        assert g.n_tokens == exp["n_tokens"]
+        assert g.n_seqs_full == exp["n_tokens"] // SEQ_TOKENS
+        assert g.tail_fill_bp == 10000 * (exp["n_tokens"] % SEQ_TOKENS) // SEQ_TOKENS
+        assert g.n_docs_crossing == exp["crossing"]
