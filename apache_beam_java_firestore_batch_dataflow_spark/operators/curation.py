@@ -2133,10 +2133,11 @@ def q_curation_funnel_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     <..operators.dedup.minhash_pairs>` checkpoint (zero extra kernel
     passes), the contamination set rides :func:`contaminated_docs`'s
     Bloom-gated probe, and the lang/quality flags are zero-shuffle
-    codegen projections.  The funnel itself adds three fan-out-1 doc_id
-    joins, ONE O(sources) combiner agg, and an O(sources x 5) unpivot —
-    at 100 TB the marginal cost over the kernels is one pass over the
-    doc-id spine.
+    codegen projections FUSED into the one corpus scan (no lang-id
+    self-join).  The funnel itself adds two fan-out-1 doc_id joins
+    against the small dup/contam id sets, ONE O(sources) combiner agg,
+    and an O(sources x 5) unpivot — at 100 TB the marginal cost over
+    the kernels is one pass over the doc-id spine.
 
     Gate order is fixed (cheap/local gates first, pair-derived gates
     last) and cumulative by construction: g(k) = g(k-1) AND gate(k), so
@@ -2144,24 +2145,25 @@ def q_curation_funnel_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import minhash_pairs
     from .text import (
-        q_text_lang_id,
+        langid_pred_col,
         quality_bp_expr,
         quality_raw_features,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     n_tokens, stop_hits, n_punct = quality_raw_features()
+    # lang-ID and quality are BOTH row-local expressions fused into the
+    # one corpus scan projection — joining the lang-id frame back on
+    # doc_id would be an avoidable O(corpus) self-join shuffle
     feat = docs.filter(split_col(F.col("doc_id")) != "test").select(
         "doc_id",
         "source",
         "n_chars",
+        (langid_pred_col(F.col("text")) == F.col("lang")).alias("lang_ok"),
         (
             quality_bp_expr(n_tokens, stop_hits, n_punct, F.col("n_chars"))
             >= FUNNEL_QUALITY_BP
         ).alias("qual_ok"),
-    )
-    lang = q_text_lang_id(spark, sf_dir).select(
-        "doc_id", (F.col("lang_pred") == F.col("lang_actual")).alias("lang_ok")
     )
     dupb = (
         minhash_pairs(spark, sf_dir)
@@ -2176,11 +2178,7 @@ def q_curation_funnel_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     g2 = g1 & F.col("qual_ok")
     g3 = g2 & F.col("is_dup").isNull()
     g4 = g3 & F.col("is_contam").isNull()
-    flags = (
-        feat.join(lang, "doc_id")
-        .join(dupb, "doc_id", "left")
-        .join(contam, "doc_id", "left")
-    )
+    flags = feat.join(dupb, "doc_id", "left").join(contam, "doc_id", "left")
 
     def _docs_chars(gate, rank):
         keep = F.lit(True) if gate is None else gate

@@ -180,6 +180,26 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def langid_pred_col(text: Column) -> Column:
+    """Row-local predicted-language column over a text column — the same
+    marker-hit argmax (en > fr > de > es tie priority) as
+    `q_text_lang_id`, exposed as a pure expression so composition ops
+    (the curation funnel) fuse language ID into their own scan
+    projection instead of joining the lang-id frame back to the corpus
+    on doc_id (an avoidable O(corpus) self-join shuffle at 100 TB)."""
+    low = F.lower(text)
+    en, fr, de, es = (
+        F.regexp_count(low, F.lit(_LANG_MARKERS[lang]))
+        for lang in ("en", "fr", "de", "es")
+    )
+    return (
+        F.when((en >= fr) & (en >= de) & (en >= es), "en")
+        .when((fr >= de) & (fr >= es), "fr")
+        .when(de >= es, "de")
+        .otherwise("es")
+    )
+
+
 # The q_text_quality score formula, shared by every operator that
 # buckets/sweeps/cross-tabs on it (q_text_quality, q_quality_yield_curve,
 # q_quality_dup_interaction).  ONE definition per engine so a future
