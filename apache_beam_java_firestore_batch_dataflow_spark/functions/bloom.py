@@ -70,8 +70,16 @@ def bloom_member(key: Column, words: list[int], m_bits: int, k: int) -> Column:
     element_at + getbit pair inside whole-stage codegen.
     """
     # force array<long>: small literals would otherwise infer int32 and
-    # cap getbit positions at 32
-    ws = F.lit([int(w) for w in words]).cast("array<long>")
+    # cap getbit positions at 32.  Built as ONE parsed SQL expression:
+    # F.lit(list) creates a py4j Column per element (~1 ms each), which
+    # for a 2048-word filter cost ~2.3 s of driver time PER DataFrame
+    # construction (measured r12); the parser ingests the same 16 KiB
+    # in milliseconds.  Values go through CAST('<w>' AS BIGINT) string
+    # form so Long.MIN_VALUE survives (a bare -9223372036854775808L
+    # literal is unary-minus-on-overflow to the SQL parser).
+    ws = F.expr(
+        "array(" + ",".join(f"CAST('{int(w)}' AS BIGINT)" for w in words) + ")"
+    )
     member = None
     for p in _probe_positions(key, m_bits, k):
         wi = (p / BLOOM_WORD).cast("int")
