@@ -115,11 +115,66 @@ def profile_rake(spark, sf_dir, results):
     content.unpersist()
 
 
+def profile_contamination(spark, sf_dir, results):
+    """Stage profile for the round-12 contamination kernel: the eval
+    gram census, the Bloom build, the Bloom-gated candidate stream (the
+    stage whose row count proves the corpus never joins itself), and
+    the exact verify + per-doc rollup."""
+    from apache_beam_java_firestore_batch_dataflow_spark.functions.bloom import (
+        bloom_build,
+        bloom_member,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        CONTAM_BLOOM_BITS,
+        CONTAM_BLOOM_K,
+        CONTAM_K,
+        split_col,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import tokens_col
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select(
+        "doc_id",
+        split_col(F.col("doc_id")).alias("split"),
+        tokens_col(F.col("text")).alias("t"),
+    )
+    gram_arr = F.when(
+        F.size("t") >= CONTAM_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (CONTAM_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice("t", i, CONTAM_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = tokd.select(
+        "doc_id", "split", F.explode(F.array_distinct(gram_arr)).alias("g")
+    )
+    timed("corpus_gram_stream", grams.filter(F.col("split") != "test"), results)
+    eval_g = grams.filter(F.col("split") == "test").select("g").distinct()
+    timed("eval_gram_census", eval_g, results)
+    start = time.monotonic()
+    words = bloom_build(eval_g, F.col("g"), CONTAM_BLOOM_BITS, CONTAM_BLOOM_K)
+    results.append(
+        ("bloom_build(collect)", round(time.monotonic() - start, 3),
+         sum(1 for w in words if w))
+    )
+    cand = grams.filter(F.col("split") != "test").filter(
+        bloom_member(F.col("g"), words, CONTAM_BLOOM_BITS, CONTAM_BLOOM_K)
+    )
+    timed("bloom_survivors", cand, results)
+    hits = (
+        cand.join(F.broadcast(eval_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    timed("verify_and_rollup", hits, results)
+
+
 def main():
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     spark = build_session(app_name="profile-stages", master="local[32]")
     report = {}
-    for which, fn in (("kcore2", profile_kcore2), ("rake", profile_rake)):
+    for which, fn in (("kcore2", profile_kcore2), ("rake", profile_rake), ("contamination", profile_contamination)):
         for d in dirs:
             results = []
             fn(spark, d, results)
@@ -130,7 +185,7 @@ def main():
         for label, dt, n in results:
             print(f"  {label:28s} {dt:8.3f}s  rows={n}")
     # cross-sf ratios per stage
-    for which in ("kcore2", "rake"):
+    for which in ("kcore2", "rake", "contamination"):
         if len(dirs) == 2:
             small = dict((l, (t, n)) for l, t, n in report[(which, dirs[0])])
             large = dict((l, (t, n)) for l, t, n in report[(which, dirs[1])])
