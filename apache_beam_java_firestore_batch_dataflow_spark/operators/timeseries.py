@@ -2075,6 +2075,67 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Kendall tau-b rank correlation between event-type hourly series
 # ---------------------------------------------------------------------------
 
+
+def _count_inversions(a) -> int:
+    """Exact number of index pairs ``i < j`` with ``a[i] > a[j]``, in
+    O(n log n) via merge counting: recurse on halves, then count the
+    cross pairs with one vectorized ``searchsorted`` of the (unsorted)
+    right half against the sorted left half — ``left > r`` counts are
+    order-independent, so no per-element merge loop is needed.  Pure
+    numpy, unit-tested against the O(n²) definition."""
+    import numpy as np
+
+    def rec(v):
+        n = v.shape[0]
+        if n <= 1:
+            return v, 0
+        mid = n // 2
+        left, nl = rec(v[:mid])
+        right, nr = rec(v[mid:])
+        pos = np.searchsorted(left, right, side="right")
+        cross = int((left.shape[0] - pos).sum())
+        # "stable" on int64 is radix/timsort — two sorted runs merge in O(n)
+        merged = np.sort(np.concatenate((left, right)), kind="stable")
+        return merged, nl + nr + cross
+
+    return rec(np.asarray(a, dtype="int64"))[1]
+
+
+def _kendall_knight(x, y) -> tuple[int, int, int, int, int]:
+    """Exact Kendall tau-b sufficient statistics ``(n0, nc, nd, tx,
+    ty)`` for one aligned series pair in O(L log L) — Knight's
+    algorithm (Knight 1966): sort by ``(x, y)``, then the discordant
+    count is exactly the number of strict inversions in ``y`` (equal-x
+    pairs have y ascending, tied-y pairs are not strict), tie-pair
+    counts come from run lengths, and the concordant count follows by
+    inclusion-exclusion ``nc = n0 - nd - tx - ty + txy``.  All counts
+    are exact int64 — bit-identical to the O(L²) pair-join
+    formulation (property-tested against it)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype="int64")
+    y = np.asarray(y, dtype="int64")
+    n = int(x.shape[0])
+    n0 = n * (n - 1) // 2
+    if n < 2:
+        return n0, 0, 0, 0, 0
+
+    def tie_pairs(v) -> int:
+        _, cnt = np.unique(v, return_counts=True)
+        return int((cnt * (cnt - 1) // 2).sum())
+
+    tx = tie_pairs(x)
+    ty = tie_pairs(y)
+    order = np.lexsort((y, x))
+    xs, ys = x[order], y[order]
+    nd = _count_inversions(ys)
+    same = (np.diff(xs) == 0) & (np.diff(ys) == 0)
+    runs = np.diff(np.concatenate(([-1], np.flatnonzero(~same), [n - 1])))
+    txy = int((runs * (runs - 1) // 2).sum())
+    nc = n0 - nd - tx - ty + txy
+    return n0, nc, nd, tx, ty
+
+
 _KT_ORACLE = """
     WITH hourly AS (
       SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
@@ -2136,19 +2197,24 @@ def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical on both engines.
 
     Scale shape: the hourly rollup crushes the corpus map-side to
-    O(types x hours); the hour-pair stage self-joins the aligned frame
-    on the (type_a, type_b) key with an h < h inequality — quadratic
-    ONLY in the reduced series length (Theil-Sen's documented
-    contract: a year of hours is ~9k rows -> ~40M comparisons per
-    pair, corpus-size independent); the type grid is a broadcast of an
-    O(|types|) frame.
-
-    Granularity boundary (VERDICT r11): the O(L²) pair space is safe
-    at HOURLY granularity and coarser (L ≈ 9k/year).  A
-    minute-granularity variant multiplies the comparisons by 3600× and
-    MUST switch to the merge-rank O(L log L) concordance formulation
-    (sort one series, count inversions of the other) before
-    registering — do not widen this plan to finer grids."""
+    O(types x hours); the type grid is a broadcast of an O(|types|)
+    frame.  The concordance stage is Knight's merge-rank algorithm
+    (`_kendall_knight`): ONE shuffle of the aligned frame on
+    (type_a, type_b), then an O(L log L) Arrow-batched kernel per
+    pair — sort by (x, y), count strict inversions of y, read tie
+    pairs off run lengths.  This replaces the earlier O(L²) hour-pair
+    self-join (VERDICT r11's watch item): at hourly granularity
+    (L ≈ 9k/year) both are cheap, but the merge-rank plan stays flat
+    at MINUTE granularity (L ≈ 526k/year → ~10⁷ log-steps, vs 1.4·10¹¹
+    comparisons for the pair join), so the granularity boundary is
+    closed rather than documented.  Arrow transfer is O(types²·L) —
+    the same rows the aligned frame already materializes; per-group
+    state is three int64 arrays of the reduced series, never corpus
+    rows.  The sufficient statistics are exact integers either way
+    (property-tested against the O(L²) definition); tau_b6 stays the
+    identical single-double JVM expression, so the DuckDB pair-join
+    oracle hash-matches unchanged."""
+    import pandas as pd
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.select(
@@ -2180,34 +2246,29 @@ def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.c").alias("x"),
         F.col("b.c").alias("y"),
     )
-    p = aligned.alias("p")
-    q = aligned.alias("q")
-    pp = (
-        p.join(
-            q,
-            (F.col("q.type_a") == F.col("p.type_a"))
-            & (F.col("q.type_b") == F.col("p.type_b"))
-            & (F.col("q.h") > F.col("p.h")),
+    def kt_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        n0, nc, nd, tx, ty = _kendall_knight(
+            pdf["x"].to_numpy(), pdf["y"].to_numpy()
         )
-        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n0"),
-            F.sum(
-                F.when(
-                    (F.col("p.x") - F.col("q.x")) * (F.col("p.y") - F.col("q.y")) > 0,
-                    1,
-                ).otherwise(0)
-            ).alias("nc"),
-            F.sum(
-                F.when(
-                    (F.col("p.x") - F.col("q.x")) * (F.col("p.y") - F.col("q.y")) < 0,
-                    1,
-                ).otherwise(0)
-            ).alias("nd"),
-            F.sum(F.when(F.col("p.x") == F.col("q.x"), 1).otherwise(0)).alias("tx"),
-            F.sum(F.when(F.col("p.y") == F.col("q.y"), 1).otherwise(0)).alias("ty"),
+        return pd.DataFrame(
+            {
+                "type_a": [pdf["type_a"].iloc[0]],
+                "type_b": [pdf["type_b"].iloc[0]],
+                "n0": [n0],
+                "nc": [nc],
+                "nd": [nd],
+                "tx": [tx],
+                "ty": [ty],
+            }
         )
-    )
+
+    # n0 = 0 (single-hour grid) produced no row under the pair-join
+    # formulation and produces none in the SQL oracle — keep parity.
+    pp = aligned.groupBy("type_a", "type_b").applyInPandas(
+        kt_counts,
+        schema="type_a string, type_b string, n0 long, nc long, "
+        "nd long, tx long, ty long",
+    ).filter(F.col("n0") > 0)
     den = (F.col("n0") - F.col("tx")).cast("double") * (
         F.col("n0") - F.col("ty")
     ).cast("double")

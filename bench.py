@@ -66,6 +66,11 @@ HOST_BAND_REFERENCE = {
     "semantic_edges_shared": 1.358,
     "minhash_pairs_shared": 3.236,
     "copurchase_adj_shared": 1.196,
+    # first committed in-band value: the kernel is new in r12, so its
+    # reference comes from the r12 closing run (BENCH_LOCAL_r12.json,
+    # a run whose other three kernels read 1.26-1.51 vs r11 — within
+    # the in-band envelope)
+    "contamination_hits_shared": 2.739,
 }
 
 
@@ -79,7 +84,7 @@ def host_band_signal(sink: dict, eager_build: dict,
     kernel_ratios = {
         k: round(eager_build[k] / HOST_BAND_REFERENCE[k], 2)
         for k in ("semantic_edges_shared", "minhash_pairs_shared",
-                  "copurchase_adj_shared")
+                  "copurchase_adj_shared", "contamination_hits_shared")
         if k in eager_build
     }
     worst_kernel = max(kernel_ratios.values(), default=0.0)
