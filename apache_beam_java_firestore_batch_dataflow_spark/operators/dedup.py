@@ -270,7 +270,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures_from(
         shs.select("doc_id", F.explode("shs").alias("sh"))
     )
-    bands = band_hashes(sigs)
+    # Both sides of the banded self-join consume the band frame; without
+    # the persist the signature aggregation — the query's dominant
+    # corpus-pass shuffle — runs once per side.
+    bands = band_hashes(sigs).persist()
 
     a = bands.alias("a")
     b = bands.alias("b")
@@ -705,9 +708,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature bytes (pigeonhole); we block on byte equality and verify
     with bit_count(xor).  HAMMING_MAX is looser than 3, so this is a
     recall-biased candidate set — the verified hamming column is exact.
+
+    The signature frame is persisted (the minhash shingle-set idiom,
+    released by the caller's clearCache): both sides of the block
+    self-join consume it, and without the persist the 64-bit-sum
+    aggregation — the query's dominant stage, a full corpus pass — runs
+    once per side.
     """
     docs = _docs(spark, sf_dir)
-    sigs = simhash_signatures(docs)
+    sigs = simhash_signatures(docs).persist()
     blocks = sigs.select(
         "doc_id",
         "simhash",
@@ -1122,7 +1131,10 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= FP_DF_MAX))
         .select("f")
     )
-    rare_fp = fp.join(rare, "f")
+    # both self-join sides read the rare-posting frame; persist so the
+    # explode + df-filter join runs once (the winnow arrays above are
+    # already cached, so this only saves the posting-list rebuild)
+    rare_fp = fp.join(rare, "f").persist()
     a = rare_fp.alias("a")
     b = rare_fp.alias("b")
     cand = (
@@ -1400,9 +1412,11 @@ def q_dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates is O(pairs)."""
     docs = _docs(spark, sf_dir)
     shs = shingle_sets_df(docs).persist()
+    # four consumers (both band sides + the sig_a/sig_b agreement
+    # probes) — persist so the signature aggregation runs once
     sigs = minhash_signatures_from(
         shs.select("doc_id", F.explode("shs").alias("sh"))
-    )
+    ).persist()
     bands = band_hashes(sigs)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -1780,7 +1794,7 @@ def q_dedup_paragraph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("doc_id", "cid")
     bands = band_hashes(sigs.withColumnRenamed("cid", "doc_id")).select(
         F.col("doc_id").alias("cid"), "band_idx", "band_hash"
-    )
+    ).persist()  # both self-join sides; one signature pass, not two
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

@@ -855,7 +855,9 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = adj.groupBy("c").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= JACC_DF_MAX
     ).select("c")
-    rare_adj = adj.join(rare, "c")
+    # both self-join sides; persist so the df-census + rarity join over
+    # the (checkpointed) arc frame runs once, not per side
+    rare_adj = adj.join(rare, "c").persist()
     a = rare_adj.alias("a")
     b = rare_adj.alias("b")
     cand = (
@@ -1058,7 +1060,9 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    wadj = adj.join(wdf, "c")
+    # both self-join sides; persist so the df-census + weight join over
+    # the (checkpointed) arc frame runs once, not per side
+    wadj = adj.join(wdf, "c").persist()
     a = wadj.alias("a")
     b = wadj.alias("b")
     return (

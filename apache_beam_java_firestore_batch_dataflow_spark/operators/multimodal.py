@@ -944,7 +944,10 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    hashes = imgs.mapInPandas(run, schema="doc_id long, ph long")
+    # both self-join sides consume the hash frame; persist it (12 bytes
+    # a row) or the Python decode kernel — the query's dominant cost —
+    # runs once per side
+    hashes = imgs.mapInPandas(run, schema="doc_id long, ph long").persist()
     blocks = hashes.select(
         "doc_id",
         "ph",
