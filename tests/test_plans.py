@@ -1119,3 +1119,44 @@ def test_image_blur_has_no_post_scan_exchange(spark, sf_dir):
     txt = plan_text(multimodal.QUERIES["q_multimodal_image_blur"](spark, sf_dir))
     assert "Exchange hashpartitioning" not in txt, txt
     assert "Exchange rangepartitioning" not in txt, txt
+
+
+def test_kendall_concordance_is_grouped_kernel_not_pair_join(spark, sf_dir):
+    """Knight upgrade (r12): concordance must run as ONE grouped Arrow
+    kernel over the aligned series — exactly one FlatMapGroupsInPandas
+    and NO hour-pair self-join (live plan: type-grid cross + grid-fill
+    left join + series alignment = at most 3 joins; the old O(L²)
+    formulation added a fourth).  The hourly rollup is cached (three
+    consumers read InMemoryTableScan)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import timeseries
+
+    df = timeseries.QUERIES["q_events_kendall_tau"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    live = plan.split("InMemoryRelation")[0]
+    assert live.count("Join") <= 3, live
+    assert plan.count("InMemoryTableScan") >= 2
+    spark.catalog.clearCache()
+
+
+def test_pair_family_shared_frames_cached_once(spark, sf_dir):
+    """r12 persist sweep: every pair query whose self-join sides share a
+    derived frame must read it from cache (>= 2 InMemoryTableScan), or
+    the upstream corpus pass silently runs once per side again."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import (
+        dedup,
+        multimodal,
+        timeseries,
+    )
+
+    for qs, name in [
+        (dedup.QUERIES, "q_dedup_simhash"),
+        (dedup.QUERIES, "q_dedup_minhash_lsh"),
+        (dedup.QUERIES, "q_dedup_paragraph_pairs"),
+        (timeseries.QUERIES, "q_events_theil_sen"),
+        (multimodal.QUERIES, "q_multimodal_phash_pairs"),
+    ]:
+        df = qs[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, name
+        spark.catalog.clearCache()
