@@ -1131,10 +1131,10 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("df") >= 2) & (F.col("df") <= FP_DF_MAX))
         .select("f")
     )
-    # both self-join sides read the rare-posting frame; persist so the
-    # explode + df-filter join runs once (the winnow arrays above are
-    # already cached, so this only saves the posting-list rebuild)
-    rare_fp = fp.join(rare, "f").persist()
+    # not persisted: the winnow arrays above are already cached and the
+    # posting rebuild rides a reused exchange (A/B r12: persist 4.93 s
+    # vs 4.27 s without — materializing the postings costs more)
+    rare_fp = fp.join(rare, "f")
     a = rare_fp.alias("a")
     b = rare_fp.alias("b")
     cand = (

@@ -855,9 +855,10 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare = adj.groupBy("c").agg(F.count(F.lit(1)).alias("df")).filter(
         F.col("df") <= JACC_DF_MAX
     ).select("c")
-    # both self-join sides; persist so the df-census + rarity join over
-    # the (checkpointed) arc frame runs once, not per side
-    rare_adj = adj.join(rare, "c").persist()
+    # not persisted: both self-join sides are narrow re-reads of the
+    # memoized checkpoint + a reused census exchange (A/B r12: persist
+    # 5.00 s vs 4.85 s — materialization buys nothing here)
+    rare_adj = adj.join(rare, "c")
     a = rare_adj.alias("a")
     b = rare_adj.alias("b")
     cand = (
@@ -1060,9 +1061,10 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    # both self-join sides; persist so the df-census + weight join over
-    # the (checkpointed) arc frame runs once, not per side
-    wadj = adj.join(wdf, "c").persist()
+    # not persisted: both self-join sides are narrow re-reads of the
+    # memoized checkpoint + a reused census exchange (A/B r12: persist
+    # 1.59 s vs 1.28 s without)
+    wadj = adj.join(wdf, "c")
     a = wadj.alias("a")
     b = wadj.alias("b")
     return (

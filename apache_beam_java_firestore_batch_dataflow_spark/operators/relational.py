@@ -2069,18 +2069,19 @@ def q_assoc_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket count ride broadcast joins onto the O(pairs) result — the
     raw (order × part) stream is never self-joined in the engine."""
     # op feeds the basket build AND the item-support census; baskets
-    # feeds the order count AND the pair explosion — persist both so
-    # the distinct and the collect_list shuffles run once each
-    # (released by the caller's clearCache)
+    # feeds the order count AND the pair explosion.  Deliberately NOT
+    # persisted: ReusedExchange already shares the distinct/collect_list
+    # shuffles across the consumers, and an A/B (r12, min-of-3 at sf0.1)
+    # measured persist at 3.94 s vs 2.08 s without — materializing the
+    # wide basket arrays costs more than the reused exchange saves.
     op = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .persist()
     )
     baskets = op.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_list("l_partkey")).alias("parts")
-    ).persist()
+    )
     n = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
     pair_arrays = baskets.select(
         F.flatten(

@@ -1859,8 +1859,8 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.expr(f"us div {HOUR_US}").alias("h"))
         .groupBy("event_type", "h")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()  # both slope-join sides; one corpus rollup, not two
-        # (released by the caller's clearCache)
+        # not persisted: ReusedExchange shares the rollup shuffle across
+        # both slope-join sides (A/B r12: persist 2.03 s vs 1.89 s)
     )
     a = hourly.alias("a")
     b = hourly.alias("b")

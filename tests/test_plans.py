@@ -1140,20 +1140,23 @@ def test_kendall_concordance_is_grouped_kernel_not_pair_join(spark, sf_dir):
 
 
 def test_pair_family_shared_frames_cached_once(spark, sf_dir):
-    """r12 persist sweep: every pair query whose self-join sides share a
-    derived frame must read it from cache (>= 2 InMemoryTableScan), or
-    the upstream corpus pass silently runs once per side again."""
+    """r12 persist sweep: the pair queries whose self-join sides share a
+    KERNEL-BACKED frame (signature aggregation / Python decode) must
+    read it from cache (>= 2 InMemoryTableScan), or the kernel silently
+    runs once per side again — A/B-measured 1.9-2.2x regressions.
+    (Plain agg/window shapes are deliberately NOT on this list:
+    ReusedExchange already shares their shuffles and persisting them
+    measured slower — see the SCALE.md r12 sweep note.)"""
     from apache_beam_java_firestore_batch_dataflow_spark.operators import (
         dedup,
         multimodal,
-        timeseries,
     )
 
     for qs, name in [
         (dedup.QUERIES, "q_dedup_simhash"),
         (dedup.QUERIES, "q_dedup_minhash_lsh"),
         (dedup.QUERIES, "q_dedup_paragraph_pairs"),
-        (timeseries.QUERIES, "q_events_theil_sen"),
+        (dedup.QUERIES, "q_dedup_minhash_est_error"),
         (multimodal.QUERIES, "q_multimodal_phash_pairs"),
     ]:
         df = qs[name](spark, sf_dir)
