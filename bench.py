@@ -62,15 +62,14 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # on kernels and 1.2+ on the sink leg simultaneously; in-band same-code
 # re-runs sit within 1.15 on both.
 HOST_BAND_REFERENCE = {
-    "naive_sec": 1.475,
-    "semantic_edges_shared": 1.358,
-    "minhash_pairs_shared": 3.236,
-    "copurchase_adj_shared": 1.196,
-    # first committed in-band value: the kernel is new in r12, so its
-    # reference comes from the r12 closing run (BENCH_LOCAL_r12.json,
-    # a run whose other three kernels read 1.26-1.51 vs r11 — within
-    # the in-band envelope)
-    "contamination_hits_shared": 2.739,
+    # refreshed to the r12 in-band final-HEAD closing run
+    # (BENCH_LOCAL_r12_QUIET.json, sink-leg 1.04 vs the prior r11
+    # references) per the refresh-on-committed-closing-run protocol
+    "naive_sec": 1.541,
+    "semantic_edges_shared": 1.723,
+    "minhash_pairs_shared": 3.123,
+    "copurchase_adj_shared": 1.339,
+    "contamination_hits_shared": 2.585,
 }
 
 
@@ -102,7 +101,7 @@ def host_band_signal(sink: dict, eager_build: dict,
             if worst_kernel > 2.0 or sink_ratio > 1.3
             else "in-band"
         ),
-        "reference": "BENCH_LOCAL_r11.json closing run; thresholds in BASELINE.md",
+        "reference": "BENCH_LOCAL_r12_QUIET.json closing run; thresholds in BASELINE.md",
     }
 
 # Representative slice of the registry: TPC-H-style relational core,
