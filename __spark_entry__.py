@@ -58,99 +58,98 @@ _MODULES = [
 # `scripts/check_oracles.py` re-proves the FULL registry locally every
 # round (artifact: ORACLE_CHECK_r{N}.txt).
 #
-# Driver-row ledger going into round 12 (CORRECTNESS_r01..r11): r11 was
-# fully green, 50/50 — 15 r11 registrations, all 33 r5-stale and 2
-# r6-stale re-checks.  Cumulative: every one of the 295 r11-era queries
-# has a green driver row; 46 were last checked in r6 and 49 in r7
-# (computed from the CORRECTNESS_r*.json files).  VERDICT r11 item 1
-# caps new r12 registrations at <=4 so the whole r6 cohort drains this
-# round; exactly 4 were registered, so the window is 4 new + all 46
-# r6-stale = 50 — the registration cap is now EXHAUSTED for r12 (a 5th
-# would evict an r6-stale row and break the drain).  After a green r12 no
-# driver row is older than r7 — the r10 "no unqueued pre-r7 row"
-# criterion stays satisfied and the backlog is one cohort deep.
-# QUEUED FOR THE ROUND 13 PREFIX — all 49 r7-stale greens
-# (q_agg_incremental_merge and q_agg_mode rejoined the queue when the
-# third and fourth r12 registrations displaced them from the window
-# tail):
-# q_agg_incremental_merge, q_agg_mode,
-# (any late-r12 registration displaces one r7-stale from the tail of
-# _PRIORITY below INTO this queue; keep the arithmetic current):
-# q_agg_percentile_disc, q_agg_skew_kurtosis, q_ann_filtered_by_label,
-# q_ann_hamming_rank, q_assoc_pairs_lift, q_audit_sequence_gaps,
-# q_bloom_semi_join, q_customer_rfm, q_drift_psi_events,
-# q_embedding_spectral_scores, q_er_fuzzy_blocked,
-# q_events_attribution, q_events_cusum_changepoint,
-# q_events_gapfill_hourly, q_events_holt_linear,
-# q_events_m4_downsample, q_events_moving_median,
-# q_events_robust_scale, q_format_corrupt_quarantine,
-# q_graph_components_semantic, q_graph_pagerank, q_graph_triangles,
-# q_histogram_equidepth, q_join_null_safe, q_kanonymity_audit,
-# q_layout_zonemap_skipping, q_market_concentration_hhi,
-# q_mix_temperature_weights, q_multimodal_audio_silence,
-# q_multimodal_image_histogram, q_multimodal_keyframes,
-# q_privacy_dp_counts, q_profile_entropy_mi,
-# q_quality_topp_per_source, q_regress_trend_per_type,
-# q_sample_balanced_labels, q_scd2_priority_history,
-# q_sequence_pattern_vcp, q_sessions_concurrency,
-# q_sketch_kmv_join_estimate, q_stream_static_enrich,
-# q_stream_window_topk, q_supplier_pareto80, q_text_bpe_merge,
-# q_text_langid_confusion, q_udtf_chunk_words,
-# q_window_running_distinct
+# Driver-row ledger going into round 13 (CORRECTNESS_r01..r12): r12 was
+# fully green, 50/50 — 4 r12 registrations + all 46 r6-stale re-checks
+# (the r6 cohort is fully retired).  Cumulative: every one of the 299
+# r12-era queries has a green driver row; exactly 49 were last checked
+# in r7 and everything else is r8+ (computed from the CORRECTNESS_r*.json
+# files).  VERDICT r12 item 1 caps new r13 registrations at <=1 so the
+# whole r7 cohort drains this round; exactly 1 was registered
+# (q_dedup_exact_substring, the item-2 ask), so the window is 1 new +
+# all 49 r7-stale = 50 — the registration cap is EXHAUSTED for r13 (a
+# 2nd would evict an r7-stale row and leave a one-query remainder).
+# After a green r13 no driver row is older than r8, and every later
+# cohort is exactly 50 deep (r8..r12 each have 50 rows), so from r14 on
+# the window can re-check one whole cohort per round with no
+# registration room, or rotate cohorts more slowly to make room — the
+# judge sets that cap per round.
+# QUEUED FOR THE ROUND 14 PREFIX — the 50 r8-checked rows (the oldest
+# cohort after a green r13; any r14 registration displaces names from
+# the TAIL of this list into the r15 queue — keep the arithmetic
+# current):
+# q11_important_values, q13_customer_distribution, q1_pricing_summary,
+# q_agg_weighted_median, q_ann_hamming_rerank, q_ann_ivf, q_ann_lsh,
+# q_asof_join, q_audit_snapshot_diff, q_audit_table_checksum,
+# q_chunk_documents, q_decontaminate_overlap, q_dedup_clusters,
+# q_dedup_containment_pairs, q_dedup_embedding_cosine, q_dedup_exact,
+# q_dedup_ngram_jaccard, q_dedup_simhash, q_embedding_centroids,
+# q_embedding_outliers, q_embedding_quantize_int8,
+# q_events_interarrival, q_events_seasonal_profile,
+# q_format_roundtrip_csv, q_format_roundtrip_orc, q_join_broadcast_dim,
+# q_join_dynamic_partition_pruning, q_kmeans_one_step,
+# q_knn_bruteforce, q_layout_compaction_plan, q_mix_weighted_sources,
+# q_multimodal_decode_stats, q_multimodal_frame_sample,
+# q_multimodal_manifest, q_multimodal_resize_grid, q_pack_char_budget,
+# q_pii_redact, q_privacy_randomized_response,
+# q_quality_perplexity_buckets, q_quantiles_doc_length,
+# q_range_join_bucketed, q_salted_join_skew,
+# q_sample_hash_deterministic, q_sample_stratified_quota,
+# q_sessionize_gaps, q_sketch_percentile_bounds, q_skyline_suppliers,
+# q_text_bpe_apply_step, q_window_ntile_deciles, q_wordcount_documents
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- round-12 registrations (never checked) (4) ---
-    "q_contamination_eval_13gram",
-    "q_curation_funnel_yield",
-    "q_contamination_containment",
-    "q_pack_token_budget",
-    # --- all 46 remaining r6-stale greens, alphabetical ---
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_volume_customer",
-    "q19_bracketed_revenue",
-    "q20_heavy_shippers",
-    "q21_last_shipper",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_ann_pq_trained",
-    "q_ann_recall",
-    "q_ann_rrf_fusion",
-    "q_corr_manual",
-    "q_dedup_canonical_keep",
-    "q_dedup_minhash_est_error",
-    "q_dedup_semantic",
-    "q_doc_similarity_tfidf",
-    "q_embedding_mrl_truncate",
-    "q_embedding_power_iteration",
-    "q_events_anomaly_mad",
-    "q_events_ewma",
-    "q_join_left",
-    "q_join_semi",
-    "q_layout_zorder_buckets",
-    "q_multimodal_phash_pairs",
-    "q_multimodal_scene_cuts",
-    "q_pivot_conditional",
-    "q_rollup",
-    "q_sample_weighted",
-    "q_scalar_map",
-    "q_scalar_math",
-    "q_scalar_string",
-    "q_set_ops",
-    "q_sketch_countmin_words",
-    "q_subquery_scalar",
-    "q_text_bigram_logprob",
-    "q_text_novelty_ngrams",
-    "q_text_winnow_fingerprints",
-    "q_union_except",
+    # --- round-13 registration (never checked) (1) ---
+    "q_dedup_exact_substring",
+    # --- all 49 r7-stale greens, alphabetical ---
+    "q_agg_incremental_merge",
+    "q_agg_mode",
+    "q_agg_percentile_disc",
+    "q_agg_skew_kurtosis",
+    "q_ann_filtered_by_label",
+    "q_ann_hamming_rank",
+    "q_assoc_pairs_lift",
+    "q_audit_sequence_gaps",
+    "q_bloom_semi_join",
+    "q_customer_rfm",
+    "q_drift_psi_events",
+    "q_embedding_spectral_scores",
+    "q_er_fuzzy_blocked",
+    "q_events_attribution",
+    "q_events_cusum_changepoint",
+    "q_events_gapfill_hourly",
+    "q_events_holt_linear",
+    "q_events_m4_downsample",
+    "q_events_moving_median",
+    "q_events_robust_scale",
+    "q_format_corrupt_quarantine",
+    "q_graph_components_semantic",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_histogram_equidepth",
+    "q_join_null_safe",
+    "q_kanonymity_audit",
+    "q_layout_zonemap_skipping",
+    "q_market_concentration_hhi",
+    "q_mix_temperature_weights",
+    "q_multimodal_audio_silence",
+    "q_multimodal_image_histogram",
+    "q_multimodal_keyframes",
+    "q_privacy_dp_counts",
+    "q_profile_entropy_mi",
+    "q_quality_topp_per_source",
+    "q_regress_trend_per_type",
+    "q_sample_balanced_labels",
+    "q_scd2_priority_history",
+    "q_sequence_pattern_vcp",
+    "q_sessions_concurrency",
+    "q_sketch_kmv_join_estimate",
+    "q_stream_static_enrich",
+    "q_stream_window_topk",
+    "q_supplier_pareto80",
+    "q_text_bpe_merge",
+    "q_text_langid_confusion",
+    "q_udtf_chunk_words",
+    "q_window_running_distinct",
 ]
 
 

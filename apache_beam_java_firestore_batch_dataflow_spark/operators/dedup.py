@@ -1977,3 +1977,150 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * n_dup) div n_docs").cast("bigint").alias("dup_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring dedup (>= SPAN_K-token verbatim spans; Lee et al. 2022)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 50  # minimum verbatim span length, in tokens (Lee et al. 2022 use 50)
+
+
+def _exact_substring_oracle() -> str:
+    gh = h56_sql(f"list_aggregate(t[i:i+{SPAN_K - 1}], 'string_agg', ' ')")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, t FROM (SELECT doc_id, {TOKENS_SQL} AS t FROM documents)
+      WHERE len(t) >= {SPAN_K}
+    ),
+    postings AS (
+      SELECT doc_id, u.pos AS pos, u.gh AS gh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - {SPAN_K - 2}),
+                      i -> struct_pack(pos := i, gh := {gh}))) AS u
+        FROM tk)
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM postings a JOIN postings b ON a.gh = b.gh AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, pos_a, pos_b,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, pos_a - pos_b
+                                        ORDER BY pos_a) AS isl,
+             pos_a - pos_b AS diag
+      FROM cand
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+             count(*) + {SPAN_K - 1} AS span
+      FROM runs GROUP BY doc_a, doc_b, diag, isl
+    ),
+    verified AS (
+      SELECT s.doc_a, s.doc_b, s.span
+      FROM spans s
+      JOIN tk ta ON ta.doc_id = s.doc_a
+      JOIN tk tb ON tb.doc_id = s.doc_b
+      WHERE ta.t[s.start_a : s.start_a + s.span - 1]
+          = tb.t[s.start_b : s.start_b + s.span - 1]
+    )
+    SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span) AS BIGINT) AS max_span_tokens
+    FROM verified GROUP BY doc_a, doc_b
+"""
+
+
+@register("q_dedup_exact_substring", oracle=_exact_substring_oracle())
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup: document pairs sharing a VERBATIM span of
+    >= ``SPAN_K`` (50) tokens, with the maximal shared span length per
+    alignment — the *exact* half of the Lee et al. 2022 dedup recipe
+    (their suffix-array ExactSubstr; the suite's MinHash/winnowing
+    operators are the approximate half).  A 50-token verbatim overlap
+    between two training documents is near-certain template/boilerplate
+    or a copy, whatever their overall Jaccard similarity.
+
+    Equivalence used: two docs share a verbatim span of >= K tokens iff
+    they share at least one contiguous K-token gram — so exact substring
+    matching reduces to an EQUI-JOIN on K-gram fingerprints, never a
+    suffix array and never corpus x corpus.  100 TB shape, per stage:
+
+    1. **Postings** (doc_id, pos, gh): the K-gram is hashed to a 56-bit
+       fingerprint IN-ROW (``transform`` over positions before the
+       explode), so only 16 bytes/position ever leave the row — the
+       ~300-char gram strings are never materialized off-row.  Zero
+       shuffles; O(total tokens) rows.
+    2. **Candidates**: postings self-join on the fingerprint — the one
+       blocking shuffle, keyed on gh.  Fan-out is O(matched postings):
+       a gram shared by d docs costs C(d,2) rows, so ubiquitous
+       boilerplate grams are the skew hazard; AQE skew-join splits
+       those keys, and a df-cap pre-filter (as in the rare-gram family)
+       is the documented escape hatch if a corpus has mega-templates.
+    3. **Runs**: gaps-and-islands over each pair's alignment diagonal
+       (pos_a - pos_b): one window + one agg on O(matched postings)
+       rows turns consecutive gram hits into maximal spans of length
+       K + run - 1.
+    4. **Verify**: fingerprint matches are re-checked against the REAL
+       token slices — one equi-join per side back to the token arrays,
+       restricted to docs that appear in a run (O(flagged docs), fan-out
+       1), comparing ``slice(t, start, span)`` in-row.  A 56-bit
+       collision can only DROP a span (conservative), never invent one,
+       and the DuckDB oracle applies the identical verification.
+
+    Returns (doc_a, doc_b, n_spans, max_span_tokens).
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tokd = (
+        docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .filter(F.size("t") >= SPAN_K)
+    )
+    # In-row gram fingerprints: hash BEFORE the explode so the shuffle
+    # carries (doc_id, pos, gh) only.  ``t`` is a materialized column,
+    # so referencing it inside the lambda is free (cf. shingle_sets_df).
+    posting_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (SPAN_K - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            h56(F.concat_ws(" ", F.slice("t", i, SPAN_K))).alias("gh"),
+        ),
+    )
+    postings = tokd.select("doc_id", F.explode(posting_arr).alias("u")).select(
+        "doc_id", F.col("u.pos").alias("pos"), F.col("u.gh").alias("gh")
+    )
+    a = postings.alias("a")
+    b = postings.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    diag = F.col("pos_a") - F.col("pos_b")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = cand.withColumn("diag", diag).withColumn(
+        "isl", F.col("pos_a") - F.row_number().over(w)
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "isl").agg(
+        F.min("pos_a").alias("start_a"),
+        F.min("pos_b").alias("start_b"),
+        (F.count(F.lit(1)) + F.lit(SPAN_K - 1)).alias("span"),
+    )
+    ta = tokd.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a"))
+    tb = tokd.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b"))
+    verified = (
+        spans.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(
+            F.slice("t_a", F.col("start_a"), F.col("span"))
+            == F.slice("t_b", F.col("start_b"), F.col("span"))
+        )
+    )
+    return verified.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.max("span").cast("bigint").alias("max_span_tokens"),
+    )

@@ -2138,6 +2138,11 @@ def _kendall_knight(x, y) -> tuple[int, int, int, int, int]:
     return n0, nc, nd, tx, ty
 
 
+# Per-group row guard for the Knight kernel (ADVICE r12): one task holds
+# one pair's full aligned series (~40·L bytes); 2e7 rows ≈ 0.8 GB/task.
+# Past this, the fix is a coarser time bucket, not a bigger executor.
+KT_MAX_GROUP_ROWS = 20_000_000
+
 _KT_ORACLE = """
     WITH hourly AS (
       SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
@@ -2212,10 +2217,19 @@ def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed rather than documented.  Arrow transfer is O(types²·L) —
     the same rows the aligned frame already materializes; per-group
     state is three int64 arrays of the reduced series, never corpus
-    rows.  The sufficient statistics are exact integers either way
-    (property-tested against the O(L²) definition); tau_b6 stays the
-    identical single-double JVM expression, so the DuckDB pair-join
-    oracle hash-matches unchanged."""
+    rows.  Per-group memory bound (ADVICE r12): one task must hold one
+    pair's FULL aligned series, ~40·L bytes (five int64 columns) —
+    ~21 MB per pair-year at minute granularity, so any calendar-scale
+    grid is fine, but L is guarded at ``KT_MAX_GROUP_ROWS`` (2·10⁷,
+    ~0.8 GB/task) and the kernel raises past it with a
+    re-bucket-coarser message instead of OOMing an executor.  Skew
+    note: with few types the types²/2 groups land on few partitions —
+    the shuffle is keyed on (type_a, type_b), so max parallelism IS
+    the pair count; that is inherent to per-pair reduction, not a
+    plan defect.  The sufficient statistics are exact integers either
+    way (property-tested against the O(L²) definition); tau_b6 stays
+    the identical single-double JVM expression, so the DuckDB
+    pair-join oracle hash-matches unchanged."""
     import pandas as pd
     ev = load_table(spark, sf_dir, "events")
     hourly = (
@@ -2249,6 +2263,13 @@ def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.c").alias("y"),
     )
     def kt_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > KT_MAX_GROUP_ROWS:
+            raise ValueError(
+                f"kendall group ({pdf['type_a'].iloc[0]}, "
+                f"{pdf['type_b'].iloc[0]}) has {len(pdf)} aligned rows "
+                f"> KT_MAX_GROUP_ROWS={KT_MAX_GROUP_ROWS}; re-bucket the "
+                "series to a coarser grain before correlating"
+            )
         n0, nc, nd, tx, ty = _kendall_knight(
             pdf["x"].to_numpy(), pdf["y"].to_numpy()
         )

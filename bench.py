@@ -72,6 +72,25 @@ HOST_BAND_REFERENCE = {
     "contamination_hits_shared": 2.585,
 }
 
+# ADVICE r12: HOST_BAND_REFERENCE absorbs the current code's build
+# times at every refresh, so a genuine gradual slowdown in the eager
+# kernels would ratchet into the reference and never trip the band.
+# This anchor is the FIRST committed in-band value per kernel and is
+# NEVER refreshed — diff measured/anchor across rounds for code-side
+# drift, measured/reference for window (host) drift.  Anchors:
+# BENCH_LOCAL_r11.json closing run (contamination kernel: new in r12,
+# anchored at its first committed in-band value, BENCH_LOCAL_r12.json
+# pre-refresh reference).  Interpretation guard: anchor ratios include
+# BOTH code and host drift; only the in-band closing runs' anchor
+# column is comparable round-over-round.
+HOST_BAND_ANCHOR = {
+    "naive_sec": 1.475,
+    "semantic_edges_shared": 1.358,
+    "minhash_pairs_shared": 3.236,
+    "copurchase_adj_shared": 1.196,
+    "contamination_hits_shared": 2.739,
+}
+
 
 def host_band_signal(sink: dict, eager_build: dict,
                      calibrated: bool = True) -> dict:
@@ -86,6 +105,13 @@ def host_band_signal(sink: dict, eager_build: dict,
                   "copurchase_adj_shared", "contamination_hits_shared")
         if k in eager_build
     }
+    # Never-refreshed anchor column (ADVICE r12): same probes against
+    # the permanent anchors, so reference refreshes can be diffed for
+    # code-side drift instead of silently absorbing it.
+    anchor_ratios = {
+        k: round(eager_build[k] / HOST_BAND_ANCHOR[k], 2)
+        for k in kernel_ratios
+    }
     worst_kernel = max(kernel_ratios.values(), default=0.0)
     sink_ratio = round(
         sink["naive_sec"] / HOST_BAND_REFERENCE["naive_sec"], 2
@@ -93,6 +119,10 @@ def host_band_signal(sink: dict, eager_build: dict,
     return {
         "sink_leg_ratio": sink_ratio,
         "kernel_build_ratios": kernel_ratios,
+        "kernel_build_anchor_ratios": anchor_ratios,
+        "sink_leg_anchor_ratio": round(
+            sink["naive_sec"] / HOST_BAND_ANCHOR["naive_sec"], 2
+        ),
         "worst_kernel_build_ratio": worst_kernel,
         "band": (
             "uncalibrated"
@@ -281,6 +311,8 @@ HEADLINE = [
     "q_curation_funnel_yield",
     "q_contamination_containment",
     "q_pack_token_budget",
+    # round-13: exact-substring dedup (>=50-token verbatim spans)
+    "q_dedup_exact_substring",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -370,6 +402,9 @@ SCALING_QUERIES = [
     # corpus never joining itself (O(eval) Bloom broadcast + exact
     # semi-join on Bloom survivors only) — the curve is the proof
     "q_contamination_eval_13gram",
+    # round-13: exact-substring claims posting-build-linear cost with an
+    # O(matched postings) fingerprint join — the curve prices the claim
+    "q_dedup_exact_substring",
 ]
 
 

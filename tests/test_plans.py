@@ -1134,7 +1134,20 @@ def test_kendall_concordance_is_grouped_kernel_not_pair_join(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FlatMapGroupsInPandas") == 1
     live = plan.split("InMemoryRelation")[0]
-    assert live.count("Join") <= 3, live
+    # ADVICE r12: count NAMED equi-join nodes (raw "Join" substring
+    # counting also matched unrelated node renames across Spark
+    # versions) — the old O(L²) hour-pair formulation's extra join was
+    # an equi-join, so the named count is the regression-sensitive
+    # signal.  The ONE nested-loop allowed is the deliberate
+    # O(|types|)-broadcast grid cross (hours × types); a cartesian of
+    # anything else would show up as a second one.
+    named_joins = sum(
+        live.count(n)
+        for n in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    assert named_joins <= 2, live
+    assert live.count("BroadcastNestedLoopJoin") <= 1, live
+    assert "CartesianProduct" not in live, live
     assert plan.count("InMemoryTableScan") >= 2
     spark.catalog.clearCache()
 

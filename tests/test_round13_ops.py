@@ -1,0 +1,190 @@
+"""Round-13 addition: exact-substring dedup (>= SPAN_K-token verbatim
+spans, the exact half of the Lee et al. 2022 dedup recipe — VERDICT r12
+item 2).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+from pyspark.sql import types as T
+
+from .conftest import SF_DIR, sorted_rows
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _word(i: int) -> str:
+    """Distinct letters-only token per index (the tokenizer splits on
+    non-letters, so digits would vanish): 'w' + base-26 in a..z."""
+    digits = []
+    for _ in range(3):
+        i, d = divmod(i, 26)
+        digits.append(chr(ord("a") + d))
+    return "w" + "".join(reversed(digits))
+
+
+def _doc_fixture(spark, tmp_path, docs: dict[int, list[str]]) -> str:
+    rows = [
+        (did, " ".join(toks), "en", "unit", len(" ".join(toks)))
+        for did, toks in docs.items()
+    ]
+    spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_exact_substring_golden_spans(spark, tmp_path):
+    """Constructed corpus with known verbatim overlaps:
+
+    * doc 1: tokens 0..119 (120 tokens)
+    * doc 2: a 60-token span of doc 1 (tokens 20..79) at offset 10 →
+      one shared span of exactly 60
+    * doc 3: only a 49-token span of doc 1 → below SPAN_K, no pair
+    * doc 4: verbatim copy of doc 1 → span 120 with doc 1; the same
+      60-token overlap with doc 2
+    * doc 5: TWO disjoint 50-token spans of doc 1 at different
+      alignment offsets, separated by unique filler → n_spans == 2
+    """
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        SPAN_K,
+        q_dedup_exact_substring,
+    )
+
+    assert SPAN_K == 50
+    w = _word
+    base = [w(i) for i in range(120)]
+    filler = [w(1000 + i) for i in range(30)]
+    filler2 = [w(2000 + i) for i in range(15)]
+    docs = {
+        1: base,
+        2: [w(3000 + i) for i in range(10)] + base[20:80] + [w(4000 + i) for i in range(10)],
+        3: [w(5000 + i) for i in range(10)] + base[0:49] + [w(6000 + i) for i in range(10)],
+        4: list(base),
+        5: filler2 + base[0:50] + filler + base[60:110],
+    }
+    sf = _doc_fixture(spark, tmp_path, docs)
+    got = sorted_rows(q_dedup_exact_substring(spark, sf))
+    expect = sorted(
+        [
+            (1, 2, 1, 60),
+            (1, 4, 1, 120),
+            (2, 4, 1, 60),
+            (1, 5, 2, 50),
+            (4, 5, 2, 50),
+        ]
+    )
+    assert got == expect
+
+
+def test_exact_substring_matches_brute_force_at_sf0001(spark):
+    """The banded-join + gaps-and-islands pipeline must agree with a
+    driver-side brute-force longest-common-span reference over every
+    pair of real fixture docs (50 docs at sf0.001 → 1225 pairs)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        SPAN_K,
+        q_dedup_exact_substring,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    toks = {
+        r.doc_id: [t for t in re.split(r"[^a-zA-Z]+", r.text) if t]
+        for r in rows
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(toks), 2):
+        ta, tb = toks[a], toks[b]
+        if len(ta) < SPAN_K or len(tb) < SPAN_K:
+            continue
+        grams_b = {}
+        for j in range(len(tb) - SPAN_K + 1):
+            grams_b.setdefault(tuple(tb[j : j + SPAN_K]), []).append(j)
+        hits = []  # (pos_a, pos_b) of matching SPAN_K-grams
+        for i in range(len(ta) - SPAN_K + 1):
+            for j in grams_b.get(tuple(ta[i : i + SPAN_K]), ()):
+                hits.append((i + 1, j + 1))
+        if not hits:
+            continue
+        bydiag: dict[int, list[int]] = {}
+        for pa, pb in hits:
+            bydiag.setdefault(pa - pb, []).append(pa)
+        spans = []
+        for ps in bydiag.values():
+            ps.sort()
+            run = 1
+            for prev, cur in zip(ps, ps[1:]):
+                if cur == prev + 1:
+                    run += 1
+                else:
+                    spans.append(SPAN_K + run - 1)
+                    run = 1
+            spans.append(SPAN_K + run - 1)
+        expect[(a, b)] = (len(spans), max(spans))
+    got = {
+        (r.doc_a, r.doc_b): (r.n_spans, r.max_span_tokens)
+        for r in q_dedup_exact_substring(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert got, "fixture should contain at least one >=50-token overlap"
+
+
+def test_exact_substring_plan_is_fingerprint_equijoin(spark):
+    """Scale pin: candidates come from an EQUI-join on the gram
+    fingerprint — no cartesian product / nested-loop join anywhere, and
+    the hot join keys are hash-partitioned (SortMergeJoin or
+    ShuffledHashJoin), matching the O(matched postings) claim."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        q_dedup_exact_substring,
+    )
+
+    plan = (
+        q_dedup_exact_substring(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-band anchor column (ADVICE r12)
+# ---------------------------------------------------------------------------
+
+
+def test_host_band_anchor_column_is_permanent():
+    """The anchor column must cover the same probes as the refreshable
+    references and be reported alongside them, so code-side drift can be
+    diffed out of reference refreshes."""
+    import bench
+
+    assert set(bench.HOST_BAND_ANCHOR) == set(bench.HOST_BAND_REFERENCE)
+    hb = bench.host_band_signal(
+        {"naive_sec": bench.HOST_BAND_ANCHOR["naive_sec"]},
+        {"semantic_edges_shared": bench.HOST_BAND_ANCHOR["semantic_edges_shared"]},
+    )
+    assert hb["sink_leg_anchor_ratio"] == 1.0
+    assert hb["kernel_build_anchor_ratios"] == {"semantic_edges_shared": 1.0}
+    # the anchor NEVER moves: r11 closing values + the contamination
+    # kernel's first in-band r12 value, pinned by contract
+    assert bench.HOST_BAND_ANCHOR == {
+        "naive_sec": 1.475,
+        "semantic_edges_shared": 1.358,
+        "minhash_pairs_shared": 3.236,
+        "copurchase_adj_shared": 1.196,
+        "contamination_hits_shared": 2.739,
+    }
