@@ -170,11 +170,51 @@ def profile_contamination(spark, sf_dir, results):
     timed("verify_and_rollup", hits, results)
 
 
+def profile_exact_substring(spark, sf_dir, results):
+    """Stage profile for the round-13 exact-substring dedup: posting
+    build (token-linear, in-row hashing), the fingerprint equi-join
+    (whose OUTPUT row count — matched postings — is the claim that
+    span verification is O(matched postings), not O(corpus²)), and the
+    verified pair/span report.  Stages re-declared with the operator's
+    own constants and helpers (dedup.SPAN_K / h56 / tokens_col)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.functions.hashing import h56
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        SPAN_K,
+        q_dedup_exact_substring,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.text import tokens_col
+    from apache_beam_java_firestore_batch_dataflow_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokd = docs.select("doc_id", tokens_col(F.col("text")).alias("t")).filter(
+        F.size("t") >= SPAN_K
+    )
+    posting_arr = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (SPAN_K - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            h56(F.concat_ws(" ", F.slice("t", i, SPAN_K))).alias("gh"),
+        ),
+    )
+    postings = tokd.select("doc_id", F.explode(posting_arr).alias("u")).select(
+        "doc_id", F.col("u.pos").alias("pos"), F.col("u.gh").alias("gh")
+    )
+    timed("posting_build", postings, results)
+    a = postings.alias("a")
+    b = postings.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    timed("matched_postings(fp_join)", cand, results)
+    timed("verified_pairs(end_to_end)", q_dedup_exact_substring(spark, sf_dir), results)
+
+
 def main():
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     spark = build_session(app_name="profile-stages", master="local[32]")
     report = {}
-    for which, fn in (("kcore2", profile_kcore2), ("rake", profile_rake), ("contamination", profile_contamination)):
+    for which, fn in (("kcore2", profile_kcore2), ("rake", profile_rake), ("contamination", profile_contamination), ("exact_substring", profile_exact_substring)):
         for d in dirs:
             results = []
             fn(spark, d, results)
@@ -185,7 +225,7 @@ def main():
         for label, dt, n in results:
             print(f"  {label:28s} {dt:8.3f}s  rows={n}")
     # cross-sf ratios per stage
-    for which in ("kcore2", "rake", "contamination"):
+    for which in ("kcore2", "rake", "contamination", "exact_substring"):
         if len(dirs) == 2:
             small = dict((l, (t, n)) for l, t, n in report[(which, dirs[0])])
             large = dict((l, (t, n)) for l, t, n in report[(which, dirs[1])])

@@ -87,6 +87,41 @@ def test_exact_substring_golden_spans(spark, tmp_path):
     assert got == expect
 
 
+def _brute_exact_substring(toks: dict[int, list[str]], span_k: int) -> dict:
+    """Driver-side reference: per doc pair, the maximal >=span_k-token
+    verbatim spans via gram matching + per-diagonal run counting."""
+    expect = {}
+    for a, b in itertools.combinations(sorted(toks), 2):
+        ta, tb = toks[a], toks[b]
+        if len(ta) < span_k or len(tb) < span_k:
+            continue
+        grams_b: dict[tuple, list[int]] = {}
+        for j in range(len(tb) - span_k + 1):
+            grams_b.setdefault(tuple(tb[j : j + span_k]), []).append(j)
+        hits = []  # (pos_a, pos_b) of matching span_k-grams, 1-based
+        for i in range(len(ta) - span_k + 1):
+            for j in grams_b.get(tuple(ta[i : i + span_k]), ()):
+                hits.append((i + 1, j + 1))
+        if not hits:
+            continue
+        bydiag: dict[int, list[int]] = {}
+        for pa, pb in hits:
+            bydiag.setdefault(pa - pb, []).append(pa)
+        spans = []
+        for ps in bydiag.values():
+            ps.sort()
+            run = 1
+            for prev, cur in zip(ps, ps[1:]):
+                if cur == prev + 1:
+                    run += 1
+                else:
+                    spans.append(span_k + run - 1)
+                    run = 1
+            spans.append(span_k + run - 1)
+        expect[(a, b)] = (len(spans), max(spans))
+    return expect
+
+
 def test_exact_substring_matches_brute_force_at_sf0001(spark):
     """The banded-join + gaps-and-islands pipeline must agree with a
     driver-side brute-force longest-common-span reference over every
@@ -102,41 +137,60 @@ def test_exact_substring_matches_brute_force_at_sf0001(spark):
         r.doc_id: [t for t in re.split(r"[^a-zA-Z]+", r.text) if t]
         for r in rows
     }
-    expect = {}
-    for a, b in itertools.combinations(sorted(toks), 2):
-        ta, tb = toks[a], toks[b]
-        if len(ta) < SPAN_K or len(tb) < SPAN_K:
-            continue
-        grams_b = {}
-        for j in range(len(tb) - SPAN_K + 1):
-            grams_b.setdefault(tuple(tb[j : j + SPAN_K]), []).append(j)
-        hits = []  # (pos_a, pos_b) of matching SPAN_K-grams
-        for i in range(len(ta) - SPAN_K + 1):
-            for j in grams_b.get(tuple(ta[i : i + SPAN_K]), ()):
-                hits.append((i + 1, j + 1))
-        if not hits:
-            continue
-        bydiag: dict[int, list[int]] = {}
-        for pa, pb in hits:
-            bydiag.setdefault(pa - pb, []).append(pa)
-        spans = []
-        for ps in bydiag.values():
-            ps.sort()
-            run = 1
-            for prev, cur in zip(ps, ps[1:]):
-                if cur == prev + 1:
-                    run += 1
-                else:
-                    spans.append(SPAN_K + run - 1)
-                    run = 1
-            spans.append(SPAN_K + run - 1)
-        expect[(a, b)] = (len(spans), max(spans))
+    expect = _brute_exact_substring(toks, SPAN_K)
     got = {
         (r.doc_a, r.doc_b): (r.n_spans, r.max_span_tokens)
         for r in q_dedup_exact_substring(spark, SF_DIR).collect()
     }
     assert got == expect
     assert got, "fixture should contain at least one >=50-token overlap"
+
+
+def test_exact_substring_randomized_planted_spans(spark, tmp_path):
+    """Seeded randomized corpora against the brute-force reference —
+    plants the shapes the golden test can't enumerate: copies of random
+    slices between random docs (sometimes multiple per pair, sometimes
+    OVERLAPPING, which must merge into one longer run), three-way
+    copies, internal repetition (the same span twice in ONE doc, giving
+    two alignment diagonals against its source), and boundary lengths
+    49/50/51."""
+    import random
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        SPAN_K,
+        q_dedup_exact_substring,
+    )
+
+    for seed in (7, 13):
+        rng = random.Random(seed)
+        n_docs = 24
+        docs: dict[int, list[str]] = {}
+        for did in range(1, n_docs + 1):
+            length = rng.randint(30, 140)
+            # per-doc-distinct vocab: accidental cross-doc 50-gram
+            # matches are impossible; only planted spans match
+            docs[did] = [_word(did * 10_000 + i) for i in range(length)]
+        # plant copies (including boundary lengths that must NOT match)
+        for _ in range(18):
+            src = rng.randint(1, n_docs)
+            dst = rng.randint(1, n_docs)
+            span = rng.choice([SPAN_K - 1, SPAN_K, SPAN_K + 1, 60, 75])
+            if len(docs[src]) < span:
+                continue
+            start = rng.randint(0, len(docs[src]) - span)
+            chunk = docs[src][start : start + span]
+            at = rng.randint(0, len(docs[dst]))
+            docs[dst] = docs[dst][:at] + chunk + docs[dst][at:]
+        sub = tmp_path / f"seed{seed}"
+        sub.mkdir()
+        sf = _doc_fixture(spark, sub, docs)
+        expect = _brute_exact_substring(docs, SPAN_K)
+        got = {
+            (r.doc_a, r.doc_b): (r.n_spans, r.max_span_tokens)
+            for r in q_dedup_exact_substring(spark, sf).collect()
+        }
+        assert got == expect, f"seed {seed}"
+        assert expect, f"seed {seed} planted no >=SPAN_K span (regen seeds)"
 
 
 def test_exact_substring_plan_is_fingerprint_equijoin(spark):
