@@ -169,6 +169,61 @@ def q_kanonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 DP_EPSILON = 1.0  # per-release budget; sensitivity of a count is 1
 _U_SPACE = float(1 << 52)  # 13 hex digits of md5 -> uniform grid
 
+# The micro-unit release arithmetic below folds sensitivity/epsilon into
+# ONE INTEGER scale per mechanism (counts: 1/1.0 = 1; clamped sum:
+# DPSUM_CLAMP/1.0).  A non-integral sensitivity/epsilon would need a
+# rational scale — change the helpers, not just the constant.
+
+
+def _laplace_noise6(u, scale: int = 1):
+    """Seeded Laplace draw in EXACT 1e-6 micro-units (int64).
+
+    The 6dp-rounded ln is re-quantized through DECIMAL(18,6) — exact by
+    construction — then scaled by the integer sensitivity/epsilon
+    factor.  Keeping the draw integral is what lets the release columns
+    round in pure integer arithmetic (`_round4_away`): ``round(double,
+    4)`` diverged between Spark (exact-binary HALF_UP) and DuckDB
+    (double-multiply round) whenever a noisy value's true decimal sat
+    exactly on a half boundary — found by the r13 sf0.1 sweep on
+    q_privacy_dp_heavy_hitters (369 + 0.09295 → 369.093 vs 369.0929)."""
+    pos = (
+        F.round(F.log(2.0 * u), 6).cast("decimal(18,6)") * 1_000_000
+    ).cast("bigint")
+    neg = (
+        F.round(F.log(2.0 - 2.0 * u), 6).cast("decimal(18,6)") * 1_000_000
+    ).cast("bigint")
+    return (F.when(u < 0.5, pos).otherwise(-neg)) * F.lit(int(scale))
+
+
+def _round4_away(micro_col: str):
+    """Half-away-from-zero rounding of an exact int64 1e-6 micro-unit
+    COLUMN (by name — ``div`` needs SQL form) to 4 decimals, in pure
+    integer arithmetic; bit-identical to the oracle's ``//`` form."""
+    return (
+        F.expr(
+            f"case when {micro_col} < 0 then -((-2*{micro_col} + 100) div 200) "
+            f"else (2*{micro_col} + 100) div 200 end"
+        )
+        / F.lit(10_000.0)
+    ).cast("double")
+
+
+def _round4_away_sql(expr: str) -> str:
+    """DuckDB fragment mirroring :func:`_round4_away` token-for-token
+    (``//`` is DuckDB's integral division)."""
+    return (
+        f"CAST((CASE WHEN ({expr}) < 0 THEN -((-2*({expr}) + 100) // 200) "
+        f"ELSE (2*({expr}) + 100) // 200 END) / 10000.0 AS DOUBLE)"
+    )
+
+
+_NOISE6_SQL = (
+    "CASE WHEN u < 0.5 "
+    "THEN CAST(CAST(round(ln(2.0 * u), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) "
+    "ELSE -CAST(CAST(round(ln(2.0 - 2.0 * u), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT) "
+    "END"
+)
+
 _DP_ORACLE = f"""
     WITH c AS (
       SELECT c_nationkey, c_mktsegment, count(*) AS n
@@ -183,15 +238,9 @@ _DP_ORACLE = f"""
     )
     SELECT c_nationkey, c_mktsegment,
            CAST(n AS BIGINT) AS n,
-           CAST(round(CASE WHEN u < 0.5
-                      THEN round(ln(2.0 * u), 6) / {DP_EPSILON}
-                      ELSE -round(ln(2.0 - 2.0 * u), 6) / {DP_EPSILON} END, 4)
-                AS DOUBLE) AS noise,
-           CAST(round(n + CASE WHEN u < 0.5
-                      THEN round(ln(2.0 * u), 6) / {DP_EPSILON}
-                      ELSE -round(ln(2.0 - 2.0 * u), 6) / {DP_EPSILON} END, 4)
-                AS DOUBLE) AS noisy_n
-    FROM u
+           {_round4_away_sql('noise6')} AS noise,
+           {_round4_away_sql('n * 1000000 + noise6')} AS noisy_n
+    FROM (SELECT c_nationkey, c_mktsegment, n, {_NOISE6_SQL} AS noise6 FROM u)
 """
 
 
@@ -208,10 +257,12 @@ def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can check the mechanism arithmetic end-to-end).
 
     Float discipline: the one ln() per group is rounded to 6 decimals
-    immediately (the bigram-LM rule); everything around it is exact
-    integer/hash arithmetic, so the noise is deterministic at any
-    partitioning.  Scale: one combiner aggregation; the mechanism is a
-    per-group projection on O(groups) rows."""
+    immediately (the bigram-LM rule) and re-quantized into exact int64
+    MICRO-UNITS; the released 4-dp values round half-away in pure
+    integer arithmetic (`_laplace_noise6`/`_round4_away` — the r13
+    half-boundary finding), so the release is bit-identical across
+    engines at every scale.  Scale: one combiner aggregation; the
+    mechanism is a per-group projection on O(groups) rows."""
     cust = load_table(spark, sf_dir, "customer")
     c = cust.groupBy("c_nationkey", "c_mktsegment").agg(
         F.count(F.lit(1)).alias("n")
@@ -223,15 +274,15 @@ def q_privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 0.5
     ) / F.lit(_U_SPACE)
-    noise = F.when(
-        u < 0.5, F.round(F.log(2.0 * u), 6) / DP_EPSILON
-    ).otherwise(-F.round(F.log(2.0 - 2.0 * u), 6) / DP_EPSILON)
-    return c.select(
+    noisy = c.withColumn("noise6", _laplace_noise6(u)).withColumn(
+        "m6", F.col("n") * 1_000_000 + F.col("noise6")
+    )
+    return noisy.select(
         "c_nationkey",
         "c_mktsegment",
         F.col("n").cast("bigint").alias("n"),
-        F.round(noise, 4).cast("double").alias("noise"),
-        F.round(F.col("n") + noise, 4).cast("double").alias("noisy_n"),
+        _round4_away("noise6").alias("noise"),
+        _round4_away("m6").alias("noisy_n"),
     )
 
 
@@ -337,11 +388,8 @@ _DP_HH_ORACLE = f"""
     ),
     noisy AS (
       SELECT event_type, bucket, n,
-             round(n + CASE WHEN u < 0.5
-                   THEN round(ln(2.0 * u), 6) / {DP_EPSILON}
-                   ELSE -round(ln(2.0 - 2.0 * u), 6) / {DP_EPSILON} END, 4)
-                 AS noisy_n
-      FROM u
+             {_round4_away_sql('n * 1000000 + noise6')} AS noisy_n
+      FROM (SELECT event_type, bucket, n, {_NOISE6_SQL} AS noise6 FROM u)
     )
     SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
            CAST(n AS BIGINT) AS n,
@@ -376,14 +424,15 @@ def q_privacy_dp_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (
         F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") + 0.5
     ) / F.lit(_U_SPACE)
-    noise = F.when(
-        u < 0.5, F.round(F.log(2.0 * u), 6) / DP_EPSILON
-    ).otherwise(-F.round(F.log(2.0 - 2.0 * u), 6) / DP_EPSILON)
-    noisy = c.select(
-        "event_type",
-        F.col("bucket").cast("bigint").alias("bucket"),
-        F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("n") + noise, 4).cast("double").alias("noisy_n"),
+    noisy = (
+        c.withColumn("noise6", _laplace_noise6(u))
+        .withColumn("m6", F.col("n") * 1_000_000 + F.col("noise6"))
+        .select(
+            "event_type",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.col("n").cast("bigint").alias("n"),
+            _round4_away("m6").alias("noisy_n"),
+        )
     )
     return noisy.filter(F.col("noisy_n") >= DP_HH_TAU)
 
@@ -750,15 +799,12 @@ _DPSUM_ORACLE = f"""
     SELECT c_nationkey,
            CAST(n AS BIGINT) AS n,
            CAST(round(s, 2) AS DOUBLE) AS clamped_sum,
-           CAST(round(CASE WHEN u < 0.5
-                      THEN round(ln(2.0 * u), 6) * {DPSUM_CLAMP} / {DP_EPSILON}
-                      ELSE -round(ln(2.0 - 2.0 * u), 6) * {DPSUM_CLAMP}
-                           / {DP_EPSILON} END, 4) AS DOUBLE) AS noise,
-           CAST(round(CAST(s AS DOUBLE) + CASE WHEN u < 0.5
-                      THEN round(ln(2.0 * u), 6) * {DPSUM_CLAMP} / {DP_EPSILON}
-                      ELSE -round(ln(2.0 - 2.0 * u), 6) * {DPSUM_CLAMP}
-                           / {DP_EPSILON} END, 4) AS DOUBLE) AS noisy_sum
-    FROM u
+           {_round4_away_sql('noise6')} AS noise,
+           {_round4_away_sql('CAST(s * 1000000 AS BIGINT) + noise6')}
+               AS noisy_sum
+    FROM (SELECT c_nationkey, n, s,
+                 ({_NOISE6_SQL}) * {DPSUM_CLAMP} AS noise6
+          FROM u)
 """
 
 
@@ -797,13 +843,20 @@ def q_privacy_dp_sum_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         + 0.5
     ) / F.lit(_U_SPACE)
-    noise = F.when(
-        u < 0.5, F.round(F.log(2.0 * u), 6) * DPSUM_CLAMP / DP_EPSILON
-    ).otherwise(-F.round(F.log(2.0 - 2.0 * u), 6) * DPSUM_CLAMP / DP_EPSILON)
-    return c.select(
+    # micro-unit release (the dp_counts discipline): s is an exact 2-dp
+    # decimal, so s·10⁶ is an exact int64 to ~9·10¹² in sum value — far
+    # past the fixture; a corpus whose CLAMPED per-group sums exceed
+    # that would move m6 to DECIMAL(38,0) (the regress-two-features
+    # overflow lesson)
+    noisy = c.withColumn(
+        "noise6", _laplace_noise6(u, DPSUM_CLAMP)
+    ).withColumn(
+        "m6", (F.col("s") * 1_000_000).cast("bigint") + F.col("noise6")
+    )
+    return noisy.select(
         "c_nationkey",
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("s"), 2).cast("double").alias("clamped_sum"),
-        F.round(noise, 4).cast("double").alias("noise"),
-        F.round(F.col("s").cast("double") + noise, 4).cast("double").alias("noisy_sum"),
+        _round4_away("noise6").alias("noise"),
+        _round4_away("m6").alias("noisy_sum"),
     )

@@ -3792,13 +3792,19 @@ def q_regress_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson corr, i.e. the "ML-lite" fit a warehouse computes without
     an iterative solver.
 
-    Determinism: every Σ is an exact int64 of cent-quantized inputs;
+    Determinism: every Σ is an exact integer of cent-quantized inputs;
     the four 3×3 determinants and the division happen ONCE in doubles
     with the expression mirrored token-for-token in the oracle, so
-    coefficients and R² round(6) identically.  Scale: ONE combiner agg
-    over the corpus (10 running sums), then O(1) driver-free algebra
-    in the projection — the classic sufficient-statistics shape that
-    never rescans."""
+    coefficients and R² round(6) identically.  The product sums
+    accumulate in DECIMAL(38,0), not int64: Σy² is ~10¹⁴ per row, so
+    an int64 accumulator overflows past ~10⁵ rows (found by the r13
+    sf0.1 sweep — sf0.01 sat just under the line; DuckDB was never
+    exposed because its BIGINT sum widens to int128).  DECIMAL(38,0)
+    holds exact Σ's to ~10²⁴ rows of cross-products; both engines
+    then cast the same exact integer to the same double.  Scale: ONE
+    combiner agg over the corpus (10 running sums), then O(1)
+    driver-free algebra in the projection — the classic
+    sufficient-statistics shape that never rescans."""
     li = _t(spark, sf_dir, "lineitem")
     # floor(x*100 + 0.5) on BOTH engines: the fixture stores money as
     # DOUBLE, and bare casts diverge (DuckDB rounds, Spark truncates —
@@ -3808,17 +3814,22 @@ def q_regress_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint").alias("x2"),
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("y"),
     )
+
+    def _dsum(expr) -> F.Column:
+        # exact wide-integer accumulation (the int64-overflow guard)
+        return F.sum(expr.cast("decimal(38,0)"))
+
     s = q.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("x1").cast("double").alias("sx1"),
-        F.sum("x2").cast("double").alias("sx2"),
-        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
-        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
-        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
-        F.sum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        _dsum(F.col("x1")).cast("double").alias("sx1"),
+        _dsum(F.col("x2")).cast("double").alias("sx2"),
+        _dsum(F.col("x1") * F.col("x1")).cast("double").alias("s11"),
+        _dsum(F.col("x1") * F.col("x2")).cast("double").alias("s12"),
+        _dsum(F.col("x2") * F.col("x2")).cast("double").alias("s22"),
+        _dsum(F.col("y")).cast("double").alias("sy"),
+        _dsum(F.col("x1") * F.col("y")).cast("double").alias("s1y"),
+        _dsum(F.col("x2") * F.col("y")).cast("double").alias("s2y"),
+        _dsum(F.col("y") * F.col("y")).cast("double").alias("syy"),
     )
     c = F.col
     det = (

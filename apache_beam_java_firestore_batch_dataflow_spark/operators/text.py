@@ -1512,13 +1512,22 @@ _BIGRAM_LM_ORACLE = r"""
                            / (CAST(u.uc AS DOUBLE) + vsize)), 6)
                   AS DECIMAL(38,6)) AS lp6
       FROM bigrams b JOIN unigrams u USING (w1), v
+    ),
+    agg AS (
+      -- integer micro-units (1e-6): the doc average is an exact
+      -- rational s6/n, rounded half-away in int arithmetic below —
+      -- round(double, 6) diverged between engines when the true
+      -- average sat exactly on a half boundary (r13 sf0.1 sweep)
+      SELECT d.doc_id, sum(d.c) AS n,
+             sum(d.c * CAST(lp.lp6 * 1000000 AS BIGINT)) AS s6
+      FROM doc_bi d JOIN lp USING (w1, w2)
+      GROUP BY d.doc_id
     )
-    SELECT d.doc_id,
-           CAST(sum(d.c) AS BIGINT) AS n_bigrams,
-           CAST(round(CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) AS DOUBLE)
-                      / sum(d.c), 6) AS DOUBLE) AS avg_logprob
-    FROM doc_bi d JOIN lp USING (w1, w2)
-    GROUP BY d.doc_id
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams,
+           CAST((CASE WHEN s6 < 0 THEN -((-2*s6 + n) // (2*n))
+                      ELSE (2*s6 + n) // (2*n) END) / 1000000.0
+                AS DOUBLE) AS avg_logprob
+    FROM agg
 """
 
 
@@ -1532,7 +1541,12 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same float discipline as the unigram scorer: one ln() per distinct
     corpus BIGRAM, rounded to 6 decimals immediately; each document's
-    combination is an exact decimal dot product over its bigram counts.
+    combination is an exact INTEGER dot product in 1e-6 micro-units,
+    and the final 6-dp average is rounded half-away-from-zero in pure
+    int64 arithmetic — ``round(double, 6)`` diverged between engines
+    when a doc's true average sat exactly on a half boundary
+    (-67.76659/20 at sf0.1; Spark rounds the exact binary double,
+    DuckDB rounds via a double multiply — r13 sweep finding).
     Scale shape: bigram extraction is a narrow in-row transform +
     explode; three combiner aggregations (doc-bigram, corpus-bigram,
     left-unigram); the vocabulary size is a one-row broadcast; scoring
@@ -1582,19 +1596,30 @@ def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lp6"),
         )
     )
-    return (
+    agg = (
         doc_bi.join(lp, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.sum("c").cast("bigint").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("c").cast("decimal(38,6)") * F.col("lp6")).cast("double")
-                / F.sum("c"),
-                6,
-            )
-            .cast("double")
-            .alias("avg_logprob"),
+            F.sum("c").alias("n"),
+            F.sum(
+                F.col("c") * (F.col("lp6") * 1_000_000).cast("bigint")
+            ).alias("s6"),
         )
+    )
+    # exact half-away-from-zero rounding of s6/n to micro-units in pure
+    # int64 arithmetic (see docstring); `div` is integral division
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_bigrams"),
+        (
+            F.expr(
+                "case when s6 < 0 then -((-2*s6 + n) div (2*n)) "
+                "else (2*s6 + n) div (2*n) end"
+            )
+            / F.lit(1_000_000.0)
+        )
+        .cast("double")
+        .alias("avg_logprob"),
     )
 
 

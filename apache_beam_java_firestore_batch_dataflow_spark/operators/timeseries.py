@@ -665,8 +665,15 @@ _psi_cuts = [i / PSI_BUCKETS for i in range(1, PSI_BUCKETS)]
 
 
 def _psi_oracle() -> str:
+    # quantile_disc, not quantile_cont (r13 sf0.1 sweep): interpolated
+    # cuts are computed with different arithmetic in the two engines
+    # (Spark percentile vs DuckDB quantile_cont), and a `value > cut`
+    # bucket test flips rows when the cuts differ by one ulp — observed
+    # as ±1-2 counts per bucket at sf0.1.  Discrete quantiles return an
+    # ACTUAL data value, exact-match comparable by construction (the
+    # q_agg_percentile_disc discipline).
     cut_cols = ", ".join(
-        f"quantile_cont(value, {c}) AS c{i}" for i, c in enumerate(_psi_cuts)
+        f"quantile_disc(value, {c}) AS c{i}" for i, c in enumerate(_psi_cuts)
     )
     bucket = "1 " + " ".join(
         f"+ CASE WHEN value > c{i} THEN 1 ELSE 0 END"
@@ -719,13 +726,21 @@ def q_drift_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_histogram_equidepth`` discipline, never a global sort), then
     each population bucket-assigns in codegen and combiner-aggregates
     to {PSI_BUCKETS} rows.  Zero-count buckets floor at 1 row on BOTH
-    engines (the standard PSI epsilon guard) so the log never sees 0."""
+    engines (the standard PSI epsilon guard) so the log never sees 0.
+
+    Cuts are DISCRETE deciles (percentile_disc — actual data values):
+    interpolated percentiles are computed with different arithmetic in
+    Spark and DuckDB, and at sf0.1 the one-ulp cut difference flipped
+    1-2 boundary rows per bucket (r13 sweep); discrete quantiles are
+    exact-match comparable by construction."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     ref = ev.filter(F.col("user_id") % PSI_MOD == 0).select("value")
     cur = ev.filter(F.col("user_id") % PSI_MOD != 0).select("value")
     cuts = ref.agg(
         *[
-            F.expr(f"percentile(value, {c})").alias(f"c{i}")
+            F.expr(
+                f"percentile_disc({c}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"c{i}")
             for i, c in enumerate(_psi_cuts)
         ]
     )

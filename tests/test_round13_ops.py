@@ -242,3 +242,54 @@ def test_host_band_anchor_column_is_permanent():
         "copurchase_adj_shared": 1.196,
         "contamination_hits_shared": 2.739,
     }
+
+
+# ---------------------------------------------------------------------------
+# sf0.1 sweep fixes: exact half-boundary rounding + wide-sum overflow
+# ---------------------------------------------------------------------------
+
+
+def test_round4_away_exact_half_boundaries(spark):
+    """The micro-unit release rounding must be half-AWAY-from-zero at
+    EXACT boundaries — the class where round(double, 4) diverged
+    between engines (r13 sf0.1 sweep: 369 + 0.09295 read 369.093 on one
+    engine and 369.0929 on the other)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.privacy import (
+        _round4_away,
+    )
+
+    rows = [(92950,), (-92950,), (92949,), (92951,), (50,), (-50,), (0,)]
+    df = spark.createDataFrame(rows, "m6 long").select(
+        "m6", _round4_away("m6").alias("r4")
+    )
+    got = {r.m6: r.r4 for r in df.collect()}
+    assert got == {
+        92950: 0.093,   # exact half -> away from zero
+        -92950: -0.093,
+        92949: 0.0929,
+        92951: 0.093,
+        50: 0.0001,     # 0.00005 -> away
+        -50: -0.0001,
+        0: 0.0,
+    }
+
+
+def test_regress_sums_survive_sf01_row_counts(spark):
+    """Σy² at cent quantization is ~10¹⁴/row: an int64 accumulator
+    overflows past ~10⁵ rows (the sf0.1 sweep failure — ANSI Spark
+    raised ARITHMETIC_OVERFLOW where DuckDB silently widened to
+    int128).  The DECIMAL(38,0) accumulation must survive sf0.1."""
+    import os
+
+    import pytest as _pytest
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        QUERIES,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf01):
+        _pytest.skip("sf0.1 fixture not present")
+    row = QUERIES["q_regress_two_features"](spark, sf01).collect()
+    assert len(row) == 1 and row[0].n_rows > 500_000
+    assert abs(row[0].r2) <= 1.0
