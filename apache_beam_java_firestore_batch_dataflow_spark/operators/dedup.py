@@ -1985,6 +1985,18 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_K = 50  # minimum verbatim span length, in tokens (Lee et al. 2022 use 50)
 
+# Document-frequency cap on a K-gram fingerprint: grams appearing in MORE
+# than this many documents are template boilerplate whose candidate
+# fan-out is C(df, 2) — they are anti-joined away BEFORE the self-join
+# (the rare-gram-family discipline).  Semantics altered, exactly and
+# only: spans every one of whose grams is shared by > cap documents are
+# dropped.  A span that also contains ONE sub-cap gram still surfaces
+# (the run shortens; verification then re-measures against the real
+# token slices).  Fixture max df is 3 (sf0.01) / 4 (sf0.1), so the cap
+# never fires on the driver fixtures — it exists for the mega-template
+# corpus case (ADVICE r13 / VERDICT r13 task 5).
+EXSUB_GRAM_DF_CAP = 64
+
 
 def _exact_substring_oracle() -> str:
     gh = h56_sql(f"list_aggregate(t[i:i+{SPAN_K - 1}], 'string_agg', ' ')")
@@ -2000,9 +2012,16 @@ def _exact_substring_oracle() -> str:
                       i -> struct_pack(pos := i, gh := {gh}))) AS u
         FROM tk)
     ),
+    heavy AS (
+      SELECT gh FROM postings GROUP BY gh
+      HAVING count(DISTINCT doc_id) > {EXSUB_GRAM_DF_CAP}
+    ),
+    kept AS (
+      SELECT * FROM postings WHERE gh NOT IN (SELECT gh FROM heavy)
+    ),
     cand AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
-      FROM postings a JOIN postings b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.gh = b.gh AND a.doc_id < b.doc_id
     ),
     runs AS (
       SELECT doc_a, doc_b, pos_a, pos_b,
@@ -2050,17 +2069,23 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
        explode), so only 16 bytes/position ever leave the row — the
        ~300-char gram strings are never materialized off-row.  Zero
        shuffles; O(total tokens) rows.
-    2. **Candidates**: postings self-join on the fingerprint — the one
-       blocking shuffle, keyed on gh.  Fan-out is O(matched postings):
-       a gram shared by d docs costs C(d,2) rows, so ubiquitous
-       boilerplate grams are the skew hazard; AQE skew-join splits
-       those keys, and a df-cap pre-filter (as in the rare-gram family)
-       is the documented escape hatch if a corpus has mega-templates.
-    3. **Runs**: gaps-and-islands over each pair's alignment diagonal
+    2. **df-cap pre-filter**: gram doc-frequencies are censused (one
+       map-combined aggregation keyed on gh — the same key as the join,
+       so no NEW shuffle key) and grams in more than
+       ``EXSUB_GRAM_DF_CAP`` documents are anti-joined away via a
+       BROADCAST of the (tiny) heavy-gram set.  This bounds the
+       candidate fan-out of any single gram at C(cap, 2) BEFORE the
+       self-join, with the altered semantics pinned in the constant's
+       comment; AQE skew-join still splits sub-cap hot keys at runtime
+       (both paths exercised in ``tests/test_round14_ops.py``).
+    3. **Candidates**: kept postings self-join on the fingerprint — the
+       one blocking shuffle, keyed on gh.  Fan-out is O(matched
+       postings): a gram shared by d <= cap docs costs C(d,2) rows.
+    4. **Runs**: gaps-and-islands over each pair's alignment diagonal
        (pos_a - pos_b): one window + one agg on O(matched postings)
        rows turns consecutive gram hits into maximal spans of length
        K + run - 1.
-    4. **Verify**: fingerprint matches are re-checked against the REAL
+    5. **Verify**: fingerprint matches are re-checked against the REAL
        token slices — one equi-join per side back to the token arrays,
        restricted to docs that appear in a run (O(flagged docs), fan-out
        1), comparing ``slice(t, start, span)`` in-row.  A 56-bit
@@ -2069,9 +2094,19 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_a, doc_b, n_spans, max_span_tokens).
     """
+    return exact_substring_pairs(_docs(spark, sf_dir))
+
+
+def exact_substring_pairs(
+    docs: DataFrame, df_cap: int = EXSUB_GRAM_DF_CAP
+) -> DataFrame:
+    """Kernel behind :func:`q_dedup_exact_substring`, parameterized on
+    the gram df-cap so the skew stress test can plant a mega-template
+    corpus and exercise both the AQE path (cap above the plant) and the
+    cap semantics (cap below it) without touching the registered
+    constant."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
     tokd = (
         docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
         .filter(F.size("t") >= SPAN_K)
@@ -2089,8 +2124,19 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = tokd.select("doc_id", F.explode(posting_arr).alias("u")).select(
         "doc_id", F.col("u.pos").alias("pos"), F.col("u.gh").alias("gh")
     )
-    a = postings.alias("a")
-    b = postings.alias("b")
+    # df-cap pre-filter: census gram doc-frequency (map-combined, keyed
+    # on gh — the join's own key) and broadcast-anti-join the heavy set.
+    # The heavy set is tiny by construction (only grams in > df_cap
+    # docs), so the kill happens map-side on the posting stream.
+    heavy = (
+        postings.groupBy("gh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("gh")
+    )
+    kept = postings.join(F.broadcast(heavy), "gh", "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
     cand = a.join(
         b,
         (F.col("a.gh") == F.col("b.gh")) & (F.col("a.doc_id") < F.col("b.doc_id")),

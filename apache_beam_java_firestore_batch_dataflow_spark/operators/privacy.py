@@ -786,11 +786,13 @@ _DPSUM_ORACLE = f"""
     WITH c AS (
       SELECT c_nationkey,
              count(*) AS n,
-             sum(least(greatest(c_acctbal, 0), {DPSUM_CLAMP})) AS s
+             CAST(sum(CAST(floor(least(greatest(c_acctbal, 0),
+                                       {DPSUM_CLAMP}) * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS s_cents
       FROM customer GROUP BY c_nationkey
     ),
     u AS (
-      SELECT c_nationkey, n, s,
+      SELECT c_nationkey, n, s_cents,
              (CAST(CAST('0x' || substr(md5('dpsum:' ||
                         CAST(c_nationkey AS VARCHAR)), 1, 13) AS BIGINT)
                    AS DOUBLE) + 0.5) / {_U_SPACE} AS u
@@ -798,11 +800,11 @@ _DPSUM_ORACLE = f"""
     )
     SELECT c_nationkey,
            CAST(n AS BIGINT) AS n,
-           CAST(round(s, 2) AS DOUBLE) AS clamped_sum,
+           CAST(s_cents / 100.0 AS DOUBLE) AS clamped_sum,
            {_round4_away_sql('noise6')} AS noise,
-           {_round4_away_sql('CAST(s * 1000000 AS BIGINT) + noise6')}
+           {_round4_away_sql('s_cents * 10000 + noise6')}
                AS noisy_sum
-    FROM (SELECT c_nationkey, n, s,
+    FROM (SELECT c_nationkey, n, s_cents,
                  ({_NOISE6_SQL}) * {DPSUM_CLAMP} AS noise6
           FROM u)
 """
@@ -818,22 +820,30 @@ def q_privacy_dp_sum_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
     practical idea of DP aggregation at scale — every production DP
     engine clamps before it sums.
 
-    Determinism: the clamp runs on exact DECIMAL balances and the
-    clamped sum is an exact decimal aggregate; the single ln() draws
+    Determinism: the fixture stores c_acctbal as parquet DOUBLE, so a
+    float SUM of clamped balances would be order-dependent and its
+    micro-unit cast would TRUNCATE in Spark while the oracle's CAST
+    rounds in DuckDB (the trunc-vs-round divergence class, ADVICE r13).
+    Instead each row is cent-quantized FIRST — ``floor(clamped*100 +
+    0.5)`` is identical IEEE double arithmetic on both engines — and
+    the aggregate is an exact int64 SUM of cents; every downstream
+    release column derives from that integer.  The single ln() draws
     from the md5-of-group-key uniform grid and rounds to 6dp
     immediately (the dp_counts discipline), so the release replays
     identically across engines and retries.  True n/clamped_sum are
     emitted solely so the oracle can audit the mechanism end-to-end.
 
-    Scale shape: clamp is a row-local projection fused into the scan;
-    ONE combiner aggregation keyed on the group; the mechanism itself
-    is a projection on O(groups) rows."""
+    Scale shape: clamp+quantize is a row-local projection fused into
+    the scan; ONE combiner aggregation keyed on the group; the
+    mechanism itself is a projection on O(groups) rows."""
     cust = load_table(spark, sf_dir, "customer")
-    clamped = F.least(
-        F.greatest(F.col("c_acctbal"), F.lit(0)), F.lit(DPSUM_CLAMP)
-    )
+    cents = F.floor(
+        F.least(F.greatest(F.col("c_acctbal"), F.lit(0)), F.lit(DPSUM_CLAMP))
+        * 100
+        + F.lit(0.5)
+    ).cast("bigint")
     c = cust.groupBy("c_nationkey").agg(
-        F.count(F.lit(1)).alias("n"), F.sum(clamped).alias("s")
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s_cents")
     )
     u = (
         F.conv(
@@ -843,20 +853,20 @@ def q_privacy_dp_sum_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("double")
         + 0.5
     ) / F.lit(_U_SPACE)
-    # micro-unit release (the dp_counts discipline): s is an exact 2-dp
-    # decimal, so s·10⁶ is an exact int64 to ~9·10¹² in sum value — far
-    # past the fixture; a corpus whose CLAMPED per-group sums exceed
-    # that would move m6 to DECIMAL(38,0) (the regress-two-features
-    # overflow lesson)
+    # micro-unit release (the dp_counts discipline): s_cents is an
+    # exact int64 sum of cents, so s_cents·10⁴ is an exact int64 up to
+    # ~9·10¹⁴ in sum value — far past the fixture; a corpus whose
+    # CLAMPED per-group sums exceed that would move m6 to
+    # DECIMAL(38,0) (the regress-two-features overflow lesson)
     noisy = c.withColumn(
         "noise6", _laplace_noise6(u, DPSUM_CLAMP)
     ).withColumn(
-        "m6", (F.col("s") * 1_000_000).cast("bigint") + F.col("noise6")
+        "m6", F.col("s_cents") * 10_000 + F.col("noise6")
     )
     return noisy.select(
         "c_nationkey",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("s"), 2).cast("double").alias("clamped_sum"),
+        (F.col("s_cents") / F.lit(100.0)).cast("double").alias("clamped_sum"),
         _round4_away("noise6").alias("noise"),
         _round4_away("m6").alias("noisy_sum"),
     )
