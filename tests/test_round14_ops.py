@@ -268,3 +268,37 @@ def test_dp_sum_clamped_adversarial_balances_match_oracle(spark, tmp_path):
     )
     row0 = next(r for r in got if r[0] == "0")
     assert row0[2] == _norm(cents0 / 100.0)
+
+
+# ---------------------------------------------------------------------------
+# Trained PQ codebook memo (VERDICT r13 "what's wrong" item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_trained_codebook_memoized_per_session_and_fixture(spark):
+    """The Lloyd-refined codebook must be trained ONCE per (session,
+    sf_dir, fixture): a second call returns the identical cached array
+    (no retrain pass), clear_pq_codebook_cache() forces a cold rebuild
+    that agrees element-for-element, and the trained codebook differs
+    from the seed (the refinement actually ran)."""
+    import numpy as np
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        _pq_seed_codebook,
+        _pq_units_col,
+        _vecs,
+        clear_pq_codebook_cache,
+        pq_trained_codebook,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    clear_pq_codebook_cache()
+    cb1 = pq_trained_codebook(spark, sf)
+    cb2 = pq_trained_codebook(spark, sf)
+    assert cb2 is cb1  # memo hit — the retrain pass did not run
+    clear_pq_codebook_cache()
+    cb3 = pq_trained_codebook(spark, sf)
+    assert cb3 is not cb1 and np.array_equal(cb3, cb1)  # cold rebuild agrees
+    u = _vecs(spark, sf).select("vec_id", _pq_units_col().alias("qv"))
+    assert not np.array_equal(cb1, _pq_seed_codebook(u))
+    clear_pq_codebook_cache()
