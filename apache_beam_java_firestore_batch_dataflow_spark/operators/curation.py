@@ -28,6 +28,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_ratio, round_ratio_sql
 from ..functions.timeutil import epoch_us
 from ..sources.tables import load_table
 
@@ -755,12 +756,12 @@ _TEMP_MIX_ORACLE = f"""
     ),
     z AS (SELECT sum(w6) AS zsum FROM w)
     SELECT source, CAST(n AS BIGINT) AS n,
-           CAST(round(p, 6) AS DOUBLE) AS p,
+           {round_ratio_sql('n', 'total', 6)} AS p,
            CAST(round(CAST(w6 AS DOUBLE) / CAST(zsum AS DOUBLE), 6) AS DOUBLE)
                AS q,
            CAST(round(CAST(w6 AS DOUBLE) / CAST(zsum AS DOUBLE) / p, 4)
                 AS DOUBLE) AS boost
-    FROM w, z
+    FROM w, z, tot
 """
 
 
@@ -784,6 +785,7 @@ def q_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = c.join(F.broadcast(tot)).select(
         "source",
         "n",
+        "total",
         p.alias("p"),
         F.round(F.exp(MIX_TEMP * F.round(F.log(p), 6)), 6)
         .cast("decimal(38,6)")
@@ -794,7 +796,7 @@ def q_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.join(F.broadcast(z)).select(
         "source",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("p"), 6).cast("double").alias("p"),
+        round_ratio("n", "total", 6).alias("p"),
         F.round(q, 6).cast("double").alias("q"),
         F.round(q / F.col("p"), 4).cast("double").alias("boost"),
     )
@@ -1016,13 +1018,17 @@ _MIX_BUDGET_ORACLE = f"""
       SELECT min(avail_chars * t.units // u) AS t_star
       FROM avail, tot t
     )
-    SELECT a.source, CAST(a.u AS BIGINT) AS units,
-           a.avail_chars,
-           CAST(a.u * c.t_star // t.units AS BIGINT) AS used_chars,
-           CAST(round(CAST(a.u * c.t_star // t.units AS DOUBLE)
-                      / a.avail_chars, 6) AS DOUBLE) AS utilization,
-           (a.avail_chars * t.units // a.u = c.t_star) AS is_bottleneck
-    FROM avail a, tot t, cap c
+    SELECT source, units, avail_chars, used_chars,
+           {round_ratio_sql('used_chars', 'avail_chars', 6, wide=True)}
+               AS utilization,
+           is_bottleneck
+    FROM (
+      SELECT a.source, CAST(a.u AS BIGINT) AS units,
+             a.avail_chars,
+             CAST(a.u * c.t_star // t.units AS BIGINT) AS used_chars,
+             (a.avail_chars * t.units // a.u = c.t_star) AS is_bottleneck
+      FROM avail a, tot t, cap c
+    )
 """
 
 
@@ -1055,14 +1061,14 @@ def q_mix_budget_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = joined.join(F.broadcast(cap))
     used = F.expr("u * t_star div units_total")
-    return out.select(
+    return out.withColumn("used_chars", used.cast("bigint")).select(
         "source",
         F.col("u").alias("units"),
         "avail_chars",
-        used.cast("bigint").alias("used_chars"),
-        F.round(used.cast("double") / F.col("avail_chars"), 6)
-        .cast("double")
-        .alias("utilization"),
+        "used_chars",
+        round_ratio("used_chars", "avail_chars", 6, wide=True).alias(
+            "utilization"
+        ),
         (F.expr("avail_chars * units_total div u") == F.col("t_star")).alias(
             "is_bottleneck"
         ),
@@ -1493,7 +1499,11 @@ def q_mix_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.source").alias("source_b"),
         )
         .agg(
-            F.sum(F.col("a.c") * lnq(F.col("b.c") + 1)).alias("s_match"),
+            # DECIMAL(38,0) accumulator (r14 overflow audit): Σ c·µ-nats
+            # outgrows int64 once per-source token counts pass ~5e11
+            F.sum(
+                F.col("a.c").cast("decimal(38,0)") * lnq(F.col("b.c") + 1)
+            ).alias("s_match"),
             F.sum(F.col("a.c")).alias("m_ab"),
         )
     )
@@ -1508,9 +1518,14 @@ def q_mix_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_b",
             F.col("n_a").cast("bigint").alias("n_tokens_a"),
             F.coalesce(F.col("m_ab"), F.lit(0)).cast("bigint").alias("overlap_mass"),
+            # DECIMAL(38,0) intermediates (r14 overflow audit): n_a·µ-nats
+            # overflows int64 once a source holds ~5e11 tokens; the
+            # quotient (µ-nats) always fits bigint
             F.expr(
-                "(n_a * CAST(floor(ln(CAST(n_b + v AS DOUBLE)) * 1000000 + 0.5)"
-                " AS BIGINT) - coalesce(s_match, 0L)) div n_a"
+                "(cast(n_a as decimal(38,0))"
+                " * CAST(floor(ln(CAST(n_b + v AS DOUBLE)) * 1000000 + 0.5)"
+                " AS BIGINT) - coalesce(s_match, cast(0 as decimal(38,0))))"
+                " div n_a"
             )
             .cast("bigint")
             .alias("xent_mu"),
@@ -2022,14 +2037,16 @@ _CONTAM_ORACLE = f"""
       SELECT doc_id, source FROM documents
       WHERE {split_sql('doc_id')} <> 'test'
     )
-    SELECT tr.source,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(h.m) AS BIGINT) AS n_contaminated,
-           CAST(coalesce(sum(h.m), 0) AS BIGINT) AS n_grams_matched,
-           CAST(round(count(h.m) * 1.0 / count(*), 6) AS DOUBLE)
-               AS contam_rate
-    FROM train tr LEFT JOIN hits h USING (doc_id)
-    GROUP BY tr.source
+    SELECT source, n_docs, n_contaminated, n_grams_matched,
+           {round_ratio_sql('n_contaminated', 'n_docs', 6)} AS contam_rate
+    FROM (
+      SELECT tr.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(h.m) AS BIGINT) AS n_contaminated,
+             CAST(coalesce(sum(h.m), 0) AS BIGINT) AS n_grams_matched
+      FROM train tr LEFT JOIN hits h USING (doc_id)
+      GROUP BY tr.source
+    )
 """
 
 
@@ -2046,7 +2063,8 @@ def q_contamination_eval_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rides :func:`contaminated_docs` (broadcast-Bloom-gated gram probe +
     exact verify — see its docstring for the 100 TB shape) and adds one
     fan-out-1 doc_id join + an O(sources) rollup.  Counts are exact
-    integers; the one ratio rounds at emit.
+    integers; the one ratio is an exact ``round_ratio`` (r14 parity
+    idiom).
 
     Reference provenance: extends the reference's tokenize pipeline
     (WordCount.java:52-75) with the n-gram membership audit its
@@ -2059,15 +2077,18 @@ def q_contamination_eval_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = contaminated_docs(spark, sf_dir)
     joined = train.join(hits, "doc_id", "left")
     n_contam = F.count("n_matched")
-    return joined.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        n_contam.cast("bigint").alias("n_contaminated"),
-        F.coalesce(F.sum("n_matched"), F.lit(0))
-        .cast("bigint")
-        .alias("n_grams_matched"),
-        F.round(n_contam * 1.0 / F.count(F.lit(1)), 6)
-        .cast("double")
-        .alias("contam_rate"),
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            n_contam.cast("bigint").alias("n_contaminated"),
+            F.coalesce(F.sum("n_matched"), F.lit(0))
+            .cast("bigint")
+            .alias("n_grams_matched"),
+        )
+        .withColumn(
+            "contam_rate", round_ratio("n_contaminated", "n_docs", 6)
+        )
     )
 
 
@@ -2274,8 +2295,8 @@ _CONTAINMENT_ORACLE = f"""
            CAST(coalesce(n.n_grams, 0) AS BIGINT) AS n_grams,
            b.train_doc AS best_train_doc,
            CAST(coalesce(b.n_shared, 0) AS BIGINT) AS n_shared,
-           CAST(round(coalesce(b.n_shared, 0) * 1.0
-                      / greatest(coalesce(n.n_grams, 0), 1), 6) AS DOUBLE)
+           {round_ratio_sql('coalesce(b.n_shared, 0)',
+                            'greatest(coalesce(n.n_grams, 0), 1)', 6)}
                AS containment,
            (coalesce(b.n_shared, 0) * 10000
                 >= {CONTAIN_TAU_BP} * coalesce(n.n_grams, 0)
@@ -2349,13 +2370,19 @@ def q_contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_grams.alias("n_grams"),
             F.col("train_doc").alias("best_train_doc"),
             n_shared.alias("n_shared"),
-            F.round(n_shared * 1.0 / F.greatest(n_grams, F.lit(1)), 6)
-            .cast("double")
-            .alias("containment"),
             (
                 (n_shared * 10000 >= CONTAIN_TAU_BP * n_grams)
                 & (n_grams > 0)
             ).alias("is_quoted"),
+        )
+        .withColumn("ng1", F.greatest(F.col("n_grams"), F.lit(1)))
+        .select(
+            "eval_doc",
+            "n_grams",
+            "best_train_doc",
+            "n_shared",
+            round_ratio("n_shared", "ng1", 6).alias("containment"),
+            "is_quoted",
         )
     )
 

@@ -761,10 +761,16 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         s = (
             scores.join(deg[join_on], "node")
-            .agg(F.sum(F.col(col) * F.col("deg")).alias("s"))
+            # DECIMAL(38,0) accumulator (r14 overflow audit): Σ score·deg
+            # ≤ HITS_SCALE·Σdeg = HITS_SCALE·|edges| outgrows int64 near
+            # ~9e12 edges; the rescale quotient still fits bigint
+            .agg(F.sum(F.col(col).cast("decimal(38,0)") * F.col("deg")).alias("s"))
         )
         return raw.join(F.broadcast(s)).select(
-            "node", F.expr(f"(raw * {HITS_SCALE}) div s").alias(out)
+            "node",
+            F.expr(
+                f"(cast(raw as decimal(38,0)) * {HITS_SCALE}) div s"
+            ).alias(out),
         )
 
     for _ in range(HITS_ROUNDS):
@@ -1145,18 +1151,25 @@ def q_graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        # DECIMAL(38,0) accumulators (r14 overflow audit): Σ deg·deg
+        # over edges overflows int64 on high-degree graphs — the exact
+        # class ANSI Spark raises on while DuckDB widens to int128.
+        # The double math below reads the exact totals identically.
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
-    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # sx·sx must widen BEFORE the multiply (int64 squares overflow first)
+    sx_d = F.col("sx").cast("decimal(38,0)")
+    sy_d = F.col("sy").cast("decimal(38,0)")
+    vx = F.col("n") * F.col("sxx") - sx_d * sx_d
+    vy = F.col("n") * F.col("syy") - sy_d * sy_d
     return m.select(
         F.col("n").cast("bigint").alias("n_edges"),
         F.when(
             (vx > 0) & (vy > 0),
             F.round(
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                (F.col("n") * F.col("sxy") - sx_d * sy_d).cast("double")
                 / F.sqrt(vx.cast("double") * vy.cast("double")),
                 6,
             ).cast("double"),

@@ -29,6 +29,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import (
+    round_ratio,
+    round_ratio_sql,
     stable_avg,
     stable_avg_sql,
     stable_sum,
@@ -1952,13 +1954,21 @@ _ENTROPY_MI_ORACLE = """
     sxy AS (SELECT sum(c * CAST(round(ln(CAST(c AS DOUBLE) / n.n), 6)
                                 AS DECIMAL(38,6))) AS s FROM cxy, n)
     SELECT n.n AS n_rows,
-           CAST(round(CAST(-sx.s AS DOUBLE) / n.n, 6) AS DOUBLE) AS h_segment,
-           CAST(round(CAST(-sy.s AS DOUBLE) / n.n, 6) AS DOUBLE) AS h_nation,
-           CAST(round(CAST(-sxy.s AS DOUBLE) / n.n, 6) AS DOUBLE) AS h_joint,
-           CAST(round(CAST(-sx.s - sy.s + sxy.s AS DOUBLE) / n.n, 6) AS DOUBLE)
-               AS mutual_info
+           {h_seg} AS h_segment,
+           {h_nat} AS h_nation,
+           {h_joint} AS h_joint,
+           {mi} AS mutual_info
     FROM n, sx, sy, sxy
-"""
+""".format(
+    h_seg=round_ratio_sql("(-sx.s) * 1000000", "n.n * 1000000", 6, wide=True),
+    h_nat=round_ratio_sql("(-sy.s) * 1000000", "n.n * 1000000", 6, wide=True),
+    h_joint=round_ratio_sql(
+        "(-sxy.s) * 1000000", "n.n * 1000000", 6, wide=True
+    ),
+    mi=round_ratio_sql(
+        "(-sx.s - sy.s + sxy.s) * 1000000", "n.n * 1000000", 6, wide=True
+    ),
+)
 
 
 @register("q_profile_entropy_mi", oracle=_ENTROPY_MI_ORACLE)
@@ -2004,22 +2014,15 @@ def q_profile_entropy_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(sxy))
         .select(
             F.col("n").alias("n_rows"),
-            F.round((-F.col("sx")).cast("double") / F.col("n"), 6)
-            .cast("double")
+            round_ratio("(-sx) * 1000000", "n * 1000000", 6, wide=True)
             .alias("h_segment"),
-            F.round((-F.col("sy")).cast("double") / F.col("n"), 6)
-            .cast("double")
+            round_ratio("(-sy) * 1000000", "n * 1000000", 6, wide=True)
             .alias("h_nation"),
-            F.round((-F.col("sxy")).cast("double") / F.col("n"), 6)
-            .cast("double")
+            round_ratio("(-sxy) * 1000000", "n * 1000000", 6, wide=True)
             .alias("h_joint"),
-            F.round(
-                (-F.col("sx") - F.col("sy") + F.col("sxy")).cast("double")
-                / F.col("n"),
-                6,
-            )
-            .cast("double")
-            .alias("mutual_info"),
+            round_ratio(
+                "(-sx - sy + sxy) * 1000000", "n * 1000000", 6, wide=True
+            ).alias("mutual_info"),
         )
     )
 
@@ -2781,11 +2784,12 @@ _PARETO_ORACLE = """
     SELECT l_suppkey AS suppkey,
            CAST(rnk AS INT) AS rnk,
            CAST(round(r, 2) AS DOUBLE) AS revenue,
-           CAST(round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS DOUBLE)
-               AS cum_share,
+           {cum_share} AS cum_share,
            ((cum - r) * 10 < t * 8) AS in_top80
     FROM ranked, tot
-"""
+""".format(
+    cum_share=round_ratio_sql("cum * 1000000", "t * 1000000", 6, wide=True)
+)
 
 
 @register("q_supplier_pareto80", oracle=_PARETO_ORACLE)
@@ -2815,17 +2819,15 @@ def q_supplier_pareto80(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
         rev.join(F.broadcast(tot))
+        .withColumn("cum", F.sum("r").over(w_cum))
         .select(
             F.col("l_suppkey").alias("suppkey"),
             F.row_number().over(w_ord).cast("int").alias("rnk"),
             F.round(F.col("r"), 2).cast("double").alias("revenue"),
-            F.round(
-                F.sum("r").over(w_cum).cast("double") / F.col("t").cast("double"),
-                6,
-            )
-            .cast("double")
-            .alias("cum_share"),
-            ((F.sum("r").over(w_cum) - F.col("r")) * 10 < F.col("t") * 8).alias(
+            round_ratio("cum * 1000000", "t * 1000000", 6, wide=True).alias(
+                "cum_share"
+            ),
+            ((F.col("cum") - F.col("r")) * 10 < F.col("t") * 8).alias(
                 "in_top80"
             ),
         )
@@ -3558,7 +3560,7 @@ _HH_ORACLE = f"""
     )
     SELECT col_name, CAST(rk AS INT) AS rk, val,
            CAST(cnt AS BIGINT) AS cnt,
-           CAST(round(CAST(cnt AS DOUBLE) / n, 6) AS DOUBLE) AS share
+           {round_ratio_sql("cnt", "n", 6)} AS share
     FROM ranked WHERE rk <= {HH_TOP}
 """
 
@@ -3577,8 +3579,9 @@ def q_profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{HH_TOP} filter plans as `WindowGroupLimit`, so each task keeps
     a {HH_TOP}-row heap per column BELOW the exchange and only
     O(partitions × k) candidate rows shuffle — never the distinct-value
-    table through one partition.  Shares divide exact integers once,
-    rounded to 6 dp."""
+    table through one partition.  Shares divide exact integers via
+    ``round_ratio`` (r14 parity idiom; bigint-safe to ~4.6e12 rows per
+    profiled column)."""
     ev = _t(spark, sf_dir, "events")
     unpiv = ev.select(
         F.expr(
@@ -3603,9 +3606,7 @@ def q_profile_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
             "val",
             F.col("cnt").cast("bigint").alias("cnt"),
-            F.round(F.col("cnt").cast("double") / F.col("n"), 6)
-            .cast("double")
-            .alias("share"),
+            round_ratio("cnt", "n", 6).alias("share"),
         )
     )
 
@@ -3889,13 +3890,16 @@ def q_regress_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT s_nationkey, suppkey,
            CAST(rev_cp AS BIGINT) AS rev_cp,
-           CAST(round(CAST(rev_cp AS DOUBLE)
-                      / sum(rev_cp) OVER (PARTITION BY s_nationkey), 6)
-                AS DOUBLE) AS share6,
-           CAST(row_number() OVER (PARTITION BY s_nationkey
-                                   ORDER BY rev_cp DESC, suppkey)
-                AS INT) AS rnk
-    FROM rev
+           """
+    + round_ratio_sql("rev_cp", "tot_cp", 6, wide=True)
+    + """ AS share6,
+           rnk
+    FROM (SELECT s_nationkey, suppkey, rev_cp,
+                 sum(rev_cp) OVER (PARTITION BY s_nationkey) AS tot_cp,
+                 CAST(row_number() OVER (PARTITION BY s_nationkey
+                                         ORDER BY rev_cp DESC, suppkey)
+                      AS INT) AS rnk
+          FROM rev)
     """,
 )
 def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3907,7 +3911,10 @@ def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: revenue accumulates in exact (cent x percent) integer
     units (the money-sum discipline), so the window total is exact and
-    the single share division is a mirrored double round(6).  Scale
+    the single share division is an exact wide-path ``round_ratio``
+    (r14 parity idiom; the int64 sum itself holds to ~9.2e18 cent x
+    percent units per nation — widen the accumulator to DECIMAL(38,0)
+    beyond that).  Scale
     shape: one combiner agg to O(suppliers) rows, then ONE keyed window
     exchange on nation computing both the partition total and the rank
     — group sizes are bounded by suppliers-per-nation, never by fact
@@ -3927,13 +3934,11 @@ def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("s_nationkey").orderBy(
         F.desc("rev_cp"), F.asc("suppkey")
     )
-    return rev.select(
+    return rev.withColumn("tot_cp", F.sum("rev_cp").over(w_tot)).select(
         "s_nationkey",
         "suppkey",
         F.col("rev_cp").cast("bigint").alias("rev_cp"),
-        F.round(
-            F.col("rev_cp").cast("double") / F.sum("rev_cp").over(w_tot), 6
-        ).cast("double").alias("share6"),
+        round_ratio("rev_cp", "tot_cp", 6, wide=True).alias("share6"),
         F.row_number().over(w_rank).cast("int").alias("rnk"),
     )
 
@@ -3964,8 +3969,9 @@ def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.o_orderpriority,
            CAST(max(b.n_total) AS BIGINT) AS n_total,
            CAST(count(*) AS BIGINT) AS n_kept,
-           CAST(round(sum(c.cents) * 1.0 / count(*), 4) AS DOUBLE)
-               AS trimmed_mean_cents
+           """
+    + round_ratio_sql("sum(c.cents)", "count(*)", 4, wide=True)
+    + """ AS trimmed_mean_cents
     FROM c JOIN bounds b ON b.o_orderpriority = c.o_orderpriority
     WHERE c.cents >= b.p10 AND c.cents <= b.p90
     GROUP BY c.o_orderpriority
@@ -3980,7 +3986,10 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: money quantizes to exact cents at the scan; the trim
     bounds use the PROVEN percentile parity (Spark ``percentile`` ==
     DuckDB ``quantile_cont``, both interpolating at rank (n-1)·q); the
-    kept-set sum is an exact int64 and the mean divides once, mirrored.
+    kept-set sum is an exact int64 (safe to ~9.2e18 summed cents per
+    group ≈ $92T) and the mean is an exact ``round_ratio`` on the wide
+    DECIMAL(38,0) path (r14 parity idiom — the 2·10^4·Σ intermediate
+    outgrows int64 long before the sum does).
     Scale shape: one combiner agg computes both bounds and the group
     count; bounds (O(groups) rows) broadcast back over the scan; the
     kept-set reduction is a second combiner agg — two passes, zero
@@ -3998,12 +4007,21 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = c.join(F.broadcast(bounds), "o_orderpriority").filter(
         (F.col("cents") >= F.col("p10")) & (F.col("cents") <= F.col("p90"))
     )
-    return kept.groupBy("o_orderpriority").agg(
-        F.max("n_total").cast("bigint").alias("n_total"),
-        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        F.round(F.sum("cents") * 1.0 / F.count(F.lit(1)), 4)
-        .cast("double")
-        .alias("trimmed_mean_cents"),
+    return (
+        kept.groupBy("o_orderpriority")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("cents").alias("s_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            F.col("n_kept").cast("bigint").alias("n_kept"),
+            round_ratio("s_cents", "n_kept", 4, wide=True).alias(
+                "trimmed_mean_cents"
+            ),
+        )
     )
 
 
@@ -4180,7 +4198,8 @@ def q_audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT c_nationkey, c_custkey,
-             CAST(sum(o_totalprice * 100) AS BIGINT) AS xc
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS xc
       FROM customer JOIN orders ON o_custkey = c_custkey
       GROUP BY 1, 2
     ),
@@ -4201,8 +4220,11 @@ def q_audit_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.c_nationkey,
            CAST(n.n AS BIGINT) AS n_customers,
            CAST(n.s AS BIGINT) AS total_cents,
-           CAST(round(greatest(CAST(t.num AS DOUBLE), 0.0)
-                      / n.s / 1000000.0, 6) AS DOUBLE) AS theil6
+           """
+    + round_ratio_sql(
+        "greatest(t.num, 0)", "CAST(n.s AS HUGEINT) * 1000000", 6, wide=True
+    )
+    + """ AS theil6
     FROM terms t JOIN nat n ON n.c_nationkey = t.c_nationkey
     """,
 )
@@ -4231,7 +4253,14 @@ def q_agg_theil_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         cust.join(orders, cust.c_custkey == orders.o_custkey)
         .groupBy("c_nationkey", "c_custkey")
-        .agg(F.sum(F.col("o_totalprice") * 100).cast("bigint").alias("xc"))
+        .agg(
+            # cent-quantize per ROW (r14 parity idiom): a float sum of
+            # inexact x*100 doubles is order-dependent and its bigint
+            # cast truncates in Spark but rounds in DuckDB
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            ).alias("xc")
+        )
     )
     nat = rev.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n"), F.sum("xc").cast("bigint").alias("s")
@@ -4259,12 +4288,10 @@ def q_agg_theil_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey",
         F.col("n").cast("bigint").alias("n_customers"),
         F.col("s").cast("bigint").alias("total_cents"),
-        F.round(
-            F.greatest(F.col("num").cast("double"), F.lit(0.0))
-            / F.col("s")
-            / 1_000_000.0,
+        round_ratio(
+            "greatest(num, cast(0 as decimal(38,0)))",
+            "cast(s as decimal(38,0)) * 1000000",
             6,
-        )
-        .cast("double")
-        .alias("theil6"),
+            wide=True,
+        ).alias("theil6"),
     )

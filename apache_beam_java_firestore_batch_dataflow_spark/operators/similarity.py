@@ -27,6 +27,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_ratio, round_ratio_sql
 from ..functions.vectors import dot, dot_sql, hyperplane_signs, norm, norm_sql
 from ..sources.tables import fixture_fingerprint, load_table
 
@@ -740,6 +741,23 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-label centroids: elementwise vector mean (training-pipeline analytic)
 # --------------------------------------------------------------------------
 
+# Exact 4-dp centroid mean (r14 parity idiom): the 6-dp decimal
+# component sum is an exact integer in 1e-6 units, so the mean rounds
+# via pure integer round_ratio — round-of-double flips when a label's
+# member count hits 2^5·5^j, and the old "+ 0.0" negative-zero patch is
+# obsolete (the integer path never emits -0.0).
+_CENT4_SPARK = "sum(cast(round(x, 6) as decimal(30,6))) * 1000000"
+_CENT4_DUCK = "sum(CAST(round(x, 6) AS DECIMAL(30,6))) * 1000000"
+
+
+def _centroid4() -> "F.Column":
+    return round_ratio(_CENT4_SPARK, "count(1) * 1000000", 4, wide=True)
+
+
+def _centroid4_sql() -> str:
+    return round_ratio_sql(_CENT4_DUCK, "count(*) * 1000000", 4, wide=True)
+
+
 _CENTROID_ORACLE = f"""
     WITH comp AS (
       SELECT label, CAST(i - 1 AS INT) AS pos,
@@ -749,10 +767,7 @@ _CENTROID_ORACLE = f"""
     )
     SELECT label, pos,
            CAST(count(*) AS BIGINT) AS n_vectors,
-           -- + 0.0 folds IEEE negative zero to +0.0 (DuckDB's round keeps
-           -- the sign of a tiny negative mean; Spark's drops it)
-           CAST(round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,6))) AS DOUBLE)
-                      / count(*), 4) + 0.0 AS DOUBLE) AS centroid
+           {_centroid4_sql()} AS centroid
     FROM comp GROUP BY label, pos
 """
 
@@ -771,12 +786,9 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = v.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).select("label", "pos", F.col("x").cast("double").alias("x"))
-    dec = F.round(F.col("x"), 6).cast("decimal(30,6)")
     return comp.groupBy("label", "pos").agg(
         F.count(F.lit(1)).alias("n_vectors"),
-        (F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 4) + F.lit(0.0))
-        .cast("double")
-        .alias("centroid"),
+        _centroid4().alias("centroid"),
     )
 
 
@@ -907,8 +919,7 @@ _KMEANS_ORACLE = f"""
     )
     SELECT cluster_id, pos,
            CAST(count(*) AS BIGINT) AS n_members,
-           CAST(round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,6))) AS DOUBLE)
-                      / count(*), 4) + 0.0 AS DOUBLE) AS centroid
+           {_centroid4_sql()} AS centroid
     FROM comp GROUP BY cluster_id, pos
 """
 
@@ -964,16 +975,7 @@ def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return comp.groupBy("cluster_id", "pos").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
-        (
-            F.round(
-                F.sum(F.round(F.col("x"), 6).cast("decimal(30,6)")).cast("double")
-                / F.count(F.lit(1)),
-                4,
-            )
-            + F.lit(0.0)
-        )
-        .cast("double")
-        .alias("centroid"),
+        _centroid4().alias("centroid"),
     )
 
 
@@ -993,8 +995,7 @@ _OUTLIER_ORACLE = f"""
     ),
     cent_long AS (
       SELECT label, pos,
-             CAST(round(CAST(sum(CAST(round(x, 6) AS DECIMAL(30,6))) AS DOUBLE)
-                        / count(*), 4) + 0.0 AS DOUBLE) AS c
+             {_centroid4_sql()} AS c
       FROM comp GROUP BY label, pos
     ),
     cent AS (
@@ -1042,12 +1043,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = v.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).select("label", "pos", F.col("x").cast("double").alias("x"))
-    dec = F.round(F.col("x"), 6).cast("decimal(30,6)")
-    cent_long = comp.groupBy("label", "pos").agg(
-        (F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 4) + F.lit(0.0))
-        .cast("double")
-        .alias("c")
-    )
+    cent_long = comp.groupBy("label", "pos").agg(_centroid4().alias("c"))
     cent = cent_long.groupBy("label").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
@@ -1823,8 +1819,8 @@ _RECALL_ORACLE = f"""
     )
     SELECT methods.method,
            CAST(coalesce(hit.hits, 0) AS BIGINT) AS hits,
-           CAST(round(coalesce(hit.hits, 0)
-                      / ((SELECT count(*) FROM qs) * {ANN_K}), 6) AS DOUBLE)
+           {round_ratio_sql('coalesce(hit.hits, 0)',
+                            f'((SELECT count(*) FROM qs) * {ANN_K})', 6)}
                AS recall
     FROM methods LEFT JOIN hit USING (method)
 """
@@ -1873,7 +1869,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.crossJoin(F.broadcast(denom)).select(
         "method",
         F.col("hits").cast("bigint").alias("hits"),
-        F.round(F.col("hits") / F.col("denom"), 6).cast("double").alias("recall"),
+        round_ratio("hits", "denom", 6).alias("recall"),
     )
 
 
@@ -2879,8 +2875,8 @@ _MRL_ORACLE = f"""
     )
     SELECT CAST(trunc_dim AS INT) AS trunc_dim,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           CAST(round(CAST(sum(units) AS DOUBLE) / count(*) / 1000000, 6)
-                AS DOUBLE) AS mean_energy,
+           {round_ratio_sql('sum(units)', 'count(*) * 1000000', 6, wide=True)}
+               AS mean_energy,
            CAST(quantile_cont(units, 0.5) * 2 AS BIGINT)
                AS median_energy_half_units,
            CAST(round(CAST(min(units) AS DOUBLE) / 1000000, 6) AS DOUBLE)
@@ -2937,9 +2933,9 @@ def q_embedding_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return rows.groupBy("trunc_dim").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
-        F.round(F.sum("units").cast("double") / F.count(F.lit(1)) / 1e6, 6)
-        .cast("double")
-        .alias("mean_energy"),
+        round_ratio(
+            "sum(units)", "count(1) * 1000000", 6, wide=True
+        ).alias("mean_energy"),
         (F.expr("percentile(units, 0.5)") * 2)
         .cast("bigint")
         .alias("median_energy_half_units"),
@@ -2982,13 +2978,20 @@ def q_embedding_matryoshka_quality(spark: SparkSession, sf_dir: str) -> DataFram
       FROM comp GROUP BY pos
     )
     SELECT CAST(pos AS INT) AS pos, CAST(n AS BIGINT) AS n,
-           CAST(round(CAST(s AS DOUBLE) / n / 1000000, 6) AS DOUBLE) AS mean6,
-           CAST(round((CAST(sq AS DOUBLE) / n
-                       - pow(CAST(s AS DOUBLE) / n, 2)) / 1000000000000, 6)
-                AS DOUBLE) AS var6,
+           {mean6} AS mean6,
+           {var6} AS var6,
            CAST(mn AS BIGINT) AS min_mu, CAST(mx AS BIGINT) AS max_mu
     FROM agg
-    """,
+    """.format(
+        mean6=round_ratio_sql("s", "n * 1000000", 6, wide=True),
+        var6=round_ratio_sql(
+            "CAST(n AS HUGEINT) * CAST(sq AS HUGEINT)"
+            " - CAST(s AS HUGEINT) * s",
+            "CAST(n AS HUGEINT) * n * 1000000000000",
+            6,
+            wide=True,
+        ),
+    ),
 )
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension mean/variance/range of the embedding corpus — the
@@ -3021,18 +3024,15 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         F.col("pos").cast("int").alias("pos"),
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("s").cast("double") / F.col("n") / 1_000_000, 6)
-        .cast("double")
-        .alias("mean6"),
-        F.round(
-            (
-                F.col("sq").cast("double") / F.col("n")
-                - F.pow(F.col("s").cast("double") / F.col("n"), 2)
-            )
-            / 1_000_000_000_000,
+        round_ratio("s", "n * 1000000", 6, wide=True).alias("mean6"),
+        # var = (n*sq - s^2) / (n^2 * 1e12), computed on the exact
+        # integer sufficient statistics (r14 parity idiom)
+        round_ratio(
+            "n * sq - cast(s as decimal(38,0)) * s",
+            "cast(n as decimal(38,0)) * n * 1000000000000",
             6,
+            wide=True,
         )
-        .cast("double")
         .alias("var6"),
         F.col("mn").cast("bigint").alias("min_mu"),
         F.col("mx").cast("bigint").alias("max_mu"),

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.bloom import bloom_build, bloom_member
+from ..functions.numeric import round_ratio, round_ratio_sql
 from ..sources.tables import load_table
 from .wordcount import TOKENIZER_PATTERN
 
@@ -82,17 +83,19 @@ def q_wordcount_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_text_token_stats",
+    # Ratios of exact per-doc ints via round_ratio (r14 parity idiom:
+    # round-of-double flips when a doc's token count is 2^5·5^j for k=4)
     oracle=f"""
-    SELECT doc_id,
-           n_chars,
-           len(toks) AS n_tokens,
-           CAST(round(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
-                                  (a, b) -> a + b) * 1.0
-                      / greatest(len(toks), 1), 4) AS DOUBLE) AS avg_token_len,
-           len(list_distinct(toks)) AS n_unique_tokens,
-           CAST(round(len(list_distinct(toks)) * 1.0 / greatest(len(toks), 1), 4)
-                AS DOUBLE) AS type_token_ratio
-    FROM (SELECT doc_id, n_chars, {TOKENS_SQL} AS toks FROM documents)
+    SELECT doc_id, n_chars, n_tokens,
+           {round_ratio_sql('tl', 'nt', 4)} AS avg_token_len,
+           n_unique_tokens,
+           {round_ratio_sql('n_unique_tokens', 'nt', 4)} AS type_token_ratio
+    FROM (SELECT doc_id, n_chars, len(toks) AS n_tokens,
+                 list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+                             (a, b) -> a + b) AS tl,
+                 len(list_distinct(toks)) AS n_unique_tokens,
+                 greatest(len(toks), 1) AS nt
+          FROM (SELECT doc_id, n_chars, {TOKENS_SQL} AS toks FROM documents))
     """,
 )
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,18 +109,20 @@ def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     n_toks = F.size("toks")
-    n_uniq = F.size(F.array_distinct("toks"))
     return d.select(
         "doc_id",
         "n_chars",
         n_toks.alias("n_tokens"),
-        F.round(total_len * 1.0 / F.greatest(n_toks, F.lit(1)), 4)
-        .cast("double")
-        .alias("avg_token_len"),
-        n_uniq.alias("n_unique_tokens"),
-        F.round(n_uniq * 1.0 / F.greatest(n_toks, F.lit(1)), 4)
-        .cast("double")
-        .alias("type_token_ratio"),
+        total_len.alias("tl"),
+        F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
+        F.greatest(n_toks, F.lit(1)).alias("nt"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        round_ratio("tl", "nt", 4).alias("avg_token_len"),
+        "n_unique_tokens",
+        round_ratio("n_unique_tokens", "nt", 4).alias("type_token_ratio"),
     )
 
 
@@ -1645,14 +1650,16 @@ _NOVELTY_ORACLE = f"""
       SELECT DISTINCT sh FROM g WHERE doc_id % {NOVELTY_MOD} = 0
     ),
     cand AS (SELECT doc_id, sh FROM g WHERE doc_id % {NOVELTY_MOD} != 0)
-    SELECT c.doc_id,
-           count(*) AS n_grams,
-           CAST(sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_novel,
-           CAST(round(sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) * 1.0
-                      / count(*), 6) AS DOUBLE) AS novelty
-    FROM cand c LEFT JOIN ref r ON r.sh = c.sh
-    GROUP BY c.doc_id
+    SELECT doc_id, n_grams, n_novel,
+           {round_ratio_sql('n_novel', 'n_grams', 6)} AS novelty
+    FROM (
+      SELECT c.doc_id,
+             count(*) AS n_grams,
+             CAST(sum(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel
+      FROM cand c LEFT JOIN ref r ON r.sh = c.sh
+      GROUP BY c.doc_id
+    )
 """
 
 
@@ -1671,7 +1678,7 @@ def q_text_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ONE left join keyed on the gram — at 100 TB both sides
     hash-partition on the gram key; no broadcast grows with the corpus
     and no pair space exists at all.  Counts are exact integers; the
-    one ratio rounds at emit."""
+    one ratio is an exact ``round_ratio`` (r14 parity idiom)."""
     docs = _docs(spark, sf_dir)
     tokd = docs.select("doc_id", tokens_col(F.col("text")).alias("t"))
     sh_arr = F.when(
@@ -1703,9 +1710,7 @@ def q_text_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_grams",
             "n_novel",
-            F.round(F.col("n_novel") * 1.0 / F.col("n_grams"), 6)
-            .cast("double")
-            .alias("novelty"),
+            round_ratio("n_novel", "n_grams", 6).alias("novelty"),
         )
     )
 
@@ -1715,14 +1720,14 @@ def q_text_novelty_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LANGID_CONF_ORACLE = f"""
-    WITH pred AS ({_LANGID_ORACLE})
-    SELECT lang_actual, lang_pred,
-           count(*) AS n,
-           CAST(round(count(*) * 1.0
-                      / sum(count(*)) OVER (PARTITION BY lang_actual), 6)
-                AS DOUBLE) AS frac_of_actual
-    FROM pred
-    GROUP BY lang_actual, lang_pred
+    WITH pred AS ({_LANGID_ORACLE}),
+    cells AS (
+      SELECT lang_actual, lang_pred, count(*) AS n
+      FROM pred GROUP BY lang_actual, lang_pred
+    )
+    SELECT lang_actual, lang_pred, n,
+           {round_ratio_sql('n', 'tot', 6)} AS frac_of_actual
+    FROM (SELECT *, sum(n) OVER (PARTITION BY lang_actual) AS tot FROM cells)
 """
 
 
@@ -1745,13 +1750,12 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pred.groupBy("lang_actual", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tot", F.sum("n").over(w))
         .select(
             "lang_actual",
             "lang_pred",
             "n",
-            F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6)
-            .cast("double")
-            .alias("frac_of_actual"),
+            round_ratio("n", "tot", 6).alias("frac_of_actual"),
         )
     )
 

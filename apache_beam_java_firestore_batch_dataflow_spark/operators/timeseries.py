@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_ratio, round_ratio_sql
 from ..functions.timeutil import epoch_us
 from ..sources.tables import load_table
 
@@ -299,10 +300,9 @@ _TRANSITIONS_ORACLE = """
       GROUP BY src, dst
     )
     SELECT src, dst, n,
-           CAST(round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS DOUBLE)
-               AS p
-    FROM t
-"""
+           {p_expr} AS p
+    FROM (SELECT src, dst, n, sum(n) OVER (PARTITION BY src) AS tot FROM t)
+""".format(p_expr=round_ratio_sql("n", "tot", 6))
 
 
 @register("q_events_transitions", oracle=_TRANSITIONS_ORACLE)
@@ -316,7 +316,9 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_id, so the order is total); the transition table itself is at
     most |types|^2 rows, so the final aggregate and its normalizing
     window are O(1) however large the corpus.  The probability divides
-    two exact counts and rounds once — no float accumulation.
+    two exact counts via pure integer rounding (``round_ratio`` — the
+    r14 parity idiom: round-of-double flips at q=2^7·5^j group sizes);
+    bigint-safe to ~4.6e12 transitions per src.
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -326,13 +328,11 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("dst").isNotNull())
     t = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
     wsrc = Window.partitionBy("src")
-    return t.select(
+    return t.withColumn("tot", F.sum("n").over(wsrc)).select(
         "src",
         "dst",
         "n",
-        F.round(F.col("n") * 1.0 / F.sum("n").over(wsrc), 6)
-        .cast("double")
-        .alias("p"),
+        round_ratio("n", "tot", 6).alias("p"),
     )
 
 
@@ -1535,9 +1535,19 @@ def q_events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x").cast("double").alias("sx"),
         F.sum("y").cast("double").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        # DECIMAL(38,0) accumulators (r14 overflow audit): int64 sums of
+        # count products overflow ~9.2e18 — reachable at 100 TB hourly
+        # counts; ANSI Spark would raise where DuckDB widens to int128.
+        # The double cast of the exact total is unchanged below 2^53.
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
     )
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
         F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
@@ -1944,7 +1954,9 @@ def q_events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.from_type, t.to_type,
            CAST(t.n AS BIGINT) AS n,
-           CAST(round(CAST(t.n AS DOUBLE) / x.tot, 6) AS DOUBLE) AS p6
+           """
+    + round_ratio_sql("t.n", "x.tot", 6)
+    + """ AS p6
     FROM trans t JOIN totals x ON x.from_type = t.from_type
     """,
 )
@@ -1958,7 +1970,8 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: the per-user order is total (ts, event_id tiebreak —
     the `q_sessionize_gaps` discipline), transition counts are exact,
-    and each row probability is one mirrored round(6) division.  Scale
+    and each row probability is one exact integer ``round_ratio``
+    (r14 parity idiom; bigint-safe to ~4.6e12 events per type).  Scale
     shape: ONE keyed shuffle on user_id for the lag window (group size
     = one user's history), then a combiner agg to the O(types²)
     matrix and a broadcast row-total join — the corpus crosses the
@@ -1981,9 +1994,7 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         F.col("n").cast("bigint").alias("n"),
-        F.round(F.col("n").cast("double") / F.col("tot"), 6)
-        .cast("double")
-        .alias("p6"),
+        round_ratio("n", "tot", 6).alias("p6"),
     )
 
 
@@ -2542,7 +2553,12 @@ def q_events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame
         .alias("b_mu"),
     )
     qq = grid.groupBy("event_type").agg(
-        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("qq")
+        # DECIMAL(38,0) accumulator (r14 overflow audit): Σc² of hourly
+        # counts outgrows int64 at 100 TB; bigint cast of the total is
+        # exact while the result fits (documented bound)
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("bigint")
+        .alias("qq")
     )
     peak = hod_g.withColumn(
         "rn",

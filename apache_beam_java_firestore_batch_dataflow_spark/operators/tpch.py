@@ -35,7 +35,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import stable_sum, stable_sum_sql
+from ..functions.numeric import (
+    round_ratio,
+    round_ratio_sql,
+    stable_sum,
+    stable_sum_sql,
+)
 from ..sources.tables import load_table
 from .relational import QueryFn
 
@@ -452,12 +457,13 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle=f"""
-    SELECT CAST(round(
-             100.0 * CAST(sum(CAST(round(CASE WHEN p_type = 'PROMO'
-                                              THEN {_REV_SQL} ELSE 0 END, 6)
-                                   AS DECIMAL(30,6))) AS DOUBLE)
-             / CAST(sum(CAST(round({_REV_SQL}, 6) AS DECIMAL(30,6))) AS DOUBLE),
-             6) AS DOUBLE) AS promo_revenue
+    SELECT {round_ratio_sql(
+        "sum(CAST(round(CASE WHEN p_type = 'PROMO' "
+        f"THEN {_REV_SQL} ELSE 0 END, 6) AS DECIMAL(30,6))) * 100000000",
+        f"sum(CAST(round({_REV_SQL}, 6) AS DECIMAL(30,6))) * 1000000",
+        6,
+        wide=True,
+    )} AS promo_revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01'
       AND l_shipdate < TIMESTAMP '1997-10-01'
@@ -478,13 +484,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
-            F.round(
-                F.lit(100.0) * F.sum(promo_dec).cast("double")
-                / F.sum(all_dec).cast("double"),
-                6,
-            )
-            .cast("double")
-            .alias("promo_revenue")
+            F.sum(promo_dec).alias("sp"),
+            F.sum(all_dec).alias("sa"),
+        )
+        .select(
+            # 100·P/A as an exact round_ratio on the 1e-6-unit integers
+            # (r14 parity idiom)
+            round_ratio(
+                "sp * 100000000", "sa * 1000000", 6, wide=True
+            ).alias("promo_revenue")
         )
     )
 
