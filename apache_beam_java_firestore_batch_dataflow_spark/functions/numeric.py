@@ -39,12 +39,15 @@ def stable_sum_sql(term_expr: str, alias: str, out_scale: int = OUT_SCALE) -> st
     )
 
 
-def stable_avg(term: Column, alias: str, out_scale: int = 4) -> Column:
-    """Order-independent double average: exact decimal sum / exact count."""
-    dec = F.round(term, TERM_SCALE).cast(DECIMAL_T)
-    return F.round(
-        F.sum(dec).cast("double") / F.count(term), out_scale
-    ).cast("double").alias(alias)
+def stable_avg(term: str, alias: str, out_scale: int = 4) -> Column:
+    """Order-independent EXACT average: the decimal(·,6) sum is an exact
+    integer in 1e-6 units, so the mean rounds via pure integer
+    ``round_ratio`` (r14 parity idiom — round-of-double flips when the
+    group size is 2^(out_scale+1)·5^j).  ``term`` is a SQL fragment
+    (column name/expression) because integral division needs SQL form."""
+    num = f"sum(cast(round({term}, {TERM_SCALE}) as {DECIMAL_T})) * 1000000"
+    den = f"count({term}) * 1000000"
+    return round_ratio(num, den, out_scale, wide=True).alias(alias)
 
 
 def round_ratio(num: str, den: str, k: int, wide: bool = False) -> Column:
@@ -99,7 +102,9 @@ def round_ratio_sql(num: str, den: str, k: int, wide: bool = False) -> str:
 
 
 def stable_avg_sql(term_expr: str, alias: str, out_scale: int = 4) -> str:
-    return (
-        f"CAST(round(CAST(sum(CAST(round({term_expr}, {TERM_SCALE}) AS {DECIMAL_SQL}))"
-        f" AS DOUBLE) / count({term_expr}), {out_scale}) AS DOUBLE) AS {alias}"
+    num = (
+        f"sum(CAST(round({term_expr}, {TERM_SCALE}) AS {DECIMAL_SQL}))"
+        " * 1000000"
     )
+    den = f"count({term_expr}) * 1000000"
+    return f"{round_ratio_sql(num, den, out_scale, wide=True)} AS {alias}"

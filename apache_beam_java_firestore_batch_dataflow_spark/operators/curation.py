@@ -299,7 +299,7 @@ DECONTAM_K = 5  # token n-gram width for overlap detection
     SELECT t.doc_id,
            CAST(len(t.gs) AS INT) AS n_grams,
            CAST(coalesce(m.n_matched, 0) AS INT) AS n_matched,
-           CAST(round(coalesce(m.n_matched, 0) * 1.0 / len(t.gs), 6) AS DOUBLE)
+           {round_ratio_sql('coalesce(m.n_matched, 0)', 'len(t.gs)', 6)}
                AS contam_ratio
     FROM train t LEFT JOIN matched m ON t.doc_id = m.doc_id
     """,
@@ -348,11 +348,9 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n_grams").cast("int").alias("n_grams"),
             F.coalesce(F.col("n_matched"), F.lit(0)).cast("int").alias("n_matched"),
-            F.round(
-                F.coalesce(F.col("n_matched"), F.lit(0)) * 1.0 / F.col("n_grams"), 6
-            )
-            .cast("double")
-            .alias("contam_ratio"),
+            round_ratio(
+                "coalesce(n_matched, 0)", "n_grams", 6
+            ).alias("contam_ratio"),
         )
     )
 
@@ -1330,11 +1328,11 @@ def q_mix_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.n_shared AS BIGINT) AS n_shared,
            CAST(za.n_grams AS BIGINT) AS n_a,
            CAST(zb.n_grams AS BIGINT) AS n_b,
-           CAST(round(s.n_shared * 1.0
-                      / (za.n_grams + zb.n_grams - s.n_shared), 6) AS DOUBLE)
+           {round_ratio_sql('s.n_shared',
+                            '(za.n_grams + zb.n_grams - s.n_shared)', 6)}
                AS jaccard6,
-           CAST(round(s.n_shared * 1.0 / least(za.n_grams, zb.n_grams), 6)
-                AS DOUBLE) AS containment6
+           {round_ratio_sql('s.n_shared', 'least(za.n_grams, zb.n_grams)', 6)}
+               AS containment6
     FROM shared s
     JOIN sizes za ON za.source = s.source_a
     JOIN sizes zb ON zb.source = s.source_b
@@ -1397,14 +1395,12 @@ def q_mix_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_shared").cast("bigint").alias("n_shared"),
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
-            F.round(
-                F.col("n_shared") * 1.0
-                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
-                6,
-            ).cast("double").alias("jaccard6"),
-            F.round(
-                F.col("n_shared") * 1.0 / F.least(F.col("n_a"), F.col("n_b")), 6
-            ).cast("double").alias("containment6"),
+            round_ratio(
+                "n_shared", "(n_a + n_b - n_shared)", 6
+            ).alias("jaccard6"),
+            round_ratio(
+                "n_shared", "least(n_a, n_b)", 6
+            ).alias("containment6"),
         )
     )
 
@@ -1637,8 +1633,11 @@ def q_mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(
             F.sum("c").alias("n_tokens"),
+            # DECIMAL(38,0) accumulator (r14 overflow audit): Σ c·Δµ-nats
+            # outgrows int64 once a doc-set's token mass passes ~2e11
             F.sum(
-                F.col("c") * (lnq(F.col("c_tgt") + 1) - lnq(F.col("c_raw") + 1))
+                F.col("c").cast("decimal(38,0)")
+                * (lnq(F.col("c_tgt") + 1) - lnq(F.col("c_raw") + 1))
             ).alias("s_match"),
         )
     )

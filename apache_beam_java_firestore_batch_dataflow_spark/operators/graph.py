@@ -33,6 +33,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_ratio, round_ratio_sql
 from ..sources.tables import fixture_fingerprint, load_table
 from .similarity import SEM_GRAPH_TAU, semantic_edges
 
@@ -309,8 +310,8 @@ _TRI_ORACLE = f"""
            CAST(d.degree AS BIGINT) AS degree,
            CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
            CAST(CASE WHEN d.degree >= 2 THEN
-                  round(2.0 * coalesce(t.n_triangles, 0)
-                        / (d.degree * (d.degree - 1)), 6)
+                  {round_ratio_sql('2 * coalesce(t.n_triangles, 0)',
+                                   'd.degree * (d.degree - 1)', 6)}
                 ELSE 0.0 END AS DOUBLE) AS clustering
     FROM deg d LEFT JOIN tcount t ON d.node = t.node
 """
@@ -383,10 +384,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_triangles"),
             F.when(
                 F.col("degree") >= 2,
-                F.round(
-                    2.0
-                    * F.coalesce(F.col("n_triangles"), F.lit(0))
-                    / (F.col("degree") * (F.col("degree") - 1)),
+                round_ratio(
+                    "2 * coalesce(n_triangles, 0)",
+                    "degree * (degree - 1)",
                     6,
                 ),
             )
@@ -821,10 +821,11 @@ _JACC_ORACLE = f"""
     )
     SELECT s_a, s_b, CAST(inter AS BIGINT) AS n_shared,
            CAST(deg_a AS BIGINT) AS deg_a, CAST(deg_b AS BIGINT) AS deg_b,
-           CAST(round(inter * 1.0 / (deg_a + deg_b - inter), 6) AS DOUBLE)
+           {round_ratio_sql('inter', '(deg_a + deg_b - inter)', 6)}
                AS jaccard6
     FROM scored
-    WHERE round(inter * 1.0 / (deg_a + deg_b - inter), 6) >= {JACC_MIN}
+    WHERE {round_ratio_sql('inter', '(deg_a + deg_b - inter)', 6)}
+          >= {JACC_MIN}
 """
 
 
@@ -894,18 +895,17 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deg_b",
         )
     )
-    jacc = F.round(
-        F.col("inter") * 1.0
-        / (F.col("deg_a") + F.col("deg_b") - F.col("inter")),
-        6,
-    )
+    # exact integer rounding (r14 parity idiom) — the ROWSET itself
+    # depends on the rounded value via the >= JACC_MIN gate, so a
+    # boundary flip would not just perturb a column, it would drop rows
+    jacc = round_ratio("inter", "(deg_a + deg_b - inter)", 6)
     return scored.select(
         "s_a",
         "s_b",
         F.col("inter").cast("bigint").alias("n_shared"),
         F.col("deg_a").cast("bigint").alias("deg_a"),
         F.col("deg_b").cast("bigint").alias("deg_b"),
-        jacc.cast("double").alias("jaccard6"),
+        jacc.alias("jaccard6"),
     ).filter(F.col("jaccard6") >= JACC_MIN)
 
 

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_ratio, round_ratio_sql
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -310,8 +311,8 @@ _RR_ORACLE = f"""
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(b) AS BIGINT) AS n_true,
            CAST(sum(r) AS BIGINT) AS n_reported,
-           CAST(round((CAST(sum(r) AS DOUBLE) / count(*) - {1.0 - RR_P})
-                      / {2.0 * RR_P - 1.0}, 6) AS DOUBLE) AS est_frac
+           {round_ratio_sql('4 * sum(r) - count(*)', '2 * count(*)', 6)}
+               AS est_frac
     FROM rep GROUP BY event_type
 """
 
@@ -353,13 +354,12 @@ def q_privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("b").cast("bigint").alias("n_true"),
         F.sum("r").cast("bigint").alias("n_reported"),
-        F.round(
-            (F.sum("r").cast("double") / F.count(F.lit(1)) - (1.0 - RR_P))
-            / (2.0 * RR_P - 1.0),
-            6,
-        )
-        .cast("double")
-        .alias("est_frac"),
+        # (r/n − (1−p))/(2p−1) with p=3/4 is exactly (4r − n)/(2n):
+        # an exact round_ratio (r14 parity idiom).  A different RR_P
+        # needs its own rational reduction — keep p a dyadic rational.
+        round_ratio("4 * sum(r) - count(1)", "2 * count(1)", 6).alias(
+            "est_frac"
+        ),
     )
 
 
@@ -642,6 +642,15 @@ def q_privacy_kanon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T_CLOSE_MAX6 = 0.25  # release gate: classes with t6 above this fail
 
+# exact EMD ratio (r14 parity idiom): num is an exact integer, the
+# denominator n·N·(B−1) runs on the HUGEINT/DECIMAL wide path
+_T6_SQL = round_ratio_sql(
+    "d.num",
+    "CAST(d.n AS HUGEINT) * nb.n_total * (nb.n_buckets - 1)",
+    6,
+    wide=True,
+)
+
 
 @register(
     "q_privacy_t_closeness",
@@ -684,10 +693,8 @@ T_CLOSE_MAX6 = 0.25  # release gate: classes with t6 above this fail
     )
     SELECT d.c_nationkey, d.c_mktsegment,
            CAST(d.n AS BIGINT) AS n,
-           CAST(round(d.num / (CAST(d.n AS DOUBLE) * CAST(nb.n_total AS DOUBLE)
-                               * (nb.n_buckets - 1)), 6) AS DOUBLE) AS t6,
-           (round(d.num / (CAST(d.n AS DOUBLE) * CAST(nb.n_total AS DOUBLE)
-                           * (nb.n_buckets - 1)), 6) <= {T_CLOSE_MAX6}) AS t_ok
+           {_T6_SQL} AS t6,
+           ({_T6_SQL} <= {T_CLOSE_MAX6}) AS t_ok
     FROM dist d CROSS JOIN nb
     """,
 )
@@ -753,25 +760,27 @@ def q_privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.join(F.broadcast(nb))
         .groupBy("c_nationkey", "c_mktsegment", "n", "n_buckets", "n_total")
         .agg(
+            # DECIMAL(38,0) products (r14 overflow audit): cum·N crosses
+            # int64 once a class and the census both pass ~3e9 rows
             F.sum(
-                F.abs(F.col("cum_c") * F.col("n_total") - F.col("cum_g") * F.col("n"))
+                F.abs(
+                    F.col("cum_c").cast("decimal(38,0)") * F.col("n_total")
+                    - F.col("cum_g").cast("decimal(38,0)") * F.col("n")
+                )
             ).alias("num")
         )
     )
-    t6 = F.round(
-        F.col("num")
-        / (
-            F.col("n").cast("double")
-            * F.col("n_total").cast("double")
-            * (F.col("n_buckets") - 1)
-        ),
+    t6 = round_ratio(
+        "num",
+        "cast(n as decimal(38,0)) * n_total * (n_buckets - 1)",
         6,
+        wide=True,
     )
     return dist.select(
         "c_nationkey",
         "c_mktsegment",
         F.col("n").cast("bigint").alias("n"),
-        t6.cast("double").alias("t6"),
+        t6.alias("t6"),
         (t6 <= T_CLOSE_MAX6).alias("t_ok"),
     )
 

@@ -97,9 +97,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             stable_sum(F.col("l_extendedprice"), "sum_base_price"),
             stable_sum(disc_price, "sum_disc_price"),
             stable_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
-            stable_avg(F.col("l_quantity"), "avg_qty"),
-            stable_avg(F.col("l_extendedprice"), "avg_price"),
-            stable_avg(F.col("l_discount"), "avg_disc"),
+            stable_avg("l_quantity", "avg_qty"),
+            stable_avg("l_extendedprice", "avg_price"),
+            stable_avg("l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -2048,8 +2048,9 @@ _ASSOC_ORACLE = f"""
            CAST(p.c_ab AS BIGINT) AS support,
            CAST(ia.c AS BIGINT) AS n_a,
            CAST(ib.c AS BIGINT) AS n_b,
-           CAST(round(CAST(p.c_ab AS DOUBLE) * n.n_orders
-                      / (CAST(ia.c AS DOUBLE) * ib.c), 6) AS DOUBLE) AS lift
+           {round_ratio_sql('CAST(p.c_ab AS HUGEINT) * n.n_orders',
+                            'CAST(ia.c AS HUGEINT) * ib.c', 6, wide=True)}
+               AS lift
     FROM pairs p
     JOIN item ia ON p.part_a = ia.l_partkey
     JOIN item ib ON p.part_b = ib.l_partkey, n
@@ -2116,14 +2117,14 @@ def q_assoc_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_ab").cast("bigint").alias("support"),
             F.col("n_a").cast("bigint").alias("n_a"),
             F.col("n_b").cast("bigint").alias("n_b"),
-            F.round(
-                F.col("c_ab").cast("double")
-                * F.col("n_orders")
-                / (F.col("n_a").cast("double") * F.col("n_b")),
+            # exact lift = c_ab·N / (n_a·n_b) via wide round_ratio
+            # (r14 parity idiom; both products cross int64 at ~3e9 rows)
+            round_ratio(
+                "cast(c_ab as decimal(38,0)) * n_orders",
+                "cast(n_a as decimal(38,0)) * n_b",
                 6,
-            )
-            .cast("double")
-            .alias("lift"),
+                wide=True,
+            ).alias("lift"),
         )
     )
 
@@ -3284,8 +3285,9 @@ def q_layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKYLINE_ORACLE = """
     WITH s AS (
       SELECT l_suppkey AS suppkey,
-             sum(l_extendedprice * (1 - l_discount)) AS revenue,
-             sum(l_discount) AS disc_given
+             sum(CAST(round(l_extendedprice * (1 - l_discount), 6)
+                      AS DECIMAL(30,6))) AS revenue,
+             sum(CAST(round(l_discount, 6) AS DECIMAL(30,6))) AS disc_given
       FROM lineitem GROUP BY 1
     )
     SELECT suppkey,
@@ -3321,10 +3323,17 @@ def q_skyline_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_suppkey").alias("suppkey"))
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "revenue"
+            # exact decimal sums (r14 audit): a raw double sum is
+            # order-dependent, so frontier membership near revenue ties
+            # could differ between engines/partitionings
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+                ).cast("decimal(30,6)")
+            ).alias("revenue"),
+            F.sum(F.round("l_discount", 6).cast("decimal(30,6)")).alias(
+                "disc_given"
             ),
-            F.sum("l_discount").alias("disc_given"),
         )
     )
     grp = s.groupBy("revenue").agg(F.min("disc_given").alias("g_min"))

@@ -411,7 +411,7 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(ng AS BIGINT) AS n_grams,
            CAST(nd AS BIGINT) AS n_distinct,
            CASE WHEN ng > 0
-                THEN CAST(round(1.0 - CAST(nd AS DOUBLE) / ng, 4) AS DOUBLE)
+                THEN {round_ratio_sql('(ng - nd)', 'ng', 4)}
                 ELSE 0.0 END AS dup_ratio
     FROM (
       SELECT doc_id, len(grams) AS ng, len(list_distinct(grams)) AS nd
@@ -453,11 +453,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct",
             F.when(
                 F.col("n_grams") > 0,
-                F.round(
-                    F.lit(1.0)
-                    - F.col("n_distinct").cast("double") / F.col("n_grams"),
-                    4,
-                ),
+                round_ratio("(n_grams - n_distinct)", "n_grams", 4),
             )
             .otherwise(F.lit(0.0))
             .cast("double")
@@ -527,8 +523,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.doc_id,
            CAST(sum(d.c) AS BIGINT) AS n_tokens,
-           CAST(round(CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) AS DOUBLE)
-                      / sum(d.c), 6) AS DOUBLE) AS avg_logprob
+           CAST((CASE WHEN (CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) * 1000000 AS HUGEINT)) < 0 THEN -((-2000000 * (CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) * 1000000 AS HUGEINT)) + (CAST(sum(d.c) * 1000000 AS HUGEINT))) // (2 * (CAST(sum(d.c) * 1000000 AS HUGEINT)))) ELSE (2000000 * (CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) * 1000000 AS HUGEINT)) + (CAST(sum(d.c) * 1000000 AS HUGEINT))) // (2 * (CAST(sum(d.c) * 1000000 AS HUGEINT))) END) / 1000000.0 AS DOUBLE) AS avg_logprob
     FROM doc_tok d JOIN lp USING (tok)
     GROUP BY d.doc_id
     """,
@@ -565,13 +560,14 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("bigint").alias("n_tokens"),
-            F.round(
-                F.sum(F.col("c").cast("decimal(38,6)") * F.col("lp6")).cast("double")
-                / F.sum("c"),
+            # exact decimal dot / exact count via wide round_ratio
+            # (r14 parity idiom)
+            round_ratio(
+                "sum(cast(c as decimal(38,6)) * lp6) * 1000000",
+                "sum(c) * 1000000",
                 6,
-            )
-            .cast("double")
-            .alias("avg_logprob"),
+                wide=True,
+            ).alias("avg_logprob"),
         )
     )
 
@@ -1873,8 +1869,7 @@ _PPL_BUCKETS_ORACLE = r"""
     ),
     scores AS (
       SELECT d.doc_id,
-             CAST(round(CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) AS DOUBLE)
-                        / sum(d.c), 6) AS DOUBLE) AS avg_logprob
+             CAST((CASE WHEN (CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) * 1000000 AS HUGEINT)) < 0 THEN -((-2000000 * (CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) * 1000000 AS HUGEINT)) + (CAST(sum(d.c) * 1000000 AS HUGEINT))) // (2 * (CAST(sum(d.c) * 1000000 AS HUGEINT)))) ELSE (2000000 * (CAST(sum(CAST(d.c AS DECIMAL(38,6)) * lp.lp6) * 1000000 AS HUGEINT)) + (CAST(sum(d.c) * 1000000 AS HUGEINT))) // (2 * (CAST(sum(d.c) * 1000000 AS HUGEINT))) END) / 1000000.0 AS DOUBLE) AS avg_logprob
       FROM doc_tok d JOIN lp USING (tok)
       GROUP BY d.doc_id
     ),
@@ -2214,14 +2209,12 @@ _CHARSET_ORACLE = r"""
       FROM documents WHERE length(text) > 0
     )
     SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
-           CAST(round(CAST(n_letter AS DOUBLE) / n, 6) AS DOUBLE)
-               AS letter_ratio,
-           CAST(round(CAST(n_digit AS DOUBLE) / n, 6) AS DOUBLE)
-               AS digit_ratio,
-           CAST(round(CAST(n_space AS DOUBLE) / n, 6) AS DOUBLE)
-               AS space_ratio,
-           CAST(round(CAST(n - n_letter - n_digit - n_space AS DOUBLE) / n, 6)
-                AS DOUBLE) AS other_ratio
+           """ + round_ratio_sql("n_letter", "n", 6) + """ AS letter_ratio,
+           """ + round_ratio_sql("n_digit", "n", 6) + """ AS digit_ratio,
+           """ + round_ratio_sql("n_space", "n", 6) + """ AS space_ratio,
+           """ + round_ratio_sql(
+    "(n - n_letter - n_digit - n_space)", "n", 6
+) + """ AS other_ratio
     FROM c
 """
 
@@ -2249,18 +2242,19 @@ def q_text_charset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             n.cast("bigint").alias("n_chars"),
-            F.round(n_letter.cast("double") / n, 6)
-            .cast("double")
-            .alias("letter_ratio"),
-            F.round(n_digit.cast("double") / n, 6)
-            .cast("double")
-            .alias("digit_ratio"),
-            F.round(n_space.cast("double") / n, 6)
-            .cast("double")
-            .alias("space_ratio"),
-            F.round((n - n_letter - n_digit - n_space).cast("double") / n, 6)
-            .cast("double")
-            .alias("other_ratio"),
+            n_letter.alias("nl"),
+            n_digit.alias("nd"),
+            n_space.alias("ns"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            round_ratio("nl", "n_chars", 6).alias("letter_ratio"),
+            round_ratio("nd", "n_chars", 6).alias("digit_ratio"),
+            round_ratio("ns", "n_chars", 6).alias("space_ratio"),
+            round_ratio("(n_chars - nl - nd - ns)", "n_chars", 6).alias(
+                "other_ratio"
+            ),
         )
     )
 
@@ -2811,9 +2805,10 @@ _KAPPA_ORACLE = f"""
               FROM cells WHERE lang_actual = lang_pred),
     tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
     SELECT n_total, n_agree, pe_num,
-           CAST(round(CAST(n_agree * n_total - pe_num AS DOUBLE)
-                      / CAST(n_total * n_total - pe_num AS DOUBLE), 6)
-                AS DOUBLE) AS kappa
+           {round_ratio_sql(
+               'CAST(n_agree AS HUGEINT) * n_total - pe_num',
+               'CAST(n_total AS HUGEINT) * n_total - pe_num',
+               6, wide=True)} AS kappa
     FROM tot, agree, s
 """
 
@@ -2865,17 +2860,14 @@ def q_text_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_total",
             "n_agree",
             "pe_num",
-            F.round(
-                (F.col("n_agree") * F.col("n_total") - F.col("pe_num")).cast(
-                    "double"
-                )
-                / (F.col("n_total") * F.col("n_total") - F.col("pe_num")).cast(
-                    "double"
-                ),
+            # exact kappa = (d·N − Σrc)/(N² − Σrc) via wide round_ratio
+            # (r14 parity idiom; N² crosses int64 at ~3e9 docs)
+            round_ratio(
+                "cast(n_agree as decimal(38,0)) * n_total - pe_num",
+                "cast(n_total as decimal(38,0)) * n_total - pe_num",
                 6,
-            )
-            .cast("double")
-            .alias("kappa"),
+                wide=True,
+            ).alias("kappa"),
         )
     )
 

@@ -1078,12 +1078,13 @@ def q_events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CUSUM changepoint detection per series
 # ---------------------------------------------------------------------------
 
-_CUSUM_ORACLE = """
+_CUSUM_ORACLE = f"""
     WITH mu AS (
       SELECT event_type,
              count(*) AS n,
-             CAST(round(CAST(sum(CAST(round(value, 6) AS DECIMAL(30,6)))
-                             AS DOUBLE) / count(*), 6) AS DOUBLE) AS mean_v
+             {round_ratio_sql(
+                 "sum(CAST(round(value, 6) AS DECIMAL(30,6))) * 1000000",
+                 "count(*) * 1000000", 6, wide=True)} AS mean_v
       FROM events GROUP BY event_type
     ),
     dev AS (
@@ -1124,10 +1125,11 @@ def q_events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     mu = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.sum(F.round(F.col("value"), 6).cast("decimal(30,6)")).cast("double")
-            / F.count(F.lit(1)),
+        round_ratio(
+            "sum(cast(round(value, 6) as decimal(30,6))) * 1000000",
+            "count(1) * 1000000",
             6,
+            wide=True,
         ).alias("mean_v"),
     )
     w_run = (
@@ -1401,7 +1403,7 @@ def q_events_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Inter-arrival gap statistics per event type
 # ---------------------------------------------------------------------------
 
-_INTERARRIVAL_ORACLE = """
+_INTERARRIVAL_ORACLE = f"""
     WITH gaps AS (
       SELECT event_type,
              epoch_us(ts) - epoch_us(lag(ts) OVER (
@@ -1411,8 +1413,8 @@ _INTERARRIVAL_ORACLE = """
     )
     SELECT event_type,
            CAST(count(gap_us) AS BIGINT) AS n_gaps,
-           CAST(round(CAST(sum(gap_us) AS DOUBLE)
-                      / count(gap_us) / 1000000.0, 6) AS DOUBLE) AS mean_gap_s,
+           {round_ratio_sql('sum(gap_us)', 'count(gap_us) * 1000000',
+                            6, wide=True)} AS mean_gap_s,
            CAST(min(gap_us) AS BIGINT) AS min_gap_us,
            CAST(max(gap_us) AS BIGINT) AS max_gap_us
     FROM gaps WHERE gap_us IS NOT NULL
@@ -1440,11 +1442,9 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_us").isNotNull())
     return gaps.groupBy("event_type").agg(
         F.count("gap_us").cast("bigint").alias("n_gaps"),
-        F.round(
-            F.sum("gap_us").cast("double") / F.count("gap_us") / 1_000_000.0, 6
-        )
-        .cast("double")
-        .alias("mean_gap_s"),
+        round_ratio(
+            "sum(gap_us)", "count(gap_us) * 1000000", 6, wide=True
+        ).alias("mean_gap_s"),
         F.min("gap_us").cast("bigint").alias("min_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
@@ -1764,7 +1764,7 @@ COHORT_DAY_US = 86_400_000_000  # microseconds per day
     SELECT a.cohort_day, a.day_k,
            CAST(a.n_active AS BIGINT) AS n_active,
            CAST(c.n_cohort AS BIGINT) AS n_cohort,
-           CAST(round(CAST(a.n_active AS DOUBLE) / c.n_cohort, 6) AS DOUBLE)
+           {round_ratio_sql('a.n_active', 'c.n_cohort', 6)}
                AS retention
     FROM activity a JOIN cohorts c ON c.cohort_day = a.cohort_day
     """,
@@ -1807,9 +1807,7 @@ def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_k",
         F.col("n_active").cast("bigint").alias("n_active"),
         F.col("n_cohort").cast("bigint").alias("n_cohort"),
-        F.round(
-            F.col("n_active").cast("double") / F.col("n_cohort"), 6
-        ).cast("double").alias("retention"),
+        round_ratio("n_active", "n_cohort", 6).alias("retention"),
     )
 
 

@@ -269,12 +269,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'ASIA' AND p_type = 'PROMO'
     )
     SELECT o_year,
-           CAST(round(
-             CAST(sum(CAST(round(CASE WHEN supp_nation = 'NATION_5'
-                                      THEN volume ELSE 0 END, 6) AS DECIMAL(30,6)))
-                  AS DOUBLE)
-             / CAST(sum(CAST(round(volume, 6) AS DECIMAL(30,6))) AS DOUBLE),
-             6) AS DOUBLE) AS mkt_share
+           {round_ratio_sql(
+               "sum(CAST(round(CASE WHEN supp_nation = 'NATION_5' "
+               "THEN volume ELSE 0 END, 6) AS DECIMAL(30,6))) * 1000000",
+               "sum(CAST(round(volume, 6) AS DECIMAL(30,6))) * 1000000",
+               6, wide=True)} AS mkt_share
     FROM all_nations GROUP BY o_year
     """,
 )
@@ -311,11 +310,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nkey") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(num_dec).cast("double") / F.sum(vol_dec).cast("double"), 6
-            )
-            .cast("double")
-            .alias("mkt_share")
+            F.sum(num_dec).alias("sn"),
+            F.sum(vol_dec).alias("sv"),
+        )
+        .select(
+            "o_year",
+            # exact decimal-sum ratio via wide round_ratio (r14 idiom)
+            round_ratio(
+                "sn * 1000000", "sv * 1000000", 6, wide=True
+            ).alias("mkt_share"),
         )
     )
 
@@ -590,13 +593,14 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_small_qty_revenue",
-    oracle="""
+    oracle=f"""
     WITH part_avg AS (
       SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT CAST(round(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6)))
-                 / 7.0, 2) AS DOUBLE) AS avg_yearly
+    SELECT {round_ratio_sql(
+        "sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))) * 1000000",
+        "7000000", 2, wide=True)} AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
@@ -614,15 +618,18 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
     )
-    dec_price = F.round(F.col("l_extendedprice"), 6).cast("decimal(30,6)")
     return (
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(part_avg, F.col("pa_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
-            F.round(F.sum(dec_price) / 7.0, 2)
-            .cast("double")
-            .alias("avg_yearly")
+            round_ratio(
+                "sum(cast(round(l_extendedprice, 6) as decimal(30,6)))"
+                " * 1000000",
+                "7000000",
+                2,
+                wide=True,
+            ).alias("avg_yearly")
         )
     )
 

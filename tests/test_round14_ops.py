@@ -332,6 +332,26 @@ def test_round_ratio_exact_on_half_boundaries(spark):
             assert got[(p, d)] == t == want[(p, d)], (p, d, got[(p, d)], t, want[(p, d)], wide)
 
 
+def test_parity_audit_ledger_complete():
+    """Structural closure of the r13 parity classes (VERDICT r13 task
+    4): every F.round-of-a-division and F.sum-of-a-product site in the
+    source tree must be either auto-safe (k=0 / transcendental /
+    decimal accumulator) or explicitly ledgered with a domain argument
+    in scripts/audit_parity.py.  A new unledgered site — or a ledgered
+    site whose expression changed — fails here, so the classes cannot
+    silently re-open."""
+    import subprocess
+    import sys
+
+    root = __file__.rsplit("/tests/", 1)[0]
+    proc = subprocess.run(
+        [sys.executable, f"{root}/scripts/audit_parity.py"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
 # ---------------------------------------------------------------------------
 # Trained PQ codebook memo (VERDICT r13 "what's wrong" item 1)
 # ---------------------------------------------------------------------------
