@@ -58,97 +58,95 @@ _MODULES = [
 # `scripts/check_oracles.py` re-proves the FULL registry locally every
 # round (artifact: ORACLE_CHECK_r{N}.txt).
 #
-# Driver-row ledger going into round 14 (CORRECTNESS_r01..r13): r13 was
-# fully green, 50/50 — 1 r13 registration (q_dedup_exact_substring, the
-# only permitted new row) + all 49 r7-stale re-checks; the r7 cohort is
-# fully retired.  Cumulative: every one of the 300 queries has a green
-# driver row and the last-green histogram is exactly 50 per round for
-# r8..r13 (verified by the r13 judge and recomputed from the
-# CORRECTNESS_r*.json files for this rotation) — the steady state where
-# one whole cohort fills the 50-slot window each round.  VERDICT r13
-# item 1 caps new r14 registrations at 0, so the r14 window is exactly
-# the 50 r8-checked rows below, alphabetical; after a green r14 no
-# driver row is older than r9.  A genuinely high-value r14 registration
-# could take 1 slot ONLY by displacing the TAIL row into the head of
-# the r15 queue — none was taken (the suite is operator-complete).
-# QUEUED FOR THE ROUND 15 PREFIX — the 50 r9-checked rows (the oldest
-# cohort after a green r14; any r15 registration displaces names from
-# the TAIL of this list into the r16 queue — keep the arithmetic
+# Driver-row ledger going into round 15 (CORRECTNESS_r01..r14): r14 was
+# fully green, 50/50 with ZERO registrations — the whole r8 cohort
+# re-checked; after r14 no driver row is older than r9 and every cohort
+# r9..r14 is exactly 50 deep (verified by the r14 judge's histogram
+# across all 14 CORRECTNESS files).  VERDICT r14 item 1 caps new r15
+# registrations at 0, so the r15 window is exactly the 50 r9-checked
+# rows below, alphabetical — the steady-state rotation where one whole
+# cohort fills the 50-slot window each round.  A genuinely high-value
+# r15 registration could take 1 slot ONLY by displacing the TAIL row
+# into the head of the r16 queue — none was taken (the suite is
+# operator-complete).
+# QUEUED FOR THE ROUND 16 PREFIX — the 50 r10-checked rows (the oldest
+# cohort after a green r15; any r16 registration displaces names from
+# the TAIL of this list into the r17 queue — keep the arithmetic
 # current):
-# q12_priority_lines, q_agg_distinct, q_agg_gini_customer_revenue,
-# q_ann_pq, q_ann_pq_rerank, q_approx_distinct_sketch,
-# q_audit_referential_orphans, q_bucketed_join_copartitioned,
-# q_cdc_merge_upsert, q_dedup_keep_longest,
-# q_embedding_matryoshka_quality, q_events_autocorrelation,
-# q_events_token_bucket, q_events_user_streaks, q_graph_kcore2,
-# q_graph_lpa_communities, q_mix_budget_solver,
-# q_multimodal_audio_decimate, q_multimodal_audio_flatness,
-# q_multimodal_audio_zcr, q_multimodal_image_grayscale,
-# q_privacy_dp_heavy_hitters, q_profile_heavy_hitters,
-# q_regress_two_features, q_sample_weighted_stratified,
-# q_sessions_overlap_counts, q_sketch_hll_partitioned_union,
-# q_stream_dedup_replayed, q_stream_interval_join,
-# q_stream_interval_join_outer, q_stream_lateness_audit,
-# q_stream_sliding, q_stream_tumbling, q_subquery_in,
-# q_text_bigrams_top, q_text_bpe_train_k4, q_text_charset_profile,
-# q_text_fingerprint, q_text_pmi_collocations, q_text_quality,
-# q_text_repetition, q_text_rerank_edit, q_text_tfidf_top_terms,
-# q_text_unigram_logprob, q_time_rollup, q_token_count_bpe,
-# q_udf_grouped_agg_pandas, q_udf_grouped_map_zscore,
-# q_udf_scalar_pandas, q_unpivot_lineitem_metrics
+# q_agg_theil_nation_revenue, q_agg_trimmed_mean, q_ann_ivf_incremental,
+# q_ann_mmr_diversify, q_audit_benford_totalprice, q_correlated_exists,
+# q_cube, q_dedup_boilerplate_chunks, q_dedup_clusters_k3,
+# q_dedup_incremental_ingest, q_dedup_minhash_lsh,
+# q_dedup_paragraph_pairs, q_dedup_winnow_pairs,
+# q_embedding_centroid_silhouette, q_embedding_dim_stats,
+# q_embedding_kcenter_seeds, q_embedding_label_outliers,
+# q_embedding_quantize_error, q_events_burst_hours,
+# q_events_cohort_retention, q_events_cusum_drift, q_events_kendall_tau,
+# q_events_markov_transitions, q_events_seasonality_strength,
+# q_events_theil_sen, q_format_schema_evolution, q_graph_adamic_adar,
+# q_graph_bfs_khop, q_graph_degree_assortativity, q_graph_hits,
+# q_graph_jaccard_neighbors, q_mix_contamination_matrix,
+# q_mix_dsir_weights, q_mix_kl_divergence, q_mix_unigram_cross_entropy,
+# q_multimodal_audio_rms_gain, q_multimodal_image_colorfulness,
+# q_multimodal_image_edges, q_multimodal_image_entropy,
+# q_privacy_dp_median, q_privacy_dp_sum_clamped,
+# q_privacy_kanon_generalize, q_privacy_t_closeness,
+# q_sessions_bounce_rate, q_stats_correlation_matrix,
+# q_text_rake_keywords, q_text_readability, q_text_sentence_stats,
+# q_text_zipf_fit, q_window_ratio_to_report,
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- the whole r8 cohort, alphabetical (50; zero r14 registrations) ---
-    "q11_important_values",
-    "q13_customer_distribution",
-    "q1_pricing_summary",
-    "q_agg_weighted_median",
-    "q_ann_hamming_rerank",
-    "q_ann_ivf",
-    "q_ann_lsh",
-    "q_asof_join",
-    "q_audit_snapshot_diff",
-    "q_audit_table_checksum",
-    "q_chunk_documents",
-    "q_decontaminate_overlap",
-    "q_dedup_clusters",
-    "q_dedup_containment_pairs",
-    "q_dedup_embedding_cosine",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_simhash",
-    "q_embedding_centroids",
-    "q_embedding_outliers",
-    "q_embedding_quantize_int8",
-    "q_events_interarrival",
-    "q_events_seasonal_profile",
-    "q_format_roundtrip_csv",
-    "q_format_roundtrip_orc",
-    "q_join_broadcast_dim",
-    "q_join_dynamic_partition_pruning",
-    "q_kmeans_one_step",
-    "q_knn_bruteforce",
-    "q_layout_compaction_plan",
-    "q_mix_weighted_sources",
-    "q_multimodal_decode_stats",
-    "q_multimodal_frame_sample",
-    "q_multimodal_manifest",
-    "q_multimodal_resize_grid",
-    "q_pack_char_budget",
-    "q_pii_redact",
-    "q_privacy_randomized_response",
-    "q_quality_perplexity_buckets",
-    "q_quantiles_doc_length",
-    "q_range_join_bucketed",
-    "q_salted_join_skew",
-    "q_sample_hash_deterministic",
-    "q_sample_stratified_quota",
-    "q_sessionize_gaps",
-    "q_sketch_percentile_bounds",
-    "q_skyline_suppliers",
-    "q_text_bpe_apply_step",
-    "q_window_ntile_deciles",
-    "q_wordcount_documents",
+    # --- the whole r9 cohort, alphabetical (50; zero r15 registrations) ---
+    "q12_priority_lines",
+    "q_agg_distinct",
+    "q_agg_gini_customer_revenue",
+    "q_ann_pq",
+    "q_ann_pq_rerank",
+    "q_approx_distinct_sketch",
+    "q_audit_referential_orphans",
+    "q_bucketed_join_copartitioned",
+    "q_cdc_merge_upsert",
+    "q_dedup_keep_longest",
+    "q_embedding_matryoshka_quality",
+    "q_events_autocorrelation",
+    "q_events_token_bucket",
+    "q_events_user_streaks",
+    "q_graph_kcore2",
+    "q_graph_lpa_communities",
+    "q_mix_budget_solver",
+    "q_multimodal_audio_decimate",
+    "q_multimodal_audio_flatness",
+    "q_multimodal_audio_zcr",
+    "q_multimodal_image_grayscale",
+    "q_privacy_dp_heavy_hitters",
+    "q_profile_heavy_hitters",
+    "q_regress_two_features",
+    "q_sample_weighted_stratified",
+    "q_sessions_overlap_counts",
+    "q_sketch_hll_partitioned_union",
+    "q_stream_dedup_replayed",
+    "q_stream_interval_join",
+    "q_stream_interval_join_outer",
+    "q_stream_lateness_audit",
+    "q_stream_sliding",
+    "q_stream_tumbling",
+    "q_subquery_in",
+    "q_text_bigrams_top",
+    "q_text_bpe_train_k4",
+    "q_text_charset_profile",
+    "q_text_fingerprint",
+    "q_text_pmi_collocations",
+    "q_text_quality",
+    "q_text_repetition",
+    "q_text_rerank_edit",
+    "q_text_tfidf_top_terms",
+    "q_text_unigram_logprob",
+    "q_time_rollup",
+    "q_token_count_bpe",
+    "q_udf_grouped_agg_pandas",
+    "q_udf_grouped_map_zscore",
+    "q_udf_scalar_pandas",
+    "q_unpivot_lineitem_metrics",
 ]
 
 

@@ -73,9 +73,23 @@ def round_ratio(num: str, den: str, k: int, wide: bool = False) -> Column:
     intermediates in DECIMAL(38,0) (Spark's ``div`` accepts decimal
     operands and returns BIGINT, so the QUOTIENT must still fit int64 —
     always true here since the quotient is the rounded value × 10^k).
+
+    The fragments are expected to be integer-VALUED but not necessarily
+    integer-TYPED (e.g. a double-returning ``floor``).  Spark's direct
+    ``cast(double as bigint)`` TRUNCATES while DuckDB's ``CAST(AS
+    BIGINT)`` rounds, so the non-wide path routes through DECIMAL(38,0)
+    (HALF_UP — matching DuckDB's round-on-cast) before BIGINT; a future
+    caller passing a fractional-valued fragment then converges to the
+    same integer in both engines instead of silently reintroducing the
+    trunc-vs-round class (r14 ADVICE item 1).  On integer-typed input
+    the extra cast is an identity and Catalyst folds it.
     """
     s = 2 * 10**k
-    cast = "cast({x} as decimal(38,0))" if wide else "cast({x} as bigint)"
+    cast = (
+        "cast({x} as decimal(38,0))"
+        if wide
+        else "cast(cast({x} as decimal(38,0)) as bigint)"
+    )
     n = cast.format(x=num)
     d = cast.format(x=den)
     q = (

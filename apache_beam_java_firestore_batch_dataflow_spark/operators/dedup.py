@@ -2125,16 +2125,22 @@ def exact_substring_pairs(
         "doc_id", F.col("u.pos").alias("pos"), F.col("u.gh").alias("gh")
     )
     # df-cap pre-filter: census gram doc-frequency (map-combined, keyed
-    # on gh — the join's own key) and broadcast-anti-join the heavy set.
-    # The heavy set is tiny by construction (only grams in > df_cap
-    # docs), so the kill happens map-side on the posting stream.
+    # on gh — the join's own key) and anti-join the heavy set.  No
+    # explicit broadcast hint (r14 ADVICE item 3): the heavy set is
+    # SMALL in ordinary corpora (only grams in > df_cap docs) and AQE
+    # then broadcasts it at runtime so the kill happens map-side — but
+    # a corpus with MANY distinct mega-templates (each > df_cap docs)
+    # can grow the set past broadcast limits at the 100 TB design
+    # point, and a forced hint would then OOM the driver.  Letting AQE
+    # choose keeps the map-side kill when it is safe and degrades to a
+    # shuffled anti-join (on gh, the stream's own key) when it is not.
     heavy = (
         postings.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter(F.col("df") > df_cap)
         .select("gh")
     )
-    kept = postings.join(F.broadcast(heavy), "gh", "left_anti")
+    kept = postings.join(heavy, "gh", "left_anti")
     a = kept.alias("a")
     b = kept.alias("b")
     cand = a.join(

@@ -1517,6 +1517,10 @@ def _pq_lloyd_refine(u: DataFrame, cb):
 # :func:`clear_pq_codebook_cache`.  bench.py prebuilds it timed under
 # ``eager_build_sec["pq_trained_codebook_shared"]``.
 _PQ_CB_CACHE: dict[tuple[str, str, str], "object"] = {}
+# Max distinct (session, sf_dir, fingerprint) codebooks held at once —
+# covers the dual-SF bench/sweep pattern (sf0.001/sf0.01/sf0.1) with
+# headroom; beyond that FIFO eviction retrains on next touch.
+_PQ_CB_MAX = 4
 
 
 def pq_trained_codebook(spark: SparkSession, sf_dir: str):
@@ -1526,12 +1530,20 @@ def pq_trained_codebook(spark: SparkSession, sf_dir: str):
     cached = _PQ_CB_CACHE.get(key)
     if cached is not None:
         return cached
+    # Evict dead-session keys and this-sf_dir stale fingerprints as
+    # before; _PQ_CB_MAX additionally bounds the dict so entries for
+    # OTHER sf_dirs touched in the same session (one ~16 KiB array per
+    # fixture directory) cannot accumulate without limit (r14 ADVICE
+    # item 4).  FIFO eviction: dicts preserve insertion order and the
+    # oldest entry is the least likely live fixture.
     for k in [
         k
         for k in _PQ_CB_CACHE
         if k[0] != key[0] or (k[1] == sf_dir and k[2] != fp)
     ]:
         del _PQ_CB_CACHE[k]
+    while len(_PQ_CB_CACHE) >= _PQ_CB_MAX:
+        del _PQ_CB_CACHE[next(iter(_PQ_CB_CACHE))]
     u = _vecs(spark, sf_dir).select("vec_id", _pq_units_col().alias("qv"))
     cb = _pq_lloyd_refine(u, _pq_seed_codebook(u))
     _PQ_CB_CACHE[key] = cb

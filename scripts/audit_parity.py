@@ -61,7 +61,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PKG = os.path.join(ROOT, "apache_beam_java_firestore_batch_dataflow_spark")
 SCAN_DIRS = ["operators", "streaming", "functions", "sources", "sinks"]
 
-_TRANS_NAMES = {"log", "log2", "log1p", "sqrt", "exp", "pow", "cbrt",
+# NOTE: ``pow`` is deliberately ABSENT — pow(x, 2) of an integer ratio is
+# rational and can sit on an exact 10^-k half, so a pow-containing round
+# is NOT automatically transcendental (r14 ADVICE item 2); such sites
+# must be ledgered with a domain argument like any other ratio.
+_TRANS_NAMES = {"log", "log2", "log1p", "sqrt", "exp", "cbrt",
                 "sin", "cos", "atan", "atan2", "expm1", "percent_rank"}
 
 
@@ -98,6 +102,52 @@ def _is_trans(n: ast.AST) -> bool:
 def _has_decimal_cast(seg: str) -> bool:
     s = _norm(seg).replace(" ", "")
     return 'cast("decimal' in s or "cast('decimal" in s
+
+
+def _sum_mult_in_string(seg: str) -> list[str]:
+    """Return the ``sum( ... )`` substrings of ``seg`` whose BODY contains
+    a ``*`` — the overflow class hiding inside a SQL string fragment
+    (round_ratio num/den, F.expr) where the AST scan cannot see the
+    multiplication (r14 ADVICE item 2).  Paren-matched, case-insensitive."""
+    out = []
+    low = seg.lower()
+    i = 0
+    while True:
+        j = low.find("sum(", i)
+        if j < 0:
+            break
+        # reject identifiers ending in 'sum' (e.g. checksum() )
+        if j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
+            i = j + 4
+            continue
+        depth, k = 1, j + 4
+        while k < len(seg) and depth:
+            if seg[k] == "(":
+                depth += 1
+            elif seg[k] == ")":
+                depth -= 1
+            k += 1
+        body = seg[j + 4 : k - 1]
+        if "*" in body:
+            out.append(_norm(seg[j:k]))
+        i = k
+    return out
+
+
+def _is_frag_call(node: ast.Call) -> bool:
+    """Calls whose string arguments are SQL fragments executed by BOTH
+    engines or by Spark alone: round_ratio / round_ratio_sql /
+    stable_avg(_sql) (fragment-taking numeric helpers) and F.expr."""
+    f = node.func
+    if isinstance(f, ast.Attribute):
+        if isinstance(f.value, ast.Name) and f.value.id == "F" and f.attr == "expr":
+            return True
+        return f.attr in {"round_ratio", "round_ratio_sql", "stable_avg",
+                          "stable_avg_sql"}
+    if isinstance(f, ast.Name):
+        return f.id in {"round_ratio", "round_ratio_sql", "stable_avg",
+                        "stable_avg_sql"}
+    return False
 
 
 def collect():
@@ -145,6 +195,24 @@ def collect():
                     if _contains(arg, _is_mult):
                         auto = "safe-decimal" if _has_decimal_cast(seg) else None
                         yield rel, node.lineno, "sum-mult", auto, seg
+            # Supplementary pass: sum-of-product INSIDE string SQL
+            # fragments (round_ratio args, F.expr) — invisible to the
+            # binop scan above.  Keyed by the normalized sum(...) text so
+            # editing the fragment invalidates the ledger row.
+            for node in ast.walk(tree):
+                if not (isinstance(node, ast.Call) and _is_frag_call(node)):
+                    continue
+                for a in list(node.args) + [kw.value for kw in node.keywords]:
+                    if not isinstance(a, (ast.Constant, ast.JoinedStr, ast.BinOp)):
+                        continue
+                    aseg = ast.get_source_segment(src, a) or ""
+                    for frag in _sum_mult_in_string(aseg):
+                        auto = (
+                            "safe-decimal"
+                            if "decimal" in frag.lower() or "hugeint" in frag.lower()
+                            else None
+                        )
+                        yield rel, a.lineno, "str-sum-mult", auto, frag
 
 
 # ---------------------------------------------------------------------------
@@ -266,6 +334,14 @@ LEDGER: dict[tuple[str, str], tuple[str, str]] = {
         "documented-float",
         "sqrt-based sd scaled by 10^6; transcendental-valued",
     ),
+    # ---------------- str-sum-mult sites (SQL string fragments) --------
+    ("curation.py", "c5063fc234"): (
+        "safe-bounded",
+        "KL contribution sum(n * log_ratio_mu): |log_ratio_mu| <= "
+        "ln(100/min_pct * corpus)*1e6 ~ 4.5e7 micro-nats even at 1e12 "
+        "docs, so the int64 sum holds to ~2e11 total docs — widen to "
+        "DECIMAL(38,0) past that (stated widening point)",
+    ),
     # ---------------- sum-mult sites kept on int64/double --------------
     ("dedup.py", "50d5692a61"): (
         "safe-bounded",
@@ -350,7 +426,8 @@ def main() -> int:
 
     print(f"parity audit: {len(sites)} sites "
           f"({sum(1 for r in rows if r[2] == 'round-div')} round-div, "
-          f"{sum(1 for r in rows if r[2] == 'sum-mult')} sum-mult)")
+          f"{sum(1 for r in rows if r[2] == 'sum-mult')} sum-mult, "
+          f"{sum(1 for r in rows if r[2] == 'str-sum-mult')} str-sum-mult)")
     for rel, lineno, kind, cls, reason in sorted(rows):
         line = f"  {rel}:{lineno}  {kind:9s}  {cls}"
         if reason:
