@@ -792,7 +792,19 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 JACC_DF_MAX = 40   # blocking: customers with <= this many suppliers generate
-JACC_MIN = 0.24    # emit pairs at or above this 6dp-rounded Jaccard
+# Emit the TOP-K candidate pairs by 6dp-rounded Jaccard under the unique
+# total order (jaccard6 DESC, s_a, s_b).  The former fixed cut
+# (JACC_MIN = 0.24) was vacuous at sf0.1 (r14 verdict item 1): overlap
+# fractions fall as neighbor sets grow — the sf0.01 and sf0.1 score
+# ranges are DISJOINT (max 0.263 vs 0.043, measured r15), so NO fixed
+# absolute threshold can be non-trivial at both scales.  A global
+# percentile cut would self-scale but is a single-group sort aggregate
+# (one reducer over every candidate pair — a 100 TB bottleneck);
+# deterministic top-K instead compiles to TakeOrderedAndProject
+# (map-side partial top-K per partition, O(K) driver state) and is
+# non-empty at every scale factor by construction, exercising the
+# boundary on actual rows at both SFs.
+JACC_TOP_K = 150
 
 _JACC_ORACLE = f"""
     WITH adj AS (
@@ -824,18 +836,21 @@ _JACC_ORACLE = f"""
            {round_ratio_sql('inter', '(deg_a + deg_b - inter)', 6)}
                AS jaccard6
     FROM scored
-    WHERE {round_ratio_sql('inter', '(deg_a + deg_b - inter)', 6)}
-          >= {JACC_MIN}
+    ORDER BY jaccard6 DESC, s_a, s_b
+    LIMIT {JACC_TOP_K}
 """
 
 
 @register("q_graph_jaccard_neighbors", oracle=_JACC_ORACLE)
 def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Link prediction by neighbor overlap: supplier pairs whose
-    customer sets have Jaccard >= {JACC_MIN} — the classic
+    """Link prediction by neighbor overlap: the top-{JACC_TOP_K}
+    supplier pairs by customer-set Jaccard — the classic
     common-neighbors heuristic ("suppliers serving the same buyers are
     substitutes/likely future co-suppliers"), the graph sibling of the
-    dedup pair families.
+    dedup pair families.  Deterministic top-K (unique total order
+    jaccard6 DESC, s_a, s_b — see JACC_TOP_K for why not a fixed cut
+    or a global percentile) keeps the rowset non-trivial at every
+    scale factor and compiles to TakeOrderedAndProject.
 
     Scale shape — the winnow/rare-gram discipline applied to a graph:
     candidate pairs come ONLY from customers with <= {JACC_DF_MAX}
@@ -896,17 +911,21 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # exact integer rounding (r14 parity idiom) — the ROWSET itself
-    # depends on the rounded value via the >= JACC_MIN gate, so a
-    # boundary flip would not just perturb a column, it would drop rows
+    # depends on the rounded value via the top-K order, so a boundary
+    # flip would not just perturb a column, it would swap membership
     jacc = round_ratio("inter", "(deg_a + deg_b - inter)", 6)
-    return scored.select(
-        "s_a",
-        "s_b",
-        F.col("inter").cast("bigint").alias("n_shared"),
-        F.col("deg_a").cast("bigint").alias("deg_a"),
-        F.col("deg_b").cast("bigint").alias("deg_b"),
-        jacc.alias("jaccard6"),
-    ).filter(F.col("jaccard6") >= JACC_MIN)
+    return (
+        scored.select(
+            "s_a",
+            "s_b",
+            F.col("inter").cast("bigint").alias("n_shared"),
+            F.col("deg_a").cast("bigint").alias("deg_a"),
+            F.col("deg_b").cast("bigint").alias("deg_b"),
+            jacc.alias("jaccard6"),
+        )
+        .orderBy(F.col("jaccard6").desc(), "s_a", "s_b")
+        .limit(JACC_TOP_K)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -920,7 +920,16 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 Q11_NATION = "NATION_9"
-Q11_FRACTION = 0.001
+# TPC-H scales Q11's HAVING fraction as 0.0001/SF precisely so the cut
+# stays non-trivial as data grows (per-part value is ~SF-invariant while
+# the total grows with SF).  With supplier count = 10000·SF in real
+# TPC-H, 0.0001/SF == 1/n_supp — i.e. the spec's rule IS a data-derived
+# fraction.  We mirror that: fraction = Q11_K / count(supplier), with
+# Q11_K chosen so the sf0.01 rowset matches the former fixed 0.001
+# (0.1/100 suppliers).  The r14 verdict flagged the fixed fraction as
+# vacuous at sf0.1 (0 rows — the 10× scale gate never exercised the
+# cut); the scale-aware form emits non-empty rowsets at BOTH SFs.
+Q11_K = 0.1
 
 
 @register(
@@ -940,7 +949,8 @@ Q11_FRACTION = 0.001
     SELECT l_partkey, value
     FROM per_part
     WHERE value > (SELECT {stable_sum_sql(_REV_SQL, "total")} FROM scoped)
-                  * {Q11_FRACTION}
+                  * CAST({Q11_K} AS DOUBLE)
+                  / (SELECT count(*) FROM supplier)
     ORDER BY value DESC, l_partkey
     """,
 )
@@ -948,13 +958,18 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (no ``partsupp``; lineitem is the part↔supplier
     link, revenue is the value metric): per-part value for one nation's
     suppliers, kept only when above a fraction of that nation's total.
+    The fraction is SCALE-AWARE — ``Q11_K / count(supplier)``, the
+    TPC-H 0.0001/SF rule re-expressed in data terms (see Q11_K) — so
+    the HAVING cut stays non-trivial at every scale factor.
 
     Plan shape at 100 TB: lineitem ⋈ broadcast(supplier ⋈
     broadcast(nation)) — the fact table never shuffles for the dims; one
     hash agg on l_partkey; the threshold is a broadcast single-row
-    aggregate (never a driver round-trip).  Both sides of the HAVING
-    compare derive from the same order-independent decimal sums, so the
-    cut is deterministic under any partitioning."""
+    aggregate joined to a broadcast single-row supplier count (never a
+    driver round-trip).  Both sides of the HAVING compare derive from
+    the same order-independent decimal sums, and the threshold is the
+    identical left-associated double expression (total · K) / n_supp in
+    both engines, so the cut is deterministic under any partitioning."""
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
@@ -964,8 +979,13 @@ def q11_important_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", "l_extendedprice", "l_discount")
     )
     per_part = scoped.groupBy("l_partkey").agg(stable_sum(_rev(), "value"))
-    total = scoped.agg(stable_sum(_rev(), "total")).select(
-        (F.col("total") * Q11_FRACTION).alias("threshold")
+    n_supp = supp.agg(F.count(F.lit(1)).alias("n_supp"))
+    total = (
+        scoped.agg(stable_sum(_rev(), "total"))
+        .join(F.broadcast(n_supp))
+        .select(
+            (F.col("total") * F.lit(Q11_K) / F.col("n_supp")).alias("threshold")
+        )
     )
     return (
         per_part.join(F.broadcast(total))

@@ -138,6 +138,19 @@ def host_band_signal(sink: dict, eager_build: dict,
 # Representative slice of the registry: TPC-H-style relational core,
 # windows, text analysis, dedup (exact + all three near-dup families),
 # and similarity search (exact + ANN).
+#
+# Selection rule (r15, VERDICT r14 item 5): the slice is no longer a
+# fixed historical set — every query among the BENCH_SELECTION_TOP_N
+# slowest spark legs of the ledgered full sf0.1 sweep must appear in
+# HEADLINE or SCALING_QUERIES, so the untimed tail can never hide the
+# registry's most expensive plans.  The ledger names the sweep the
+# current rotation was computed from; update it (and rotate any newly
+# slow legs in) at the START of each round, from the freshest committed
+# sweep — round-close artifacts then cannot invalidate the rule
+# mid-freeze.  Enforced by
+# tests/test_round15_ops.py::test_bench_covers_sweep_slowest_legs.
+BENCH_SELECTION_SWEEP = "ORACLE_CHECK_r14_SF01.txt"
+BENCH_SELECTION_TOP_N = 20
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -314,6 +327,23 @@ HEADLINE = [
     "q_pack_token_budget",
     # round-13: exact-substring dedup (>=50-token verbatim spans)
     "q_dedup_exact_substring",
+    # round-15 (VERDICT r14 item 5): the timed set now carries a stated,
+    # checkable selection rule — every query among the 20 slowest spark
+    # legs of the most recent committed full sf0.1 sweep
+    # (ORACLE_CHECK_r*_SF01.txt) must be timed here or curve-profiled in
+    # SCALING_QUERIES (enforced by
+    # tests/test_round15_ops.py::test_bench_covers_sweep_slowest_legs).
+    # The r14 sweep's ten untimed top-20 legs, rotated in:
+    "q_graph_jaccard_neighbors",
+    "q_decontaminate_overlap",
+    "q_ann_recall",
+    "q_dedup_containment_pairs",
+    "q_dedup_clusters",
+    "q_text_winnow_fingerprints",
+    "q_ann_filtered_by_label",
+    "q_events_token_bucket",
+    "q_histogram_equidepth",
+    "q_approx_distinct_sketch",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at
@@ -406,6 +436,14 @@ SCALING_QUERIES = [
     # round-13: exact-substring claims posting-build-linear cost with an
     # O(matched postings) fingerprint join — the curve prices the claim
     "q_dedup_exact_substring",
+    # round-15 (VERDICT r14 item 3): the two most expensive r14 sf0.1
+    # sweep legs, previously outside every performance profile.
+    # Jaccard claims degree-capped candidate fan-out over the memoized
+    # adjacency (the 13.9x raw sweep ratio is the thing under
+    # measurement); decontaminate claims eval-gram-census cost with the
+    # corpus probed via broadcast Bloom, never self-joined.
+    "q_graph_jaccard_neighbors",
+    "q_decontaminate_overlap",
 ]
 
 

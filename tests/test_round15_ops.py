@@ -205,3 +205,47 @@ def test_pq_codebook_cache_size_bounded(spark, sf_dir):
         assert len(similarity._PQ_CB_CACHE) <= similarity._PQ_CB_MAX
     finally:
         similarity.clear_pq_codebook_cache()
+
+
+# ---------------------------------------------------------------------------
+# 5. Bench-leg selection rule (VERDICT r14 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_bench_covers_sweep_slowest_legs():
+    """The timed set carries a stated, checkable selection rule: every
+    query among the BENCH_SELECTION_TOP_N slowest spark legs of the
+    LEDGERED full sf0.1 sweep must be in HEADLINE or SCALING_QUERIES.
+    The ledger may trail the newest committed sweep by at most one
+    round (the round-close artifact lands after the code freeze; the
+    next round's first task re-ledgers)."""
+    import glob
+    import re
+
+    sys.path.insert(0, ROOT)
+    import bench
+
+    art = os.path.join(ROOT, bench.BENCH_SELECTION_SWEEP)
+    assert os.path.exists(art), f"ledgered sweep {bench.BENCH_SELECTION_SWEEP} missing"
+    legs = []
+    for line in open(art):
+        m = re.match(r"PASS (\S+) \((\d+) rows, spark ([\d.]+)s\)", line)
+        if m:
+            legs.append((float(m.group(3)), m.group(1)))
+    assert len(legs) >= 250, "ledgered sweep is not a full-registry artifact"
+    legs.sort(reverse=True)
+    timed = set(bench.HEADLINE) | set(bench.SCALING_QUERIES)
+    untimed = [n for _, n in legs[: bench.BENCH_SELECTION_TOP_N] if n not in timed]
+    assert not untimed, (
+        f"sweep-slowest legs outside the timed set: {untimed} — rotate "
+        f"them into HEADLINE/SCALING_QUERIES (bench.py selection rule)"
+    )
+    # staleness bound: at most one committed sweep newer than the ledger
+    all_sweeps = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(ROOT, "ORACLE_CHECK_r*_SF01.txt"))
+    )
+    newer = [s for s in all_sweeps if s > bench.BENCH_SELECTION_SWEEP]
+    assert len(newer) <= 1, (
+        f"BENCH_SELECTION_SWEEP is {len(newer)} sweeps stale ({newer}) — "
+        f"re-ledger at round start"
+    )

@@ -783,13 +783,15 @@ def test_markov_transitions_match_python_replay(spark, sf_dir):
 
 def test_jaccard_neighbors_matches_python_replay(spark, sf_dir):
     """Replay the blocked candidate generation AND the exact verify in
-    Python sets; every emitted pair must be exact-Jaccard over FULL
-    neighbor sets and >= the threshold."""
+    Python sets; the emitted rows must be exactly the top-K candidate
+    pairs by exact Jaccard over FULL neighbor sets under the unique
+    (jaccard6 DESC, s_a, s_b) total order (r15: deterministic top-K
+    replaced the fixed JACC_MIN cut, which was vacuous at sf0.1)."""
     from collections import defaultdict
 
     from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
         JACC_DF_MAX,
-        JACC_MIN,
+        JACC_TOP_K,
         q_graph_jaccard_neighbors,
     )
 
@@ -815,13 +817,19 @@ def test_jaccard_neighbors_matches_python_replay(spark, sf_dir):
             for i in range(len(ss)):
                 for j in range(i + 1, len(ss)):
                     cands.add((ss[i], ss[j]))
-    expected = {}
+    scored = []
     for s_a, s_b in cands:
         inter = len(nbrs[s_a] & nbrs[s_b])
         union = len(nbrs[s_a]) + len(nbrs[s_b]) - inter
-        j6 = round(inter / union, 6)
-        if j6 >= JACC_MIN:
-            expected[(s_a, s_b)] = (inter, len(nbrs[s_a]), len(nbrs[s_b]), j6)
+        # exact half-away rounding, matching round_ratio (banker's
+        # round() would diverge on exact halves)
+        j6 = ((2 * 10**6 * inter + union) // (2 * union)) / 10**6
+        scored.append((s_a, s_b, inter, len(nbrs[s_a]), len(nbrs[s_b]), j6))
+    scored.sort(key=lambda t: (-t[5], t[0], t[1]))
+    expected = {
+        (s_a, s_b): (inter, da, db, j6)
+        for s_a, s_b, inter, da, db, j6 in scored[:JACC_TOP_K]
+    }
     got = {
         (r.s_a, r.s_b): (r.n_shared, r.deg_a, r.deg_b, r.jaccard6)
         for r in q_graph_jaccard_neighbors(spark, sf_dir).collect()
