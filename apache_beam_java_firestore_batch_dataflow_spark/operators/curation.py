@@ -755,10 +755,11 @@ _TEMP_MIX_ORACLE = f"""
     z AS (SELECT sum(w6) AS zsum FROM w)
     SELECT source, CAST(n AS BIGINT) AS n,
            {round_ratio_sql('n', 'total', 6)} AS p,
-           CAST(round(CAST(w6 AS DOUBLE) / CAST(zsum AS DOUBLE), 6) AS DOUBLE)
+           {round_ratio_sql('w6 * 1000000', 'zsum * 1000000', 6, wide=True)}
                AS q,
-           CAST(round(CAST(w6 AS DOUBLE) / CAST(zsum AS DOUBLE) / p, 4)
-                AS DOUBLE) AS boost
+           {round_ratio_sql('w6 * 1000000 * total', 'zsum * 1000000 * n', 4,
+                            wide=True)}
+               AS boost
     FROM w, z, tot
 """
 
@@ -790,13 +791,21 @@ def q_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w6"),
     )
     z = w.agg(F.sum("w6").alias("zsum"))
-    q = F.col("w6").cast("double") / F.col("zsum").cast("double")
+    # w6/zsum are 6dp-GRID decimals — i.e. exact rationals in 1e-6
+    # units — so q = w6/zsum and boost = (w6/zsum)/(n/total)
+    # = (w6·10^6·total)/(zsum·10^6·n) have exact integer forms inside
+    # DECIMAL(38,0) (w6 <= 1, so w6·10^6·total <= 10^18 even at 10^12
+    # docs).  r15 (VERDICT r14 task 4): converted from round-of-double
+    # to round_ratio, retiring the curation documented-float ledger row
+    # that leaned on sweep-historical evidence.
     return w.join(F.broadcast(z)).select(
         "source",
         F.col("n").cast("bigint").alias("n"),
         round_ratio("n", "total", 6).alias("p"),
-        F.round(q, 6).cast("double").alias("q"),
-        F.round(q / F.col("p"), 4).cast("double").alias("boost"),
+        round_ratio("w6 * 1000000", "zsum * 1000000", 6, wide=True).alias("q"),
+        round_ratio(
+            "w6 * 1000000 * total", "zsum * 1000000 * n", 4, wide=True
+        ).alias("boost"),
     )
 
 

@@ -223,12 +223,9 @@ def collect():
 
 LEDGER: dict[tuple[str, str], tuple[str, str]] = {
     # ---------------- round-div sites kept as round-of-double ----------
-    ("curation.py", "a49c4e6aa5"): (
-        "documented-float",
-        "boost = q/p on two derived doubles (normalized exp-weight / "
-        "share); identical IEEE expression mirrored in the oracle; no "
-        "sub-DECIMAL(38) exact form; dual-SF sweep-proven",
-    ),
+    # (the former curation.py boost/q entry was RETIRED in r15: w6/zsum
+    # are 6dp-grid rationals, so both ratios were converted to exact
+    # round_ratio — no float site remains to ledger)
     ("multimodal.py", "181cec573a"): (
         "documented-float",
         "Laplacian variance of 8-bit pixel data: moments are exact-int-"
@@ -399,7 +396,9 @@ LEDGER: dict[tuple[str, str], tuple[str, str]] = {
         "hour-of-day energy: floor(1e6*s_g^2/n_g + 0.5) is an "
         "identical IEEE double expression both engines; the bigint "
         "cast holds while 1e6*s_g^2/n_g < 9.2e18 (hourly value sums "
-        "to ~3e6*sqrt(n_g)) — stated widening point",
+        "to ~3e6*sqrt(n_g)) — stated widening point; boundary-proven "
+        "in-repo at the exact dyadic .5 by tests/test_round15_ops.py::"
+        "test_seasonality_energy_exact_half_boundary (r14 task 4)",
     ),
 }
 

@@ -249,3 +249,75 @@ def test_bench_covers_sweep_slowest_legs():
         f"BENCH_SELECTION_SWEEP is {len(newer)} sweeps stale ({newer}) — "
         f"re-ledger at round start"
     )
+
+
+# ---------------------------------------------------------------------------
+# 4b. documented-float ledger evidence in-repo (VERDICT r14 task 4):
+#     the seasonal-profile energy quantization at its exact .5 boundary
+# ---------------------------------------------------------------------------
+
+
+def test_seasonality_energy_exact_half_boundary(spark, tmp_path):
+    """The timeseries ledger row for floor(1e6*s_g^2/n_g + 0.5) claims
+    'identical IEEE double expression both engines'.  Prove it in-repo
+    at the worst case: a planted fixture where 1e6*s_g^2/n_g sits on an
+    EXACT .5 (s_g odd, n_g = 128 -> 1e6*s_g^2/128 = 15625*s_g^2/2, a
+    dyadic half, exactly representable in double), so floor(+0.5) is
+    the same integer in both engines and the full query output matches
+    the oracle row-for-row.  Two planted types: s_g=129 (one doubled
+    hour) and s_g=1 (single event), both on the 128-hour hod-5 grid."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_seasonality_strength,
+    )
+    import __spark_entry__ as entrymod
+
+    hours = [24 * i + 5 for i in range(128)]
+    rows = []
+    for h in hours:
+        rows.append(("boundary", h))
+    rows.append(("boundary", hours[0]))          # s_g = 129, n_g = 128
+    rows.append(("generic", hours[0]))           # s_g = 1,   n_g = 128
+    epoch = datetime.datetime(1970, 1, 1)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [epoch + datetime.timedelta(hours=h) for _, h in rows],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([t for t, _ in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    papq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: tuple(r)
+        for r in q_events_seasonality_strength(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    want = {
+        r[0]: tuple(r)
+        for r in con.execute(
+            entrymod.oracle_sql()["q_events_seasonality_strength"]
+        ).fetchall()
+    }
+    con.close()
+    assert set(got) == {"boundary", "generic"}
+    assert got == want
+    # and the energy term itself landed on the boundary we planted:
+    # b_mu(boundary) = floor(1e6*129^2/128 + .5) = 130_007_813 exactly
+    # (checked indirectly through strength6 equality above; assert the
+    # python ground truth too so a future rescale is caught)
+    assert 1_000_000 * 129 * 129 / 128 == 130_007_812.5
+    assert 1_000_000 * 1 * 1 / 128 == 7_812.5
