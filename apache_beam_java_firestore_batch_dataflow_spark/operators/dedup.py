@@ -34,6 +34,7 @@ from ..functions.hashing import (
     minhash_term,
     minhash_term_sql,
 )
+from ..functions.numeric import round_ratio, round_ratio_sql
 from ..sources.tables import fixture_fingerprint, load_table
 from .text import TOKENS_SQL, tokens_col
 
@@ -243,7 +244,8 @@ _MINHASH_ORACLE = f"""
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
     SELECT i.doc_a, i.doc_b,
            CAST(i.n_common AS BIGINT) AS n_common,
-           CAST(round(i.n_common * 1.0 / (za.n_sh + zb.n_sh - i.n_common), 6) AS DOUBLE)
+           {round_ratio_sql('i.n_common',
+                            '(za.n_sh + zb.n_sh - i.n_common)', 6)}
                AS jaccard
     FROM inter i
     JOIN sizes za ON za.doc_id = i.doc_a
@@ -308,11 +310,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.col("n_common") * 1.0 / (
         F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_common")
     )
+    # filter on the raw ratio (identical IEEE divide+compare both
+    # engines); output via exact integer rounding (r15 audit
+    # name-resolution find — the round-div hid behind the local)
     return verified.filter(jaccard >= JACCARD_MIN).select(
         "doc_a",
         "doc_b",
         F.col("n_common").cast("bigint").alias("n_common"),
-        F.round(jaccard, 6).cast("double").alias("jaccard"),
+        round_ratio(
+            "n_common", "(n_sh_a + n_sh_b - n_common)", 6
+        ).alias("jaccard"),
     )
 
 
@@ -804,7 +811,8 @@ _NGRAM_ORACLE = f"""
     ),
     sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id)
     SELECT i.doc_a, i.doc_b,
-           CAST(round(i.n_common * 1.0 / (za.n_g + zb.n_g - i.n_common), 6) AS DOUBLE)
+           {round_ratio_sql('i.n_common',
+                            '(za.n_g + zb.n_g - i.n_common)', 6)}
                AS jaccard
     FROM inter i
     JOIN sizes za ON za.doc_id = i.doc_a
@@ -893,7 +901,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_g_a") + F.col("n_g_b") - F.col("n_common")
     )
     return verified.filter(jac >= JACCARD_MIN).select(
-        "doc_a", "doc_b", F.round(jac, 6).cast("double").alias("jaccard")
+        "doc_a",
+        "doc_b",
+        round_ratio("n_common", "(n_g_a + n_g_b - n_common)", 6).alias(
+            "jaccard"
+        ),
     )
 
 
@@ -923,10 +935,11 @@ _CONTAIN_ORACLE = f"""
     ),
     sizes AS (SELECT doc_id, count(*) AS n_g FROM grams GROUP BY doc_id)
     SELECT i.doc_a, i.doc_b,
-           CAST(round(i.n_common * 1.0 / least(za.n_g, zb.n_g), 6) AS DOUBLE)
+           {round_ratio_sql('i.n_common', 'least(za.n_g, zb.n_g)', 6)}
                AS containment,
-           CAST(round(i.n_common * 1.0 / (za.n_g + zb.n_g - i.n_common), 6)
-                AS DOUBLE) AS jaccard
+           {round_ratio_sql('i.n_common',
+                            '(za.n_g + zb.n_g - i.n_common)', 6)}
+               AS jaccard
     FROM inter i
     JOIN sizes za ON za.doc_id = i.doc_a
     JOIN sizes zb ON zb.doc_id = i.doc_b
@@ -950,14 +963,13 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pair × gram) shuffle."""
     verified = _ngram_verified_pairs(spark, sf_dir)
     contain = F.col("n_common") * 1.0 / F.least(F.col("n_g_a"), F.col("n_g_b"))
-    jac = F.col("n_common") * 1.0 / (
-        F.col("n_g_a") + F.col("n_g_b") - F.col("n_common")
-    )
     return verified.filter(contain >= CONTAIN_MIN).select(
         "doc_a",
         "doc_b",
-        F.round(contain, 6).cast("double").alias("containment"),
-        F.round(jac, 6).cast("double").alias("jaccard"),
+        round_ratio("n_common", "least(n_g_a, n_g_b)", 6).alias("containment"),
+        round_ratio("n_common", "(n_g_a + n_g_b - n_common)", 6).alias(
+            "jaccard"
+        ),
     )
 
 
@@ -1099,7 +1111,7 @@ def _winnow_pairs_oracle() -> str:
       JOIN w wb ON wb.doc_id = c.doc_b
     )
     SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common,
-           CAST(round(n_common * 1.0 / (n_a + n_b - n_common), 6) AS DOUBLE)
+           {round_ratio_sql('n_common', '(n_a + n_b - n_common)', 6)}
                AS overlap
     FROM pairs
     WHERE n_common * 1.0 / (n_a + n_b - n_common) >= {WINNOW_SIM_MIN}
@@ -1168,7 +1180,7 @@ def q_dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a",
         "doc_b",
         F.col("n_common").cast("bigint").alias("n_common"),
-        F.round(overlap, 6).cast("double").alias("overlap"),
+        round_ratio("n_common", "(n_a + n_b - n_common)", 6).alias("overlap"),
     )
 
 
@@ -1380,14 +1392,17 @@ def _minhash_error_oracle() -> str:
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
     SELECT e.doc_a, e.doc_b,
            CAST(e.n_agree AS INT) AS n_agree,
-           CAST(round(e.n_agree * 1.0 / {NUM_HASHES}, 6) AS DOUBLE) AS est_jaccard,
-           CAST(round(coalesce(i.n_common, 0) * 1.0
-                      / (za.n_sh + zb.n_sh - coalesce(i.n_common, 0)), 6)
-                AS DOUBLE) AS exact_jaccard,
-           CAST(round(abs(e.n_agree * 1.0 / {NUM_HASHES}
-                          - coalesce(i.n_common, 0) * 1.0
-                            / (za.n_sh + zb.n_sh - coalesce(i.n_common, 0))), 6)
-                AS DOUBLE) AS abs_err
+           {round_ratio_sql('e.n_agree', str(NUM_HASHES), 6)} AS est_jaccard,
+           {round_ratio_sql(
+               'coalesce(i.n_common, 0)',
+               '(za.n_sh + zb.n_sh - coalesce(i.n_common, 0))', 6)}
+               AS exact_jaccard,
+           {round_ratio_sql(
+               'abs(e.n_agree * (za.n_sh + zb.n_sh - coalesce(i.n_common, 0))'
+               f' - coalesce(i.n_common, 0) * {NUM_HASHES})',
+               f'({NUM_HASHES}'
+               ' * (za.n_sh + zb.n_sh - coalesce(i.n_common, 0)))', 6)}
+               AS abs_err
     FROM est e
     LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
     JOIN sizes za ON za.doc_id = e.doc_a
@@ -1440,11 +1455,13 @@ def q_dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wa = shs.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
     wb = shs.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
-    est = F.col("n_agree") * 1.0 / NUM_HASHES
     n_common = F.size(F.array_intersect("shs_a", "shs_b"))
-    exact = F.col("n_common") * 1.0 / (
-        F.size("shs_a") + F.size("shs_b") - F.col("n_common")
-    )
+    # exact integer rounding (r15: these ratios hid behind local
+    # variables until the audit's name-resolution pass; est, exact and
+    # their difference are all integer ratios, so the r14 round_ratio
+    # idiom applies directly — abs_err = |n_agree·union − n_common·K|
+    # / (K·union), magnitudes <= ~1e7, comfortably int64)
+    union = "(size(shs_a) + size(shs_b) - n_common)"
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -1457,9 +1474,13 @@ def q_dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             F.col("n_agree").cast("int").alias("n_agree"),
-            F.round(est, 6).cast("double").alias("est_jaccard"),
-            F.round(exact, 6).cast("double").alias("exact_jaccard"),
-            F.round(F.abs(est - exact), 6).cast("double").alias("abs_err"),
+            round_ratio("n_agree", str(NUM_HASHES), 6).alias("est_jaccard"),
+            round_ratio("n_common", union, 6).alias("exact_jaccard"),
+            round_ratio(
+                f"abs(n_agree * {union} - n_common * {NUM_HASHES})",
+                f"({NUM_HASHES} * {union})",
+                6,
+            ).alias("abs_err"),
         )
     )
 
@@ -1724,8 +1745,9 @@ def _para_oracle() -> str:
            CAST(i.cb // {PARA_ID_MOD} AS BIGINT) AS doc_b,
            CAST(i.cb % {PARA_ID_MOD} AS BIGINT) AS para_b,
            CAST(i.n_common AS BIGINT) AS n_common,
-           CAST(round(i.n_common * 1.0 / (za.n_sh + zb.n_sh - i.n_common), 6)
-                AS DOUBLE) AS jaccard6
+           {round_ratio_sql('i.n_common',
+                            '(za.n_sh + zb.n_sh - i.n_common)', 6)}
+               AS jaccard6
     FROM inter i
     JOIN sizes za ON za.cid = i.ca
     JOIN sizes zb ON zb.cid = i.cb
@@ -1829,7 +1851,9 @@ def q_dedup_paragraph_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"cb div {PARA_ID_MOD}").cast("bigint").alias("doc_b"),
             F.expr(f"cb % {PARA_ID_MOD}").cast("bigint").alias("para_b"),
             F.col("n_common").cast("bigint").alias("n_common"),
-            F.round(jac, 6).cast("double").alias("jaccard6"),
+            round_ratio("n_common", "(n_a + n_b - n_common)", 6).alias(
+                "jaccard6"
+            ),
         )
     )
 

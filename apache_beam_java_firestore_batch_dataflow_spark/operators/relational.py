@@ -2184,7 +2184,7 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Higher moments: skewness / kurtosis from exact sufficient statistics
 # ---------------------------------------------------------------------------
 
-_MOMENTS_ORACLE = """
+_MOMENTS_ORACLE = f"""
     WITH s AS (
       SELECT c_mktsegment,
              count(*) AS n,
@@ -2197,7 +2197,7 @@ _MOMENTS_ORACLE = """
       FROM customer GROUP BY c_mktsegment
     ),
     m AS (
-      SELECT c_mktsegment, n,
+      SELECT c_mktsegment, n, s1,
              CAST(s1 AS DOUBLE) / n AS m1,
              CAST(s2 AS DOUBLE) / n AS m2,
              CAST(s3 AS DOUBLE) / n AS m3,
@@ -2206,7 +2206,8 @@ _MOMENTS_ORACLE = """
     )
     SELECT c_mktsegment,
            CAST(n AS BIGINT) AS n,
-           CAST(round(m1, 4) AS DOUBLE) AS mean,
+           {round_ratio_sql('s1 * 1000000', 'n * 1000000', 4, wide=True)}
+               AS mean,
            CAST(round(m2 - m1 * m1, 4) AS DOUBLE) AS variance,
            CAST(round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
                       / ((m2 - m1 * m1) * sqrt(m2 - m1 * m1)), 6)
@@ -2255,7 +2256,11 @@ def q_agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "c_mktsegment",
         F.col("n").cast("bigint").alias("n"),
-        F.round(m1, 4).cast("double").alias("mean"),
+        # exact mean (r15 audit name-resolution find): s1 is a 6dp-grid
+        # decimal, so the mean is a rational — round_ratio applies; the
+        # variance composite stays float (exact form needs s1^2 beyond
+        # DECIMAL(38) at scale — same ledger class as the kurtosis row)
+        round_ratio("s1 * 1000000", "n * 1000000", 4, wide=True).alias("mean"),
         F.round(var, 4).cast("double").alias("variance"),
         F.round(
             (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / (var * F.sqrt(var)), 6
@@ -2600,7 +2605,7 @@ def q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Market concentration: Herfindahl–Hirschman index per nation
 # ---------------------------------------------------------------------------
 
-_HHI_ORACLE = """
+_HHI_ORACLE = f"""
     WITH rev AS (
       SELECT s.s_nationkey AS nationkey, l.l_suppkey,
              CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 6)
@@ -2615,9 +2620,11 @@ _HHI_ORACLE = """
     )
     SELECT r.nationkey,
            CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
-           CAST(round(CAST(sum(CAST(round((r.r / t.t) * (r.r / t.t) * 10000, 6)
-                                    AS DECIMAL(38,6))) AS DOUBLE), 2)
-                AS DOUBLE) AS hhi
+           {round_ratio_sql(
+               'sum(CAST(round((r.r / t.t) * (r.r / t.t) * 10000, 6)'
+               ' AS DECIMAL(38,6))) * 1000000',
+               '1000000', 2, wide=True)}
+               AS hhi
     FROM rev r JOIN tot t USING (nationkey)
     GROUP BY r.nationkey, t.n_suppliers
 """
@@ -2663,19 +2670,22 @@ def q_market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.join(F.broadcast(tot), "nationkey")
         .groupBy("nationkey", "n_suppliers")
         .agg(
-            F.round(
-                F.sum(
-                    F.round(share * share * 10000, 6).cast("decimal(38,6)")
-                ).cast("double"),
-                2,
-            )
-            .cast("double")
-            .alias("hhi")
+            F.sum(
+                F.round(share * share * 10000, 6).cast("decimal(38,6)")
+            ).alias("hhi6")
         )
         .select(
             "nationkey",
             F.col("n_suppliers").cast("bigint").alias("n_suppliers"),
-            "hhi",
+            # exact outer round (r15 audit find): the decimal(38,6) sum
+            # is a 6dp-grid rational that CAN sit on an exact 10^-2
+            # half (x.xx5000); round_ratio rounds the exact units
+            # instead of the double read-out.  The per-row share²
+            # quantization inside the sum stays float (ledgered — see
+            # audit_parity.py HHI entry for the reachability argument).
+            round_ratio(
+                "hhi6 * 1000000", "1000000", 2, wide=True
+            ).alias("hhi"),
         )
     )
 

@@ -150,6 +150,53 @@ def _is_frag_call(node: ast.Call) -> bool:
     return False
 
 
+def _local_env(tree: ast.AST) -> dict[int, dict[str, ast.AST]]:
+    """Map id(function node) -> {name: value AST} for simple single-name
+    assignments inside each function body.  Lets the scanner see through
+    one common obfuscation of both classes: ``q = a / b`` followed by
+    ``F.round(q, 6)`` — the Name node alone contains no Div, so the
+    unresolved walk would silently clear the site (r15 hardening; the
+    pre-conversion q_mix_temperature_weights ``q``/``boost`` locals were
+    exactly this shape)."""
+    envs: dict[int, dict[str, ast.AST]] = {}
+    for node in ast.walk(tree):
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        env: dict[str, ast.AST] = {}
+        for sub in ast.walk(node):
+            if (
+                isinstance(sub, ast.Assign)
+                and len(sub.targets) == 1
+                and isinstance(sub.targets[0], ast.Name)
+            ):
+                # last assignment wins — matches runtime for the
+                # straight-line operator bodies this repo uses; a
+                # re-bound name over-approximates (both values checked
+                # via the transitive walk), which can only ADD sites,
+                # never hide one
+                env[sub.targets[0].id] = sub.value
+        envs[id(node)] = env
+    return envs
+
+
+def _contains_resolved(node: ast.AST, pred, env: dict[str, ast.AST]) -> bool:
+    """_contains() that also follows Name references through ``env``
+    (transitively, cycle-safe, depth-capped)."""
+    seen: set[str] = set()
+    stack = [node]
+    depth = 0
+    while stack and depth < 64:
+        depth += 1
+        cur = stack.pop()
+        if _contains(cur, pred):
+            return True
+        for n in ast.walk(cur):
+            if isinstance(n, ast.Name) and n.id in env and n.id not in seen:
+                seen.add(n.id)
+                stack.append(env[n.id])
+    return False
+
+
 def collect():
     """Yield (relpath, lineno, kind, auto_class, segment) for every
     F.round / F.sum site of interest."""
@@ -164,6 +211,15 @@ def collect():
             rel = os.path.relpath(path, ROOT)
             src = open(path).read()
             tree = ast.parse(src)
+            envs = _local_env(tree)
+            call_env: dict[int, dict[str, ast.AST]] = {}
+            for fnode in ast.walk(tree):
+                if isinstance(fnode, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    for sub in ast.walk(fnode):
+                        if isinstance(sub, ast.Call):
+                            # inner functions visited after outer in
+                            # ast.walk order, so the innermost env wins
+                            call_env[id(sub)] = envs[id(fnode)]
             for node in ast.walk(tree):
                 if not isinstance(node, ast.Call):
                     continue
@@ -172,6 +228,7 @@ def collect():
                         and isinstance(f.value, ast.Name)
                         and f.value.id == "F"):
                     continue
+                env = call_env.get(id(node), {})
                 seg = ast.get_source_segment(src, node) or ""
                 if f.attr == "round" and node.args:
                     arg = node.args[0]
@@ -179,10 +236,10 @@ def collect():
                         isinstance(node.args[1], ast.Constant)
                         and node.args[1].value == 0
                     )
-                    if _contains(arg, _is_div):
+                    if _contains_resolved(arg, _is_div, env):
                         if k0:
                             auto = "safe-k0"
-                        elif _contains(arg, _is_trans):
+                        elif _contains_resolved(arg, _is_trans, env):
                             auto = "safe-transcendental"
                         else:
                             auto = None  # ratio — must be ledgered
@@ -192,7 +249,7 @@ def collect():
                     # the table footer — not per-site ledgered.
                 elif f.attr == "sum" and node.args:
                     arg = node.args[0]
-                    if _contains(arg, _is_mult):
+                    if _contains_resolved(arg, _is_mult, env):
                         auto = "safe-decimal" if _has_decimal_cast(seg) else None
                         yield rel, node.lineno, "sum-mult", auto, seg
             # Supplementary pass: sum-of-product INSIDE string SQL
@@ -330,6 +387,57 @@ LEDGER: dict[tuple[str, str], tuple[str, str]] = {
     ("timeseries.py", "88697fdb56"): (
         "documented-float",
         "sqrt-based sd scaled by 10^6; transcendental-valued",
+    ),
+    # -------- r15 name-resolution finds kept as round-of-double --------
+    # (the scanner now sees through ``x = a / b; F.round(x, k)`` locals;
+    # the integer-ratio finds were CONVERTED to round_ratio — these are
+    # the residue with a genuine domain argument each)
+    ("relational.py", "0182ea54ab"): (
+        "documented-float",
+        "variance m2 - m1^2 of 6dp-grid moment means: the exact form "
+        "needs s1^2, beyond DECIMAL(38) at corpus scale (same class as "
+        "the kurtosis row); identical IEEE expression both engines; "
+        "dual-SF proven",
+    ),
+    ("relational.py", "638bf8ec47"): (
+        "documented-float",
+        "OLS slope cov_n/var_n on DECIMAL(38,0) sums read as doubles — "
+        "the determinant-ratio class (see the intercept/r^2 rows); "
+        "identical IEEE both engines",
+    ),
+    ("relational.py", "687d607972"): (
+        "documented-float",
+        "per-row share^2*10^4 quantization: share = r/t of 6dp-grid "
+        "revenue aggregates, so an exact 10^-6 half needs the reduced "
+        "(t*10^6)^2 (~10^26+) to collapse to 2^7*5^j — requires t^2 | "
+        "2*10^10*r^2, unreachable for real revenue totals; the OUTER "
+        "round of the decimal sum IS exact (round_ratio, r15); "
+        "identical IEEE inner expression both engines",
+    ),
+    ("text.py", "638bf8ec47"): (
+        "documented-float",
+        "Zipf/Heaps regression slopes — same determinant-ratio class "
+        "as relational.py:638bf8ec47 (three sites share this key)",
+    ),
+    ("timeseries.py", "29dd262cc3"): (
+        "documented-float",
+        "gap-fill linear interpolation pv + (nv-pv)*dt/DT on DATA "
+        "doubles (event values) — no group-size-driven rational "
+        "structure; identical IEEE expression mirrored in the oracle; "
+        "dual-SF proven",
+    ),
+    ("privacy.py", "6f32dde100"): (
+        "safe-bounded",
+        "DP clamped sum: per-row cents = floor(clamped*100+0.5) <= "
+        "DPSUM_CLAMP*100 per row; int64 group sums hold to ~9.2e18 "
+        "summed cents (~$92T per nation) — widen to DECIMAL(38,0) "
+        "past that (the r14 DP-sum re-basing class)",
+    ),
+    ("relational.py", "52b7a18c30"): (
+        "safe-bounded",
+        "ratio-to-report cents*(100-disc_pp): <= ~2e9 per row; int64 "
+        "per-(nation,supplier) sums hold to ~4e9 rows per supplier — "
+        "the docstring states the DECIMAL(38,0) widening point",
     ),
     # ---------------- str-sum-mult sites (SQL string fragments) --------
     ("curation.py", "c5063fc234"): (

@@ -209,8 +209,12 @@ def test_paragraph_pairs_sound_and_nonempty(spark, sf_dir):
         sb = shingles[(r.doc_b, r.para_b)]
         inter = len(sa & sb)
         assert inter == r.n_common, (r, inter)
-        jac = inter / (len(sa) + len(sb) - inter)
-        assert round(jac, 6) == r.jaccard6, (r, jac)
+        union = len(sa) + len(sb) - inter
+        jac = inter / union
+        # exact half-away rounding, matching round_ratio (r15: the
+        # output column converted from round-of-double; python round()
+        # would diverge on exact halves)
+        assert ((2 * 10**6 * inter + union) // (2 * union)) / 10**6 == r.jaccard6, (r, jac)
         assert jac >= PARA_JACC_MIN
     spark.catalog.clearCache()
 
