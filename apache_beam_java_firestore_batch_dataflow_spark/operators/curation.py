@@ -316,6 +316,18 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     unhinted so AQE broadcasts a small benchmark side and shuffle-joins
     a large one; the per-doc count is a combiner aggregation.  Pair
     fan-out is |matching grams|, never |train| x |eval|.
+
+    ``gsets`` is persisted: THREE consumers (eval grams, the match
+    explode, the final per-doc sizes) sit directly on the tokenize +
+    gram + array_distinct projection with NO exchange between — so
+    ReusedExchange cannot share it and each consumer re-ran the
+    corpus's heaviest string kernel.  The r12 persist calibration's
+    "work an exchange cannot carry" case; A/B at sf0.1 (r15, min-of-3,
+    quiet host, clearCache per rep): 9.7 s -> 1.3 s.  Released by the
+    caller's clearCache (the bench/oracle harness pattern).  At the
+    100 TB design point MEMORY_AND_DISK materializes the gram arrays
+    once instead of recomputing them threefold — if storage is the
+    binding constraint, drop the persist and accept the recompute.
     """
     from .text import tokens_col
 
@@ -328,7 +340,7 @@ def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice("t", i, DECONTAM_K)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    gsets = tokd.select("doc_id", F.array_distinct(grams).alias("gs"))
+    gsets = tokd.select("doc_id", F.array_distinct(grams).alias("gs")).persist()
     eval_grams = (
         gsets.filter(F.col("doc_id") % 10 == 7)
         .select(F.explode("gs").alias("g"))
