@@ -149,8 +149,23 @@ def host_band_signal(sink: dict, eager_build: dict,
 # sweep — round-close artifacts then cannot invalidate the rule
 # mid-freeze.  Enforced by
 # tests/test_round15_ops.py::test_bench_covers_sweep_slowest_legs.
-BENCH_SELECTION_SWEEP = "ORACLE_CHECK_r14_SF01.txt"
+BENCH_SELECTION_SWEEP = "ORACLE_CHECK_r15_SF01.txt"
 BENCH_SELECTION_TOP_N = 20
+# Ledgered exemptions from the selection rule: queries whose sweep-leg
+# cost is BY DESIGN and whose timed presence would mask regressions
+# elsewhere (each must carry the domain argument; the gate test asserts
+# every exempt name is registered and keeps this list from growing
+# silently).
+BENCH_SELECTION_EXEMPT = {
+    # 3.7 s in the r15 sweep, rank 19/300.  Retired from HEADLINE since
+    # round 4 (comment below): the interpreted-expression EXACT oracle is
+    # ~15x its numpy twin BY DESIGN (readable exact reference, SCALE.md
+    # "known trade-offs"); q_knn_bruteforce_numpy and
+    # q_knn_bruteforce_cogrouped are the performance-representative kNN
+    # legs and both stay timed.
+    "q_knn_bruteforce": "interpreted exact-oracle twin; numpy/cogrouped "
+    "legs are the timed representatives (round-4 policy)",
+}
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -344,6 +359,19 @@ HEADLINE = [
     "q_events_token_bucket",
     "q_histogram_equidepth",
     "q_approx_distinct_sketch",
+    # round-16 (selection rule, re-ledgered to the r15 sweep): the r15
+    # sweep's untimed top-20 legs, rotated in.  q_dedup_keep_longest's
+    # 14.9 s sweep leg is the cold minhash kernel (clean-warm 1.6 s);
+    # q_ann_hard_negatives joins despite the round-11 interpreted-fold
+    # note — at 2.6 s clean it sits mid-pack and no longer masks (the
+    # policy exemption stays for q_knn_bruteforce only, see
+    # BENCH_SELECTION_EXEMPT).
+    "q_dedup_keep_longest",
+    "q12_priority_lines",
+    "q_bucketed_join_copartitioned",
+    "q_udf_grouped_map_zscore",
+    "q_ann_hard_negatives",
+    "q_ann_pq_rerank",
 ]
 
 # Scaling-curve smoke check: each query timed once at sf0.01 and once at

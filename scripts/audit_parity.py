@@ -134,6 +134,79 @@ def _sum_mult_in_string(seg: str) -> list[str]:
     return out
 
 
+def _cast_spans(body: str) -> list[tuple[int, int, bool]]:
+    """Paren-matched ``cast( ... )`` spans in ``body`` (case-insensitive)
+    as (start, end, is_decimal) — is_decimal when the cast's own target
+    mentions decimal/hugeint (`` as decimal``/`` as hugeint``)."""
+    low = body.lower()
+    spans = []
+    i = 0
+    while True:
+        j = low.find("cast(", i)
+        if j < 0:
+            break
+        if j > 0 and (low[j - 1].isalnum() or low[j - 1] == "_"):
+            i = j + 5
+            continue
+        depth, k = 1, j + 5
+        while k < len(body) and depth:
+            if body[k] == "(":
+                depth += 1
+            elif body[k] == ")":
+                depth -= 1
+            k += 1
+        inner = low[j + 5 : k - 1]
+        spans.append((j, k, "as decimal" in inner or "as hugeint" in inner))
+        i = j + 5
+    return spans
+
+
+def _decimal_anchors_mult(body: str) -> bool:
+    """True iff EVERY ``*`` in the sum body is covered by a decimal/
+    hugeint cast — either inside a ``cast(... as decimal/hugeint)`` span
+    (the product is computed then widened before accumulation) or with a
+    decimal cast / ``::decimal``/``::hugeint`` operand immediately beside
+    it (decimal propagates through the multiply).  Replaces the r15
+    substring test (``'decimal' in frag``), which auto-cleared a double
+    product whose body merely MENTIONED decimal in an unrelated nested
+    cast (r15 ADVICE item 2)."""
+    spans = _cast_spans(body)
+    low = body.lower()
+    for m, ch in enumerate(body):
+        if ch != "*":
+            continue
+        # (a) inside a decimal cast span
+        if any(s < m < e and dec for s, e, dec in spans):
+            continue
+        # (b) left operand is a decimal cast: `... cast(x as decimal) * y`
+        #     or a `::decimal(p,s)` / `::hugeint` postfix
+        l = m - 1
+        while l >= 0 and body[l].isspace():
+            l -= 1
+        left_ok = low[: l + 1].endswith(("::hugeint", "::decimal"))
+        if not left_ok and l >= 0 and body[l] == ")":
+            if any(e - 1 == l and dec for _, e, dec in spans):
+                left_ok = True
+            else:
+                # `)` may close a ::decimal(p,s) precision list
+                depth, p = 1, l - 1
+                while p >= 0 and depth:
+                    if body[p] == ")":
+                        depth += 1
+                    elif body[p] == "(":
+                        depth -= 1
+                    p -= 1
+                left_ok = depth == 0 and low[: p + 1].endswith("::decimal")
+        # (c) right operand is a decimal cast: `x * cast(y as decimal)`
+        r = m + 1
+        while r < len(body) and body[r].isspace():
+            r += 1
+        right_ok = any(s == r and dec for s, _, dec in spans)
+        if not (left_ok or right_ok):
+            return False
+    return True
+
+
 def _is_frag_call(node: ast.Call) -> bool:
     """Calls whose string arguments are SQL fragments executed by BOTH
     engines or by Spark alone: round_ratio / round_ratio_sql /
@@ -150,42 +223,44 @@ def _is_frag_call(node: ast.Call) -> bool:
     return False
 
 
-def _local_env(tree: ast.AST) -> dict[int, dict[str, ast.AST]]:
-    """Map id(function node) -> {name: value AST} for simple single-name
-    assignments inside each function body.  Lets the scanner see through
-    one common obfuscation of both classes: ``q = a / b`` followed by
-    ``F.round(q, 6)`` — the Name node alone contains no Div, so the
-    unresolved walk would silently clear the site (r15 hardening; the
-    pre-conversion q_mix_temperature_weights ``q``/``boost`` locals were
-    exactly this shape)."""
-    envs: dict[int, dict[str, ast.AST]] = {}
+def _local_env(tree: ast.AST) -> dict[int, dict[str, list[ast.AST]]]:
+    """Map id(function node) -> {name: [every assigned value AST]} for
+    simple single-name assignments inside each function body.  Lets the
+    scanner see through one common obfuscation of both classes:
+    ``q = a / b`` followed by ``F.round(q, 6)`` — the Name node alone
+    contains no Div, so the unresolved walk would silently clear the
+    site (r15 hardening; the pre-conversion q_mix_temperature_weights
+    ``q``/``boost`` locals were exactly this shape).
+
+    EVERY binding of a name is kept, not just the last (r15 ADVICE):
+    under last-wins, a name re-bound AFTER the F.round call site would
+    resolve to the later value and a division bound earlier was hidden.
+    Checking all bindings over-approximates (a binding not live at the
+    call site may flag the site), which can only ADD sites to the
+    ledgered census, never hide one."""
+    envs: dict[int, dict[str, list[ast.AST]]] = {}
     for node in ast.walk(tree):
         if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
             continue
-        env: dict[str, ast.AST] = {}
+        env: dict[str, list[ast.AST]] = {}
         for sub in ast.walk(node):
             if (
                 isinstance(sub, ast.Assign)
                 and len(sub.targets) == 1
                 and isinstance(sub.targets[0], ast.Name)
             ):
-                # last assignment wins — matches runtime for the
-                # straight-line operator bodies this repo uses; a
-                # re-bound name over-approximates (both values checked
-                # via the transitive walk), which can only ADD sites,
-                # never hide one
-                env[sub.targets[0].id] = sub.value
+                env.setdefault(sub.targets[0].id, []).append(sub.value)
         envs[id(node)] = env
     return envs
 
 
-def _contains_resolved(node: ast.AST, pred, env: dict[str, ast.AST]) -> bool:
+def _contains_resolved(node: ast.AST, pred, env: dict[str, list[ast.AST]]) -> bool:
     """_contains() that also follows Name references through ``env``
-    (transitively, cycle-safe, depth-capped)."""
+    (ALL bindings of each name, transitively, cycle-safe, depth-capped)."""
     seen: set[str] = set()
     stack = [node]
     depth = 0
-    while stack and depth < 64:
+    while stack and depth < 256:
         depth += 1
         cur = stack.pop()
         if _contains(cur, pred):
@@ -193,7 +268,7 @@ def _contains_resolved(node: ast.AST, pred, env: dict[str, ast.AST]) -> bool:
         for n in ast.walk(cur):
             if isinstance(n, ast.Name) and n.id in env and n.id not in seen:
                 seen.add(n.id)
-                stack.append(env[n.id])
+                stack.extend(env[n.id])
     return False
 
 
@@ -229,7 +304,9 @@ def collect():
                         and f.value.id == "F"):
                     continue
                 env = call_env.get(id(node), {})
-                seg = ast.get_source_segment(src, node) or ""
+                # ast.get_source_segment is O(file) per call — extract
+                # the segment only for sites that actually match (most
+                # F.* calls are neither; this cut collect() ~70s -> ~2s)
                 if f.attr == "round" and node.args:
                     arg = node.args[0]
                     k0 = len(node.args) < 2 or (
@@ -243,6 +320,7 @@ def collect():
                             auto = "safe-transcendental"
                         else:
                             auto = None  # ratio — must be ledgered
+                        seg = ast.get_source_segment(src, node) or ""
                         yield rel, node.lineno, "round-div", auto, seg
                     # non-division rounds (per-row quantization, decimal
                     # re-rounding) share one blanket argument, printed in
@@ -250,6 +328,7 @@ def collect():
                 elif f.attr == "sum" and node.args:
                     arg = node.args[0]
                     if _contains_resolved(arg, _is_mult, env):
+                        seg = ast.get_source_segment(src, node) or ""
                         auto = "safe-decimal" if _has_decimal_cast(seg) else None
                         yield rel, node.lineno, "sum-mult", auto, seg
             # Supplementary pass: sum-of-product INSIDE string SQL
@@ -264,9 +343,12 @@ def collect():
                         continue
                     aseg = ast.get_source_segment(src, a) or ""
                     for frag in _sum_mult_in_string(aseg):
+                        # anchored: the decimal/hugeint cast must cover
+                        # the product itself, not merely appear anywhere
+                        # in the sum body (r15 ADVICE item 2)
                         auto = (
                             "safe-decimal"
-                            if "decimal" in frag.lower() or "hugeint" in frag.lower()
+                            if _decimal_anchors_mult(frag[4:-1])
                             else None
                         )
                         yield rel, a.lineno, "str-sum-mult", auto, frag

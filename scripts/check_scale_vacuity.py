@@ -20,6 +20,13 @@ no oracle (rows-only checks) are reported but cannot be asserted here.
 Usage: python scripts/check_scale_vacuity.py [small_sf_dir] [large_sf_dir]
 Exit 0 = no vacuous queries (modulo the EXCEPTIONS ledger); exit 1
 otherwise.
+
+Round-close artifact (r16, r15 ADVICE item 4): redirect the output to
+``VACUITY_CHECK_r{N}.txt`` (set ``VACUITY_ARTIFACT`` to that filename so
+the run's own redirect does not read as a dirty tree) and commit it —
+``tests/test_round16_ops.py::test_vacuity_gate_fresh_and_clean`` asserts
+the newest committed artifact is clean AND at most one round older than
+the newest sf0.1 sweep, so silently skipping the gate fails pytest.
 """
 
 from __future__ import annotations
@@ -65,8 +72,32 @@ def _counts(sf_dir: str) -> dict[str, int | None]:
     return out
 
 
+def _head_stamp() -> str:
+    """Tie the artifact to the exact tree it proves (the check_oracles.py
+    pattern; VACUITY_ARTIFACT excludes the run's own redirect target)."""
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "HEAD"], cwd=root, capture_output=True, text=True
+        ).stdout.strip()
+        artifact = os.environ.get("VACUITY_ARTIFACT", "")
+        status = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=root, capture_output=True, text=True
+        ).stdout.splitlines()
+        dirty = "\n".join(
+            l for l in status if not (artifact and l[3:].strip() == artifact)
+        ).strip()
+        return f"HEAD {head}{' (dirty tree)' if dirty else ''}"
+    except OSError:
+        return "HEAD unknown (git unavailable)"
+
+
 def main() -> int:
     import __spark_entry__ as entrymod
+
+    print(_head_stamp())
 
     no_oracle = sorted(
         set(entrymod.queries()) - set(entrymod.oracle_sql())

@@ -235,16 +235,32 @@ def test_bench_covers_sweep_slowest_legs():
     assert len(legs) >= 250, "ledgered sweep is not a full-registry artifact"
     legs.sort(reverse=True)
     timed = set(bench.HEADLINE) | set(bench.SCALING_QUERIES)
+    # exemptions must each be registered (no stale names) and documented
+    import __spark_entry__ as entrymod
+
+    registered = set(entrymod.queries())
+    for name, why in bench.BENCH_SELECTION_EXEMPT.items():
+        assert name in registered, f"exempt {name} is not a registered query"
+        assert len(why) > 20, f"exempt {name} lacks a domain argument"
+    timed |= set(bench.BENCH_SELECTION_EXEMPT)
     untimed = [n for _, n in legs[: bench.BENCH_SELECTION_TOP_N] if n not in timed]
     assert not untimed, (
         f"sweep-slowest legs outside the timed set: {untimed} — rotate "
         f"them into HEADLINE/SCALING_QUERIES (bench.py selection rule)"
     )
-    # staleness bound: at most one committed sweep newer than the ledger
+    # staleness bound: at most one committed sweep newer than the ledger.
+    # Compare by ROUND NUMBER, not filename — lexicographic ordering
+    # breaks at r100 ('..._r100_...' < '..._r15_...') (r15 ADVICE item 3).
+    def _round_no(name: str) -> int:
+        m = re.search(r"_r(\d+)_SF01", name)
+        assert m, f"unparseable sweep artifact name: {name}"
+        return int(m.group(1))
+
+    cur = _round_no(bench.BENCH_SELECTION_SWEEP)
     all_sweeps = sorted(
         os.path.basename(p) for p in glob.glob(os.path.join(ROOT, "ORACLE_CHECK_r*_SF01.txt"))
     )
-    newer = [s for s in all_sweeps if s > bench.BENCH_SELECTION_SWEEP]
+    newer = [s for s in all_sweeps if _round_no(s) > cur]
     assert len(newer) <= 1, (
         f"BENCH_SELECTION_SWEEP is {len(newer)} sweeps stale ({newer}) — "
         f"re-ledger at round start"
