@@ -58,95 +58,91 @@ _MODULES = [
 # `scripts/check_oracles.py` re-proves the FULL registry locally every
 # round (artifact: ORACLE_CHECK_r{N}.txt).
 #
-# Driver-row ledger going into round 15 (CORRECTNESS_r01..r14): r14 was
-# fully green, 50/50 with ZERO registrations — the whole r8 cohort
-# re-checked; after r14 no driver row is older than r9 and every cohort
-# r9..r14 is exactly 50 deep (verified by the r14 judge's histogram
-# across all 14 CORRECTNESS files).  VERDICT r14 item 1 caps new r15
-# registrations at 0, so the r15 window is exactly the 50 r9-checked
-# rows below, alphabetical — the steady-state rotation where one whole
-# cohort fills the 50-slot window each round.  A genuinely high-value
-# r15 registration could take 1 slot ONLY by displacing the TAIL row
-# into the head of the r16 queue — none was taken (the suite is
-# operator-complete).
-# QUEUED FOR THE ROUND 16 PREFIX — the 50 r10-checked rows (the oldest
-# cohort after a green r15; any r16 registration displaces names from
-# the TAIL of this list into the r17 queue — keep the arithmetic
+# Driver-row ledger going into round 16 (CORRECTNESS_r01..r15): r15 was
+# fully green, 50/50 with ZERO registrations — the whole r9 cohort
+# re-checked; after r15 no driver row is older than r10 and every
+# cohort r10..r15 is exactly 50 deep (verified by the r15 judge's
+# histogram across all 15 CORRECTNESS files).  VERDICT r15 item 1 caps
+# new r16 registrations at 0, so the r16 window is exactly the 50
+# r10-checked rows below, alphabetical — the steady-state rotation
+# where one whole cohort fills the 50-slot window each round.  A
+# genuinely high-value r16 registration could take 1 slot ONLY by
+# displacing the TAIL row into the head of the r17 queue — none was
+# taken (the suite is operator-complete).
+# QUEUED FOR THE ROUND 17 PREFIX — the 50 r11-checked rows (the oldest
+# cohort after a green r16; any r17 registration displaces names from
+# the TAIL of this list into the r18 queue — keep the arithmetic
 # current):
-# q_agg_theil_nation_revenue, q_agg_trimmed_mean, q_ann_ivf_incremental,
-# q_ann_mmr_diversify, q_audit_benford_totalprice, q_correlated_exists,
-# q_cube, q_dedup_boilerplate_chunks, q_dedup_clusters_k3,
-# q_dedup_incremental_ingest, q_dedup_minhash_lsh,
-# q_dedup_paragraph_pairs, q_dedup_winnow_pairs,
-# q_embedding_centroid_silhouette, q_embedding_dim_stats,
-# q_embedding_kcenter_seeds, q_embedding_label_outliers,
-# q_embedding_quantize_error, q_events_burst_hours,
-# q_events_cohort_retention, q_events_cusum_drift, q_events_kendall_tau,
-# q_events_markov_transitions, q_events_seasonality_strength,
-# q_events_theil_sen, q_format_schema_evolution, q_graph_adamic_adar,
-# q_graph_bfs_khop, q_graph_degree_assortativity, q_graph_hits,
-# q_graph_jaccard_neighbors, q_mix_contamination_matrix,
-# q_mix_dsir_weights, q_mix_kl_divergence, q_mix_unigram_cross_entropy,
-# q_multimodal_audio_rms_gain, q_multimodal_image_colorfulness,
-# q_multimodal_image_edges, q_multimodal_image_entropy,
-# q_privacy_dp_median, q_privacy_dp_sum_clamped,
-# q_privacy_kanon_generalize, q_privacy_t_closeness,
-# q_sessions_bounce_rate, q_stats_correlation_matrix,
-# q_text_rake_keywords, q_text_readability, q_text_sentence_stats,
-# q_text_zipf_fit, q_window_ratio_to_report,
+# q10_returned_items, q14_promo_revenue, q_ann_hard_negatives,
+# q_ann_ivf_cell_balance, q_dedup_rate_by_source, q_dedup_split_leakage,
+# q_dedup_threshold_sweep, q_doc_length_histogram, q_embedding_gram_matrix,
+# q_embedding_label_conflicts, q_events_funnel, q_events_json,
+# q_events_retention, q_events_transitions, q_format_roundtrip_json,
+# q_grouping_sets, q_join_anti, q_join_full_outer,
+# q_knn_bruteforce_cogrouped, q_knn_bruteforce_numpy, q_mix_epoch_audit,
+# q_multimodal_audio_clipping, q_multimodal_audio_stats,
+# q_multimodal_image_blur, q_multimodal_video_stats, q_orderby_limit,
+# q_partitioned_write_prune, q_profile_table_stats,
+# q_quality_dup_interaction, q_quality_yield_curve, q_scalar_array,
+# q_scalar_date, q_scalar_levenshtein, q_split_train_val_test,
+# q_stream_session, q_string_agg_ordered, q_text_bpe_fertility_by_lang,
+# q_text_gopher_rules, q_text_heaps_law, q_text_lang_id, q_text_langid_kappa,
+# q_text_normalize, q_text_oov_rate, q_text_token_stats, q_text_zipf_slope,
+# q_window_analytics, q_window_range_frame, q_window_rank, q_window_running,
+# q_window_topk_per_group,
 # Queries not listed here follow in module-registration order.
 _PRIORITY = [
-    # --- the whole r9 cohort, alphabetical (50; zero r15 registrations) ---
-    "q12_priority_lines",
-    "q_agg_distinct",
-    "q_agg_gini_customer_revenue",
-    "q_ann_pq",
-    "q_ann_pq_rerank",
-    "q_approx_distinct_sketch",
-    "q_audit_referential_orphans",
-    "q_bucketed_join_copartitioned",
-    "q_cdc_merge_upsert",
-    "q_dedup_keep_longest",
-    "q_embedding_matryoshka_quality",
-    "q_events_autocorrelation",
-    "q_events_token_bucket",
-    "q_events_user_streaks",
-    "q_graph_kcore2",
-    "q_graph_lpa_communities",
-    "q_mix_budget_solver",
-    "q_multimodal_audio_decimate",
-    "q_multimodal_audio_flatness",
-    "q_multimodal_audio_zcr",
-    "q_multimodal_image_grayscale",
-    "q_privacy_dp_heavy_hitters",
-    "q_profile_heavy_hitters",
-    "q_regress_two_features",
-    "q_sample_weighted_stratified",
-    "q_sessions_overlap_counts",
-    "q_sketch_hll_partitioned_union",
-    "q_stream_dedup_replayed",
-    "q_stream_interval_join",
-    "q_stream_interval_join_outer",
-    "q_stream_lateness_audit",
-    "q_stream_sliding",
-    "q_stream_tumbling",
-    "q_subquery_in",
-    "q_text_bigrams_top",
-    "q_text_bpe_train_k4",
-    "q_text_charset_profile",
-    "q_text_fingerprint",
-    "q_text_pmi_collocations",
-    "q_text_quality",
-    "q_text_repetition",
-    "q_text_rerank_edit",
-    "q_text_tfidf_top_terms",
-    "q_text_unigram_logprob",
-    "q_time_rollup",
-    "q_token_count_bpe",
-    "q_udf_grouped_agg_pandas",
-    "q_udf_grouped_map_zscore",
-    "q_udf_scalar_pandas",
-    "q_unpivot_lineitem_metrics",
+    # --- the whole r10 cohort, alphabetical (50; zero r16 registrations) ---
+    "q_agg_theil_nation_revenue",
+    "q_agg_trimmed_mean",
+    "q_ann_ivf_incremental",
+    "q_ann_mmr_diversify",
+    "q_audit_benford_totalprice",
+    "q_correlated_exists",
+    "q_cube",
+    "q_dedup_boilerplate_chunks",
+    "q_dedup_clusters_k3",
+    "q_dedup_incremental_ingest",
+    "q_dedup_minhash_lsh",
+    "q_dedup_paragraph_pairs",
+    "q_dedup_winnow_pairs",
+    "q_embedding_centroid_silhouette",
+    "q_embedding_dim_stats",
+    "q_embedding_kcenter_seeds",
+    "q_embedding_label_outliers",
+    "q_embedding_quantize_error",
+    "q_events_burst_hours",
+    "q_events_cohort_retention",
+    "q_events_cusum_drift",
+    "q_events_kendall_tau",
+    "q_events_markov_transitions",
+    "q_events_seasonality_strength",
+    "q_events_theil_sen",
+    "q_format_schema_evolution",
+    "q_graph_adamic_adar",
+    "q_graph_bfs_khop",
+    "q_graph_degree_assortativity",
+    "q_graph_hits",
+    "q_graph_jaccard_neighbors",
+    "q_mix_contamination_matrix",
+    "q_mix_dsir_weights",
+    "q_mix_kl_divergence",
+    "q_mix_unigram_cross_entropy",
+    "q_multimodal_audio_rms_gain",
+    "q_multimodal_image_colorfulness",
+    "q_multimodal_image_edges",
+    "q_multimodal_image_entropy",
+    "q_privacy_dp_median",
+    "q_privacy_dp_sum_clamped",
+    "q_privacy_kanon_generalize",
+    "q_privacy_t_closeness",
+    "q_sessions_bounce_rate",
+    "q_stats_correlation_matrix",
+    "q_text_rake_keywords",
+    "q_text_readability",
+    "q_text_sentence_stats",
+    "q_text_zipf_fit",
+    "q_window_ratio_to_report",
 ]
 
 
