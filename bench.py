@@ -71,6 +71,14 @@ HOST_BAND_REFERENCE = {
     "minhash_pairs_shared": 3.123,
     "copurchase_adj_shared": 1.339,
     "contamination_hits_shared": 2.585,
+    # Python-worker probe (r16, VERDICT r15 item 3): quiet-host
+    # calibration reps on the builder host class.  cold includes the
+    # per-core worker fork + numpy/pandas import; warm is the reused
+    # pool.  Only the WARM ratio gates the band (sustained Python-side
+    # contention); the cold ratio is reported for the reclaimed-pool
+    # signature.
+    "python_probe_cold_sec": 3.18,
+    "python_probe_warm_sec": 0.47,
 }
 
 # ADVICE r12: HOST_BAND_REFERENCE absorbs the current code's build
@@ -90,16 +98,33 @@ HOST_BAND_ANCHOR = {
     "minhash_pairs_shared": 3.236,
     "copurchase_adj_shared": 1.196,
     "contamination_hits_shared": 2.739,
+    # new in r16, anchored at the first committed in-band values (the
+    # quiet-host calibration reps; the contamination-kernel precedent)
+    "python_probe_cold_sec": 3.18,
+    "python_probe_warm_sec": 0.47,
 }
 
 
 def host_band_signal(sink: dict, eager_build: dict,
-                     calibrated: bool = True) -> dict:
+                     calibrated: bool = True,
+                     python_probe: dict | None = None) -> dict:
     """Contention self-identification: measured/reference ratios for the
     host probes, plus the resulting band verdict.  ``calibrated=False``
     (non-reference sf/cpus) still emits the ratios but labels the band
     ``uncalibrated`` — the references only mean something at the
-    committed configuration (sf0.1, local[32])."""
+    committed configuration (sf0.1, local[32]).
+
+    ``python_probe`` (r16, VERDICT r15 item 3): the JVM kernel probes
+    are blind to PYTHON-side contention — the r15 driver bench read
+    in-band on every JVM probe while the four Python-kernel families
+    (ann/knn/doc/er: Arrow+numpy mapInPandas legs) ran 1.7-3.2x the
+    committed local closing run and every JVM-side family matched
+    within ~15%.  The probe's WARM ratio > 2.0 now labels such a
+    window ``contended-python`` (JVM probes clean, Python pool
+    degraded); the COLD ratio is reported alongside so a
+    reclaimed-pool window (fork + numpy import landing inside timed
+    legs, ~2.7 s/pool on the reference host) is distinguishable from
+    sustained interpreter contention."""
     kernel_ratios = {
         k: round(eager_build[k] / HOST_BAND_REFERENCE[k], 2)
         for k in ("semantic_edges_shared", "minhash_pairs_shared",
@@ -117,6 +142,25 @@ def host_band_signal(sink: dict, eager_build: dict,
     sink_ratio = round(
         sink["naive_sec"] / HOST_BAND_REFERENCE["naive_sec"], 2
     )
+    python_warm_ratio = python_cold_ratio = None
+    if python_probe:
+        python_warm_ratio = round(
+            python_probe["python_probe_warm_sec"]
+            / HOST_BAND_REFERENCE["python_probe_warm_sec"], 2
+        )
+        python_cold_ratio = round(
+            python_probe["python_probe_cold_sec"]
+            / HOST_BAND_REFERENCE["python_probe_cold_sec"], 2
+        )
+    band = (
+        "uncalibrated"
+        if not calibrated
+        else "contended"
+        if worst_kernel > 2.0 or sink_ratio > 1.3
+        else "contended-python"
+        if python_warm_ratio is not None and python_warm_ratio > 2.0
+        else "in-band"
+    )
     return {
         "sink_leg_ratio": sink_ratio,
         "kernel_build_ratios": kernel_ratios,
@@ -125,15 +169,51 @@ def host_band_signal(sink: dict, eager_build: dict,
             sink["naive_sec"] / HOST_BAND_ANCHOR["naive_sec"], 2
         ),
         "worst_kernel_build_ratio": worst_kernel,
-        "band": (
-            "uncalibrated"
-            if not calibrated
-            else "contended"
-            if worst_kernel > 2.0 or sink_ratio > 1.3
-            else "in-band"
-        ),
+        "python_kernel_ratio": python_warm_ratio,
+        "python_kernel_cold_ratio": python_cold_ratio,
+        "band": band,
         "reference": "BENCH_LOCAL_r12_QUIET.json closing run; thresholds in BASELINE.md",
     }
+
+
+def python_worker_probe(spark) -> dict:
+    """Fixed-size Arrow+numpy mapInPandas host probe (r16, VERDICT r15
+    item 3).  ``spark.range`` feeds one numpy fold per core — no IO, no
+    shuffle, no engine code — so the timing isolates the Python worker
+    path: Arrow transfer + interpreter + numpy, exactly the machinery
+    the ann/knn/doc/er headline legs run on.  Called once on a COLD
+    pool right after the JVM warmup (before any other Python leg), so
+    ``cold`` captures the per-core worker fork + numpy/pandas import
+    (~2.7 s on the reference host) and ``warm`` (best of two reps on
+    the reused pool) captures sustained interpreter throughput.  As a
+    side effect the Python pool is warm before the scaling/headline
+    sections — first-use cost can no longer land inside any timed leg
+    (the JVM warmup has prevented the JVM twin of this since r6)."""
+    import numpy as np  # noqa: F401 — imported here to mirror leg cost
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import functions as _F
+
+    def fold(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        acc = 0
+        for pdf in batches:
+            x = pdf["id"].to_numpy(dtype=_np.int64)
+            acc += int(((x * x) % 1000003).sum())
+        yield _pd.DataFrame({"acc": [acc]})
+
+    def one() -> float:
+        t0 = time.monotonic()
+        spark.range(0, 2_000_000, 1, int(CPUS)).mapInPandas(
+            fold, "acc long"
+        ).agg(_F.sum("acc")).collect()
+        return round(time.monotonic() - t0, 3)
+
+    cold = one()
+    warm = min(one(), one())
+    return {"python_probe_cold_sec": cold, "python_probe_warm_sec": warm}
 
 # Representative slice of the registry: TPC-H-style relational core,
 # windows, text analysis, dedup (exact + all three near-dup families),
@@ -745,6 +825,11 @@ def main() -> None:
     )
     spark.catalog.clearCache()
 
+    # Python-pool probe + warmup (r16): cold/warm readings for the
+    # host-band BEFORE any other Python leg runs — see
+    # python_worker_probe's docstring for why this placement matters.
+    python_probe = python_worker_probe(spark)
+
     # Scaling curves run BEFORE the headline loop (VERDICT r7 item 5):
     # their protocol is fully cold anyway, and running them after 60+
     # headline queries put late-run JVM memory pressure inside the
@@ -887,6 +972,7 @@ def main() -> None:
         calibrated=(
             os.path.basename(SF_DIR.rstrip("/")) == "sf0.1" and CPUS == "32"
         ),
+        python_probe=python_probe,
     )
 
     total = round(sum(timings.values()), 3)
@@ -908,6 +994,7 @@ def main() -> None:
         # codebook-sizing counts); their "queries" entry times
         # only the post-construction action (ADVICE r7).
         "eager_build_sec": eager_build,
+        "python_probe": python_probe,
         "host_band": host_band,
         "true_total": true_total,
         # r6 protocol bump (ADVICE r5 cache-leak fix): headline
@@ -963,6 +1050,8 @@ def main() -> None:
         "host_band": {
             "sink_leg_ratio": host_band["sink_leg_ratio"],
             "worst_kernel_build_ratio": host_band["worst_kernel_build_ratio"],
+            "python_kernel_ratio": host_band["python_kernel_ratio"],
+            "python_kernel_cold_ratio": host_band["python_kernel_cold_ratio"],
             "band": host_band["band"],
         },
         "protocol": "isolated-v2",

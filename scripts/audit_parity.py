@@ -454,7 +454,9 @@ LEDGER: dict[tuple[str, str], tuple[str, str]] = {
     ("timeseries.py", "c7927c8527"): (
         "documented-float",
         "robust-scale z = (value-med)/IQR on percentile doubles; "
-        "identical IEEE; dual-SF proven",
+        "identical IEEE; dual-SF proven; boundary-proven in-repo at "
+        "exact dyadic 10^-6 halves (z = +-1/128, 3/128) by tests/"
+        "test_round16_ops.py::test_robust_scale_z_dyadic_half_boundary",
     ),
     ("timeseries.py", "4cf629152b"): (
         "documented-float",
@@ -490,11 +492,13 @@ LEDGER: dict[tuple[str, str], tuple[str, str]] = {
     ("relational.py", "687d607972"): (
         "documented-float",
         "per-row share^2*10^4 quantization: share = r/t of 6dp-grid "
-        "revenue aggregates, so an exact 10^-6 half needs the reduced "
-        "(t*10^6)^2 (~10^26+) to collapse to 2^7*5^j — requires t^2 | "
-        "2*10^10*r^2, unreachable for real revenue totals; the OUTER "
-        "round of the decimal sum IS exact (round_ratio, r15); "
-        "identical IEEE inner expression both engines",
+        "revenue aggregates; an exact 10^-6 half needs 2*10^10*R^2 = "
+        "odd*T^2, impossible by 2-adic parity (v2(lhs) = 11+2*v2(R) "
+        "is odd, v2(rhs) = 2*v2(T) is even) — UNREACHABLE for ALL "
+        "6dp-grid (r, t), not merely real totals; the OUTER round of "
+        "the decimal sum IS exact (round_ratio, r15); boundary-proven "
+        "in-repo (dyadic share^2 terms + outer 10^-2 half) by tests/"
+        "test_round16_ops.py::test_hhi_share_quantization_dyadic_boundary",
     ),
     ("text.py", "638bf8ec47"): (
         "documented-float",
@@ -506,7 +510,9 @@ LEDGER: dict[tuple[str, str], tuple[str, str]] = {
         "gap-fill linear interpolation pv + (nv-pv)*dt/DT on DATA "
         "doubles (event values) — no group-size-driven rational "
         "structure; identical IEEE expression mirrored in the oracle; "
-        "dual-SF proven",
+        "dual-SF proven; boundary-proven in-repo at exact dyadic "
+        "10^-4 halves (10 + odd/32 slots) by tests/test_round16_ops"
+        ".py::test_gapfill_interp_dyadic_half_boundary",
     ),
     ("privacy.py", "6f32dde100"): (
         "safe-bounded",

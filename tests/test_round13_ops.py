@@ -234,13 +234,16 @@ def test_host_band_anchor_column_is_permanent():
     assert hb["sink_leg_anchor_ratio"] == 1.0
     assert hb["kernel_build_anchor_ratios"] == {"semantic_edges_shared": 1.0}
     # the anchor NEVER moves: r11 closing values + the contamination
-    # kernel's first in-band r12 value, pinned by contract
+    # kernel's first in-band r12 value + the python probe's first
+    # in-band r16 calibration, pinned by contract
     assert bench.HOST_BAND_ANCHOR == {
         "naive_sec": 1.475,
         "semantic_edges_shared": 1.358,
         "minhash_pairs_shared": 3.236,
         "copurchase_adj_shared": 1.196,
         "contamination_hits_shared": 2.739,
+        "python_probe_cold_sec": 3.18,
+        "python_probe_warm_sec": 0.47,
     }
 
 

@@ -136,6 +136,244 @@ def test_audit_exits_clean_at_head():
 
 
 # ---------------------------------------------------------------------------
+# 3b. Python-worker host-band probe (VERDICT r15 item 3): the r15 driver
+#     bench read q_ann_pq at 4.16 s vs 0.50 s local while every JVM
+#     probe sat in-band — the four Python-kernel families (ann/knn/doc/
+#     er) were 1.7-3.2x inflated and the JVM anchors could not see it.
+#     The probe makes that window self-identify as "contended-python".
+# ---------------------------------------------------------------------------
+
+
+def test_host_band_python_probe_bands():
+    sys.path.insert(0, ROOT)
+    import bench
+
+    jvm_clean = {
+        "semantic_edges_shared": 1.7,
+        "minhash_pairs_shared": 3.1,
+        "copurchase_adj_shared": 1.3,
+        "contamination_hits_shared": 2.6,
+    }
+    # the r15 driver signature: JVM probes in-band, python pool 3x slow
+    hb = bench.host_band_signal(
+        {"naive_sec": 1.6},
+        jvm_clean,
+        python_probe={"python_probe_cold_sec": 9.0, "python_probe_warm_sec": 1.5},
+    )
+    assert hb["band"] == "contended-python"
+    assert hb["python_kernel_ratio"] > 2.0
+    assert hb["python_kernel_cold_ratio"] > 2.0
+    # quiet host: everything in-band
+    hb = bench.host_band_signal(
+        {"naive_sec": 1.5},
+        jvm_clean,
+        python_probe={"python_probe_cold_sec": 3.2, "python_probe_warm_sec": 0.5},
+    )
+    assert hb["band"] == "in-band"
+    # JVM contention outranks the python label (the established verdicts
+    # keep their meaning); no probe dict keeps pre-r16 behavior
+    hb = bench.host_band_signal(
+        {"naive_sec": 1.6},
+        {"minhash_pairs_shared": 27.5},
+        python_probe={"python_probe_cold_sec": 9.0, "python_probe_warm_sec": 1.5},
+    )
+    assert hb["band"] == "contended"
+    hb = bench.host_band_signal({"naive_sec": 1.5}, jvm_clean)
+    assert hb["band"] == "in-band"
+    assert hb["python_kernel_ratio"] is None
+    # uncalibrated configs stay uncalibrated regardless of the probe
+    hb = bench.host_band_signal(
+        {"naive_sec": 1.5},
+        jvm_clean,
+        calibrated=False,
+        python_probe={"python_probe_cold_sec": 9.0, "python_probe_warm_sec": 1.5},
+    )
+    assert hb["band"] == "uncalibrated"
+
+
+# ---------------------------------------------------------------------------
+# 5. Planted-boundary tests for the reachability-argument ledger rows
+#    (VERDICT r15 item 5): the three documented-float sites whose parity
+#    rested on a written argument each get an in-repo boundary proof —
+#    the r15 seasonality-dyadic / HHI-bounds precedent.
+# ---------------------------------------------------------------------------
+
+
+def _duck_views(tmp_path, *tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    return con
+
+
+def test_hhi_share_quantization_dyadic_boundary(spark, tmp_path):
+    """audit_parity ledger row relational.py/687d607972: the per-row
+    ``round(share^2 * 10^4, 6)`` stays float.  2-adic parity proof that
+    NO exact 10^-6 half is reachable for ANY 6dp-grid (r, t): a tie
+    needs 10^10*R^2/T^2 = odd/2, i.e. 2*10^10*R^2 = odd*T^2, but
+    v2(2*10^10*R^2) = 11 + 2*v2(R) is ODD while v2(odd*T^2) = 2*v2(T)
+    is EVEN — impossible.  Plant the nearest reachable boundary class
+    instead: shares 1/80 and 79/80 make both share^2*10^4 terms exact
+    DYADIC doubles (1.5625, 9751.5625) and push the OUTER exact round
+    onto a true 10^-2 half (hhi6 = 9753.125 -> 9753.13 half-away via
+    round_ratio on both engines)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_market_concentration_hhi,
+    )
+    import __spark_entry__ as entrymod
+
+    papq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2], pa.int64()),
+                "s_nationkey": pa.array([7, 7], pa.int64()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    papq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2], pa.int64()),
+                "l_suppkey": pa.array([1, 2], pa.int64()),
+                "l_extendedprice": pa.array([1.0, 79.0], pa.float64()),
+                "l_discount": pa.array([0.0, 0.0], pa.float64()),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    got = [tuple(r) for r in q_market_concentration_hhi(spark, str(tmp_path)).collect()]
+    con = _duck_views(tmp_path, "supplier", "lineitem")
+    want = [
+        tuple(r)
+        for r in con.execute(
+            entrymod.oracle_sql()["q_market_concentration_hhi"]
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want == [(7, 2, 9753.13)]
+    # the planted ground truth: dyadic-exact share^2 terms, outer half
+    assert (10000 * 1 * 1) / (80 * 80) == 1.5625
+    assert (10000 * 79 * 79) / (80 * 80) == 9751.5625
+    assert 1.5625 + 9751.5625 == 9753.125  # exact .5 at k=2
+
+
+def test_gapfill_interp_dyadic_half_boundary(spark, tmp_path):
+    """audit_parity ledger row for timeseries gap-fill interpolation:
+    ``round(pv + (nv-pv)*dt/DT, 4)`` on data doubles.  Plant a 7-slot
+    gap between hourly sums 10.00 and 10.25: every interpolated value
+    is 10 + j/32 — exact dyadic doubles whose odd-j slots sit on TRUE
+    10^-4 halves (10.03125, 10.09375, ...), the worst case for
+    round-parity.  Both engines compute the identical IEEE expression
+    and round the exact tie away from zero."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_gapfill_hourly,
+    )
+    import __spark_entry__ as entrymod
+
+    epoch = datetime.datetime(1970, 1, 1)
+    papq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([0, 1], pa.int64()),
+                "ts": pa.array(
+                    [epoch, epoch + datetime.timedelta(hours=8)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1], pa.int64()),
+                "event_type": pa.array(["dyadic", "dyadic"], pa.string()),
+                "value": pa.array([10.0, 10.25], pa.float64()),
+                "props": pa.array(["{}", "{}"], pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_events_gapfill_hourly(spark, str(tmp_path)).collect()
+    got = sorted((r["bucket"], r["filled"], r["value"]) for r in out)
+    con = _duck_views(tmp_path, "events")
+    want = sorted(
+        (r[1], r[2], r[3])
+        for r in con.execute(
+            entrymod.oracle_sql()["q_events_gapfill_hourly"]
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    filled = [v for _, f, v in got if f]
+    assert filled == [
+        10.0313, 10.0625, 10.0938, 10.125, 10.1563, 10.1875, 10.2188
+    ], "odd-j slots must round the exact dyadic half AWAY on both engines"
+    assert 10 + 1 / 32 == 10.03125  # the planted tie is an exact double
+
+
+def test_robust_scale_z_dyadic_half_boundary(spark, tmp_path):
+    """audit_parity ledger row timeseries.py/c7927c8527: robust-scale
+    ``round((value - med)/IQR, 6)`` on percentile doubles.  By the
+    round-half lemma the only SAFE reachable 10^-6 ties are dyadic
+    (reduced denominator 2^7): plant med = 0, IQR = 128 via exact
+    percentile positions (n = 13, (n-1)*q integer, no interpolation)
+    so z for values ±1 and 3 is ±1/128 and 3/128 — exact 10^-6 halves
+    as exact doubles — and prove both engines round them away from
+    zero, row-for-row."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_robust_scale,
+    )
+    import __spark_entry__ as entrymod
+
+    vals = [-40, -20, -1, 0, 0, 0, 0, 1, 3, 128, 128, 150, 200]
+    import datetime
+
+    epoch = datetime.datetime(1970, 1, 1)
+    papq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(vals)), pa.int64()),
+                "ts": pa.array(
+                    [epoch + datetime.timedelta(hours=i) for i in range(len(vals))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(vals), pa.int64()),
+                "event_type": pa.array(["b"] * len(vals), pa.string()),
+                "value": pa.array([float(v) for v in vals], pa.float64()),
+                "props": pa.array(["{}"] * len(vals), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_events_robust_scale(spark, str(tmp_path)).collect()
+    got = sorted((r["event_id"], r["value"], r["scaled"]) for r in out)
+    con = _duck_views(tmp_path, "events")
+    want = sorted(
+        (r[0], r[2], r[3])
+        for r in con.execute(
+            entrymod.oracle_sql()["q_events_robust_scale"]
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    z = {v: s for _, v, s in got}
+    # the three planted exact-dyadic 10^-6 halves, rounded away
+    assert z[-1.0] == -0.007813 and z[1.0] == 0.007813
+    assert z[3.0] == 0.023438
+    assert 1 / 128 == 0.0078125 and 3 / 128 == 0.0234375
+    # non-tie dyadic controls pass through exactly
+    assert z[-40.0] == -0.3125 and z[200.0] == 1.5625
+
+
+# ---------------------------------------------------------------------------
 # 4. vacuity gate wired into pytest (ADVICE item 4)
 # ---------------------------------------------------------------------------
 
