@@ -841,6 +841,60 @@ _JACC_ORACLE = f"""
 """
 
 
+def jaccard_stage_counts(spark: SparkSession, sf_dir: str) -> dict:
+    """Stage-count census for the Jaccard scaling leg (r16, VERDICT r15
+    item 6).  The r15 scaling profile measured candidate pairs growing
+    x100.9 on 10x data while runtime stayed postings-linear (2.7x) — a
+    fixture degree shift, argued in prose.  This census publishes the
+    counts in the bench artifact AND asserts the blocking contract
+    mechanically: distinct candidate pairs can never exceed the exact
+    sum of C(df, 2) over df-capped customers (fan-out <=
+    C(JACC_DF_MAX, 2) per customer), so a super-linear blow-up at a
+    future SF fails the bench run instead of surviving as narrative.
+
+    Stages mirror q_graph_jaccard_neighbors' own frames (same memoized
+    ``copurchase_adj``, same rare census, same candidate self-join); the
+    per-row df*(df-1) term is bounded by JACC_DF_MAX^2 = 1600, so the
+    int64 census sum holds to ~5e15 capped customers."""
+    adj = copurchase_adj(spark, sf_dir)
+    arcs = adj.count()
+    rare = (
+        adj.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= JACC_DF_MAX)
+    )
+    bound_row = rare.agg(
+        F.count(F.lit(1)).alias("rare_customers"),
+        F.sum(F.expr("df * (df - 1)")).alias("twice_bound"),
+    ).collect()[0]
+    pair_bound = int(bound_row["twice_bound"] or 0) // 2
+    rare_adj = adj.join(rare.select("c"), "c")
+    a = rare_adj.alias("a")
+    b = rare_adj.alias("b")
+    cand_n = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("s_a"), F.col("b.s").alias("s_b"))
+        .distinct()
+        .count()
+    )
+    if cand_n > pair_bound:
+        raise ValueError(
+            f"jaccard blocking contract violated at {sf_dir}: "
+            f"{cand_n} distinct candidate pairs > C(df,2) bound {pair_bound}"
+        )
+    return {
+        "adjacency_arcs": arcs,
+        "rare_customers": int(bound_row["rare_customers"]),
+        "candidate_pair_bound": pair_bound,
+        "candidate_pairs_distinct": cand_n,
+        "verified_pairs": cand_n,
+        "emitted_rows": JACC_TOP_K,
+    }
+
+
 @register("q_graph_jaccard_neighbors", oracle=_JACC_ORACLE)
 def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction by neighbor overlap: the top-{JACC_TOP_K}

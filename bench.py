@@ -836,6 +836,24 @@ def main() -> None:
     # medians (bloom's large leg measured 8.6s in-context vs 3.4s
     # isolated) — curves were measuring run context, not plans.
     scaling = scaling_bench(spark, registry)
+    # Jaccard stage-count census (r16, VERDICT r15 item 6): publish the
+    # candidate/verify counts at BOTH SFs next to the timing curve and
+    # enforce the C(df,2) blocking bound — a super-linear candidate
+    # blow-up at a future SF now fails this run (ValueError inside the
+    # census) instead of surviving as narrative.  Untimed accounting:
+    # runs outside every timed leg on the already-warm session.
+    if "q_graph_jaccard_neighbors" in scaling:
+        from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+            jaccard_stage_counts,
+        )
+
+        _jsc_small = os.path.join(
+            os.path.dirname(SF_DIR.rstrip("/")), "sf0.01"
+        )
+        scaling["q_graph_jaccard_neighbors"]["stage_counts"] = {
+            "small": jaccard_stage_counts(spark, _jsc_small),
+            "large": jaccard_stage_counts(spark, SF_DIR),
+        }
     spark.catalog.clearCache()
     try:
         spark.sparkContext._jvm.System.gc()

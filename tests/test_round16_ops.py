@@ -374,6 +374,37 @@ def test_robust_scale_z_dyadic_half_boundary(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# 6. Jaccard stage-count census (VERDICT r15 item 6)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_stage_counts_census(spark):
+    """The census mirrors the operator's own stages, enforces the
+    C(df,2) blocking bound, and is wired into the bench's scaling
+    artifact so the counts land in BENCH_LOCAL_r{N}.json."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        JACC_TOP_K,
+        jaccard_stage_counts,
+    )
+
+    sc = jaccard_stage_counts(spark, "/root/testdata/sf0.001")
+    assert set(sc) == {
+        "adjacency_arcs",
+        "rare_customers",
+        "candidate_pair_bound",
+        "candidate_pairs_distinct",
+        "verified_pairs",
+        "emitted_rows",
+    }
+    assert 0 < sc["candidate_pairs_distinct"] <= sc["candidate_pair_bound"]
+    assert sc["verified_pairs"] == sc["candidate_pairs_distinct"]
+    assert sc["emitted_rows"] == JACC_TOP_K
+    # the bench must publish the census next to the timing curve
+    src = open(os.path.join(ROOT, "bench.py")).read()
+    assert "jaccard_stage_counts" in src and '"stage_counts"' in src
+
+
+# ---------------------------------------------------------------------------
 # 4. vacuity gate wired into pytest (ADVICE item 4)
 # ---------------------------------------------------------------------------
 
