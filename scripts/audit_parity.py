@@ -381,13 +381,16 @@ LEDGER: dict[tuple[str, str], tuple[str, str]] = {
         "documented-float",
         "OLS intercept (sy - slope*sx)/n: slope is already a double "
         "ratio, so no exact integer form below DECIMAL(38); identical "
-        "IEEE expression both engines; dual-SF proven",
+        "IEEE expression both engines; dual-SF proven; exercised on a "
+        "planted exact fixture by tests/test_round16_ops.py::"
+        "test_ols_slope_dyadic_half_boundary",
     ),
     ("relational.py", "8b8bc34f58"): (
         "documented-float",
         "r^2 composite: cov^2/(var*var_y) of exact int sums read as "
         "doubles; exact form needs ~int256; identical IEEE both "
-        "engines; dual-SF proven",
+        "engines; dual-SF proven; exercised on a planted exact fixture "
+        "by tests/test_round16_ops.py::test_ols_slope_dyadic_half_boundary",
     ),
     ("relational.py", "dc0e581212"): (
         "documented-float",
@@ -449,7 +452,10 @@ LEDGER: dict[tuple[str, str], tuple[str, str]] = {
     ("timeseries.py", "49b0bc7127"): (
         "documented-float",
         "adev/mad: ratio of interpolated-median doubles (percentile "
-        "parity pinned separately); identical IEEE division + round",
+        "parity pinned separately); identical IEEE division + round; "
+        "boundary-proven in-repo at the exact dyadic 10^-6 half "
+        "385/128 by tests/test_round16_ops.py::"
+        "test_anomaly_mad_ratio_dyadic_half_boundary",
     ),
     ("timeseries.py", "c7927c8527"): (
         "documented-float",
@@ -487,7 +493,9 @@ LEDGER: dict[tuple[str, str], tuple[str, str]] = {
         "documented-float",
         "OLS slope cov_n/var_n on DECIMAL(38,0) sums read as doubles — "
         "the determinant-ratio class (see the intercept/r^2 rows); "
-        "identical IEEE both engines",
+        "identical IEEE both engines; boundary-proven in-repo at the "
+        "exact dyadic 10^-6 half slope = 1/128 by tests/"
+        "test_round16_ops.py::test_ols_slope_dyadic_half_boundary",
     ),
     ("relational.py", "687d607972"): (
         "documented-float",

@@ -373,6 +373,94 @@ def test_robust_scale_z_dyadic_half_boundary(spark, tmp_path):
     assert z[-40.0] == -0.3125 and z[200.0] == 1.5625
 
 
+def _events_table(tmp_path, rows):
+    """rows: list of (event_type, hour, value) — minimal events fixture."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    epoch = datetime.datetime(1970, 1, 1)
+    papq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array(
+                    [epoch + datetime.timedelta(hours=h) for _, h, _ in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array([t for t, _, _ in rows], pa.string()),
+                "value": pa.array([float(v) for _, _, v in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+
+
+def test_anomaly_mad_ratio_dyadic_half_boundary(spark, tmp_path):
+    """audit_parity ledger row timeseries.py/49b0bc7127: anomaly
+    ``round(adev/mad, 6)`` on interpolated-median doubles.  Plant
+    med = 0, mad = 128 (odd n, exact order statistics) and one outlier
+    at 385 so the emitted dev_ratio is 385/128 = 3.0078125 — an exact
+    dyadic 10^-6 half — and prove both engines round it away."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.timeseries import (
+        q_events_anomaly_mad,
+    )
+    import __spark_entry__ as entrymod
+
+    vals = [-128, 0, 0, 128, 385]
+    _events_table(tmp_path, [("m", i, v) for i, v in enumerate(vals)])
+    out = q_events_anomaly_mad(spark, str(tmp_path)).collect()
+    got = sorted((r["event_id"], r["value"], r["dev_ratio"]) for r in out)
+    con = _duck_views(tmp_path, "events")
+    want = sorted(
+        (r[0], r[2], r[3])
+        for r in con.execute(
+            entrymod.oracle_sql()["q_events_anomaly_mad"]
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
+    # exactly the planted outlier, with the tie rounded away
+    assert got == [(4, 385.0, 3.007813)]
+    assert 385 / 128 == 3.0078125  # the tie is an exact double
+
+
+def test_ols_slope_dyadic_half_boundary(spark, tmp_path):
+    """audit_parity ledger rows relational.py/638bf8ec47 (OLS slope
+    cov_n/var_n), 41cfcb7ff4 (intercept), 8b8bc34f58 (r^2): the
+    determinant-ratio class on DECIMAL sums read as doubles.  Plant two
+    hourly points (x in {0, 8}) with y2 - y1 = 1/16 (a 6dp-grid value)
+    so cov_n = 0.5, var_n = 64 and the slope is 1/128 = 0.0078125 — an
+    exact dyadic 10^-6 half; the intercept lands exactly 1.0 and r^2
+    runs the same composite on identical doubles."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.relational import (
+        q_regress_trend_per_type,
+    )
+    import __spark_entry__ as entrymod
+
+    _events_table(tmp_path, [("ols", 0, 1.0), ("ols", 8, 1.0625)])
+    out = q_regress_trend_per_type(spark, str(tmp_path)).collect()
+    got = [(r["event_type"], r["n"], r["slope"], r["intercept"], r["r2"]) for r in out]
+    con = _duck_views(tmp_path, "events")
+    want = [
+        tuple(r)
+        for r in con.execute(
+            entrymod.oracle_sql()["q_regress_trend_per_type"]
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want
+    (typ, n, slope, intercept, r2), = got
+    assert (typ, n) == ("ols", 2)
+    assert slope == 0.007813, "the exact dyadic half must round AWAY"
+    assert intercept == 1.0
+    assert r2 == want[0][4]
+    assert 0.5 / 64 == 0.0078125  # planted ground truth
+
+
 # ---------------------------------------------------------------------------
 # 6. Jaccard stage-count census (VERDICT r15 item 6)
 # ---------------------------------------------------------------------------
