@@ -1412,28 +1412,29 @@ _PQ_ORACLE = f"""
 """
 
 
-def _pq_units_col() -> F.Column:
-    return F.transform(
-        "embedding",
-        lambda e: F.floor(e.cast("double") * GRAM_SCALE + 0.5).cast("bigint"),
-    )
+def _pq_np_units(arrs):
+    """Vectorized GRAM_SCALE fixed-point quantization of a batch of raw
+    embedding arrays -> int64 [N, DIM].  floor(float64(e) * GRAM_SCALE
+    + 0.5) in numpy is the bit-identical IEEE sequence of the former
+    Catalyst projection (floor(cast(e as double) * scale + 0.5)) and of
+    the oracle's `_PQ_UNITS_SQL` — the `q_embedding_gram_matrix` kernel
+    precedent.  Moved INSIDE the Arrow kernels in r16: the per-element
+    interpreted `F.transform` lambda used to run 3x per PQ leg (scan
+    projection + seed-codebook TakeOrdered + query collect) and was the
+    variance-heavy interpreted hot path of the q_ann_pq family."""
+    import numpy as np
+
+    x = np.stack([np.asarray(e, dtype=np.float64) for e in arrs])
+    return np.floor(x * GRAM_SCALE + 0.5).astype(np.int64)
 
 
 def _pq_seed_codebook(u: DataFrame):
     """Deterministic seed codebook: the PQ_K lowest vec_ids' unit
-    subvectors, as cb[k, m, d] int64 — an O(1) collect."""
-    import numpy as np
-
+    subvectors, as cb[k, m, d] int64 — an O(1) collect (raw embeddings,
+    quantized driver-side by the same IEEE expression)."""
     cb_rows = u.orderBy("vec_id").limit(PQ_K).collect()
-    return np.array(
-        [
-            [
-                [int(r["qv"][m * PQ_SUB_D + d]) for d in range(PQ_SUB_D)]
-                for m in range(PQ_M)
-            ]
-            for r in cb_rows
-        ],
-        dtype=np.int64,
+    return _pq_np_units([r["embedding"] for r in cb_rows]).reshape(
+        PQ_K, PQ_M, PQ_SUB_D
     )
 
 
@@ -1461,9 +1462,9 @@ def _pq_lloyd_refine(u: DataFrame, cb):
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(
-                [np.asarray(e, dtype=np.int64) for e in pdf["qv"]]
-            ).reshape(len(pdf), PQ_M, PQ_SUB_D)
+            x = _pq_np_units(pdf["embedding"]).reshape(
+                len(pdf), PQ_M, PQ_SUB_D
+            )
             d_bkm = ((x[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
             codes = d_bkm.argmin(axis=1)  # first-min tie-break, as encode
             s = np.zeros((PQ_M, PQ_K, PQ_SUB_D), dtype=np.int64)
@@ -1490,7 +1491,7 @@ def _pq_lloyd_refine(u: DataFrame, cb):
             )
 
     agg = (
-        u.select("qv")
+        u.select("embedding")
         .mapInPandas(partials, schema="m int, c int, d int, s long, n long")
         .groupBy("m", "c", "d")
         .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
@@ -1544,7 +1545,7 @@ def pq_trained_codebook(spark: SparkSession, sf_dir: str):
         del _PQ_CB_CACHE[k]
     while len(_PQ_CB_CACHE) >= _PQ_CB_MAX:
         del _PQ_CB_CACHE[next(iter(_PQ_CB_CACHE))]
-    u = _vecs(spark, sf_dir).select("vec_id", _pq_units_col().alias("qv"))
+    u = _vecs(spark, sf_dir).select("vec_id", "embedding")
     cb = _pq_lloyd_refine(u, _pq_seed_codebook(u))
     _PQ_CB_CACHE[key] = cb
     return cb
@@ -1557,10 +1558,13 @@ def clear_pq_codebook_cache() -> None:
 
 
 def _pq_adc_scored(spark: SparkSession, sf_dir: str, trained: bool = False):
-    """Shared PQ machinery: returns (units frame, ADC-scored pairs).
+    """Shared PQ machinery: returns (vector frame, ADC-scored pairs).
 
-    One Arrow-batched numpy kernel does encode + ADC + per-batch top-k
-    pruning in a single zero-shuffle pass over the corpus scan (the
+    One Arrow-batched numpy kernel does quantize + encode + ADC +
+    per-batch top-k pruning in a single zero-shuffle pass over the
+    corpus scan (the GRAM_SCALE quantization moved from an interpreted
+    per-element Catalyst ``transform`` into the kernel in r16 — see
+    ``_pq_np_units``; the
     ``q_embedding_gram_matrix`` pattern — VERDICT r4 flagged the former
     Catalyst expression-tree version as the slowest headline query; the
     kernel replaces per-row `F.aggregate` interpretation with three
@@ -1585,7 +1589,7 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, trained: bool = False):
     import numpy as np
     import pandas as pd
 
-    u = _vecs(spark, sf_dir).select("vec_id", _pq_units_col().alias("qv"))
+    u = _vecs(spark, sf_dir).select("vec_id", "embedding")
     # trained path reads the session-memoized codebook (retrains only on
     # a cold cache); the seed path stays an O(1) collect
     cb = pq_trained_codebook(spark, sf_dir) if trained else _pq_seed_codebook(u)
@@ -1596,7 +1600,7 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, trained: bool = False):
         .collect()
     )  # bounded query set — the documented N_QUERIES limitation
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
-    qmat = np.array([r["qv"] for r in q_rows], dtype=np.int64).reshape(
+    qmat = _pq_np_units([r["embedding"] for r in q_rows]).reshape(
         len(q_rows), PQ_M, PQ_SUB_D
     )
     # The ADC trick: precompute PER QUERY the PQ_M x PQ_K table of
@@ -1617,9 +1621,9 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, trained: bool = False):
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            x = np.stack(
-                [np.asarray(e, dtype=np.int64) for e in pdf["qv"]]
-            ).reshape(len(pdf), PQ_M, PQ_SUB_D)
+            x = _pq_np_units(pdf["embedding"]).reshape(
+                len(pdf), PQ_M, PQ_SUB_D
+            )
             # encode: nearest codeword per subspace; np.argmin returns
             # the FIRST minimum — lowest codeword id on ties, matching
             # the oracle's row_number() ORDER BY dist, c.

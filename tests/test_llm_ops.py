@@ -602,7 +602,6 @@ def test_pq_training_improves_recall(spark):
         QUERIES,
         _pq_lloyd_refine,
         _pq_seed_codebook,
-        _pq_units_col,
         _vecs,
     )
 
@@ -626,7 +625,7 @@ def test_pq_training_improves_recall(spark):
             f"recall@K regression: {method} = {recall[method][1]} < {floor}"
         )
 
-    u = _vecs(spark, sf).select("vec_id", _pq_units_col().alias("qv"))
+    u = _vecs(spark, sf).select("vec_id", "embedding")
     seed = _pq_seed_codebook(u)
     refined = _pq_lloyd_refine(u, seed)
     assert refined.shape == seed.shape
@@ -657,8 +656,10 @@ def test_pq_lloyd_refine_keeps_negative_sum_cells(spark):
     for k in range(1, PQ_K):
         cb[k] = 100 * k
     dim = PQ_M * PQ_SUB_D
+    # raw embedding -0.0001 quantizes to floor(-1 + 0.5) = -1 per dim
+    # (the kernel quantizes raw embeddings since r16 — _pq_np_units)
     u = spark.createDataFrame(
-        [(0, [-1] * dim)], "vec_id long, qv array<long>"
+        [(0, [-0.0001] * dim)], "vec_id long, embedding array<double>"
     )
     refined = _pq_lloyd_refine(u, cb)
     # Cluster 0's mean over its one member is exactly -1 on every dim;

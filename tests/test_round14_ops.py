@@ -367,7 +367,6 @@ def test_pq_trained_codebook_memoized_per_session_and_fixture(spark):
 
     from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
         _pq_seed_codebook,
-        _pq_units_col,
         _vecs,
         clear_pq_codebook_cache,
         pq_trained_codebook,
@@ -381,6 +380,6 @@ def test_pq_trained_codebook_memoized_per_session_and_fixture(spark):
     clear_pq_codebook_cache()
     cb3 = pq_trained_codebook(spark, sf)
     assert cb3 is not cb1 and np.array_equal(cb3, cb1)  # cold rebuild agrees
-    u = _vecs(spark, sf).select("vec_id", _pq_units_col().alias("qv"))
+    u = _vecs(spark, sf).select("vec_id", "embedding")
     assert not np.array_equal(cb1, _pq_seed_codebook(u))
     clear_pq_codebook_cache()
