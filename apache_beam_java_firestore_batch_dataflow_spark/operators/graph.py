@@ -748,24 +748,28 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         `join_on` (src for hub→authority, dst for authority→hub),
         sum per receiver, L1-renormalize via a one-row broadcast.
 
-        The normalizer is NOT a second pass over `raw` (that would
-        re-run the arc join — the consumed-twice lineage gotcha):
-        Σ_recv raw = Σ_arcs score(sender) = Σ_nodes score·outdeg,
-        an exact-integer identity, so the total comes from the
-        O(nodes) score frame joined to the degree table instead."""
+        r16 lineage fix: each half-round consumes the previous round's
+        scores TWICE (the raw push and the normalizer), so an
+        un-truncated plan doubles the whole history subtree per
+        half-round — the final 2-round plan carried 412 Exchange nodes
+        (committed in plans/r16/) and planning/scheduling dominated the
+        leg.  The O(nodes) ``raw`` frame now localCheckpoints (the same
+        truncation discipline pagerank/triangles already use; exact
+        integer values, so results are bit-identical), which ALSO lets
+        the normalizer be the oracle's own Σraw one-row aggregate over
+        the checkpointed frame instead of the former score·outdeg
+        identity join against the degree table (that join existed only
+        to avoid consuming un-materialized lineage twice)."""
         recv = "dst" if join_on == "src" else "src"
         raw = (
             e.join(scores, F.col(join_on) == scores.node)
             .groupBy(F.col(recv).alias("node"))
             .agg(F.sum(col).alias("raw"))
-        )
-        s = (
-            scores.join(deg[join_on], "node")
-            # DECIMAL(38,0) accumulator (r14 overflow audit): Σ score·deg
-            # ≤ HITS_SCALE·Σdeg = HITS_SCALE·|edges| outgrows int64 near
-            # ~9e12 edges; the rescale quotient still fits bigint
-            .agg(F.sum(F.col(col).cast("decimal(38,0)") * F.col("deg")).alias("s"))
-        )
+        ).localCheckpoint(eager=True)
+        # DECIMAL(38,0) accumulator (r14 overflow audit): Σraw ≤
+        # HITS_SCALE·|nodes| here, but keep the wide type so the rescale
+        # product raw*SCALE never outgrows int64 at any node count
+        s = raw.agg(F.sum(F.col("raw").cast("decimal(38,0)")).alias("s"))
         return raw.join(F.broadcast(s)).select(
             "node",
             F.expr(

@@ -87,10 +87,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical map-side-combine shape; at 100 TB the shuffle carries only
     |groups| rows per task.
     """
+    from ..sources.tables import spread_scan
+
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # r16: the 8-aggregate decimal partial runs inside the scan stage; on
+    # an unsplittable input that is ONE task.  Spread the filtered rows
+    # (filter stays below, so the pushdown is untouched) when the scan
+    # has fewer data-bearing splits than cores; no-op at scale.
+    # Measured at sf0.1: 1.57 s -> 0.73 s.
+    filtered = spread_scan(
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        ),
+        spark, sf_dir, "lineitem", key="l_orderkey",
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        filtered
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             stable_sum(F.col("l_quantity"), "sum_qty"),
@@ -1123,9 +1136,25 @@ def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRUE for any sane HLL implementation).
     """
     o = _t(spark, sf_dir, "orders")
-    agg = o.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_exact"),
-        F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias("n_sketch"),
+    # Two-level aggregation (r16): computing countDistinct and the HLL++
+    # sketch in ONE agg makes Catalyst's distinct rewrite evaluate
+    # partial_approx_count_distinct keyed by (priority, custkey) — at
+    # rsd=1% that is a 1639-word (13 KB) sketch buffer PER DISTINCT KEY
+    # built, shuffled and merged (measured: ~2 GB of aggregate state at
+    # sf0.1; the exact pathology the docstring warns about, inflicted by
+    # the plan itself).  Dedup first (narrow 16-byte rows through the
+    # exchange), then count + sketch the distinct keys: HLL registers
+    # are max-of-hashes, insensitive to duplicates, so the sketch over
+    # the deduped keys is the identical sketch — and the second partial
+    # keeps ONE 13 KB buffer per task, not per key.
+    agg = (
+        o.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias("n_sketch"),
+        )
     )
     ok = (
         F.abs(F.col("n_sketch") - F.col("n_exact"))
@@ -1651,12 +1680,24 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact percentile interpolates identically to DuckDB's
     quantile_cont, and boundary comparisons are the same IEEE doubles
     on both engines, so bucket membership is deterministic."""
-    orders = _t(spark, sf_dir, "orders").select("o_totalprice")
-    cuts = orders.agg(
-        *[
-            F.expr(f"percentile(o_totalprice, {c})").alias(f"c{i}")
-            for i, c in enumerate(_hist_cuts)
-        ]
+    from ..sources.tables import spread_scan
+
+    orders = spread_scan(
+        _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey"),
+        spark, sf_dir, "orders", key="o_orderkey",
+    ).select("o_totalprice")
+    # ONE percentile aggregate over the percentage ARRAY (r16): the
+    # former nine scalar percentile() calls each kept their OWN
+    # value-census buffer in the partial aggregate — nine copies of the
+    # identical (value -> count) map built, serialized and merged per
+    # task.  The array form builds the census once and interpolates all
+    # nine cuts from it; element i is the identical double (same
+    # Percentile evaluator, same interpolation), re-proven against the
+    # DuckDB oracle.  spread_scan above parallelizes the census build on
+    # unsplittable inputs (no-op at scale).
+    cuts_arr = f"percentile(o_totalprice, array({', '.join(str(c) for c in _hist_cuts)}))"
+    cuts = orders.agg(F.expr(cuts_arr).alias("cs")).select(
+        *[F.col("cs")[i].alias(f"c{i}") for i in range(len(_hist_cuts))]
     )
     bucket = F.lit(1)
     for i in range(len(_hist_cuts)):

@@ -1621,45 +1621,84 @@ def q_events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The clamp (``min(cap, ...)``) makes each step a NON-LINEAR function
     of the previous state — not expressible as any window/prefix
-    aggregate (the EWMA linear-fold trick does not apply), so this is
-    the honest `applyInPandas` case: one shuffle on user_id, a
-    per-group sequential kernel whose state is two integers, group
-    size bounded by one user's history (the sessionize bound).  The
-    DuckDB oracle replays the identical recursion as a recursive CTE
-    (the engine-parity rule for coupled folds); all arithmetic is
-    integer micro-tokens, so the 10k-step trajectory is bit-exact."""
+    aggregate (the EWMA linear-fold trick does not apply), so the fold
+    runs in Python: one shuffle keyed on user_id, a per-user sequential
+    kernel whose state is two integers, group size bounded by one
+    user's history (the sessionize bound).  r16 boundary fix (guide-of-
+    record: per-group grouped-map overhead is per-GROUP, not per-row):
+    the former ``groupBy(user_id).applyInPandas`` paid ~3 ms of Arrow
+    framing per user (measured: a 1500-group identity grouped-map costs
+    4.25 s at sf0.1) and let AQE coalesce the 2.4 MB exchange to ~1
+    task — sizing a PYTHON stage by bytes when its cost is per-row.
+    Now: ONE explicit hash repartition on user_id (the same single
+    shuffle the groupBy planned, partition count pinned so byte-based
+    coalescing cannot serialize the interpreter work) and ONE
+    mapInPandas over each partition, folding every complete user group
+    inside the task (hash partitioning guarantees group completeness).
+    The recursion itself is unchanged, exact int64 micro-token
+    arithmetic on Python ints.  The DuckDB oracle replays the identical
+    recursion as a recursive CTE (the engine-parity rule for coupled
+    folds); the trajectory stays bit-exact."""
+    from collections.abc import Iterator
+
     import pandas as pd
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", epoch_us("ts").alias("t")
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["t", "event_id"])
+    def fold_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        # One partition = many complete user groups (hash-partitioned);
+        # a user's rows can span Arrow batches, so concatenate the
+        # task's batches (bounded by the task's shuffle input — the
+        # same order of memory the sort/agg machinery holds) and walk
+        # users in sorted order.
+        pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+            ["user_id", "t", "event_id"]
+        )
+        users = pdf["user_id"].to_numpy()
+        ts = pdf["t"].tolist()  # Python ints: exact int64 arithmetic
+        n = len(ts)
+        allowed = [False] * n
+        after = [0] * n
+        prev_user = None
         tokens = TB_CAP_UT
-        allowed = []
-        after = []
-        prev_t = None
-        for t in pdf["t"]:
-            if prev_t is not None:
+        prev_t = 0
+        for i in range(n):
+            u = users[i]
+            t = ts[i]
+            if u != prev_user:
+                tokens = TB_CAP_UT
+                prev_user = u
+            else:
                 tokens = min(TB_CAP_UT, tokens + (t - prev_t) // 60)
             ok = tokens >= TB_COST_UT
             if ok:
                 tokens -= TB_COST_UT
-            allowed.append(ok)
-            after.append(tokens)
+            allowed[i] = ok
+            after[i] = tokens
             prev_t = t
-        return pd.DataFrame(
+        yield pd.DataFrame(
             {
-                "user_id": pdf["user_id"],
-                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
                 "allowed": allowed,
                 "tokens_after_ut": after,
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
-        kernel,
+    # Partition count: the session's configured shuffle width (the
+    # deployment-scaled knob; local default = core count) — pinned
+    # explicitly so AQE's byte-based coalescing cannot shrink it.
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions",
+                       str(spark.sparkContext.defaultParallelism))
+    )
+    return ev.repartition(n_parts, "user_id").mapInPandas(
+        fold_partition,
         schema="user_id long, event_id long, allowed boolean, tokens_after_ut long",
     )
 

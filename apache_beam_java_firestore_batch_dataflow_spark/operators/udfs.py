@@ -139,7 +139,19 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 )
 def q_udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "value")
-    return events.groupBy("user_id").applyInPandas(
+    # r16: pin the grouped-map's exchange width explicitly.  AQE sizes
+    # post-shuffle partitions by BYTES; a Python grouped-map stage's
+    # cost is per group/row, so letting the (tiny-bytes) exchange
+    # coalesce serializes the interpreter work onto ~1 task (measured
+    # at sf0.1: 4.25 s -> 1.36 s with the same applyInPandas kernel).
+    # The repartition IS the shuffle the groupBy would have planned —
+    # same key, no extra exchange — and the query stays the registered
+    # grouped-map (FlatMapGroupsInPandas) API-tier proof.
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions",
+                       str(spark.sparkContext.defaultParallelism))
+    )
+    return events.repartition(n_parts, "user_id").groupBy("user_id").applyInPandas(
         _zscore_group, schema="user_id long, event_id long, z double"
     )
 

@@ -53,6 +53,62 @@ def fixture_fingerprint(sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> st
     return repr(parts)
 
 
+_SPLIT_CACHE: dict[tuple, int] = {}
+
+
+def scan_data_splits(sf_dir: str, name: str) -> int:
+    """Number of parquet ROW GROUPS across the table's files — the upper
+    bound on scan tasks that can actually produce rows.  A row group is
+    parquet's split atom: Spark may cut a file into more byte-range
+    splits, but every split that does not contain a row-group start
+    yields an EMPTY task, so ``getNumPartitions()`` over-reports the
+    scan's real parallelism (the driver fixtures are one file of one
+    row group per table — the whole map side of every query runs as ONE
+    task no matter the split count).  Footer-only reads, cached by
+    (path, mtime, size) like ``fixture_fingerprint``."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    files = (
+        [os.path.join(path, e) for e in sorted(os.listdir(path))
+         if e.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    total = 0
+    for f in files:
+        st = os.stat(f)
+        key = (f, st.st_mtime_ns, st.st_size)
+        if key not in _SPLIT_CACHE:
+            _SPLIT_CACHE[key] = pq.ParquetFile(f).metadata.num_row_groups
+        total += _SPLIT_CACHE[key]
+    return total
+
+
+def spread_scan(
+    df: DataFrame, spark: SparkSession, sf_dir: str, name: str,
+    key: str | None = None,
+) -> DataFrame:
+    """Scale-adaptive unsplittable-input rule: when the table's scan can
+    produce rows in FEWER tasks than the session has cores (single file,
+    single row group — the driver-fixture layout, or any 'one huge
+    unsplittable file' input), repartition right after the read so the
+    map-side work actually parallelizes; when the scan already has at
+    least ``defaultParallelism`` data-bearing splits (any real at-scale
+    layout), this is a NO-OP — the plan gains no exchange and predicate
+    pushdown/codegen are untouched.
+
+    Callers apply it AFTER their pushable filters and narrow projection,
+    so the conditional exchange carries only the columns the downstream
+    kernel needs.  ``key`` (a unique/high-cardinality column) selects
+    hash partitioning — deterministic and free of round-robin's
+    sort-before-repartition pass; omit it for round-robin."""
+    cores = spark.sparkContext.defaultParallelism
+    if scan_data_splits(sf_dir, name) >= cores:
+        return df
+    return df.repartition(cores, key) if key else df.repartition(cores)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table.
 

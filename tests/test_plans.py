@@ -332,15 +332,23 @@ def test_bounded_label_prop_single_plan_all_keyed(spark, sf_dir):
 
 
 def test_winnow_fingerprints_zero_shuffle(spark, sf_dir):
-    """Winnowing is in-row higher-order functions over the scan: zero
-    exchanges, zero Python UDF nodes — a pure map stage at any scale."""
+    """Winnowing is in-row higher-order functions: zero Python UDF
+    nodes, and the ONLY exchange allowed is the r16 unsplittable-input
+    spread (scan has fewer row groups than cores -> repartition of the
+    narrow (doc_id, t) projection; a no-op at any real corpus layout,
+    so the kernel stays a pure map stage at scale).  The exchange must
+    be the spread's hash repartition, never a keyed aggregation/join
+    shuffle of the fingerprint stream."""
     from apache_beam_java_firestore_batch_dataflow_spark.operators import text as text_ops
     from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
 
     df = text_ops.QUERIES["q_text_winnow_fingerprints"](spark, sf_dir)
-    assert num_shuffles(df) == 0
+    assert num_shuffles(df) <= 1
     txt = plan_text(df)
     assert "BatchEvalPython" not in txt and "ArrowEvalPython" not in txt
+    # no aggregation/join below or above the kernel — the one exchange
+    # (when present) repartitions rows, it does not re-key them
+    assert "HashAggregate" not in txt and "Join" not in txt
 
 
 def test_mrl_truncate_zero_shuffle(spark, sf_dir):
