@@ -1989,10 +1989,16 @@ def _contam_gram_streams(
     map-side inside the scan stage; the ``bloom_build`` bit_or collect
     runs once per session, not per construction)."""
     from ..functions.bloom import bloom_build, bloom_member
-    from ..sources.tables import fixture_fingerprint
+    from ..sources.tables import fixture_fingerprint, spread_scan
     from .text import tokens_col
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r16: the 13-gram build + Bloom probe are fused into the scan
+    # stage; spread the narrow (doc_id, text) projection when the scan
+    # is unsplittable (no-op at scale).
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark, sf_dir, "documents", key="doc_id",
+    )
     tokd = docs.select(
         "doc_id",
         split_col(F.col("doc_id")).alias("split"),

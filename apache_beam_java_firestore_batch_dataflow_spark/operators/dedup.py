@@ -262,7 +262,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-join verification on *candidates only*.  No stage touches the
     n² pair space; every join is a hash shuffle on a high-cardinality key.
     """
-    docs = _docs(spark, sf_dir)
+    from ..sources.tables import spread_scan
+
+    # r16: spread the narrow (doc_id, text) projection when the scan is
+    # unsplittable (no-op at scale) — tokenize+shingle, the persisted
+    # gset blocks, and the signature md5 hashing above them otherwise
+    # all run in ONE scan task.
+    docs = spread_scan(
+        _docs(spark, sf_dir).select("doc_id", "text"), spark, sf_dir,
+        "documents", key="doc_id",
+    )
     # The per-doc shingle SET (one array row per doc, built with zero
     # shuffles) feeds three consumers: the signature explode and both
     # sides of candidate verification.  Persist it so tokenization runs
@@ -826,9 +835,18 @@ def _ngram_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-gram postings candidates, in-row array-intersect verification.
     Returns (doc_a, doc_b, n_common, n_g_a, n_g_b) — Jaccard and
     containment are different FILTERS over the same verified frame."""
+    from ..sources.tables import spread_scan
+
     docs = _docs(spark, sf_dir)
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    d = docs.select("doc_id", norm.alias("norm"))
+    # r16: the gram build below is a heavy per-row kernel fused into the
+    # scan stage; spread the narrow (doc_id, norm) projection when the
+    # scan is unsplittable (no-op at scale), so the gram build AND the
+    # persisted gset blocks (three downstream consumers) are parallel.
+    d = spread_scan(
+        docs.select("doc_id", norm.alias("norm")), spark, sf_dir,
+        "documents", key="doc_id",
+    )
     # Per-doc DISTINCT gram sets computed NARROWLY (array_distinct inside
     # the row, before any explode): the set semantics the pipeline needs,
     # with zero shuffle — replacing an explode+distinct exchange of the
@@ -2118,7 +2136,17 @@ def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (doc_a, doc_b, n_spans, max_span_tokens).
     """
-    return exact_substring_pairs(_docs(spark, sf_dir))
+    from ..sources.tables import spread_scan
+
+    # r16: the postings stage (one md5 per token position over a ~300
+    # char gram string) is the suite's heaviest scan-fused kernel;
+    # spread the narrow (doc_id, text) projection when the scan is
+    # unsplittable (no-op at scale).
+    docs = spread_scan(
+        _docs(spark, sf_dir).select("doc_id", "text"), spark, sf_dir,
+        "documents", key="doc_id",
+    )
+    return exact_substring_pairs(docs)
 
 
 def exact_substring_pairs(

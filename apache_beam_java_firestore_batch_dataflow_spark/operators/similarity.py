@@ -579,7 +579,17 @@ def cosine_threshold_pairs(
     import numpy as np
     import pandas as pd
 
-    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    from ..sources.tables import spread_scan
+
+    # r16: the norm + 2x32-way block replication below are fused into
+    # the scan stage; spread the narrow projection when the scan is
+    # unsplittable (no-op at scale).
+    v = with_norm(
+        spread_scan(
+            _vecs(spark, sf_dir).select("vec_id", "embedding"),
+            spark, sf_dir, "embeddings", key="vec_id",
+        )
+    ).select("vec_id", "embedding", "vnorm")
     vb = v.withColumn(
         "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(N_SIM_BLOCKS)).cast("int")
     )
@@ -633,8 +643,18 @@ def cosine_threshold_pairs(
         hi = np.maximum(ids_a[ai], ids_b[bi])
         return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim": sims[ai, bi]})
 
+    # r16: pin the grouped-map's exchange width.  AQE sizes post-shuffle
+    # partitions by BYTES; the block-pair kernel's cost is per
+    # group/row, so letting the exchange coalesce serializes the
+    # N(N+1)/2 numpy kernels onto a handful of tasks.  The repartition
+    # IS the shuffle the groupBy would have planned (same keys).
+    n_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions",
+                       str(spark.sparkContext.defaultParallelism))
+    )
     return (
         left.unionAll(right)
+        .repartition(n_parts, "ba", "bb")
         .groupBy("ba", "bb")
         .applyInPandas(block_pairs, schema="vec_a long, vec_b long, sim double")
     )
