@@ -76,6 +76,21 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _vecs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``_vecs`` behind the r16 unsplittable-input spread: the
+    pair-heavy ANN/kNN queries evaluate their per-candidate dot folds
+    (or numpy batch kernels) in the stage that reads the corpus, so on
+    a one-row-group input the whole similarity computation ran as ONE
+    task.  Used by the candidate-heavy queries only — the cheap
+    zero-shuffle map queries (quantize/MRL/dim-stats) keep the bare
+    scan and their pinned exchange-free plans."""
+    from ..sources.tables import spread_scan
+
+    return spread_scan(
+        _vecs(spark, sf_dir), spark, sf_dir, "embeddings", key="vec_id"
+    )
+
+
 def with_norm(vecs: DataFrame) -> DataFrame:
     return vecs.withColumn("vnorm", norm(F.col("embedding")))
 
@@ -109,8 +124,10 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     The broadcast side is capped at ``N_QUERIES`` rows (lowest vec_ids of
     the % subset), so the plan stays a single corpus scan + broadcast
     join at any corpus size — the broadcast never grows with the data.
+    r16: the corpus side rides the unsplittable-input spread so the
+    interpreted exact dot folds parallelize on a one-row-group input.
     """
-    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    v = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     q = (
         v.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
@@ -205,6 +222,9 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN: hyperplane-LSH bucket join (multiprobe distance 1 on the query
     side only — the corpus side stays un-exploded) + exact cosine rerank.
     """
+    # r16 note: lsh deliberately NOT spread — measured 0.79 s -> 1.4 s
+    # (the 8-plane bucket kernel is far cheaper than the extra exchange
+    # + broadcast-stage replay it buys at this corpus size).
     v = lsh_buckets(_vecs(spark, sf_dir)).select(
         "vec_id", "embedding", "vnorm", "bucket"
     )
@@ -290,7 +310,7 @@ def q_knn_bruteforce_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    v = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     qrows = (
         v.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
@@ -488,7 +508,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-heavy half (assignment) is one broadcast pass against the
     constant-size centroid set; search touches only ~NPROBE/IVF_C of the
     corpus per query."""
-    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    v = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     assign = ivf_assignments(v)
 
     cent = ivf_centroids(v)
@@ -968,7 +988,7 @@ def q_kmeans_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distances are sequential left folds of ``(x-y)²`` in double, so the
     assignment's comparison keys are bit-identical to the DuckDB oracle.
     """
-    v = _vecs(spark, sf_dir).select(
+    v = _vecs_spread(spark, sf_dir).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("xd")
     )
     seeds = (
@@ -1336,7 +1356,7 @@ def q_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    v = _vecs(spark, sf_dir).select("embedding")
+    v = _vecs_spread(spark, sf_dir).select("embedding")
 
     def gram_batches(batches):
         for pdf in batches:
@@ -1565,7 +1585,7 @@ def pq_trained_codebook(spark: SparkSession, sf_dir: str):
         del _PQ_CB_CACHE[k]
     while len(_PQ_CB_CACHE) >= _PQ_CB_MAX:
         del _PQ_CB_CACHE[next(iter(_PQ_CB_CACHE))]
-    u = _vecs(spark, sf_dir).select("vec_id", "embedding")
+    u = _vecs_spread(spark, sf_dir).select("vec_id", "embedding")
     cb = _pq_lloyd_refine(u, _pq_seed_codebook(u))
     _PQ_CB_CACHE[key] = cb
     return cb
@@ -1609,7 +1629,7 @@ def _pq_adc_scored(spark: SparkSession, sf_dir: str, trained: bool = False):
     import numpy as np
     import pandas as pd
 
-    u = _vecs(spark, sf_dir).select("vec_id", "embedding")
+    u = _vecs_spread(spark, sf_dir).select("vec_id", "embedding")
     # trained path reads the session-memoized codebook (retrains only on
     # a cold cache); the seed path stays an O(1) collect
     cb = pq_trained_codebook(spark, sf_dir) if trained else _pq_seed_codebook(u)
@@ -1962,8 +1982,8 @@ def q_knn_bruteforce_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame makes DeduplicateRelations re-alias the right child's
     # columns, and the kernel then receives a pandas frame without the
     # original names (observed KeyError: 'vec_id' on Spark 4.1).
-    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
-    v2 = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    v = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    v2 = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     queries = v.filter(F.col("vec_id") % QUERY_MOD == 0)
     # qb must be decorrelated from the QUERY_MOD id stride (vec_id % KNN_QB
     # would populate only gcd-compatible blocks); a hash spreads queries
@@ -2133,7 +2153,7 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srank") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    v = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     qv = v.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2440,7 +2460,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     real job re-reads the cached vectors instead of re-running the
     normalization scan (ADVICE r7)."""
     v = (
-        with_norm(_vecs(spark, sf_dir))
+        with_norm(_vecs_spread(spark, sf_dir))
         .select("vec_id", "embedding", "vnorm")
         .persist()
     )
@@ -2589,7 +2609,7 @@ def q_ann_filtered_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     the filter's selectivity instead of growing a rejection loop.
     Constant {IVF_C}-centroid broadcast, one corpus scan, no
     re-ranking pass over unfiltered candidates."""
-    v = with_norm(_vecs(spark, sf_dir)).select(
+    v = with_norm(_vecs_spread(spark, sf_dir)).select(
         "vec_id", "embedding", "label", "vnorm"
     )
     cent = ivf_centroids(v.select("vec_id", "embedding", "vnorm"))
@@ -2702,7 +2722,7 @@ def _hamming_sig_frame(spark: SparkSession, sf_dir: str, sig_kernel) -> DataFram
     against that boundary.  Signatures are 8 bytes/vector, so the
     checkpointed state is ~0.2% of the corpus footprint."""
     return (
-        _vecs(spark, sf_dir)
+        _vecs_spread(spark, sf_dir)
         .mapInPandas(sig_kernel, schema="vec_id long, sig long")
         .localCheckpoint(eager=True)
     )
@@ -2862,7 +2882,7 @@ def q_ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srank") <= HAM_SHORTLIST)
         .select("query_id", "neighbor_id", "ham")
     )
-    e = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    e = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     qe = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -3180,7 +3200,7 @@ def q_ann_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan into all three greedy rounds.  Callers that invoke this
     repeatedly in one session must clear caches between calls (bench
     and the pytest atomic-schema sweep both ``spark.catalog.clearCache()``)."""
-    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    v = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     q = (
         v.filter(F.col("vec_id") % QUERY_MOD == 0)
         .orderBy("vec_id")
@@ -3347,7 +3367,7 @@ def q_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     not the corpus, which is the entire point of incremental ingest.
     The rank-1/rank-2 pivot is one combiner agg on 2 rows per vector.
     """
-    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    v = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     corpus = v.filter(F.col("vec_id") % IVF_BATCH_MOD != IVF_BATCH_REM)
     batch = v.filter(F.col("vec_id") % IVF_BATCH_MOD == IVF_BATCH_REM)
     cent = ivf_centroids(corpus)
@@ -3865,7 +3885,7 @@ def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuses into the join condition (no second pass), and the per-anchor
     top-k is a rank-window over anchor-keyed partitions
     (WindowGroupLimit pushes the cut before the final sort)."""
-    v = with_norm(_vecs(spark, sf_dir)).select(
+    v = with_norm(_vecs_spread(spark, sf_dir)).select(
         "vec_id", "embedding", "vnorm", "label"
     )
     q = (
@@ -4093,7 +4113,7 @@ def q_ann_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's pipeline metrics (WordCount.java:54-63) to the ANN
     index the similarity family maintains.
     """
-    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    v = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     cells = (
         ivf_assignments(v)
         .groupBy("cell")

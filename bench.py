@@ -597,6 +597,11 @@ EAGER_BUILD_QUERIES = {
     "q_contamination_eval_13gram",
     "q_curation_funnel_yield",
     "q_contamination_containment",
+    # r16: recall's ground truth (the interpreted exact-oracle twin)
+    # localCheckpoints eagerly at construction — several seconds of
+    # real Spark work that the timed action excludes; ledger it like
+    # the other eager builders so true_total sees it.
+    "q_ann_recall",
 }
 
 
