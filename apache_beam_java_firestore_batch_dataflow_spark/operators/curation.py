@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import round_ratio, round_ratio_sql
 from ..functions.timeutil import epoch_us
-from ..sources.tables import load_table
+from ..sources.tables import spread_scan, load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 from ..registry import add as _registry_add
@@ -1623,7 +1623,10 @@ def q_mix_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition.  Nothing exceeds O(corpus tokens)."""
     from .text import tokens_col
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents"), spark, sf_dir,
+        "documents", key="doc_id",
+    )  # r16: word-census partials run inside the (unsplittable) scan
     toks = docs.select(
         "doc_id", "source", F.explode(tokens_col(F.col("text"))).alias("w")
     )

@@ -1051,7 +1051,13 @@ def q_dedup_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (only chunks crossing the threshold); Spark's AQE broadcasts it when
     it fits, and the plan stays a keyed equi-join either way.
     """
-    docs = _docs(spark, sf_dir)
+    from ..sources.tables import spread_scan
+
+    # r16: chunking + census partials run inside the scan stage —
+    # spread the scan when it is unsplittable (no-op at scale)
+    docs = spread_scan(
+        _docs(spark, sf_dir), spark, sf_dir, "documents", key="doc_id"
+    )
     t = tokens_col(F.col("text"))
     tokd = docs.select("doc_id", t.alias("t"))
     chunks = (

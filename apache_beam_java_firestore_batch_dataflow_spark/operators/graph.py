@@ -143,6 +143,12 @@ def copurchase_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
         del _ADJ_CACHE[k]
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r16 note: an A/B tried re-widening this checkpoint (AQE coalesces
+    # the distinct to ~5 byte-sized partitions) with repartition(32, c)
+    # before the checkpoint — jaccard was flat (2.67 -> 2.84 s isolated)
+    # and pagerank REGRESSED ~2x (more tasks per iterative round on a
+    # tiny frame); reverted.  The coalesced width is the right call for
+    # this frame's byte size; at scale AQE sizes it to the data.
     adj = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))

@@ -541,8 +541,14 @@ def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     combination is an exact decimal dot product, so no order-dependent
     double summation exists anywhere (same discipline as
     q_corr_manual's sufficient statistics).
+    r16: the tokenize+explode partial runs inside the scan stage —
+    spread the scan when it is unsplittable (no-op at scale).
     """
-    docs = _docs(spark, sf_dir)
+    from ..sources.tables import spread_scan
+
+    docs = spread_scan(
+        _docs(spark, sf_dir), spark, sf_dir, "documents", key="doc_id"
+    )
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
     )
@@ -1098,8 +1104,15 @@ def q_doc_similarity_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum deterministic (decimal accumulators — a single wi² can exceed
     int64); floats appear only at the final normalize-and-round,
     identically on both engines.
+    r16: both branch roots (token explode, gram-array build) run inside
+    the scan stage — spread the scan when it is unsplittable (no-op at
+    scale).
     """
-    docs = _docs(spark, sf_dir)
+    from ..sources.tables import spread_scan
+
+    docs = spread_scan(
+        _docs(spark, sf_dir), spark, sf_dir, "documents", key="doc_id"
+    )
     toks = docs.select(
         "doc_id", F.explode(tokens_col(F.lower(F.col("text")))).alias("tok")
     )
@@ -3275,7 +3288,13 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference provenance: extends the reference's tokenize+count
     (WordCount.java:52-75, 106) with closed-vocab membership.
     """
-    docs = _docs(spark, sf_dir)
+    from ..sources.tables import spread_scan
+
+    # r16: the trigram transform + Generate run inside the scan stage —
+    # spread the scan when it is unsplittable (no-op at scale).
+    docs = spread_scan(
+        _docs(spark, sf_dir), spark, sf_dir, "documents", key="doc_id"
+    )
     tokd = docs.select("source", tokens_col(F.col("text")).alias("t"))
     gram_arr = F.when(
         F.size("t") >= OOV_N,
