@@ -1152,7 +1152,12 @@ def q_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .groupBy("o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n_exact"),
+            # count the KEY, not lit(1) (ADVICE r16): count("o_custkey")
+            # skips NULL keys exactly like the pre-r16 countDistinct and
+            # approx_count_distinct do, so n_exact/n_sketch can never
+            # diverge on a nullable key (TPC-H custkey is non-null, so
+            # this is value-identical here — semantics-tightening only).
+            F.count("o_custkey").alias("n_exact"),
             F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias("n_sketch"),
         )
     )

@@ -65,16 +65,26 @@ def scan_data_splits(sf_dir: str, name: str) -> int:
     scan's real parallelism (the driver fixtures are one file of one
     row group per table — the whole map side of every query runs as ONE
     task no matter the split count).  Footer-only reads, cached by
-    (path, mtime, size) like ``fixture_fingerprint``."""
+    (path, mtime, size) like ``fixture_fingerprint``.
+
+    r17 (ADVICE r16): recurses into nested directories (a
+    hive-partitioned layout keeps its data files one level down per
+    partition value), so a partitioned table censuses its real row-group
+    count instead of reading an empty top-level listing as 0.  May raise
+    on non-local URIs — ``spread_scan`` treats any failure as
+    "uninspectable, assume splittable" and fails OPEN."""
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
-    files = (
-        [os.path.join(path, e) for e in sorted(os.listdir(path))
-         if e.endswith(".parquet")]
-        if os.path.isdir(path)
-        else [path]
-    )
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, e)
+            for root, _dirs, names in os.walk(path)
+            for e in names
+            if e.endswith(".parquet")
+        )
+    else:
+        files = [path]
     total = 0
     for f in files:
         st = os.stat(f)
@@ -102,9 +112,21 @@ def spread_scan(
     so the conditional exchange carries only the columns the downstream
     kernel needs.  ``key`` (a unique/high-cardinality column) selects
     hash partitioning — deterministic and free of round-robin's
-    sort-before-repartition pass; omit it for round-robin."""
+    sort-before-repartition pass; omit it for round-robin.
+
+    Fails OPEN (r17, VERDICT r16 item 3 / ADVICE r16): the row-group
+    census is a local-filesystem + pyarrow inspection; on an object-store
+    URI, a permissions error, a format this census cannot read, or a
+    layout that yields no visible data files, the input is treated as
+    already-splittable and ``df`` is returned untouched — the rule may
+    only ever ADD parallelism it can prove is missing, never a corpus
+    shuffle (or a crash) on inputs it cannot inspect."""
     cores = spark.sparkContext.defaultParallelism
-    if scan_data_splits(sf_dir, name) >= cores:
+    try:
+        splits = scan_data_splits(sf_dir, name)
+    except Exception:  # noqa: BLE001 — uninspectable input: fail open
+        return df
+    if splits == 0 or splits >= cores:
         return df
     return df.repartition(cores, key) if key else df.repartition(cores)
 
