@@ -727,9 +727,25 @@ def semantic_edges(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     # superseded-fixture entries for this sf_dir on miss
     for k in [k for k in _EDGE_CACHE if k[0] != key[0] or (k[1] == sf_dir and k[2] != fp)]:
         del _EDGE_CACHE[k]
+    # r17 (VERDICT r16 item 1): the r16 width pin on the block-pair
+    # kernel's exchange leaves the kernel OUTPUT at pinned width (32
+    # locally) — every downstream analytic then runs its per-branch /
+    # per-round stages over a byte-tiny checkpoint at full width, the
+    # exact "more tasks per round on a tiny frame" pathology the r16
+    # copurchase A/B reverted (graph.py:146).  Rebalance the checkpoint
+    # back to byte-sized width with an AQE-coalescible keyed repartition
+    # (no explicit numPartitions => REPARTITION_BY_COL, which AQE sizes
+    # by bytes — at 100 TB the same exchange yields a data-proportional
+    # width, never a constant).  The kernel stage itself stays at pinned
+    # width; only its tiny (vec_a, vec_b) output crosses this exchange.
+    # A/B isolated (r17 host, in-band): triangles med 1.88 -> 1.02 s,
+    # label_conflicts 0.52 -> 0.21 s, components eager 2.37 -> 1.81 s;
+    # BFS/dedup_semantic flat.  AQE sizes the 44k-row frame to 1
+    # partition at sf0.1 (the copurchase width class).
     edges = (
         cosine_threshold_pairs(spark, sf_dir, tau=tau)
         .select("vec_a", "vec_b")
+        .repartition("vec_a")
         .localCheckpoint(eager=True)
     )
     _EDGE_CACHE[key] = edges
@@ -2153,7 +2169,16 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srank") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    v = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    # r17 (VERDICT r16 item 1): the rerank-side corpus read reverts the
+    # r16 `_vecs_spread` — only O(queries x PQ_SHORTLIST) rows survive
+    # these keyed joins, so the per-row work after the scan is trivial
+    # and the spread's exchange bought nothing but task overhead (bench
+    # 0.48 -> ~1.0 s across both r16 closing runs; isolated A/B this
+    # round: 0.91 -> 0.69 s med after the revert.  The ADC stage inside
+    # `_pq_adc_scored` keeps its spread — that one feeds the real
+    # per-row encode work).  At any real layout the spread is a no-op,
+    # so the revert changes nothing at scale.
+    v = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     qv = v.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -2720,9 +2745,21 @@ def _hamming_sig_frame(spark: SparkSession, sf_dir: str, sig_kernel) -> DataFram
     time, i.e. before a bench harness's timed action — bench.py tags
     the affected queries with ``eager_build`` so their numbers are read
     against that boundary.  Signatures are 8 bytes/vector, so the
-    checkpointed state is ~0.2% of the corpus footprint."""
+    checkpointed state is ~0.2% of the corpus footprint.
+
+    r17 (VERDICT r16 item 1): the r16 `_vecs_spread` here was a measured
+    LOSS and is reverted — the sig kernel is one cheap numpy pass (the
+    512x-compression point of 1-bit), so locally the spread's exchange +
+    32-task mapInPandas + wide checkpoint cost more than the kernel
+    gained (bench rank 0.41->0.69 s, rerank 0.71->1.19 s; isolated A/B
+    this round, together with the rerank-side un-spread below: rank
+    action 0.67->0.44 s med, rerank 1.40->0.65 s med, builds
+    flat-to-better after the revert), and every consumer then
+    iterated a 2000-row checkpoint at 32-task width.  At any real
+    layout the spread is a no-op, so the revert changes nothing at
+    scale."""
     return (
-        _vecs_spread(spark, sf_dir)
+        _vecs(spark, sf_dir)
         .mapInPandas(sig_kernel, schema="vec_id long, sig long")
         .localCheckpoint(eager=True)
     )
@@ -2882,7 +2919,11 @@ def q_ann_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("srank") <= HAM_SHORTLIST)
         .select("query_id", "neighbor_id", "ham")
     )
-    e = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    # r17: rerank-side corpus read un-spread (the q_ann_pq_rerank
+    # rationale — only O(queries x HAM_SHORTLIST) rows survive the
+    # broadcast joins, so the spread's exchange was pure task overhead
+    # on this path; no-op at scale either way).
+    e = with_norm(_vecs(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
     qe = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),

@@ -78,3 +78,67 @@ def test_scan_data_splits_recurses_partitioned_layout(spark, tmp_path):
     df = spark.read.parquet(root)
     out = spread_scan(df, spark, str(tmp_path), "orders", key="o_orderkey")
     assert out is df
+
+
+# ---------------------------------------------------------------------------
+# Checkpointed kernel outputs stay byte-sized (VERDICT r16 item 1)
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_edges_checkpoint_width_is_byte_sized(spark, sf_dir):
+    """The r16 width pin keeps the block-pair KERNEL wide, but its
+    checkpointed output must come back to AQE's byte-sized width —
+    consumers (triangles / components / BFS / label conflicts) iterate
+    and join this tiny frame per round, and a full-width checkpoint
+    re-creates the 'more tasks per round on a tiny frame' regression
+    the r16 copurchase A/B identified."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.graph import (
+        TRI_TAU,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        clear_semantic_edge_cache,
+        semantic_edges,
+    )
+
+    clear_semantic_edge_cache()
+    try:
+        e = semantic_edges(spark, sf_dir, tau=TRI_TAU)
+        cores = spark.sparkContext.defaultParallelism
+        # the 44k-row edge frame is well under one advisory partition;
+        # anything at or above core width means AQE coalescing was lost
+        assert e.rdd.getNumPartitions() < max(cores // 2, 2)
+    finally:
+        clear_semantic_edge_cache()
+
+
+def test_hamming_sig_frame_not_spread(spark, sf_dir):
+    """The 1-bit signature kernel is one cheap numpy pass over the
+    corpus; r16's spread of its input was a measured loss (exchange +
+    wide checkpoint cost more than the kernel gained) and is reverted.
+    The sig frame must be built without a repartition exchange and the
+    checkpoint must stay narrow on the one-row-group fixture."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        _ham_sig_kernel,
+        _hamming_sig_frame,
+    )
+
+    sig = _hamming_sig_frame(spark, sf_dir, _ham_sig_kernel())
+    assert sig.rdd.getNumPartitions() <= 2
+    spark.catalog.clearCache()
+
+
+def test_rerank_corpus_reads_not_spread(spark, sf_dir):
+    """The rerank stages of q_ann_pq_rerank / q_ann_hamming_rerank only
+    keep O(queries x shortlist) rows out of their corpus joins — the
+    r16 spread exchange on those reads was pure task overhead (VERDICT
+    r16 item 1) and is reverted: hamming_rerank's plan carries NO
+    hashpartitioning(vec_id) exchange, pq_rerank's exactly the ONE its
+    ADC encode stage keeps (before the revert they carried 2 and 3)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators import similarity
+    from apache_beam_java_firestore_batch_dataflow_spark.plans.explain import plan_text
+
+    txt = plan_text(similarity.QUERIES["q_ann_hamming_rerank"](spark, sf_dir))
+    assert "hashpartitioning(vec_id" not in txt
+    txt = plan_text(similarity.QUERIES["q_ann_pq_rerank"](spark, sf_dir))
+    assert txt.count("hashpartitioning(vec_id") <= 1
+    spark.catalog.clearCache()
