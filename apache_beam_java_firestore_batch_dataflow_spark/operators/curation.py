@@ -2023,9 +2023,17 @@ def _contam_gram_streams(
     if cached is None:
         for k in [k for k in _EVAL_GRAM_CACHE if k[0] != key[0] or k[1] == sf_dir]:
             del _EVAL_GRAM_CACHE[k]
+        # r17 (VERDICT r16 items 1+3): the eval gram frame inherited the
+        # r16 spread's 32-partition width — 14k rows checkpointed across
+        # 32 partitions, so the Bloom build, the eval_g distinct and the
+        # broadcast hash build each paid full-width task overhead on a
+        # byte-tiny frame.  Rebalance to AQE's byte-sized width before
+        # checkpointing (1 partition at sf0.1, data-proportional at any
+        # scale); the gram CENSUS stage above stays wide.
         eval_grams = (
             grams.filter(F.col("split") == "test")
             .select("doc_id", "g")
+            .repartition("doc_id")
             .localCheckpoint(eager=True)
         )
         words = bloom_build(

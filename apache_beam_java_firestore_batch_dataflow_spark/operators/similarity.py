@@ -173,14 +173,28 @@ def _bucket_sql() -> str:
 
 def lsh_buckets(vecs: DataFrame) -> DataFrame:
     """(vec_id, embedding, vnorm, bucket): N_PLANES-bit (8-bit, 256
-    buckets) hyperplane signature."""
+    buckets) hyperplane signature.
+
+    r17: the signature is ONE parsed SQL expression instead of
+    N_PLANES x DIM ``F.lit`` Column constructions + 8 lambda trees —
+    the bloom_member lesson (functions/bloom.py): each py4j Column is
+    ~1 ms of driver time, so the old form cost ~0.7-1.2 s PER
+    DataFrame CONSTRUCTION (paid by every q_ann_lsh build and by
+    q_ann_recall's eager ledger) while the parser ingests the same
+    expression in milliseconds.  The parsed tree is the identical
+    aggregate(zip_with(...)) fold over the identical double literals,
+    so plans and results are unchanged (oracle + plan pins)."""
     signs = hyperplane_signs(N_PLANES, DIM)
-    sig = None
+    terms = []
     for j in range(N_PLANES):
-        plane = F.array(*[F.lit(float(s)) for s in signs[j]])
-        proj = dot(F.col("embedding"), plane)
-        term = F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
+        plane = "array(" + ", ".join(f"{float(s)}D" for s in signs[j]) + ")"
+        proj = (
+            f"aggregate(zip_with(embedding, {plane}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0.0D THEN {1 << j} ELSE 0 END)")
+    sig = F.expr(" + ".join(terms))
     return with_norm(vecs).withColumn("bucket", sig.cast("bigint"))
 
 
@@ -1898,6 +1912,86 @@ _RECALL_ORACLE = f"""
 """
 
 
+def _knn_exact_pairs_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``q_knn_bruteforce``'s exact output via the Arrow/numpy fast
+    path — recall's ground-truth builder (r17, guide §4.2).
+
+    The registered ``q_knn_bruteforce`` stays the interpreted JVM-fold
+    reference (round-4 policy); this twin exists ONLY so q_ann_recall's
+    eager ground-truth checkpoint does not pay ~4 s of interpreted
+    per-pair fold calls for the identical rowset.  Unlike
+    ``q_knn_bruteforce_numpy`` (which ranks by ROUNDED sim — a
+    different, also-oracled ordering), this kernel reproduces the RAW
+    float ordering bit-identically: ``_pairwise_sims`` performs the
+    oracle's sequential dimension fold (same IEEE additions, same
+    order), and per-batch pruning keeps every row whose raw sim reaches
+    its batch's k-th largest VALUE per query — a row beaten by k
+    strictly-greater sims in its own batch is beaten by those k rows
+    globally, so the prune is exact and ties at the k-th value all
+    survive to the final window, which re-ranks by (raw sim desc,
+    neighbor_id) exactly like the interpreted plan.  Equality with
+    q_knn_bruteforce is asserted by
+    tests/test_round17_perf.py::test_recall_ground_truth_matches_bruteforce
+    and by q_ann_recall's own oracle (its CTE is the brute-force SQL).
+    """
+    import numpy as np
+
+    v = with_norm(_vecs_spread(spark, sf_dir)).select("vec_id", "embedding", "vnorm")
+    qrows = (
+        v.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .orderBy("vec_id")
+        .limit(N_QUERIES)
+        .collect()
+    )
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
+    q_norm = np.array([r["vnorm"] for r in qrows], dtype=np.float64)
+    bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
+    k = KNN_K
+
+    def exact_topk_per_batch(batches):
+        import pandas as pd
+
+        q_ids, q_mat, q_norm = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            x = np.stack(
+                [np.asarray(e, dtype=np.float64) for e in pdf["embedding"]]
+            )
+            xn = pdf["vnorm"].to_numpy(dtype=np.float64)
+            sims = _pairwise_sims(x, xn, q_mat, q_norm)  # batch × queries
+            self_mask = ids[:, None] == q_ids[None, :]
+            neg = np.where(self_mask, np.inf, -sims)  # self-pairs last
+            kk = min(k, len(ids))
+            kth = np.partition(neg, kk - 1, axis=0)[kk - 1]  # per query
+            keep = (neg <= kth[None, :]) & ~self_mask
+            rows, cols = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[cols],
+                    "neighbor_id": ids[rows],
+                    "sim": sims[rows, cols],
+                }
+            )
+
+    partial = v.mapInPandas(
+        exact_topk_per_batch, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("sim", 6).cast("double").alias("cosine"),
+        )
+    )
+
+
 @register("q_ann_recall", oracle=_RECALL_ORACLE)
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{ANN_K} of every ANN method against exact brute-force
@@ -1914,7 +2008,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialized once: the ground truth feeds qs, exact, and the four
     # per-method semi-joins — without truncation each reference re-runs
     # the brute-force scan.  Size is <= N_QUERIES * KNN_K rows.
-    exact_all = q_knn_bruteforce(spark, sf_dir).localCheckpoint(eager=True)
+    # r17: built by the vectorized exact twin (bit-identical rowset to
+    # q_knn_bruteforce, see _knn_exact_pairs_vectorized — eager build
+    # 4.1 -> ~1.1 s isolated); the registered interpreted query itself
+    # is untouched.
+    exact_all = _knn_exact_pairs_vectorized(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     qs = exact_all.select("query_id").distinct()
     exact = exact_all.filter(F.col("rank") <= ANN_K).select(
         "query_id", "neighbor_id"

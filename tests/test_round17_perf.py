@@ -142,3 +142,37 @@ def test_rerank_corpus_reads_not_spread(spark, sf_dir):
     txt = plan_text(similarity.QUERIES["q_ann_pq_rerank"](spark, sf_dir))
     assert txt.count("hashpartitioning(vec_id") <= 1
     spark.catalog.clearCache()
+
+
+# ---------------------------------------------------------------------------
+# q_ann_recall ground truth: vectorized exact twin == interpreted reference
+# ---------------------------------------------------------------------------
+
+
+def test_recall_ground_truth_matches_bruteforce(spark, sf_dir):
+    """The r17 ground-truth builder replaces ~4 s of interpreted
+    per-pair JVM fold with _pairwise_sims' bit-identical sequential
+    fold + an exact raw-sim per-batch prune.  The WHOLE rowset —
+    including raw-ordering ranks and 6-dp cosines — must equal
+    q_knn_bruteforce's, at the default batch size AND with tiny Arrow
+    batches (many partial top-ks + tie survival through the merge)."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.similarity import (
+        _knn_exact_pairs_vectorized,
+        q_knn_bruteforce,
+    )
+
+    def rowset(df):
+        return sorted(
+            (r.query_id, r.neighbor_id, r.rank, r.cosine) for r in df.collect()
+        )
+
+    ref = rowset(q_knn_bruteforce(spark, sf_dir))
+    assert rowset(_knn_exact_pairs_vectorized(spark, sf_dir)) == ref
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "13")  # force many batches -> many partial top-ks
+        assert rowset(_knn_exact_pairs_vectorized(spark, sf_dir)) == ref
+    finally:
+        spark.conf.set(key, saved) if saved is not None else spark.conf.unset(key)
+    spark.catalog.clearCache()
