@@ -957,9 +957,17 @@ def q_sessions_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "session_no")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
-    deltas = sessions.select(F.col("s").alias("ts"), F.lit(1).alias("d")).unionAll(
-        sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("d"))
-    )
+    # r17: both boundary deltas from ONE in-row explode — the union's
+    # two branches each re-ran the sessionization agg above the reused
+    # exchange (guide §2.4 duplicated-subtree check).  Identical rows.
+    deltas = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("ts"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("ts"), F.lit(-1).alias("d")),
+            )
+        ).alias("b")
+    ).select("b.ts", "b.d")
     net = deltas.groupBy("ts").agg(F.sum("d").alias("net")).withColumn(
         "shard", (epoch_us("ts") / _CONC_SHARD_US).cast("bigint")
     )
@@ -1163,23 +1171,33 @@ def q_sessions_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             epoch_us(F.max("ts")).alias("e"),
         )
     )
-    pts = intervals.select(
-        "user_id",
-        "session_no",
-        F.col("s").alias("t"),
-        F.lit(0).alias("k"),
-        F.lit(1).alias("is_start"),
-        F.lit(0).alias("is_end"),
-    ).unionAll(
+    # r17: both boundary rows from ONE in-row explode — the union's two
+    # branches each re-ran the sessionization agg above the reused
+    # exchange (guide §2.4 duplicated-subtree check).  Identical rows.
+    pts = (
         intervals.select(
             "user_id",
             "session_no",
-            F.col("e").alias("t"),
-            F.lit(1).alias("k"),
-            F.lit(0).alias("is_start"),
-            F.lit(1).alias("is_end"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("s").alias("t"),
+                        F.lit(0).alias("k"),
+                        F.lit(1).alias("is_start"),
+                        F.lit(0).alias("is_end"),
+                    ),
+                    F.struct(
+                        F.col("e").alias("t"),
+                        F.lit(1).alias("k"),
+                        F.lit(0).alias("is_start"),
+                        F.lit(1).alias("is_end"),
+                    ),
+                )
+            ).alias("b"),
         )
-    ).withColumn("shard", (F.col("t") / _CONC_SHARD_US).cast("bigint"))
+        .select("user_id", "session_no", "b.t", "b.k", "b.is_start", "b.is_end")
+        .withColumn("shard", (F.col("t") / _CONC_SHARD_US).cast("bigint"))
+    )
     w_ord = Window.partitionBy("shard").orderBy("t", "k", "user_id", "session_no")
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.partitionBy("shard")

@@ -1334,13 +1334,27 @@ def q_text_rerank_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-counting levenshtein() and Spark's character-counting one
     agree by construction."""
     sim = q_doc_similarity_tfidf(spark, sf_dir)
+    # r17: both directions come from ONE in-row explode instead of a
+    # union of two selects — the union's branches each re-evaluated the
+    # ENTIRE TF-IDF pair subplan (guide §2.4 duplicated-subtree check;
+    # only its exchanges were reused), which made the retriever stage
+    # the leg's dominant cost twice over.  Identical rowset: the same
+    # (doc_id, cand_id, cosine) pairs, one per direction.
     both = sim.select(
-        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("cand_id"), "cosine"
-    ).unionAll(
-        sim.select(
-            F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("cand_id"), "cosine"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_id"),
+                    F.col("doc_b").alias("cand_id"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_id"),
+                    F.col("doc_a").alias("cand_id"),
+                ),
+            )
+        ).alias("pr"),
+        "cosine",
+    ).select("pr.doc_id", "pr.cand_id", "cosine")
     w_short = Window.partitionBy("doc_id").orderBy(
         F.desc("cosine"), F.asc("cand_id")
     )
