@@ -3356,6 +3356,15 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = tokd.select("source", F.explode(gram_arr).alias("g"))
+    # r17 A/B, tried and REVERTED (§2.3 aggregate-before-shuffle): a
+    # (source, g, c) census to collapse the two gram passes into one
+    # measured FLAT-to-worse (1.36 -> 1.44 s min isolated) — trigrams
+    # are nearly unique per source here (206k distinct of 260k rows),
+    # so the census shuffles ~the whole stream and its agg costs more
+    # than the second 0.4 s map-side pass it saves.  The two-pass
+    # shape stays: at any gram distribution its second pass is pure
+    # map-side (broadcast membership), while the census shape is only
+    # ahead when (source, g) dedup is strong.
     vocab = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
