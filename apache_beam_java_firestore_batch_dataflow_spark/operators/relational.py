@@ -3244,6 +3244,13 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     window; offsets broadcast back.  The median pick is then a filter +
     one tiny agg.  Bit-identical to the oracle's global window because
     every sum is exact decimal."""
+    # r17 A/B, tried and REVERTED: spreading the (flag, price, qty)
+    # projection measured ~2.5x WORSE same-window (spread 3.9-4.7 s vs
+    # 1.6-2.1 s) — the census reduces 600k rows to ~120k (flag, price)
+    # keys, so the extra exchange of the raw projection costs more than
+    # the parallel partial agg saves, and pw's three consumers then
+    # re-read a wider frame.  The single-task partial agg is the
+    # cheaper local shape; at any real layout the scan is already wide.
     pw = (
         _t(spark, sf_dir, "lineitem")
         .groupBy(
