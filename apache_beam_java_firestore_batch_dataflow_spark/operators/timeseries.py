@@ -1693,6 +1693,16 @@ def q_events_token_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Partition count: the session's configured shuffle width (the
     # deployment-scaled knob; local default = core count) — pinned
     # explicitly so AQE's byte-based coalescing cannot shrink it.
+    # MEMORY ENVELOPE (ADVICE r16): fold_partition concatenates its
+    # whole shuffle partition into one pandas frame (hash-partitioned
+    # input is NOT sorted, so group-at-a-time streaming would need a
+    # sort first), making Python-worker memory O(events / n_parts) ×
+    # ~3 int64 columns — NOT O(one user group) as under the old
+    # grouped-map.  Deployments must size n_parts (this knob) so a
+    # partition of the three 8-byte columns fits the worker:
+    # partitions ≈ total_events × 24 B / (a few hundred MB) is the
+    # floor; a skewed user count per partition raises it.  At the
+    # local default (32) the fixture partition is ~75 KB.
     n_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions",
                        str(spark.sparkContext.defaultParallelism))

@@ -65,6 +65,15 @@ def test_knn_corpus_never_shuffles(spark, sf_dir):
     assert "SortMergeJoin" not in txt and "ShuffledHashJoin" not in txt
     # spread (<=1) + query-side TakeOrdered + window partitioning
     assert num_shuffles(df) <= 3
+    # ADVICE r16: bounding the count alone would let a NEW corpus-side
+    # keyed exchange slip in — every hash exchange in this plan must be
+    # either the spread's vec_id repartition or the top-k window's
+    # query_id partitioning, nothing else
+    import re
+
+    hash_keys = re.findall(r"hashpartitioning\((\w+)", txt)
+    assert hash_keys, txt
+    assert set(hash_keys) <= {"vec_id", "query_id"}, hash_keys
 
 
 def test_q1_partial_aggregation(spark, sf_dir):
