@@ -2009,7 +2009,19 @@ def contaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf_dir on miss (semantic_edges discipline)
     for k in [k for k in _CONTAM_CACHE if k[0] != key[0] or k[1] == sf_dir]:
         del _CONTAM_CACHE[k]
-    hits = _contamination_hits_plan(spark, sf_dir).localCheckpoint(eager=True)
+    # r17: rebalance the checkpointed hit frame to byte-sized width —
+    # 39 rows were checkpointed across 32 partitions.  Two-step (the
+    # minhash_pairs rationale: a repartition above the hits plan does
+    # not coalesce because the eval-gram checkpoint scan pins the
+    # partitioning; checkpoint first, then rebalance the clean scan,
+    # which AQE sizes by bytes).  The pinned _contamination_hits_plan
+    # itself is untouched.
+    hits = (
+        _contamination_hits_plan(spark, sf_dir)
+        .localCheckpoint(eager=True)
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
     _CONTAM_CACHE[key] = hits
     return hits
 

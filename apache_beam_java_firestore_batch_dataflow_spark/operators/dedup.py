@@ -372,9 +372,21 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf_dir on miss (semantic_edges discipline)
     for k in [k for k in _PAIR_CACHE if k[0] != key[0] or k[1] == sf_dir]:
         del _PAIR_CACHE[k]
+    # r17 (VERDICT r16 item 1, the semantic_edges discipline): this
+    # checkpoint held 253 rows across 32 partitions at sf0.1, so every
+    # consumer (the iterative CC clustering rounds above all) paid
+    # full-width task overhead per stage on a byte-tiny frame.  The
+    # rebalance is TWO-step: a keyed repartition directly above the LSH
+    # plan does NOT coalesce (its persisted band/shingle relations pin
+    # the cached plan's partitioning), so checkpoint first — severing
+    # the cached lineage — then rebalance the clean checkpoint scan,
+    # which AQE coalesces by bytes (1 partition at sf0.1,
+    # data-proportional at scale; +0.30 s eager, measured).
     pairs = (
         q_dedup_minhash_lsh(spark, sf_dir)
         .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+        .repartition("doc_a")
         .localCheckpoint(eager=True)
     )
     _PAIR_CACHE[key] = pairs
