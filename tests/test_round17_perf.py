@@ -111,6 +111,34 @@ def test_semantic_edges_checkpoint_width_is_byte_sized(spark, sf_dir):
         clear_semantic_edge_cache()
 
 
+def test_shared_kernel_checkpoints_byte_sized(spark, sf_dir):
+    """minhash_pairs and contaminated_docs checkpoint byte-tiny frames
+    (253 / 39 rows at sf0.1): their memoized checkpoints must sit at
+    AQE's byte-sized width, not core width — the two-step rebalance
+    (checkpoint, then repartition the clean scan) guards against the
+    cached-plan partitioning pin regressing silently."""
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.curation import (
+        clear_contamination_cache,
+        contaminated_docs,
+    )
+    from apache_beam_java_firestore_batch_dataflow_spark.operators.dedup import (
+        clear_minhash_pair_cache,
+        minhash_pairs,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    bound = max(cores // 2, 2)
+    clear_minhash_pair_cache()
+    clear_contamination_cache()
+    try:
+        assert minhash_pairs(spark, sf_dir).rdd.getNumPartitions() < bound
+        assert contaminated_docs(spark, sf_dir).rdd.getNumPartitions() < bound
+    finally:
+        clear_minhash_pair_cache()
+        clear_contamination_cache()
+        spark.catalog.clearCache()
+
+
 def test_hamming_sig_frame_not_spread(spark, sf_dir):
     """The 1-bit signature kernel is one cheap numpy pass over the
     corpus; r16's spread of its input was a measured loss (exchange +
