@@ -1546,7 +1546,13 @@ def q_mix_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     onto the O(|sources|²) grid."""
     from .text import tokens_col
 
-    docs = load_table(spark, sf_dir, "documents")
+    # r17: tokenize + explode + the (source, w) partial census ran
+    # inside the ONE-task scan stage; spread the narrow projection
+    # (no-op at any real layout).
+    docs = spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        spark, sf_dir, "documents", key="doc_id",
+    )
     toks = docs.select("source", F.explode(tokens_col(F.col("text"))).alias("w"))
     counts = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c")).persist()
     ntot = counts.groupBy("source").agg(F.sum("c").alias("n_tok"))

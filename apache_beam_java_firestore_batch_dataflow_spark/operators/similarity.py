@@ -3712,8 +3712,24 @@ def q_embedding_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFra
     corpus scan scoring all labels per vector (fan-out = |labels|, a
     constant); the own/other pivot is a per-vector combiner agg and
     the label rollup another.  No corpus-corpus stage anywhere."""
-    v = _vecs(spark, sf_dir)
-    comp = v.select(
+    # r17: two per-task fixes (identical values, oracle both SFs).
+    # (1) the per-vector scoring (|labels| interpreted dot folds per
+    # row) ran inside the ONE-task scan — ride the candidate-heavy
+    # spread (no-op at scale).  (2) both norms were re-folded per
+    # (vector, label) pair: the vector norm now computes once per row
+    # (with_norm) and the centroid norm once per label inside the
+    # O(labels) broadcast frame — same fold expression over the same
+    # operands, so cos = dot/(vnorm·cnorm) is bit-identical.
+    # Same-window A/B: FLAT locally (old med 1.09 / new 1.00 — the leg
+    # is centroid-census-bound, not fold-bound at this corpus size);
+    # kept on the r16 flat-but-principled precedent (strictly fewer
+    # folds per row: 2 norm folds per (vector, label) pair removed —
+    # 10x fewer norm evaluations at any scale, spread a no-op at any
+    # real layout).
+    v = with_norm(_vecs_spread(spark, sf_dir)).select(
+        "vec_id", "label", "embedding", "vnorm"
+    )
+    comp = _vecs(spark, sf_dir).select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).select("label", "pos", F.col("x").cast("double").alias("x"))
     dec = F.round(F.col("x"), 6).cast("decimal(30,6)")
@@ -3725,14 +3741,14 @@ def q_embedding_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFra
             F.array_sort(F.collect_list(F.struct("pos", "m"))),
             lambda s: s["m"],
         ).alias("c")
-    ).select(F.col("label").alias("clabel"), "c")
+    ).select(F.col("label").alias("clabel"), "c", norm(F.col("c")).alias("cnorm"))
     scored = v.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "label",
         "clabel",
         (
             dot(F.col("embedding"), F.col("c"))
-            / (norm(F.col("embedding")) * norm(F.col("c")))
+            / (F.col("vnorm") * F.col("cnorm"))
         ).alias("cos"),
     )
     pivot = scored.groupBy("vec_id").agg(
