@@ -1267,11 +1267,23 @@ def q_dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs are ever generated (new-vs-new duplicates are settled by the
     batch's own run of q_dedup_exact/minhash, not this screen).
     """
-    docs = _docs(spark, sf_dir)
+    # r17: two fixes the sibling q_dedup_minhash_lsh already carries —
+    # the tokenize/shingle/signature kernel rides the unsplittable-
+    # input spread (it ran in ONE scan task), and the band frame is
+    # persisted (new-batch and corpus filters are two consumers; the
+    # signature aggregation — the dominant corpus pass — otherwise
+    # runs once per side).  Same-window A/B: med 1.51 -> 0.52 s,
+    # min 0.99 -> 0.45 s.
+    from ..sources.tables import spread_scan
+
+    docs = spread_scan(
+        _docs(spark, sf_dir).select("doc_id", "text"), spark, sf_dir,
+        "documents", key="doc_id",
+    )
     shs = shingle_sets_df(docs).persist()
     bands = band_hashes(minhash_signatures_from(
         shs.select("doc_id", F.explode("shs").alias("sh"))
-    ))
+    )).persist()
     is_new = F.col("doc_id") % INGEST_MOD == 0
     new_bands = bands.filter(is_new)
     corpus_bands = bands.filter(~is_new)
